@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the same config block is what we'd
+ship to a 1000-executor cluster — AQE for runtime re-planning (skew
+joins, partition coalescing), Arrow for the few Pandas-UDF operators,
+UTC session timezone so timestamp semantics match the DuckDB oracle
+and are deterministic across cluster timezones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dot_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    shuffle_partitions defaults to 32 locally; on a real cluster this
+    should be ~2-3x total cores (or left to AQE's coalescing with a
+    high initial value). AQE is on everywhere: it re-plans skewed
+    joins and coalesces tiny post-shuffle partitions at runtime,
+    which is exactly what a 100 TB run needs when key skew shows up.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("DOT_SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the synthetic events table stores TIMESTAMP(NANOS) which the
+        # Spark parquet reader rejects; read as long and convert in the
+        # source registry (sources/registry.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("DOT_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,3 @@
+from dot_spark.sources.registry import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]

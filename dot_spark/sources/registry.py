@@ -1,0 +1,59 @@
+"""Table registry over the synthetic parquet corpus.
+
+Mirrors the reference's warehouse-table abstraction (BigQuery
+`project.dataset.table`; okta-sync/okta_sync_utils.py:309,
+woo-sync/bigquery_client.py:45-46) as parquet-backed Spark reads.
+
+Scans stay lazy DataFrames so Catalyst pushes filters and prunes
+columns into the parquet reader — at 100 TB the difference between
+scanning 2 columns and 40 is the whole job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Lazy parquet scan of one registry table.
+
+    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader cannot represent; with spark.sql.legacy.parquet.nanosAsLong
+    it arrives as a nanosecond epoch long and is converted here to a
+    microsecond TimestampType (one codegen'd expression, still fully
+    pushdown/prune friendly for the other columns).
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """All registry tables as a dict of lazy DataFrames."""
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
