@@ -513,3 +513,311 @@ def w4_superseded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("event_id").alias("latest_event_id"), F.col("ts").alias("latest_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Nested-data / flattening (N1-N6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "n1_struct_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_field
+    FROM events
+    """,
+)
+def n1_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct field extraction (N1: o['billing']['city'] paths,
+    woo-sync/main.py:570-677): parse the JSON doc into a real struct
+    with from_json, then pull a nested field as a flat column."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_field"),
+    )
+
+
+@query(
+    "n2_explode_tokens",
+    """
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def n2_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode with parent key carried (N2: line_items ->
+    order-item rows, woo-sync/main.py:679-819). Explode is a
+    narrow (no-shuffle) operator: each partition fans out locally."""
+    from dot_spark.operators.flatten import explode_with_parent
+
+    docs = load_table(spark, "documents", sf_dir).withColumn("toks", F.split("text", " "))
+    out = explode_with_parent(docs, "toks", ["doc_id"], child_alias="token")
+    return out.select("doc_id", "token")
+
+
+@query(
+    "n3_kv_pivot",
+    """
+    SELECT user_id,
+           COALESCE(MAX(CASE WHEN event_type = 'click' THEN value END), 0.0) AS click_max,
+           COALESCE(MAX(CASE WHEN event_type = 'view' THEN value END), 0.0) AS view_max,
+           COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS purchase_max
+    FROM events GROUP BY user_id
+    """,
+)
+def n3_kv_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-value meta pivot (N3: meta_data {key,value} array lifted
+    to typed columns with defaults, woo-sync/main.py:845-892).
+
+    One conditional aggregation = one shuffle with map-side partial
+    agg, vs the reference's per-row dict scans."""
+    from dot_spark.operators.flatten import kv_pivot
+
+    ev = load_table(spark, "events", sf_dir)
+    out = kv_pivot(ev, "user_id", "event_type", "value",
+                   {"click": 0.0, "view": 0.0, "purchase": 0.0})
+    return out.select(
+        "user_id",
+        F.col("click").alias("click_max"),
+        F.col("view").alias("view_max"),
+        F.col("purchase").alias("purchase_max"),
+    )
+
+
+@query(
+    "n4_element_first_last",
+    """
+    SELECT vec_id,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS elem_first,
+           ROUND(CAST(embedding[-1] AS DOUBLE), 6) AS elem_last
+    FROM embeddings
+    """,
+)
+def n4_element_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last array element (N4: options[0] woo-sync/main.py:1029,
+    last-discount-wins :613-618)."""
+    from dot_spark.operators.flatten import element_first_last
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = element_first_last(emb, "embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.col("elem_first").cast("double"), 6).alias("elem_first"),
+        F.round(F.col("elem_last").cast("double"), 6).alias("elem_last"),
+    )
+
+
+@query(
+    "n5_sticky_carry",
+    """
+    SELECT l_orderkey, l_linenumber,
+           last_value(CASE WHEN l_linenumber % 3 = 1 THEN l_returnflag END IGNORE NULLS)
+             OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+    FROM lineitem
+    """,
+)
+def n5_sticky_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional row-scoped carry (N5: standalone item's sku
+    applied to subsequent bundle-member rows, woo-sync/main.py:683-688).
+    last(ignorenulls) over a running frame — the distributed form of
+    the reference's loop-carried variable."""
+    from dot_spark.operators.flatten import sticky_carry
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag"
+    )
+    marked = F.when(F.col("l_linenumber") % 3 == 1, F.col("l_returnflag"))
+    # (l_linenumber, l_partkey, l_suppkey) makes the per-order ordering
+    # total: duplicate (orderkey, linenumber) pairs exist in the data and
+    # a non-total window order would make the carry nondeterministic.
+    out = sticky_carry(
+        li, marked, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey"], out_col="carried"
+    )
+    return out.select("l_orderkey", "l_linenumber", "carried")
+
+
+@query(
+    "n6_json_stringify",
+    """
+    SELECT event_id,
+           to_json(struct_pack(user_id := user_id, event_type := event_type)) AS payload
+    FROM events
+    """,
+)
+def n6_json_stringify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON stringify boundary (N6: nested Okta objects stored as
+    stringified columns, okta-sync/schemas/*.json)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("user_id", "event_type")).alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Scalar function families (F1-F9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_regex_match",
+    """
+    SELECT doc_id, text
+    FROM documents
+    WHERE regexp_matches(text, '(spark|window).*(join|agg)')
+    """,
+)
+def f1_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex allowlist match (F1: transient-error pattern,
+    dbt-classify/classifier.py:26-33)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.filter(F.col("text").rlike("(spark|window).*(join|agg)")).select(
+        "doc_id", "text"
+    )
+
+
+@query(
+    "f2_ts_format",
+    """
+    SELECT event_id,
+           strftime(date_trunc('microseconds', ts), '%Y-%m-%dT%H:%M:%SZ') AS iso_ts
+    FROM events
+    """,
+)
+def f2_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp format (F2: strftime('%Y-%m-%dT%H:%M:%SZ'),
+    woo-sync/main.py:172-174)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_ts"),
+    )
+
+
+@query(
+    "f3_epoch_seconds",
+    """
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+)
+def f3_epoch_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch seconds (F3: int(time.time()) row stamps,
+    woo-sync/main.py:671 — parameterized on the data's own ts so the
+    fixture is deterministic)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select("event_id", F.unix_timestamp("ts").alias("epoch_s"))
+
+
+@query(
+    "f4_decimal_negate",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(38,9)) AS DOUBLE) AS total_dec,
+           CAST(-CAST(o_totalprice AS DECIMAL(38,9)) AS DOUBLE) AS refund_total
+    FROM orders
+    """,
+)
+def f4_decimal_negate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal cast + negation (F4: Decimal money math and
+    refund total = -amount, woo-sync/main.py:593-673,1078-1079).
+    Emitted as double because pandas bridges decimals inconsistently;
+    the decimal arithmetic itself runs in DecimalType."""
+    o = load_table(spark, "orders", sf_dir)
+    dec = F.col("o_totalprice").cast("decimal(38,9)")
+    return o.select(
+        "o_orderkey",
+        dec.cast("double").alias("total_dec"),
+        (-dec).cast("double").alias("refund_total"),
+    )
+
+
+@query(
+    "f5_string_ops",
+    """
+    SELECT doc_id,
+           concat(source, ':', lang) AS src_lang,
+           to_base64(encode(lang)) AS lang_b64,
+           string_split(text, ' ')[1] AS first_word
+    FROM documents
+    """,
+)
+def f5_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String ops (F5: base64 auth encode, concat, slice, split —
+    woo-sync/main.py:1143-1147, okta-sync/main.py:989-993)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(":"), F.col("lang")).alias("src_lang"),
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.split("text", " ").getItem(0).alias("first_word"),
+    )
+
+
+@query(
+    "f6_hour_gate",
+    """
+    SELECT event_id, user_id, hour(ts) AS h
+    FROM events WHERE hour(ts) IN (11, 17)
+    """,
+)
+def f6_hour_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day gate (F6: refund/product sync only at UTC hours
+    11 and 17, woo-sync/main.py:1313)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.filter(F.hour("ts").isin(11, 17)).select(
+        "event_id", "user_id", F.hour("ts").alias("h")
+    )
+
+
+@query(
+    "f7_flag_coerce",
+    """
+    SELECT event_id,
+           CASE WHEN value > 100 THEN 1 ELSE 0 END AS high_flag,
+           CAST(floor(value) AS BIGINT) AS value_int
+    FROM events
+    """,
+)
+def f7_flag_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int/flag coercion (F7: '1'-string -> 0/1 flags,
+    woo-sync/main.py:845-892,812-815)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("high_flag"),
+        F.floor("value").cast("bigint").alias("value_int"),
+    )
+
+
+@query("f8_hmac_sha256")  # no SQL oracle: DuckDB has no HMAC — rows-only check
+def f8_hmac_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMAC-SHA256 signing/verification (F8: webhook signature check,
+    dbt-webhook/webhook_utils.py:49-56). The engine's one Python UDF,
+    Arrow-batched via pandas_udf."""
+    from dot_spark.functions.crypto import hmac_sha256_udf
+
+    ev = load_table(spark, "events", sf_dir)
+    sig = hmac_sha256_udf("test-webhook-secret")
+    return ev.select("event_id", sig(F.col("props")).alias("signature"))
+
+
+@query(
+    "f9_json_access",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def f9_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/array access on semi-structured data (F9:
+    links['next']['url'], okta-sync/main.py:275-276)."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k")
+    return ev.filter(k.cast("bigint") > 50).select("event_id", k.alias("k_str"))

@@ -27,7 +27,10 @@ def align_schema(df: DataFrame, schema: Mapping[str, str]) -> DataFrame:
     have = set(df.columns)
     for name, dtype in schema.items():
         if name in have:
-            cols.append(F.col(name).cast(dtype).alias(name))
+            # try_cast: malformed values become NULL (the reference's
+            # pd.to_datetime(errors='coerce') / BigQuery autocoerce
+            # semantics) instead of failing the job under ANSI mode.
+            cols.append(F.col(name).try_cast(dtype).alias(name))
         else:
             cols.append(F.lit(None).cast(dtype).alias(name))
     return df.select(*cols)

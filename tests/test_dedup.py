@@ -1,0 +1,70 @@
+"""Keep-latest dedup rules (reference W1, okta-sync/main.py:628-671).
+
+Rule-per-test style mirroring the reference's classifier suite
+(dbt-classify/main_test.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dot_spark.operators.dedup import dedupe_keep_latest, superseded_latest
+
+T0 = dt.datetime(2024, 1, 1)
+T1 = dt.datetime(2024, 1, 2)
+T2 = dt.datetime(2024, 1, 3)
+
+
+def make(spark, rows):
+    return spark.createDataFrame(rows, "id string, grp string, ts timestamp, v long")
+
+
+def test_latest_wins(spark):
+    df = make(spark, [("a", "g", T0, 1), ("a", "g", T2, 2), ("a", "g", T1, 3)])
+    out = dedupe_keep_latest(df, ["id"], ["ts"]).collect()
+    assert len(out) == 1 and out[0].v == 2
+
+
+def test_composite_key(spark):
+    df = make(spark, [("a", "g1", T0, 1), ("a", "g2", T1, 2), ("a", "g1", T2, 3)])
+    out = {(r.id, r.grp): r.v for r in dedupe_keep_latest(df, ["id", "grp"], ["ts"]).collect()}
+    assert out == {("a", "g1"): 3, ("a", "g2"): 2}
+
+
+def test_tiebreaker_deterministic(spark):
+    df = make(spark, [("a", "g", T0, 1), ("a", "g", T0, 2)])
+    out = dedupe_keep_latest(df, ["id"], ["ts"], tiebreaker="v").collect()
+    assert len(out) == 1 and out[0].v == 1  # tiebreaker ASC
+
+
+def test_idempotent(spark):
+    df = make(spark, [("a", "g", T0, 1), ("a", "g", T1, 2), ("b", "g", T0, 3)])
+    once = dedupe_keep_latest(df, ["id"], ["ts"])
+    twice = dedupe_keep_latest(once, ["id"], ["ts"])
+    assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
+
+
+def test_no_duplicates_passthrough(spark):
+    df = make(spark, [("a", "g", T0, 1), ("b", "g", T1, 2)])
+    assert dedupe_keep_latest(df, ["id"], ["ts"]).count() == 2
+
+
+def test_superseded_latest(spark):
+    df = make(spark, [("job1", "g", T0, 1), ("job1", "g", T2, 2), ("job2", "g", T1, 3)])
+    out = {r.id: r.v for r in superseded_latest(df, "id", "ts").collect()}
+    assert out == {"job1": 2, "job2": 3}
+
+
+def test_null_ts_loses(spark):
+    df = make(spark, [("a", "g", None, 1), ("a", "g", T0, 2)])
+    out = dedupe_keep_latest(df, ["id"], ["ts"]).collect()
+    assert out[0].v == 2  # desc_nulls_last default in Spark desc()
+
+
+def test_plan_is_single_shuffle(spark):
+    # One window = one Exchange on the dedup keys; a second dedup on the
+    # same keys must not add a second shuffle of the big side.
+    df = make(spark, [("a", "g", T0, 1)])
+    plan = dedupe_keep_latest(df, ["id"], ["ts"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
