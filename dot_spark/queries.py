@@ -821,3 +821,336 @@ def f9_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     k = F.get_json_object("props", "$.k")
     return ev.filter(k.cast("bigint") > 50).select("event_id", k.alias("k_str"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: text analysis (T1-T4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t1_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens_bpe,
+           ROUND((length(text) - len(string_split(text, ' ')) + 1.0)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex pretokenizer) —
+    narrow map-only pass, codegen'd, zero shuffle."""
+    from dot_spark.operators.text import token_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_stats(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe", "avg_token_len")
+
+
+@query(
+    "t2_quality_score",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             ROUND(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','it')))
+                   * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+             ROUND(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   * 1.0 / length(text), 4) AS punct_ratio,
+             ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   * 1.0 / length(text), 4) AS digit_ratio,
+             ROUND((length(text) - len(string_split(text, ' ')) + 1.0)
+                   / len(string_split(text, ' ')), 4) AS avg_word_len,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents)
+    SELECT doc_id, stopword_ratio, punct_ratio, digit_ratio, avg_word_len,
+           ROUND(greatest(0.0,
+             1.0 - least(0.4, punct_ratio * 2) - least(0.3, digit_ratio * 2)
+                 - (CASE WHEN n_toks < 5 THEN 0.3 ELSE 0.0 END)
+                 - (CASE WHEN avg_word_len < 2 OR avg_word_len > 12
+                         THEN 0.2 ELSE 0.0 END)), 4) AS quality
+    FROM r
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics + composite score."""
+    from dot_spark.operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_score(docs).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "digit_ratio", "avg_word_len", "quality"
+    )
+
+
+@query(
+    "t3_language_id",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in'))) AS hits_en,
+        len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y','en'))) AS hits_es,
+        len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','ein'))) AS hits_de,
+        len(list_filter(string_split(text,' '), t -> t IN ('le','la','de','et','les','des'))) AS hits_fr
+      FROM documents)
+    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN NULL
+                WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic argmax."""
+    from dot_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    return language_id(docs).select(
+        "doc_id", "hits_en", "hits_es", "hits_de", "hits_fr", "lang_pred"
+    )
+
+
+@query(
+    "t4_fingerprint",
+    """
+    WITH tk AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS t
+      FROM documents),
+    s AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM tk)
+    SELECT doc_id, md5(t) AS fp_full,
+           list_min(list_transform(generate_series(1, greatest(1, len(toks) - 7)),
+             i -> md5(array_to_string(toks[i:i+7], ' ')))) AS fp_rolling
+    FROM s
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-doc hash + winnowing-style rolling min-hash fingerprint."""
+    from dot_spark.operators.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    return fingerprint(docs).select("doc_id", "fp_full", "fp_rolling")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup suite (DD1-DD5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd1_exact_dedup",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text, keep min id.
+    Shuffle key is the 128-bit hash, not the document body."""
+    from dot_spark.operators.textdedup import exact_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup(docs)
+
+
+@query(
+    "dd2_minhash_lsh_candidates",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(1, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM tk),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               k -> list_min(list_transform(shingles,
+                      s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
+      FROM sh),
+    bands AS (
+      SELECT doc_id, b.band_id,
+             md5(array_to_string(sig[b.band_id*4+1 : b.band_id*4+4], '|')) AS band_hash
+      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+    """,
+)
+def dd2_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (4 bands x 4 rows) candidate pairs.
+
+    The scale path for near-dedup at 100 TB: signatures are narrow
+    expressions; the only shuffle is the band-bucket equi-join."""
+    from dot_spark.operators.textdedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+        word_shingles,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = docs.withColumn("sh", word_shingles("text", 3)).withColumn(
+        "minhash", minhash_signature("sh", 16)
+    )
+    return lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
+
+
+@query(
+    "dd3_simhash",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS toks
+      FROM documents),
+    hx AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM tk)
+    SELECT doc_id,
+           array_to_string(list_transform(generate_series(1, 16), j ->
+             CASE WHEN list_sum(list_transform(hs,
+                    h -> ((strpos('0123456789abcdef', substr(h, j, 1)) - 1) % 2) * 2 - 1)) > 0
+                  THEN '1' ELSE '0' END), '') AS simhash
+    FROM hx
+    """,
+)
+def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document, hex-digit-portable
+    bit decoding (no engine-specific hex casts)."""
+    from dot_spark.operators.textdedup import simhash
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", simhash("text", bits=16).alias("simhash"))
+
+
+@query(
+    "dd4_ngram_jaccard",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(1, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM tk),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    ix AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, inter,
+           ROUND(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM ix
+    JOIN sizes sa ON ix.id_a = sa.doc_id
+    JOIN sizes sb ON ix.id_b = sb.doc_id
+    WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.7
+    """,
+)
+def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.7) via an
+    inverted shingle index join — only co-shingled pairs surface."""
+    from dot_spark.operators.textdedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+
+
+@query(
+    "dd5_embedding_neardup",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+               4) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
+    """,
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force gold standard;
+    bucketed variant is the scale path — see ss2_ivf_topk)."""
+    from dot_spark.operators.textdedup import embedding_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: similarity search (SS1-SS2)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  ROUND(
+    list_sum(list_transform(generate_series(1, len(q.query_vec)),
+      i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(q.query_vec)),
+         i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+    6)
+"""
+
+
+@query(
+    "ss1_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM q CROSS JOIN embeddings e),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM s)
+    SELECT query_id, vec_id, cos_sim, rn AS "rank" FROM r WHERE rn <= 10
+    """,
+)
+def ss1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors: broadcast
+    queries x corpus scan, rank over (rounded cos DESC, id)."""
+    from dot_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(q, emb, k=10)
+
+
+@query(
+    "ss2_ivf_topk",
+    f"""
+    WITH q AS (SELECT label, vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM q JOIN embeddings e ON q.label = e.label),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM s)
+    SELECT query_id, vec_id, cos_sim, rn AS "rank" FROM r WHERE rn <= 10
+    """,
+)
+def ss2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-10: candidates limited to the query's coarse
+    cell (label as the precomputed cell id) — the equi-join scale
+    path replacing the cross join."""
+    from dot_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        "label", F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(q, emb, "label", k=10)
