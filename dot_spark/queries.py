@@ -1154,3 +1154,157 @@ def ss2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(q, emb, "label", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Classification / routing (reference dbt-classify + dbt-webhook)
+# ---------------------------------------------------------------------------
+
+def _classify_oracle_sql() -> str:
+    from dot_spark.routing import TRANSIENT_PATTERN
+
+    pat = TRANSIENT_PATTERN.replace("'", "''")
+    return f"""
+    WITH runs AS (
+      SELECT user_id AS run_id,
+             CASE WHEN user_id % 17 = 0 THEN 'Auto-retry for transient failure'
+                  ELSE 'Scheduled run' END AS cause,
+             strftime(MAX(ts), '%Y-%m-%d') AS created_at,
+             user_id % 13 <> 0 AS metadata_available,
+             user_id % 11 = 0 AS results_fetch_failed
+      FROM events GROUP BY user_id),
+    res AS (
+      SELECT user_id AS run_id, CAST(event_id AS VARCHAR) AS unique_id,
+             CASE WHEN event_type = 'error' THEN 'error'
+                  WHEN event_type = 'view' AND value > 90 THEN 'fail'
+                  ELSE 'success' END AS status,
+             CASE WHEN value > 50 THEN 'backend error'
+                  ELSE 'permission denied' END AS message
+      FROM events),
+    step_t AS (
+      SELECT user_id AS run_id,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS failed_step_count
+      FROM events GROUP BY 1),
+    res_t AS (
+      SELECT run_id, COUNT(*) AS n_results,
+             CAST(SUM(CASE WHEN status IN ('fail','error') THEN 1 ELSE 0 END) AS BIGINT)
+               AS failed_count,
+             CAST(SUM(CASE WHEN status = 'fail' OR (status = 'error'
+                  AND NOT regexp_matches(message, '{pat}')) THEN 1 ELSE 0 END) AS BIGINT)
+               AS nontransient_count,
+             list_sort(COALESCE(list(unique_id)
+               FILTER (WHERE status IN ('fail','error')), CAST([] AS VARCHAR[])))
+               AS failed_nodes,
+             list_sort(COALESCE(list(unique_id)
+               FILTER (WHERE status = 'fail' OR (status = 'error'
+                 AND NOT regexp_matches(message, '{pat}'))), CAST([] AS VARCHAR[])))
+               AS nontransient_nodes
+      FROM res GROUP BY 1),
+    j AS (
+      SELECT r.run_id, r.cause, r.created_at, r.metadata_available,
+             r.results_fetch_failed,
+             COALESCE(s.failed_step_count, 0) AS fsc,
+             COALESCE(t.n_results, 0) AS nr,
+             COALESCE(t.failed_count, 0) AS fc,
+             COALESCE(t.nontransient_count, 0) AS nc,
+             COALESCE(t.failed_nodes, CAST([] AS VARCHAR[])) AS fn,
+             COALESCE(t.nontransient_nodes, CAST([] AS VARCHAR[])) AS nn
+      FROM runs r
+      LEFT JOIN step_t s USING (run_id)
+      LEFT JOIN res_t t USING (run_id)),
+    v AS (
+      SELECT j.*,
+             CASE WHEN NOT metadata_available THEN 'metadata_unavailable'
+                  WHEN regexp_matches(cause, '(?i)auto-retry') THEN 'already_retried'
+                  WHEN results_fetch_failed THEN 'results_unavailable'
+                  WHEN nr = 0 THEN 'no_results'
+                  WHEN fsc > 0 AND fc = 0 THEN 'uncovered_step'
+                  WHEN fc > 0 AND nc = 0 THEN 'transient'
+                  ELSE 'nontransient' END AS reason
+      FROM j)
+    SELECT run_id, reason,
+           reason = 'transient' AS is_retryable,
+           reason = 'already_retried' AS prior_is_retry,
+           CASE WHEN reason IN ('uncovered_step','transient','nontransient')
+                THEN fc ELSE 0 END AS failed_count,
+           CASE WHEN reason IN ('uncovered_step','transient','nontransient')
+                THEN nc ELSE 0 END AS nontransient_count,
+           CASE WHEN reason IN ('uncovered_step','transient','nontransient')
+                THEN fn ELSE CAST([] AS VARCHAR[]) END AS failed_nodes,
+           CASE WHEN reason IN ('uncovered_step','transient','nontransient')
+                THEN nn ELSE CAST([] AS VARCHAR[]) END AS nontransient_nodes,
+           CASE WHEN reason IN ('metadata_unavailable','already_retried')
+                THEN 0 ELSE fsc END AS failed_step_count,
+           CASE WHEN NOT metadata_available THEN '' ELSE created_at END
+             AS run_created_at
+    FROM v
+    """
+
+
+@query("c1_classify_runs", None)
+def c1_classify_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based run classification (dbt-classify decision tree,
+    classifier.py:98-136) over run-shaped data derived
+    deterministically from the events table: user_id = run, error
+    events = failed steps/nodes, value thresholds pick test-fail vs
+    error and transient vs not. One conditional-agg shuffle + one
+    CASE projection classifies every run at once."""
+    from dot_spark.routing import classify_runs
+
+    ev = load_table(spark, "events", sf_dir)
+    runs = (
+        ev.groupBy("user_id")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd").alias("created_at"))
+        .select(
+            F.col("user_id").alias("run_id"),
+            F.when(F.col("user_id") % 17 == 0, F.lit("Auto-retry for transient failure"))
+            .otherwise(F.lit("Scheduled run"))
+            .alias("cause"),
+            "created_at",
+            (F.col("user_id") % 13 != 0).alias("metadata_available"),
+            (F.col("user_id") % 11 == 0).alias("results_fetch_failed"),
+        )
+    )
+    steps = ev.select(
+        F.col("user_id").alias("run_id"),
+        F.when(F.col("event_type") == "error", F.lit(20)).otherwise(F.lit(10)).alias("status"),
+    )
+    results = ev.select(
+        F.col("user_id").alias("run_id"),
+        F.col("event_id").cast("string").alias("unique_id"),
+        F.when(F.col("event_type") == "error", F.lit("error"))
+        .when((F.col("event_type") == "view") & (F.col("value") > 90), F.lit("fail"))
+        .otherwise(F.lit("success"))
+        .alias("status"),
+        F.when(F.col("value") > 50, F.lit("backend error"))
+        .otherwise(F.lit("permission denied"))
+        .alias("message"),
+    )
+    return classify_runs(runs, steps, results)
+
+
+ORACLE["c1_classify_runs"] = _classify_oracle_sql()
+
+
+@query(
+    "c2_webhook_route",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'retry'
+                WHEN event_type = 'purchase' THEN 'completed'
+                ELSE 'ignore' END AS route
+    FROM events
+    """,
+)
+def c2_webhook_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webhook status routing (dbt-webhook/main.py:307-319) mapped
+    onto events: error -> retry topic, purchase -> completed topic,
+    everything else ignored."""
+    from dot_spark.routing import route_status
+
+    ev = load_table(spark, "events", sf_dir)
+    code = F.when(F.col("event_type") == "error", 20).when(
+        F.col("event_type") == "purchase", 10
+    )
+    return ev.select("event_id", route_status(code).alias("route"))
