@@ -1308,3 +1308,83 @@ def c2_webhook_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase", 10
     )
     return ev.select("event_id", route_status(code).alias("route"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming (ST1-ST7) — driven synchronously to a memory sink so the
+# result is oracle-checkable
+# ---------------------------------------------------------------------------
+
+
+def _run_stream_to_table(df, mode: str) -> str:
+    """Start a memory-sink query, drain all available input, return
+    the sink table name (unique per invocation)."""
+    import tempfile
+    import uuid
+
+    name = f"stq_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dot_spark_cp_"))
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+@query(
+    "st1_windowed_agg",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st1_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (ST analog of A3):
+    readStream over events -> 1h event-time windows -> complete-mode
+    memory sink. The final sink table equals the batch GROUP BY — the
+    unified-semantics guarantee Structured Streaming is built on."""
+    from dot_spark.streaming import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = _run_stream_to_table(agg, "complete")
+    return spark.table(name)
+
+
+@query(
+    "st2_superseded_stream",
+    """
+    WITH latest AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_seen
+      FROM events)
+    SELECT user_id, event_id AS latest_event_id, ts AS latest_ts, n_seen
+    FROM latest WHERE rn = 1
+    """,
+)
+def st2_superseded_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superseded-run dedup as a streaming state machine (W4/ST3):
+    applyInPandasWithState keeps the latest (ts, event_id) winner and
+    a seen-count per key; the drained update-mode sink equals the
+    batch ROW_NUMBER formulation."""
+    from dot_spark.streaming import stream_events, superseded_latest
+
+    ev = stream_events(spark, sf_dir)
+    name = _run_stream_to_table(superseded_latest(ev), "update")
+    return spark.table(name)

@@ -1,0 +1,173 @@
+"""Stateful streaming operators: dedup, superseded-run latest-wins,
+windowed aggregation, and the connector drain state machine.
+
+Reference semantics:
+- ST3: at-least-once delivery tolerated via downstream dedup
+  (docs/ARCHITECTURE.md:94,107) -> watermarked dropDuplicates.
+- W4:  a retry is skipped when a newer run exists for the job
+  ("superseded") -> per-key latest-wins state machine.
+- ST7: Fivetran connector drain machine (running -> no-op, paused ->
+  resume+sync, broken -> stop+signal, healthy -> force-sync;
+  docs/DESIGN_fivetran_slot_safety_valve.md:85-108) ->
+  applyInPandasWithState keyed by connector.
+
+Scale: all state is per-key and watermark-evicted; the state store
+shards with the shuffle partitioning, so 10^8 keys spread across
+executors instead of a driver dict like the reference's in-process
+maps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once -> effectively-once: drop duplicate deliveries
+    by key within the watermark horizon (ST3). State is the seen-key
+    set, bounded by watermark eviction."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event_type —
+    the streaming aggregation shape (late rows beyond the watermark
+    are dropped; windows finalize exactly once in append mode)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SUPERSEDED_OUT = "user_id BIGINT, latest_event_id BIGINT, latest_ts TIMESTAMP, n_seen BIGINT"
+_SUPERSEDED_STATE = "latest_event_id BIGINT, latest_ts_us BIGINT, n_seen BIGINT"
+
+
+def _superseded_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    latest_id, latest_us, n_seen = (
+        state.get if state.exists else (None, None, 0)
+    )
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            us = int(row["ts"].value // 1_000)
+            n_seen += 1
+            # latest wins; event_id breaks ts ties (W4 determinism)
+            if (
+                latest_us is None
+                or us > latest_us
+                or (us == latest_us and int(row["event_id"]) > latest_id)
+            ):
+                latest_us, latest_id = us, int(row["event_id"])
+    state.update((latest_id, latest_us, n_seen))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "latest_event_id": [latest_id],
+            "latest_ts": [pd.Timestamp(latest_us, unit="us")],
+            "n_seen": [n_seen],
+        }
+    )
+
+
+def superseded_latest(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Latest-run-wins per key as an incremental state machine (W4 /
+    ST3: "skip the retry if a newer run exists"). Emits the current
+    winner per key each batch; a retry consumer joins against this to
+    drop superseded work."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _superseded_fn,
+        _SUPERSEDED_OUT,
+        _SUPERSEDED_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- ST7: connector drain state machine ------------------------------------
+
+# status -> (actions, next_phase); reference semantics from
+# docs/DESIGN_fivetran_slot_safety_valve.md:85-108.
+_DRAIN_TRANSITIONS: dict[str, tuple[list[str], str]] = {
+    "running": (["noop"], "draining"),
+    "paused": (["resume", "sync"], "draining"),
+    "broken": (["stop", "signal"], "stopped"),
+    "healthy": (["force-sync"], "draining"),
+}
+
+_DRAIN_OUT = "connector_id STRING, status STRING, action STRING, phase STRING, n_events BIGINT"
+_DRAIN_STATE = "phase STRING, n_events BIGINT"
+
+
+def _drain_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    phase, n_events = state.get if state.exists else ("idle", 0)
+    out: dict[str, list] = {c: [] for c in ("connector_id", "status", "action", "phase", "n_events")}
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            status = str(row["status"])
+            actions, next_phase = _DRAIN_TRANSITIONS.get(status, (["noop"], phase))
+            if phase == "stopped":
+                # a stopped connector stays stopped until operator reset
+                actions, next_phase = ["noop"], "stopped"
+            phase = next_phase
+            n_events += 1
+            for action in actions:
+                out["connector_id"].append(key[0])
+                out["status"].append(status)
+                out["action"].append(action)
+                out["phase"].append(phase)
+                out["n_events"].append(n_events)
+    state.update((phase, n_events))
+    yield pd.DataFrame(out)
+
+
+def drain_actions(status_events: DataFrame, key_col: str = "connector_id") -> DataFrame:
+    """The connector drain machine (ST7) as a keyed stateful stream:
+    input rows (connector_id, status, ts...), output action rows.
+
+    running -> no-op; paused -> resume + sync; broken -> stop +
+    signal (and the connector latches in 'stopped'); healthy ->
+    force-sync. Per-connector phase lives in the state store, sharded
+    by key — the distributed form of the reference's per-connector
+    orchestration loop.
+    """
+    return status_events.groupBy(key_col).applyInPandasWithState(
+        _drain_fn,
+        _DRAIN_OUT,
+        _DRAIN_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

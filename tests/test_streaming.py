@@ -1,0 +1,210 @@
+"""Streaming semantics tests (ST1-ST7): fan-out routing, dedup,
+windowed aggregation, superseded latest-wins, drain state machine.
+
+All queries are driven synchronously: file/parquet source +
+processAllAvailable() + memory sink, per the harness contract (no
+live bus in the container).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dot_spark.streaming import (
+    drain_actions,
+    fan_out,
+    route_events,
+    stream_dedup,
+    stream_events,
+    superseded_latest,
+    windowed_counts,
+)
+
+
+def drive(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+def write_parquet(pdf, path):
+    """Write with microsecond timestamps: the session reads parquet
+    TIMESTAMP(NANOS) as bigint (nanosAsLong), so fixture files must
+    use MICROS for TIMESTAMP-typed stream schemas."""
+    pdf.to_parquet(path, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+
+def start_memory(df, name, checkpoint, mode="append"):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .start()
+    )
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir):
+    return stream_events(spark, sf_dir)
+
+
+def test_stream_matches_batch_scan(spark, sf_dir, events_stream, tmp_path):
+    q = start_memory(events_stream, "all_events", str(tmp_path / "cp"))
+    drive(q)
+    from dot_spark.sources.registry import load_table
+
+    got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM all_events").collect()[0]
+    want = load_table(spark, "events", sf_dir).count()
+    assert got.c == want and got.d == want
+
+
+def test_fanout_routes_partition_the_stream(spark, sf_dir, events_stream, tmp_path):
+    routed = route_events(events_stream)
+    qs = fan_out(
+        routed,
+        {
+            "retry": F.col("route") == "retry",
+            "completed": F.col("route") == "completed",
+            "ignored": F.col("route") == "ignore",
+        },
+        str(tmp_path / "cp"),
+        name_prefix="rt",
+    )
+    for q in qs.values():
+        drive(q)
+    n_retry = spark.table("rt_retry").count()
+    n_done = spark.table("rt_completed").count()
+    n_ign = spark.table("rt_ignored").count()
+    from dot_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    assert n_retry == ev.filter(F.col("event_type") == "error").count()
+    assert n_done == ev.filter(F.col("event_type") == "purchase").count()
+    assert n_retry + n_done + n_ign == ev.count()
+    # every routed consumer saw only its own attribute value (ST4)
+    assert spark.table("rt_retry").filter(F.col("route") != "retry").count() == 0
+
+
+def test_stream_dedup_drops_duplicate_deliveries(spark, tmp_path):
+    # duplicate deliveries of event 1 (at-least-once), one clean event
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 2],
+            "ts": pd.to_datetime(["2026-01-01 00:00:00"] * 2 + ["2026-01-01 00:01:00"]),
+            "event_type": ["error", "error", "purchase"],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    write_parquet(pdf, src / "b0.parquet")
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .format("parquet")
+        .load(str(src))
+    )
+    deduped = stream_dedup(stream, ["event_id"])
+    q = start_memory(deduped, "dedup_out", str(tmp_path / "cp"))
+    drive(q)
+    rows = spark.table("dedup_out").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_windowed_counts_by_event_time(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:10", "2026-01-01 00:02:00",
+                 "2026-01-01 00:07:00", "2026-01-01 00:07:30"]
+            ),
+            "event_type": ["click", "click", "click", "view"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    write_parquet(pdf, src / "b0.parquet")
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .format("parquet")
+        .load(str(src))
+    )
+    agg = windowed_counts(stream, window="5 minutes")
+    # append mode only emits finalized windows; drive twice with a
+    # late watermark-advancing file to close them
+    q = start_memory(agg, "win_out", str(tmp_path / "cp"))
+    q.processAllAvailable()
+    late = pd.DataFrame(
+        {
+            "event_id": [99],
+            "ts": pd.to_datetime(["2026-01-01 01:00:00"]),
+            "event_type": ["click"],
+            "value": [0.0],
+        }
+    )
+    write_parquet(late, src / "b1.parquet")
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.win_start.minute, r.event_type): (r.n, r.sum_value)
+            for r in spark.table("win_out").collect()}
+    assert rows[(0, "click")] == (2, 3.0)
+    assert rows[(5, "click")] == (1, 3.0)
+    assert rows[(5, "view")] == (1, 4.0)
+
+
+def test_superseded_latest_wins(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [10, 11, 20],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:05:00", "2026-01-01 00:01:00"]
+            ),
+            "user_id": [7, 7, 8],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    write_parquet(pdf, src / "b0.parquet")
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = start_memory(superseded_latest(stream), "sup_out", str(tmp_path / "cp"), mode="update")
+    drive(q)
+    rows = {r.user_id: r for r in spark.table("sup_out").collect()}
+    assert rows[7].latest_event_id == 11 and rows[7].n_seen == 2
+    assert rows[8].latest_event_id == 20 and rows[8].n_seen == 1
+
+
+def test_drain_machine_transitions(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "connector_id": ["c1", "c1", "c2", "c3", "c3"],
+            "seq": [1, 2, 1, 1, 2],
+            "status": ["paused", "running", "healthy", "broken", "healthy"],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    write_parquet(pdf, src / "b0.parquet")
+    stream = (
+        spark.readStream.schema("connector_id STRING, seq BIGINT, status STRING")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = start_memory(drain_actions(stream), "drain_out", str(tmp_path / "cp"))
+    drive(q)
+    rows = spark.table("drain_out").collect()
+    by_conn = {}
+    for r in sorted(rows, key=lambda r: (r.connector_id, r.n_events)):
+        by_conn.setdefault(r.connector_id, []).append(r.action)
+    assert by_conn["c1"] == ["resume", "sync", "noop"]
+    assert by_conn["c2"] == ["force-sync"]
+    # broken latches: the later 'healthy' event cannot un-stop it
+    assert by_conn["c3"] == ["stop", "signal", "noop"]
+    phases = {r.connector_id: r.phase for r in rows if r.n_events == max(
+        x.n_events for x in rows if x.connector_id == r.connector_id)}
+    assert phases["c3"] == "stopped"
