@@ -1,0 +1,105 @@
+"""The reference's three pipelines recomposed from dot_spark
+operators (SURVEY §3) — integration-level dataflows over the fixture
+tables.
+
+- okta_full_refresh: §3.1 — batched scan -> schema align -> batch
+  load protocol -> keyed keep-latest dedup in the warehouse -> atomic
+  promote of staging tables into the target dataset.
+- woo_incremental:  §3.2 — watermark read -> filtered incremental
+  scan -> append; each run ingests only rows newer than the target's
+  high-water mark.
+- route_events_batch: §3.3 — parse -> gate -> route -> per-route
+  outputs (the batch form; streaming form in dot_spark/streaming).
+
+Each stage is a lazy DataFrame; the only materializations are the
+warehouse writes — Catalyst fuses scan+align+filter into single
+stages, and the W1 dedup is the one shuffle in the refresh path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dot_spark.loads import Warehouse
+from dot_spark.operators.dedup import dedupe_keep_latest
+from dot_spark.schema import align_schema
+
+
+def okta_full_refresh(
+    wh: Warehouse,
+    sources: Mapping[str, DataFrame],
+    schemas: Mapping[str, Mapping[str, str]],
+    dedup_config: Mapping[str, tuple[Sequence[str], Sequence[str]]],
+    batch_rows: int = 10_000,
+    staging_prefix: str = "temp_",
+) -> list[str]:
+    """Full-refresh sync (okta-sync trigger_sync, main.py:1098-1140).
+
+    Per table: align to the declared schema (P1), load through the
+    truncate-then-append batch protocol (S8), dedup keep-latest on
+    the configured keys (W1, config like DEDUP_CONFIG
+    main.py:24-30), then promote staging -> target atomically (D1).
+    Returns the promoted table names.
+
+    The reference pages 10K-row batches to bound memory; Spark bounds
+    memory by partitioning instead, so `batch_rows` only drives the
+    load-protocol semantics (resume safety), not capacity.
+    """
+    promoted = []
+    for table, src in sources.items():
+        staging = f"{staging_prefix}{table}"
+        aligned = align_schema(src, schemas[table]) if table in schemas else src
+        wh.write(aligned, staging, "truncate")
+        if table in dedup_config:
+            keys, order_desc = dedup_config[table]
+            wh.rewrite(staging, lambda df, k=keys, o=order_desc: dedupe_keep_latest(df, k, o))
+        wh.promote(staging, table)
+        promoted.append(table)
+    return promoted
+
+
+def woo_incremental(
+    wh: Warehouse,
+    source: DataFrame,
+    table: str,
+    ts_col: str = "ts",
+) -> int:
+    """Watermark-incremental append (woo-sync trigger_sync,
+    main.py:1262-1334): read MAX(ts) from the target (A2), scan only
+    source rows strictly newer (P3 — the filter pushes into the
+    source scan), append them (S7). Returns rows ingested.
+
+    First run (no target) ingests everything. The read-own-table
+    watermark is safe because the append happens after the max is
+    materialized (no read-overwrite cycle).
+    """
+    if wh.exists(table):
+        wm = wh.read(table).agg(F.max(ts_col)).collect()[0][0]
+        fresh = source.filter(F.col(ts_col) > F.lit(wm)) if wm is not None else source
+    else:
+        fresh = source
+    n = fresh.count()
+    if n:
+        wh.write(fresh, table, "append" if wh.exists(table) else "truncate")
+    return n
+
+
+def route_events_batch(events: DataFrame) -> dict[str, DataFrame]:
+    """Webhook routing as a batch dataflow (dbt-webhook
+    main.py:298-319): gate on completion, route on status, return
+    the per-topic DataFrames (retry / completed) plus the ignored
+    remainder — the P4/P5 pipeline the streaming fan-out mirrors."""
+    from dot_spark.routing import route_status
+
+    code = F.when(F.col("event_type") == "error", 20).when(
+        F.col("event_type") == "purchase", 10
+    )
+    routed = events.withColumn("route", route_status(code))
+    return {
+        "retry": routed.filter(F.col("route") == "retry"),
+        "completed": routed.filter(F.col("route") == "completed"),
+        "ignored": routed.filter(F.col("route") == "ignore"),
+    }

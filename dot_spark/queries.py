@@ -1388,3 +1388,57 @@ def st2_superseded_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     name = _run_stream_to_table(superseded_latest(ev), "update")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Pipelines (SURVEY §3) — full dataflows through the write protocols
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pl1_okta_refresh",
+    """
+    WITH src AS (
+      SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT event_id, date_trunc('microseconds', ts), user_id,
+             event_type, value
+      FROM events WHERE event_id % 100 = 0),
+    d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC) AS rn FROM src)
+    SELECT event_id, ts, user_id, event_type, value FROM d WHERE rn = 1
+    """,
+)
+def pl1_okta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-refresh pipeline end-to-end (okta-sync §3.1): duplicate
+    deliveries injected -> schema align -> batch load protocol ->
+    in-warehouse W1 dedup -> atomic promote -> read the promoted
+    table back. The oracle is the equivalent ROW_NUMBER dedup over
+    the same doubled input."""
+    import tempfile
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import okta_full_refresh
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = ev.unionByName(ev.filter(F.col("event_id") % 100 == 0))
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="dot_spark_wh_"))
+    okta_full_refresh(
+        wh,
+        sources={"events_synced": src},
+        schemas={
+            "events_synced": {
+                "event_id": "bigint",
+                "ts": "timestamp",
+                "user_id": "bigint",
+                "event_type": "string",
+                "value": "double",
+            }
+        },
+        dedup_config={"events_synced": (["event_id"], ["ts"])},
+    )
+    return wh.read("events_synced")

@@ -1,0 +1,116 @@
+"""Integration tests: write protocols (S7/S8/D1/D2) and the
+recomposed reference pipelines (SURVEY §3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dot_spark.loads import Warehouse
+from dot_spark.operators.dedup import dedupe_keep_latest
+from dot_spark.pipelines import okta_full_refresh, route_events_batch, woo_incremental
+from dot_spark.sources.registry import load_table
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def test_dispositions(wh, spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    wh.write(df, "t", "truncate")
+    assert wh.read("t").count() == 5
+    wh.write(df, "t", "append")
+    assert wh.read("t").count() == 10
+    wh.write(df, "t", "truncate")
+    assert wh.read("t").count() == 5
+    with pytest.raises(ValueError):
+        wh.write(df, "t", "empty")
+
+
+def test_load_batches_truncates_then_appends(wh, spark):
+    wh.write(spark.range(99).withColumnRenamed("id", "k"), "t", "truncate")
+    batches = [spark.range(3).withColumnRenamed("id", "k") for _ in range(4)]
+    n = wh.load_batches(batches, "t")
+    assert n == 4
+    # prior contents replaced by the first batch, then 3 appends
+    assert wh.read("t").count() == 12
+
+
+def test_promote_swaps_atomically(wh, spark):
+    wh.write(spark.range(3).withColumnRenamed("id", "k"), "target", "truncate")
+    wh.write(spark.range(7).withColumnRenamed("id", "k"), "staging", "truncate")
+    wh.promote("staging", "target")
+    assert wh.read("target").count() == 7
+    assert not wh.exists("staging")
+
+
+def test_promote_missing_staging_raises(wh):
+    with pytest.raises(FileNotFoundError):
+        wh.promote("nope", "target")
+
+
+def test_rewrite_in_place_dedups(wh, spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "k BIGINT, v BIGINT, s STRING"
+    )
+    wh.write(df, "t", "truncate")
+    wh.rewrite("t", lambda d: dedupe_keep_latest(d, ["k"], ["v"]))
+    rows = {r.k: r.s for r in wh.read("t").collect()}
+    assert rows == {1: "b", 2: "c"}
+
+
+def test_okta_full_refresh_end_to_end(wh, spark, sf_dir):
+    """§3.1: align -> load -> dedup -> promote over the events fixture
+    with injected duplicates; target holds one row per key, newest
+    wins, and staging is gone."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dup = ev.limit(50)  # duplicate deliveries
+    src = ev.unionByName(dup)
+    promoted = okta_full_refresh(
+        wh,
+        sources={"events_synced": src},
+        schemas={
+            "events_synced": {
+                "event_id": "bigint",
+                "ts": "timestamp",
+                "user_id": "bigint",
+                "event_type": "string",
+                "value": "double",
+            }
+        },
+        dedup_config={"events_synced": (["event_id"], ["ts"])},
+    )
+    assert promoted == ["events_synced"]
+    got = wh.read("events_synced")
+    assert got.count() == ev.count()  # dups collapsed
+    assert not wh.exists("temp_events_synced")
+    assert got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_woo_incremental_only_ingests_new_rows(wh, spark, sf_dir):
+    """§3.2: first run full, second run zero (nothing newer), third
+    run picks up exactly the rows past the stored watermark."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "user_id")
+    cutoff = (
+        ev.orderBy("ts").limit(int(ev.count() * 0.8)).agg(F.max("ts")).collect()[0][0]
+    )
+    old = ev.filter(F.col("ts") <= F.lit(cutoff))
+    n1 = woo_incremental(wh, old, "orders_synced")
+    assert n1 == old.count()
+    n2 = woo_incremental(wh, old, "orders_synced")
+    assert n2 == 0
+    n3 = woo_incremental(wh, ev, "orders_synced")
+    assert n3 == ev.count() - old.count()
+    assert wh.read("orders_synced").count() == ev.count()
+
+
+def test_route_events_batch_partitions(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    routes = route_events_batch(ev)
+    n = sum(df.count() for df in routes.values())
+    assert n == ev.count()
+    assert routes["retry"].filter(F.col("event_type") != "error").count() == 0
