@@ -1442,3 +1442,98 @@ def pl1_okta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_config={"events_synced": (["event_id"], ["ts"])},
     )
     return wh.read("events_synced")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing (MM1-MM3)
+# ---------------------------------------------------------------------------
+
+_HEXNIB = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+
+
+def _byte_sql(h: str, pos: int) -> str:
+    """SQL for byte `pos` (0-based) of a lowercase hex digest."""
+    hi = _HEXNIB.format(h=h, i=pos * 2 + 1)
+    lo = _HEXNIB.format(h=h, i=pos * 2 + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+@query(
+    "mm1_decode_media",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             md5(sha256(text)) AS h
+      FROM documents)
+    SELECT media_id, kind, TRUE AS ok, 'stub' AS decoder,
+           CAST(64 + {_byte_sql('h', 0)} AS INT) AS width,
+           CAST(48 + {_byte_sql('h', 1)} AS INT) AS height,
+           32 AS n_bytes
+    FROM m
+    """,
+)
+def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: synthetic binary payloads ->
+    mapInPandas decode (STUB codec; Arrow-batched) -> typed decoded
+    metadata. Oracle recomputes the stub's keyed-hash pseudo-decode."""
+    from dot_spark.operators.multimodal import decode_media, synthesize_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_media(synthesize_media(docs))
+
+
+@query(
+    "mm2_media_features",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+                      sha256(text) AS h
+               FROM documents),
+    nib AS (
+      SELECT media_id, kind,
+             list_transform(generate_series(0, 31),
+               i -> strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) AS nibs
+      FROM m)
+    SELECT media_id, kind,
+           list_transform(generate_series(0, 15),
+             b -> CAST(len(list_filter(nibs, x -> x = b)) / 32.0 AS FLOAT)) AS feature
+    FROM nib
+    """,
+)
+def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: byte-histogram
+    vectors via Arrow-batched numpy (the slot a real embedding model
+    plugs into). Oracle rebuilds the histogram from the payload's
+    hex nibbles (bin width 16 == high nibble)."""
+    from dot_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_features(synthesize_media(docs))
+
+
+@query(
+    "mm3_frame_sampling",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id, sha256(text) AS hexpay,
+             CAST(doc_id % 5000 + 1000 AS INT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT media_id, CAST(f.i AS INT) AS frame_idx,
+           md5(hexpay || ':' || CAST(f.i AS VARCHAR)) AS frame_sig
+    FROM v, UNNEST(generate_series(0, greatest(1, duration_ms // 1000) - 1)) AS f(i)
+    """,
+)
+def mm3_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling STUB (video payload -> N frame rows, the UDTF
+    fan-out shape of a real decoder). Emits the frame signature as
+    lowercase hex so the oracle can recompute it."""
+    from dot_spark.operators.multimodal import sample_frames, synthesize_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    frames = sample_frames(synthesize_media(docs), every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", F.lower(F.hex("frame_payload")).alias("frame_sig")
+    )
