@@ -32,6 +32,14 @@ HEADLINE = [
     "s1_scan_projection",
     "n5_sticky_carry",
     "a5_collect_sorted_list",
+    # training-data pipeline extensions
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh_candidates",
+    "dd4_ngram_jaccard",
+    "t2_quality_score",
+    "ss1_cosine_topk",
+    # classification over the whole run table
+    "c1_classify_runs",
 ]
 
 

@@ -29,6 +29,26 @@ from pyspark.sql import functions as F
 from dot_spark.operators.similarity import cosine
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition a small scan up to the cluster's parallelism.
+
+    A hash-heavy map stage (shingling, K-way minhashing) over a table
+    that arrives as one or two parquet splits would otherwise run on
+    one core. At warehouse scale spark.sql.files.maxPartitionBytes
+    splits the scan naturally and this is a no-op; locally the round
+    robin exchange of the (tiny) doc rows buys full-width codegen
+    stages downstream.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # metadata-only check: df.rdd.getNumPartitions() would force
+        # AQE plan materialization, which is NOT free
+        few_splits = len(df.inputFiles()) < target
+    except Exception:  # non-file-backed plan (tests, memory sources)
+        few_splits = True
+    return df.repartition(target) if few_splits else df
+
+
 def normalize_text(col: str | Column) -> Column:
     """Lowercase, collapse runs of spaces, trim — the canonical form
     every dedup signature is computed over."""
@@ -66,49 +86,65 @@ def word_shingles(text_col: str | Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(
-    shingles_col: str | Column,
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     num_hashes: int = 16,
-) -> Column:
-    """MinHash signature: array of `num_hashes` minima, hash k being
-    min over shingles of md5(k || ':' || shingle).
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as columns h0..h{K-1}: hash k of a doc is
+    min over its shingles of md5(k || ':' || shingle).
 
-    Expressed as transform-over-seeds of array_min-over-shingles:
-    one expression tree, evaluated per row, no shuffle and no UDF.
+    Shape matters for scale: explode the shingles once, compute the
+    K hashes as SCALAR md5 expressions (whole-stage codegen), and
+    take K partial-aggregated MINs in one groupBy. An earlier
+    formulation nested the hashing inside array-transform lambdas;
+    Catalyst's CollapseProject inlined the shingle expression into
+    the lambda body and recomputed it per hash seed on the
+    interpreted HOF path — ~70x slower. Exploding is the idiomatic
+    fix: fan-out is local, the only exchange is the K-column
+    signature (tiny), and everything stays in codegen.
     """
-    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda k: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)))
-        ),
+    sh = spread_small_input(df).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_hashes)]
     )
 
 
 def lsh_bands(
-    df: DataFrame,
-    sig_col: str = "minhash",
+    sig_df: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Split the MinHash signature into bands and hash each band:
-    (id, band_id, band_hash) rows. Docs agreeing on any full band
+    """Split a minhash_signatures frame into banded bucket keys:
+    (id, band_id, band_hash) rows; docs agreeing on any full band
     land in the same bucket.
 
-    posexplode of a `bands`-element array: fan-out factor is the
-    band count (4), not the shingle count — cheap even at 100 TB.
+    Band hashes are scalar md5 over concat_ws of the band's columns;
+    the posexplode fan-out factor is the band count (4), not the
+    shingle count — cheap even at 100 TB.
     """
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    band_hashes = F.transform(
-        band_idx,
-        lambda b: F.md5(
-            F.array_join(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band), "|")
-        ),
-    )
-    return df.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band_id", "band_hash")
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash")
     )
 
 
@@ -189,14 +225,18 @@ def ngram_jaccard_pairs(
     see identical semantics, but the hook is the `shingle_maxdf`
     argument of build_shingle_index below.
     """
-    sh = df.select(
+    # join on a 64-bit hash of the shingle, not the string: the
+    # self-join shuffles every (shingle, id) row, and at corpus scale
+    # the key width dominates exchange bytes (collision odds at 1e6
+    # distinct shingles are ~1e-8 — below any float-rounding risk)
+    sh = spread_small_input(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
-    )
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("shingle"), F.col(id_col).alias("id_a"))
-    b = sh.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    a = sh.select(F.col("sh_h"), F.col(id_col).alias("id_a"))
+    b = sh.select(F.col("sh_h"), F.col(id_col).alias("id_b"))
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

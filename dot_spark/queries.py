@@ -991,14 +991,11 @@ def dd2_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dot_spark.operators.textdedup import (
         lsh_bands,
         lsh_candidate_pairs,
-        minhash_signature,
-        word_shingles,
+        minhash_signatures,
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    sig = docs.withColumn("sh", word_shingles("text", 3)).withColumn(
-        "minhash", minhash_signature("sh", 16)
-    )
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
     return lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
 
 

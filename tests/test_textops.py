@@ -17,10 +17,9 @@ from dot_spark.operators.textdedup import (
     exact_dedup,
     lsh_bands,
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
-    word_shingles,
 )
 from dot_spark.sources.registry import load_table
 
@@ -109,9 +108,7 @@ def test_lsh_recall_against_exact_jaccard(docs):
     planted ~0.99 cluster it is ~0 and the fixture is deterministic."""
     truth = ngram_jaccard_pairs(docs, n=3, threshold=0.9).select("id_a", "id_b")
     assert truth.count() > 0  # the corpus has planted near-dups
-    sig = docs.withColumn("sh", word_shingles("text", 3)).withColumn(
-        "minhash", minhash_signature("sh", 16)
-    )
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
     cand = lsh_candidate_pairs(lsh_bands(sig))
     missed = truth.join(cand, ["id_a", "id_b"], "left_anti")
     assert missed.count() == 0
