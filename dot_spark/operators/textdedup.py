@@ -212,6 +212,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.7,
+    shingle_maxdf: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing at least
     one shingle, filtered to jaccard >= threshold.
@@ -219,11 +220,21 @@ def ngram_jaccard_pairs(
     Inverted-index join: explode distinct shingles to (shingle, id),
     self-join on shingle, count intersections, then jaccard =
     inter / (|A| + |B| - inter). Only co-shingled pairs are ever
-    materialized; the shuffle key is the shingle hash. A stop-shingle
-    cap (drop shingles appearing in > maxDF docs) is the standard
-    skew guard at corpus scale — omitted here because the oracle must
-    see identical semantics, but the hook is the `shingle_maxdf`
-    argument of build_shingle_index below.
+    materialized; the shuffle key is the shingle hash.
+
+    Shingles appearing in exactly one document can never produce a
+    pair (id_a < id_b filters self-pairs), so the self-join input is
+    pruned to document-frequency >= 2 shingles — exact-semantics-
+    preserving, and on natural text it removes the vast majority of
+    the join input because most shingles are unique. |A| and |B| are
+    counted BEFORE pruning so the jaccard denominator stays exact.
+
+    `shingle_maxdf` additionally drops shingles appearing in MORE
+    than maxdf docs (stop-shingles): the standard skew guard at
+    corpus scale, because one boilerplate shingle shared by 1e5 docs
+    otherwise contributes 1e10 join rows. That cap under-counts
+    intersections (jaccard becomes a lower bound), so it is off by
+    default and excluded from the oracle-checked query.
     """
     # join on a 64-bit hash of the shingle, not the string: the
     # self-join shuffles every (shingle, id) row, and at corpus scale
@@ -233,8 +244,16 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     ).select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("sh_h"), F.col(id_col).alias("id_a"))
-    b = sh.select(F.col("sh_h"), F.col(id_col).alias("id_b"))
+    freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_sh"))
+    keep = F.col("df_sh") >= 2
+    if shingle_maxdf is not None:
+        keep = keep & (F.col("df_sh") <= shingle_maxdf)
+    # map-side partial agg makes freq cheap (one row per distinct
+    # shingle); the semi join shuffles on the same sh_h key the
+    # self-join needs, so the exchange is reused downstream
+    shared = sh.join(freq.filter(keep).select("sh_h"), "sh_h", "left_semi")
+    a = shared.select(F.col("sh_h"), F.col(id_col).alias("id_a"))
+    b = shared.select(F.col("sh_h"), F.col(id_col).alias("id_b"))
     inter = (
         a.join(b, "sh_h")
         .filter(F.col("id_a") < F.col("id_b"))

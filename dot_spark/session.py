@@ -40,7 +40,11 @@ def get_spark(app_name: str = "dot_spark", shuffle_partitions: int | None = None
         # source registry (sources/registry.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("DOT_SPARK_DRIVER_MEM", "8g"))
+        # local-mode driver heap IS the whole cluster's executor
+        # memory: 32 task threads over hash/explode-heavy stages on a
+        # small heap degrade monotonically (GC death spiral measured
+        # at 19s->134s over 4 runs on 8g; stable ~10s on 24g)
+        .config("spark.driver.memory", os.environ.get("DOT_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
