@@ -127,6 +127,67 @@ def p1_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p2_positional_projection",
+    """
+    SELECT n_nationkey AS geo_id, n_name AS geo_name
+    FROM nation
+    """,
+)
+def p2_positional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional projection (P2: headerless-CSV `usecols=range(n)`
+    then rename, process-geography/main.py:162, 248-252) — keep the
+    first N columns by position and assign names. In Spark this is a
+    plain column-prune projection, so the parquet scan reads only the
+    first two columns regardless of table width."""
+    from dot_spark.schema import positional_projection
+
+    nation = load_table(spark, "nation", sf_dir)
+    return positional_projection(nation, ["geo_id", "geo_name"])
+
+
+@query(
+    "s4_csv_parse",
+    """
+    SELECT n_nationkey AS geo_id, n_name AS geo_name,
+           CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS rk
+    FROM nation
+    """,
+)
+def s4_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text scan semantics (S4: load_to_dataframe /
+    read_csv_from_bytes, process-geography/main.py:145-259): tab
+    separator, declared positional schema, custom null-sentinel list.
+
+    Round-trips nation rows through a real tab-separated line and
+    parses them back with `from_csv` — the same parser spark.read.csv
+    uses, so sep/nullValue/schema semantics are identical. The
+    explicit nullValue list mirrors the reference's custom NA tokens
+    that deliberately EXCLUDE "NA" (Namibia's country code,
+    process-geography/main.py:115-137): only the declared sentinel
+    becomes NULL, never the string "NA".
+    """
+    nation = load_table(spark, "nation", sf_dir)
+    lines = nation.select(
+        F.concat_ws(
+            "\t",
+            F.col("n_nationkey"),
+            F.col("n_name"),
+            F.when(F.col("n_regionkey") == 0, F.lit("\\N")).otherwise(
+                F.col("n_regionkey").cast("string")
+            ),
+        ).alias("line")
+    )
+    parsed = lines.select(
+        F.from_csv(
+            "line",
+            "geo_id INT, geo_name STRING, rk INT",
+            {"sep": "\t", "nullValue": "\\N"},
+        ).alias("r")
+    )
+    return parsed.select("r.geo_id", "r.geo_name", "r.rk")
+
+
+@query(
     "p4_filter_gate",
     """
     SELECT event_id, user_id, event_type, value
@@ -1439,6 +1500,45 @@ def pl1_okta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_config={"events_synced": (["event_id"], ["ts"])},
     )
     return wh.read("events_synced")
+
+
+@query(
+    "pl2_woo_incremental",
+    """
+    WITH first_run AS (
+      SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id,
+             event_type, value
+      FROM events WHERE event_id % 2 = 0),
+    second_run AS (
+      SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id,
+             event_type, value
+      FROM events
+      WHERE date_trunc('microseconds', ts) >
+            (SELECT MAX(date_trunc('microseconds', ts)) FROM events
+             WHERE event_id % 2 = 0))
+    SELECT * FROM first_run UNION ALL SELECT * FROM second_run
+    """,
+)
+def pl2_woo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-incremental pipeline end-to-end (woo-sync §3.2,
+    woo-sync/main.py:1262-1334): an initial load sets the target's
+    high-water mark (A2 MAX(ts)); the second run sees the full source
+    but appends only rows strictly newer than the mark (P3 pushdown +
+    S7 append). The oracle reproduces both runs declaratively: the
+    even-id half plus every row newer than that half's max timestamp.
+    """
+    import tempfile
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import woo_incremental
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="dot_spark_wh_"))
+    woo_incremental(wh, ev.filter(F.col("event_id") % 2 == 0), "events_inc", ts_col="ts")
+    woo_incremental(wh, ev, "events_inc", ts_col="ts")
+    return wh.read("events_inc")
 
 
 # ---------------------------------------------------------------------------
