@@ -69,6 +69,43 @@ def group_having_count(df: DataFrame, keys: Sequence[str], min_count: int) -> Da
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's hot keys across
+    `buckets` sub-keys and explode the small side once per bucket.
+
+    A hot join key (one user producing 1% of a 100 TB event table)
+    sends its entire key group to a single reducer in a plain
+    shuffle join; AQE's skew-join split helps within a partition but
+    cannot split one key. Salting makes the shuffle key
+    (key, salt): the hot key's rows spread over `buckets` reducers,
+    the small side is replicated `buckets`x (cheap — it's small),
+    and the join result is IDENTICAL to the unsalted join for any
+    salt assignment, so the salt can be any per-row deterministic
+    value. We hash all big-side columns so duplicate rows of a hot
+    key still spread.
+
+    Trade-off vs broadcast: use broadcast_lookup when the small side
+    fits in executor memory; salting is for the mid-size dim that
+    doesn't, joined against a skewed fact.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        # right/full would emit each unmatched small-side row once
+        # per replica; flip the sides instead
+        raise ValueError(f"salted_join does not support how={how!r}")
+    salt_big = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
+    b = big.withColumn("__salt", salt_big)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return b.join(s, on=[on, "__salt"], how=how).drop("__salt")
+
+
 def watermark_max(df: DataFrame, ts_col: str, predicate=None) -> DataFrame:
     """High-water-mark read (reference A2).
 

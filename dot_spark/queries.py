@@ -413,6 +413,31 @@ def j5_parent_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j6_salted_skew_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (scale extension of J5): the fact side's
+    hot keys are spread across salt buckets, the dim side replicated
+    per bucket — result identical to the plain join, which is exactly
+    what the oracle checks. At this SF Catalyst broadcasts the dim
+    anyway; the salting pays off when the dim outgrows broadcast and
+    one key dominates the shuffle (see salted_join docstring)."""
+    from dot_spark.operators.relational import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return salted_join(ev, dim, on="user_id", buckets=8).select(
+        "event_id", "user_id", "c_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Aggregations (A1-A5)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Scale-technique tests: skew salting and bucketed co-located joins.
+
+These verify the two load-time/plan-time levers the 100 TB design
+leans on beyond what Catalyst does automatically: salting spreads a
+hot join key across reducers; bucketing pre-pays the join shuffle at
+write time.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dot_spark.loads import Warehouse
+from dot_spark.operators.relational import salted_join
+from dot_spark.sources.registry import load_table
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_join_matches_plain_inner(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "user_id", "c_name")
+    salted = salted_join(ev, dim, "user_id", buckets=4).select(
+        "event_id", "user_id", "c_name"
+    )
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_matches_plain_left(spark):
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)] + [(100, 99)], "row_id long, k long"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, v string")
+    plain = big.join(small, "k", "left").select("row_id", "k", "v")
+    salted = salted_join(big, small, "k", how="left", buckets=4).select(
+        "row_id", "k", "v"
+    )
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_left_anti(spark):
+    big = spark.createDataFrame([(1, 1), (2, 2), (3, 9)], "row_id long, k long")
+    small = spark.createDataFrame([(1,), (2,)], "k long")
+    out = salted_join(big, small, "k", how="left_anti", buckets=4)
+    assert _rows(out.select("row_id")) == [(3,)]
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="right")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one key, many rows: every salt bucket must receive some of them
+    big = spark.createDataFrame([(i, 7) for i in range(400)], "row_id long, k long")
+    salt = F.pmod(F.xxhash64("row_id", "k"), F.lit(8))
+    n_buckets = big.select(salt.alias("s")).distinct().count()
+    assert n_buckets == 8
+
+
+def test_bucketed_join_is_shuffle_free(wh, spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    wh.write_bucketed(o, "orders_b", ["o_orderkey"], num_buckets=8)
+    wh.write_bucketed(li, "lineitem_b", ["o_orderkey"], num_buckets=8)
+
+    ob, lb = wh.read_bucketed("orders_b"), wh.read_bucketed("lineitem_b")
+    # force a non-broadcast join so the bucketing is what saves the shuffle
+    joined = ob.hint("merge").join(lb, "o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    plain = o.join(li, "o_orderkey")
+    assert joined.count() == plain.count()
+
+
+def test_bucketed_groupby_is_shuffle_free(wh, spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    )
+    wh.write_bucketed(li, "li_bg", ["l_orderkey"], num_buckets=8)
+    agg = wh.read_bucketed("li_bg").groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
