@@ -11,6 +11,7 @@ machines live in applyInPandasWithState.
 from dot_spark.streaming.ingress import EVENTS_READ_DDL, stream_events
 from dot_spark.streaming.fanout import fan_out, route_events
 from dot_spark.streaming.state import (
+    delayed_retries,
     drain_actions,
     stream_dedup,
     superseded_latest,
@@ -22,6 +23,7 @@ __all__ = [
     "stream_events",
     "fan_out",
     "route_events",
+    "delayed_retries",
     "drain_actions",
     "stream_dedup",
     "superseded_latest",

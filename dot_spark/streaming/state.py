@@ -113,6 +113,79 @@ def superseded_latest(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     )
 
 
+# --- ST5: delayed retry with loop guard -------------------------------------
+
+_RETRY_OUT = "job_id BIGINT, action STRING, cause STRING"
+_RETRY_STATE = "pending_cause STRING"
+
+
+def _make_retry_fn(delay_ms: int):
+    def _retry_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (cause,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "job_id": [key[0]],
+                    "action": ["retry"],
+                    "cause": [f"Auto-retry: {cause}"],
+                }
+            )
+            return
+        pending = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                status, cause = str(row["status"]), str(row["cause"])
+                if status == "failure" and not cause.startswith("Auto-retry"):
+                    # loop guard: a failure whose cause carries the
+                    # Auto-retry prefix has already been retried once
+                    pending = cause
+                elif status == "success":
+                    # superseded: a newer success cancels the retry
+                    pending = None
+        if pending is not None:
+            state.update((pending,))
+            state.setTimeoutDuration(delay_ms)
+        elif state.exists:
+            state.remove()
+
+    return _retry_fn
+
+
+def delayed_retries(
+    failure_events: DataFrame,
+    key_col: str = "job_id",
+    delay_ms: int = 300_000,
+) -> DataFrame:
+    """Delayed single-retry machine (ST5): a failed job is retried
+    once after `delay_ms` (the reference's 5-minute base delay,
+    docs/ARCHITECTURE.md:93,109), unless a newer success for the same
+    job arrives first (superseded, ARCHITECTURE.md:94,107).
+
+    The loop guard is encoded in data, not a counter, exactly as the
+    reference does it (dbt-classify/classifier.py:39-47): the emitted
+    retry carries an "Auto-retry: " cause prefix, and failures
+    already carrying that prefix are never re-queued — so the retry
+    storm is structurally bounded at one per failure.
+
+    Timers are processing-time GroupState timeouts: the pending
+    retry lives in the state store (sharded by key, watermark-free —
+    state size is bounded by in-flight failures), and fires on the
+    first micro-batch after the delay elapses.
+    """
+    return failure_events.groupBy(key_col).applyInPandasWithState(
+        _make_retry_fn(delay_ms),
+        _RETRY_OUT,
+        _RETRY_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 # --- ST7: connector drain state machine ------------------------------------
 
 # status -> (actions, next_phase); reference semantics from

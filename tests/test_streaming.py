@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dot_spark.streaming import (
+    delayed_retries,
     drain_actions,
     fan_out,
     route_events,
@@ -208,3 +209,48 @@ def test_drain_machine_transitions(spark, tmp_path):
     phases = {r.connector_id: r.phase for r in rows if r.n_events == max(
         x.n_events for x in rows if x.connector_id == r.connector_id)}
     assert phases["c3"] == "stopped"
+
+
+def test_delayed_retry_fires_after_delay_with_loop_guard(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # job 1 fails (retry due after the delay); job 2 fails then
+    # succeeds (superseded -> cancelled); job 3's failure is itself
+    # an auto-retry (loop guard -> never re-queued)
+    b0 = pd.DataFrame(
+        {
+            "job_id": [1, 2, 2, 3],
+            "status": ["failure", "failure", "success", "failure"],
+            "cause": ["oom", "disk", "", "Auto-retry: oom"],
+        }
+    )
+    write_parquet(b0, src / "b0.parquet")
+    stream = (
+        spark.readStream.schema("job_id BIGINT, status STRING, cause STRING")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = start_memory(
+        delayed_retries(stream, delay_ms=700), "retry_out", str(tmp_path / "cp")
+    )
+    # processAllAvailable never settles while a processing-time timer
+    # is registered (the engine keeps scheduling timeout-check
+    # batches), so drive by polling the sink
+    import time
+
+    deadline = time.time() + 60
+    rows = []
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(q.exception())
+        rows = spark.table("retry_out").collect()
+        if rows:
+            break
+        time.sleep(0.5)
+    # give job 3's guard a chance to (wrongly) fire before stopping
+    time.sleep(1.5)
+    rows = spark.table("retry_out").collect()
+    q.stop()
+    assert [(r.job_id, r.action, r.cause) for r in rows] == [
+        (1, "retry", "Auto-retry: oom")
+    ]
