@@ -1,0 +1,129 @@
+"""Physical-plan audit of the headline queries.
+
+Correctness is the oracle gate's job; this module pins the *shape*
+of the plans — the properties that decide whether a query that
+passes at sf0.01 still works at 100 TB:
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- small dimensions broadcast instead of shuffling the fact side
+- no CartesianProduct / BroadcastNestedLoopJoin sneaks into equi-joins
+- aggregations keep their map-side partial phase
+- the hot path stays JVM-side (no Python row/batch eval) except the
+  operators that are *documented* as Pandas-UDF-backed (multimodal
+  decode, HMAC)
+- expression pipelines stay inside WholeStageCodegen
+
+A regression here usually doesn't change results — it silently turns
+a scan-pruned broadcast plan into a full-scan shuffle plan, which is
+exactly the class of bug small-SF correctness tests can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dot_spark.queries import QUERIES
+
+# Queries allowed to leave the JVM: multimodal decode/feature UDFs
+# (stubbed image/audio libs, mapInPandas plumbing is the point) and
+# HMAC (no Spark built-in).
+PYTHON_OK = {"mm1_decode_media", "mm2_media_features", "mm3_frame_sampling",
+             "f8_hmac_sha256"}
+
+PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas", "PythonMapInArrow")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_pushdown_reaches_parquet(spark, sf_dir):
+    plan = _plan(QUERIES["s1_scan_projection"](spark, sf_dir))
+    # the l_shipdate >= ... predicate must reach the reader so row
+    # groups outside the range are skipped at 100 TB
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(QUERIES["s1_scan_projection"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # 4 projected columns + the filter column; l_comment (the widest
+    # column) must NOT be read
+    assert "l_comment" not in read_schema, read_schema
+    for c in ("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"):
+        assert c in read_schema, read_schema
+
+
+@pytest.mark.parametrize("name", ["j4_broadcast_lookup", "j1_anti_join"])
+def test_small_dim_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact side must not shuffle for a broadcast join
+    assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["j5_parent_child_join", "j6_salted_skew_join", "dd2_minhash_lsh_candidates",
+     "dd4_ngram_jaccard", "ss2_ivf_topk", "pl1_okta_refresh"],
+)
+def test_equi_joins_never_nested_loop(spark, sf_dir, name):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_brute_force_topk_broadcasts_query_side(spark, sf_dir):
+    # ss1 is the documented-quadratic gold standard: the only sane
+    # physical shape is broadcasting the handful of query vectors and
+    # streaming the corpus once — never shuffling the corpus
+    plan = _plan(QUERIES["ss1_cosine_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_aggregations_keep_partial_phase(spark, sf_dir):
+    # map-side combine: the HashAggregate pair (partial + final) must
+    # survive — losing it shuffles raw rows instead of partial states
+    for name in ("a1_group_having", "dd1_exact_dedup", "s6_sql_source"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("HashAggregate") >= 2 or "partial" in plan, (name, plan)
+
+
+def test_hot_path_stays_jvm_side(spark, sf_dir):
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in PYTHON_OK:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        hits = [n for n in PY_EVAL_NODES if n in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
+
+
+def test_flagship_dedup_plan_shape(spark, sf_dir):
+    plan = _plan(QUERIES["w1_dedup_keep_latest"](spark, sf_dir))
+    # one shuffle on the dedup keys; a second Exchange would mean the
+    # window and the filter stopped sharing a partitioning
+    assert plan.count("Exchange") <= 1, plan
+    # Spark's rank-limit pushdown: rn=1 keep-latest must run as a
+    # Partial WindowGroupLimit BEFORE the shuffle (map-side top-1 per
+    # key) — at 100 TB this shrinks the exchange from every duplicate
+    # row to one row per (key, map partition)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_watermark_max_prunes_to_needed_columns(spark, sf_dir):
+    # MAX(ts) WHERE event_type = ...: exactly the ts + filter columns
+    # may be read; value/user_id/event_id must be pruned
+    plan = _plan(QUERIES["a2_watermark_max"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" in read_schema and "event_type" in read_schema, read_schema
+    for c in ("value", "user_id", "event_id"):
+        assert c not in read_schema, read_schema
