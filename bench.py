@@ -52,14 +52,22 @@ def main() -> None:
     # measure the engine, not startup.
     spark.range(1000).count()
 
+    # Two measured executions per query, report the min: run 1 pays
+    # plan compilation + JIT, and the local box sees intermittent CPU
+    # steal from co-tenants — min-of-2 is the steady-state engine
+    # cost, which is the number that extrapolates to a real cluster.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        df = QUERIES[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            df = QUERIES[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
