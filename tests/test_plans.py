@@ -119,6 +119,18 @@ def test_flagship_dedup_plan_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
 
 
+@pytest.mark.parametrize("name", ["ss1_cosine_topk", "ss2_ivf_topk"])
+def test_topk_ranks_map_side_first(spark, sf_dir, name):
+    # distributed top-k: each map partition must keep only its local
+    # top-10 per query (Partial WindowGroupLimit) BEFORE the shuffle,
+    # so the exchange carries <= 10 x partitions rows per query, not
+    # the whole scored corpus
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    partials = [ln for ln in plan.splitlines()
+                if "WindowGroupLimit" in ln and "Partial" in ln]
+    assert partials, plan
+
+
 def test_watermark_max_prunes_to_needed_columns(spark, sf_dir):
     # MAX(ts) WHERE event_type = ...: exactly the ts + filter columns
     # may be read; value/user_id/event_id must be pruned
