@@ -1,0 +1,134 @@
+"""Property-based checks (hypothesis) for the algebraic laws the
+operators must satisfy on ANY input, per SURVEY.md §5: the reference
+only has example-based tests, the golden-oracle harness only checks
+fixed fixtures — these pin the laws themselves.
+
+- keyed dedup is idempotent, keeps exactly one row per key, and that
+  row is maximal in the declared ordering
+- full-row distinct is idempotent and a set projection of its input
+- watermark (MAX ts) is monotone under append — the invariant the
+  incremental-ingest protocol (ST2) relies on to never lose rows
+- schema alignment is idempotent and always lands on the declared
+  schema regardless of input shape
+- exact dedup partitions the corpus: group sizes sum to the corpus
+
+Frames are tiny (Spark job per example); max_examples is capped so
+the whole module stays in CI-scale time.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dot_spark.operators.dedup import dedupe_keep_latest, distinct_rows
+from dot_spark.operators.relational import watermark_max
+from dot_spark.operators.textdedup import exact_dedup
+from dot_spark.schema import align_schema
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts, payload) rows: small domains force key collisions and
+# ts ties, which is where dedup bugs live
+rows_st = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 5),
+        st.integers(-10, 10),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, ts INT, v INT")
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_dedup_idempotent_and_maximal(spark, rows):
+    df = _df(spark, rows)
+    once = dedupe_keep_latest(df, ["k"], ["ts"], tiebreaker="v")
+    twice = dedupe_keep_latest(once, ["k"], ["ts"], tiebreaker="v")
+    got = sorted(map(tuple, once.collect()))
+    assert got == sorted(map(tuple, twice.collect()))
+    # exactly one survivor per key, and it has the key's max ts
+    per_key: dict[int, list[tuple]] = {}
+    for r in rows:
+        per_key.setdefault(r[0], []).append(r)
+    assert len(got) == len(per_key)
+    for k, ts, v in got:
+        assert ts == max(r[1] for r in per_key[k])
+        # tiebreaker=v ASC: among max-ts rows, the smallest v wins
+        assert v == min(r[2] for r in per_key[k] if r[1] == ts)
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_distinct_is_idempotent_set_projection(spark, rows):
+    df = _df(spark, rows)
+    d1 = sorted(map(tuple, distinct_rows(df).collect()))
+    d2 = sorted(map(tuple, distinct_rows(distinct_rows(df)).collect()))
+    assert d1 == d2 == sorted(set(rows))
+
+
+@given(base=rows_st, extra=rows_st)
+@settings(**SETTINGS)
+def test_watermark_monotone_under_append(spark, base, extra):
+    wm1 = watermark_max(_df(spark, base), "ts").collect()[0].watermark
+    wm2 = watermark_max(_df(spark, base + extra), "ts").collect()[0].watermark
+    assert wm2 >= wm1
+    # and the watermark splits the appended table exactly: re-reading
+    # rows with ts > wm1 plus the old snapshot loses nothing (ST2)
+    appended = _df(spark, base + extra)
+    newer = appended.filter(F.col("ts") > F.lit(wm1)).count()
+    older = appended.filter(F.col("ts") <= F.lit(wm1)).count()
+    assert newer + older == len(base) + len(extra)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-5, 5), st.text(max_size=4)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_align_schema_idempotent_and_total(spark, rows):
+    df = spark.createDataFrame(rows, "a INT, b STRING")
+    target = {"b": "string", "c": "bigint", "a": "double"}
+    once = align_schema(df, target)
+    twice = align_schema(once, target)
+    assert once.schema == twice.schema
+    assert [f.name for f in once.schema.fields] == ["b", "c", "a"]
+    got1 = sorted(map(tuple, once.collect()), key=repr)
+    got2 = sorted(map(tuple, twice.collect()), key=repr)
+    assert got1 == got2
+    # the added column is all-NULL, existing values survive the cast
+    assert once.filter(F.col("c").isNotNull()).count() == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab X", min_size=0, max_size=8),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_corpus(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    groups = exact_dedup(df, "text", "doc_id").collect()
+    # group sizes sum to the corpus: every doc is in exactly one group
+    assert sum(g.n_dups for g in groups) == len(texts)
+    # keep_id is a real member id
+    ids = set(range(len(texts)))
+    assert all(g.keep_id in ids for g in groups)
