@@ -11,9 +11,10 @@ for 100 TB:
   joins (each doc shuffles once per band, buckets are tiny); Jaccard
   pairs come from an inverted shingle->doc join, which only touches
   pairs that share at least one shingle.
-- Hashes are md5 (portable across engines/versions); min over hex
-  strings is a valid uniform minhash because md5 is uniform on the
-  hex alphabet.
+- Base hashes are md5 (portable across engines/versions — the DuckDB
+  oracle computes bit-identical digests); derived hash families are
+  integer expressions over the digest halves, so the expensive digest
+  is computed once per row however many family members are needed.
 
 The only intentionally quadratic operator is embedding_neardup_pairs
 (brute-force gold standard); its scale path is bucketed_neardup_pairs
@@ -94,30 +95,40 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signatures as columns h0..h{K-1}: hash k of a doc is
-    min over its shingles of md5(k || ':' || shingle).
+    min over its shingles of h_k(s) = a(s) + k * b(s), where a and b
+    are the two 56-bit halves of one md5(shingle) digest — a
+    universal-hash family over a single base hash, the same shape
+    Spark MLlib's MinHashLSH uses ((a*x + b) mod prime).
 
-    Shape matters for scale: explode the shingles once, compute the
-    K hashes as SCALAR md5 expressions (whole-stage codegen), and
-    take K partial-aggregated MINs in one groupBy. An earlier
-    formulation nested the hashing inside array-transform lambdas;
-    Catalyst's CollapseProject inlined the shingle expression into
-    the lambda body and recomputed it per hash seed on the
-    interpreted HOF path — ~70x slower. Exploding is the idiomatic
-    fix: fan-out is local, the only exchange is the K-column
-    signature (tiny), and everything stays in codegen.
+    Shape matters for scale: ONE md5 per exploded shingle row (not K
+    — the earlier per-seed md5(k || shingle) formulation spent 16x
+    the CPU in the digest, which dominates the whole dedup pass at
+    corpus scale), the K family members are two-term integer
+    expressions inside whole-stage codegen, and the K partial-
+    aggregated MINs ride one groupBy. The only exchange is the
+    K-long-column signature (tiny). No overflow: a,b < 2^56 and
+    k <= 15, so a + k*b < 2^60 < Long.Max.
+
+    An even earlier formulation nested the hashing inside
+    array-transform lambdas; Catalyst's CollapseProject inlined the
+    shingle expression into the lambda body and recomputed it per
+    hash seed on the interpreted HOF path — ~70x slower. Exploding
+    is the idiomatic fix.
     """
     sh = spread_small_input(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
     )
+    base = F.md5(F.col("shingle"))
     hashed = sh.select(
         id_col,
-        *[
-            F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))).alias(f"h{k}")
-            for k in range(num_hashes)
-        ],
+        F.conv(F.substring(base, 1, 14), 16, 10).cast("long").alias("__a"),
+        F.conv(F.substring(base, 15, 14), 16, 10).cast("long").alias("__b"),
     )
     return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_hashes)]
+        *[
+            F.min(F.col("__a") + F.lit(k) * F.col("__b")).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
     )
 
 

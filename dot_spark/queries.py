@@ -1053,12 +1053,19 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(generate_series(1, greatest(1, len(toks) - 2)),
                i -> array_to_string(toks[i:i+2], ' '))) AS shingles
       FROM tk),
+    ab AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)) AS av,
+             list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 15, 14) AS BIGINT)) AS bv
+      FROM sh),
     sig AS (
       SELECT doc_id,
              list_transform(generate_series(0, 15),
-               k -> list_min(list_transform(shingles,
-                      s -> md5(CAST(k AS VARCHAR) || ':' || s)))) AS sig
-      FROM sh),
+               k -> list_min(list_transform(generate_series(1, len(av)),
+                      i -> av[i] + k * bv[i]))) AS sig
+      FROM ab),
     bands AS (
       SELECT doc_id, b.band_id,
              md5(array_to_string(sig[b.band_id*4+1 : b.band_id*4+4], '|')) AS band_hash
