@@ -1014,8 +1014,9 @@ def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-doc hash + winnowing-style rolling min-hash fingerprint."""
     from dot_spark.operators.text import fingerprint
+    from dot_spark.operators.textdedup import spread_small_input
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread_small_input(load_table(spark, "documents", sf_dir))
     return fingerprint(docs).select("doc_id", "fp_full", "fp_rolling")
 
 
@@ -1111,9 +1112,11 @@ def dd2_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document, hex-digit-portable
     bit decoding (no engine-specific hex casts)."""
-    from dot_spark.operators.textdedup import simhash
+    from dot_spark.operators.textdedup import simhash, spread_small_input
 
-    docs = load_table(spark, "documents", sf_dir)
+    # hash-heavy map stage: spread the 1-split local scan to all
+    # cores (no-op at warehouse scale where maxPartitionBytes splits)
+    docs = spread_small_input(load_table(spark, "documents", sf_dir))
     return docs.select("doc_id", simhash("text", bits=16).alias("simhash"))
 
 
