@@ -217,6 +217,44 @@ def simhash(
     )
 
 
+def simhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash as a DataFrame op — same fingerprint as `simhash`
+    (asserted equal in tests), restructured for corpus scale.
+
+    The Column form evaluates `bits` interpreted array-aggregate
+    passes per row; here the tokens are exploded once, each token row
+    computes its `bits` +/-1 contributions as codegen'd scalar
+    expressions, and one groupBy sums them with map-side partial
+    aggregation — the exchange carries `bits` small ints per doc per
+    map partition, and ALL hashing stays in whole-stage codegen.
+    """
+    alphabet = F.lit("0123456789abcdef")
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    contribs = [
+        (((F.instr(alphabet, F.substring(h, j, 1)) - 1) % 2) * 2 - 1).alias(f"__b{j}")
+        for j in range(1, bits + 1)
+    ]
+    summed = ex.select(id_col, *contribs).groupBy(id_col).agg(
+        *[F.sum(f"__b{j}").alias(f"__b{j}") for j in range(1, bits + 1)]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"__b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(1, bits + 1)
+        ]
+    )
+    return summed.select(id_col, sig.alias("simhash"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1112,12 +1112,12 @@ def dd2_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document, hex-digit-portable
     bit decoding (no engine-specific hex casts)."""
-    from dot_spark.operators.textdedup import simhash, spread_small_input
+    from dot_spark.operators.textdedup import simhash_signature, spread_small_input
 
     # hash-heavy map stage: spread the 1-split local scan to all
     # cores (no-op at warehouse scale where maxPartitionBytes splits)
     docs = spread_small_input(load_table(spark, "documents", sf_dir))
-    return docs.select("doc_id", simhash("text", bits=16).alias("simhash"))
+    return simhash_signature(docs, bits=16)
 
 
 @query(

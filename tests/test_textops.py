@@ -20,6 +20,7 @@ from dot_spark.operators.textdedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_signature,
 )
 from dot_spark.sources.registry import load_table
 
@@ -123,6 +124,16 @@ def test_simhash_shape_and_self_similarity(docs):
     both = docs.limit(5).unionByName(dup).select("doc_id", simhash("text").alias("sh"))
     got = [r.sh for r in both.orderBy("doc_id").collect()]
     assert got[:5] == got[5:]
+
+
+def test_simhash_df_op_matches_column_form(docs):
+    """The scale-shaped explode+sum formulation must produce the
+    exact fingerprint of the reference column expression."""
+    col_form = docs.select("doc_id", simhash("text").alias("simhash"))
+    df_form = simhash_signature(docs)
+    diff = col_form.exceptAll(df_form)
+    assert diff.count() == 0
+    assert df_form.count() == docs.count()
 
 
 def test_ngram_jaccard_symmetric_bounds(docs):
