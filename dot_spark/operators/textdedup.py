@@ -332,8 +332,16 @@ def embedding_neardup_pairs(
     """Brute-force embedding near-dup: all pairs with
     round(cosine, 4) >= threshold. Quadratic — the gold standard for
     recall evaluation, run on samples. Scale path:
-    bucketed_neardup_pairs."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    bucketed_neardup_pairs.
+
+    The broadcast-nested-loop stream side is spread to full cluster
+    width first: the O(n^2) cosine work parallelizes over the
+    streamed side's partitions, and a sample table small enough to
+    brute-force is small enough to arrive as one split otherwise.
+    """
+    a = spread_small_input(df).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
     return (
