@@ -35,9 +35,13 @@ HEADLINE = [
     # training-data pipeline extensions
     "dd1_exact_dedup",
     "dd2_minhash_lsh_candidates",
+    "dd3_simhash",
     "dd4_ngram_jaccard",
+    "dd5_embedding_neardup",
     "t2_quality_score",
+    "t4_fingerprint",
     "ss1_cosine_topk",
+    "ss2_ivf_topk",
     # classification over the whole run table
     "c1_classify_runs",
 ]
