@@ -1249,6 +1249,24 @@ def ss2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, emb, "label", k=10)
 
 
+# no SQL oracle: the k-means quantizer is an iterative algorithm the
+# driver's DuckDB harness cannot express — rows-only check here; the
+# recall gate against the exact baseline lives in tests/test_similarity
+@query("ss3_ivf_trained_topk")
+def ss3_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN top-10: spherical k-means centroids fit on a
+    deterministic sample, Arrow-vectorized cell assignment, nprobe=3
+    multi-probe equi-join — the full index-train/search scale path."""
+    from dot_spark.operators.similarity import ivf_search, train_ivf_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = train_ivf_centroids(emb, n_cells=8, sample=1024, seed=7)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_search(q, emb, cents, k=10, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # Classification / routing (reference dbt-classify + dbt-webhook)
 # ---------------------------------------------------------------------------

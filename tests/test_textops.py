@@ -200,3 +200,36 @@ def test_ivf_topk_subset_of_cell(emb):
     clab = {r.vec_id: r.label for r in emb.collect()}
     for r in out.collect():
         assert clab[r.vec_id] == qlab[r.query_id]
+
+
+def test_trained_ivf_recall_against_exact(emb):
+    """Recall gate (deterministic: seeded k-means on a sorted-id
+    sample). The synthetic embeddings are only weakly clustered, so
+    half-probing (4 of 8 cells) must recover >= 80% of the exact
+    top-10, and probing ALL cells must reproduce brute force EXACTLY
+    — the end-to-end correctness invariant of the index pipeline."""
+    from dot_spark.operators.similarity import ivf_search, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_cells=8, sample=1024, seed=7)
+    assert len(cents) == 8 and all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in cents)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(q, emb, k=10).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in ivf_search(q, emb, cents, k=10, nprobe=4).collect()}
+    assert len(approx & exact) / len(exact) >= 0.8
+    # self is always found: the query's own vector shares its cell
+    assert all((qid, qid) in approx for qid in range(5))
+    # probing every cell removes the approximation entirely
+    full = {(r.query_id, r.vec_id)
+            for r in ivf_search(q, emb, cents, k=10, nprobe=8).collect()}
+    assert full == exact
+
+
+def test_trained_ivf_centroids_deterministic(emb):
+    from dot_spark.operators.similarity import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, n_cells=4, sample=256, seed=7)
+    c2 = train_ivf_centroids(emb, n_cells=4, sample=256, seed=7)
+    assert c1 == c2
