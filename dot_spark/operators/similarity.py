@@ -214,3 +214,96 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes for sign-LSH over cosine space.
+
+    sign(v . h) bits approximate angular locality (P[bit differs] =
+    angle/pi); n_planes trades bucket granularity for recall. Plain
+    lists — tiny, shipped to executors inside the UDF closure.
+    """
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n_planes, dim))
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    return h.tolist()
+
+
+def lsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str,
+    hamming: int = 0,
+    out_col: str = "__bucket",
+) -> DataFrame:
+    """Attach sign-LSH bucket id(s): the packed sign-bit integer of
+    the vector against each hyperplane, plus every bucket within
+    `hamming` bit-flips (multi-probe) — exploded to one row per
+    probed bucket.
+
+    Arrow-vectorized: one matmul per batch for the signs; the probe
+    fan-out is (n_planes choose <=hamming) — a handful of ints per
+    row, exploded JVM-side.
+    """
+    from itertools import combinations
+
+    from pyspark.sql.functions import pandas_udf
+
+    h = np.array(planes, dtype=np.float64)
+    nb = len(planes)
+    flip_masks = [0]
+    for d in range(1, hamming + 1):
+        for bits in combinations(range(nb), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flip_masks.append(m)
+    masks = np.array(flip_masks, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy())
+        signs = (x @ h.T) > 0
+        base = (signs.astype(np.int64) << np.arange(nb, dtype=np.int64)).sum(axis=1)
+        return pd.Series(list(base[:, None] ^ masks[None, :]))
+
+    return df.withColumn(out_col, _buckets(F.col(vec_col)))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    hamming: int = 1,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucketed top-k: corpus vectors live in their home
+    bucket, queries probe all buckets within `hamming` bit flips,
+    candidates come from the bucket equi-join.
+
+    Same scale shape as ivf_search: one corpus shuffle on the bucket
+    key (or a bucketed table layout and none), candidate set ~
+    (probes / 2^n_planes) of the corpus. hamming = n_planes probes
+    every bucket and reproduces brute force exactly (tested).
+    """
+    corpus_b = lsh_buckets(corpus, planes, corpus_vec, hamming=0).select(
+        F.element_at(F.col("__bucket"), 1).alias("__b"), corpus_id, corpus_vec
+    )
+    query_b = lsh_buckets(queries, planes, query_vec, hamming=hamming).select(
+        F.explode(F.col("__bucket")).alias("__b"), query_id, query_vec
+    )
+    scored = query_b.join(corpus_b, on="__b").withColumn(
+        "cos_sim", F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

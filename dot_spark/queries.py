@@ -1267,6 +1267,23 @@ def ss3_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(q, emb, cents, k=10, nprobe=3)
 
 
+# no SQL oracle: seeded-Gaussian hyperplanes are not SQL-expressible —
+# rows-only here; the exactness invariant (full Hamming probe ==
+# brute force) is tested in tests/test_textops.py
+@query("ss4_lsh_topk")
+def ss4_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-10: packed hyperplane sign bits as
+    the bucket key, Hamming-radius-2 multi-probe equi-join."""
+    from dot_spark.operators.similarity import lsh_topk, random_hyperplanes
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    planes = random_hyperplanes(64, n_planes=6, seed=7)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(q, emb, planes, k=10, hamming=2)
+
+
 # ---------------------------------------------------------------------------
 # Classification / routing (reference dbt-classify + dbt-webhook)
 # ---------------------------------------------------------------------------

@@ -233,3 +233,38 @@ def test_trained_ivf_centroids_deterministic(emb):
     c1 = train_ivf_centroids(emb, n_cells=4, sample=256, seed=7)
     c2 = train_ivf_centroids(emb, n_cells=4, sample=256, seed=7)
     assert c1 == c2
+
+
+def test_lsh_bucketed_topk_recall_and_exactness(emb):
+    """Sign-LSH ANN: recall grows monotonically with the Hamming
+    probe radius, and probing every bucket (radius = n_planes) must
+    reproduce brute force EXACTLY — the same end-to-end invariant as
+    the trained-IVF path. Absolute recall at small radii is a
+    property of the (weakly clustered) fixture, so only the
+    structure is pinned."""
+    from dot_spark.operators.similarity import lsh_topk, random_hyperplanes
+
+    planes = random_hyperplanes(64, n_planes=6, seed=7)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(q, emb, k=10).collect()}
+    recalls = []
+    for hm in (0, 2, 6):
+        approx = {(r.query_id, r.vec_id)
+                  for r in lsh_topk(q, emb, planes, k=10, hamming=hm).collect()}
+        recalls.append(len(approx & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
+    full = {(r.query_id, r.vec_id)
+            for r in lsh_topk(q, emb, planes, k=10, hamming=6).collect()}
+    assert full == exact
+
+
+def test_lsh_planes_deterministic_and_unit(emb):
+    from dot_spark.operators.similarity import random_hyperplanes
+
+    p1 = random_hyperplanes(64, n_planes=6, seed=7)
+    p2 = random_hyperplanes(64, n_planes=6, seed=7)
+    assert p1 == p2
+    assert all(abs(sum(x * x for x in h) - 1.0) < 1e-9 for h in p1)
