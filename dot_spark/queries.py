@@ -1611,6 +1611,70 @@ def pl2_woo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.read("events_inc")
 
 
+def _pl3_oracle_sql() -> str:
+    return f"""
+    WITH verdicts AS ({_classify_oracle_sql()}),
+    routed AS (
+      SELECT event_id, user_id AS run_id,
+             CASE WHEN event_type = 'error' THEN 'retry'
+                  WHEN event_type = 'purchase' THEN 'completed'
+                  ELSE 'ignore' END AS route
+      FROM events)
+    SELECT r.event_id, r.run_id,
+           CASE WHEN v.is_retryable AND NOT v.prior_is_retry
+                THEN 'retry' ELSE 'stop' END AS action,
+           CASE WHEN v.is_retryable AND NOT v.prior_is_retry
+                THEN 'Auto-retry: ' || v.reason ELSE v.reason END AS cause
+    FROM routed r JOIN verdicts v USING (run_id)
+    WHERE r.route = 'retry'
+    """
+
+
+@query("pl3_event_retry_pipeline", _pl3_oracle_sql())
+def pl3_event_retry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.3 event path end-to-end in one plan: webhook events are
+    status-routed (P5, dbt-webhook/main.py:307-319), the retry branch
+    joins the per-run classifier verdict (dbt-classify decision tree,
+    classifier.py:98-136), and the final disposition applies the
+    data-encoded loop guard — a verdict of transient retries ONCE,
+    carrying the "Auto-retry: " cause prefix that blocks the next
+    pass (docs/ARCHITECTURE.md:84-109).
+
+    Scale shape: verdicts are one row per run (orders of magnitude
+    smaller than events), so the disposition join broadcasts or
+    shuffles only the pre-filtered retry branch; everything upstream
+    is the same conditional-agg classifier plan as c1.
+    """
+    from dot_spark.routing import route_status
+
+    verdicts = c1_classify_runs(spark, sf_dir).select(
+        "run_id", "reason", "is_retryable", "prior_is_retry"
+    )
+    ev = load_table(spark, "events", sf_dir)
+    routed = ev.select(
+        "event_id",
+        F.col("user_id").alias("run_id"),
+        route_status(
+            F.when(F.col("event_type") == "error", 20).when(
+                F.col("event_type") == "purchase", 10
+            )
+        ).alias("route"),
+    )
+    do_retry = F.col("is_retryable") & ~F.col("prior_is_retry")
+    return (
+        routed.filter(F.col("route") == "retry")
+        .join(verdicts, "run_id")
+        .select(
+            "event_id",
+            "run_id",
+            F.when(do_retry, F.lit("retry")).otherwise(F.lit("stop")).alias("action"),
+            F.when(do_retry, F.concat(F.lit("Auto-retry: "), F.col("reason")))
+            .otherwise(F.col("reason"))
+            .alias("cause"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-column plumbing (MM1-MM3)
 # ---------------------------------------------------------------------------
