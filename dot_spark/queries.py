@@ -78,6 +78,61 @@ def s1_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s2_paged_rest_scan",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def s2_paged_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated REST scan through the real custom Python Data Source
+    (S1/S2: link-chain pagination, okta-sync/main.py:233-305 /
+    woo-sync/main.py:1132-1171; P3 server-side filter pushdown,
+    okta-sync/main.py:883).
+
+    The fixture step dumps the customer table as a chain of 200-row
+    JSON pages (the reference's Okta page size) standing in for the
+    remote API; the measured plan is `spark.read.format("paged_json")`
+    with the segment predicate PUSHED into the source (residual-free
+    scan — asserted in tests/test_rest_source.py), so only matching
+    rows ever cross into Spark.
+    """
+    import tempfile
+
+    from dot_spark.sources.rest import register_paged_json
+
+    rows = (
+        load_table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="dot_spark_api_")
+    import json as _json
+    import os as _os
+
+    page_size = 200
+    pages = [rows[i : i + page_size] for i in range(0, len(rows), page_size)] or [[]]
+    for i, page in enumerate(pages):
+        doc = {
+            "records": [r.asDict() for r in page],
+            "next": f"page-{i + 1}" if i + 1 < len(pages) else None,
+        }
+        with open(_os.path.join(root, f"page-{i}.json"), "w") as fh:
+            _json.dump(doc, fh)
+
+    register_paged_json(spark)
+    api = (
+        spark.read.format("paged_json")
+        .option("path", root)
+        .option("schema", "c_custkey BIGINT, c_name STRING, c_mktsegment STRING")
+        .option("filterable", "c_mktsegment")
+        .load()
+    )
+    return api.filter(F.col("c_mktsegment") == "BUILDING")
+
+
+@query(
     "s6_sql_source",
     """
     SELECT o_orderstatus, COUNT(*) AS n_orders,

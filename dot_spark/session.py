@@ -35,6 +35,8 @@ def get_spark(app_name: str = "dot_spark", shuffle_partitions: int | None = None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source predicate pushdown (sources/rest.py P3)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # the synthetic events table stores TIMESTAMP(NANOS) which the
         # Spark parquet reader rejects; read as long and convert in the
         # source registry (sources/registry.py)
