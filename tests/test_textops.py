@@ -268,3 +268,36 @@ def test_lsh_planes_deterministic_and_unit(emb):
     p2 = random_hyperplanes(64, n_planes=6, seed=7)
     assert p1 == p2
     assert all(abs(sum(x * x for x in h) - 1.0) < 1e-9 for h in p1)
+
+
+def test_bucketed_neardup_scale_path(emb):
+    """dd5's scale path end-to-end: IVF cells from the trained
+    quantizer prune the pair join. Single-probe pairs must be a
+    SUBSET of the brute-force pairs (same scoring, fewer
+    candidates); probing every cell on both sides removes the
+    approximation and must reproduce brute force EXACTLY. (The 0.45
+    threshold keeps the fixture non-empty, but such pairs sit at
+    ~63 degrees — far from parallel — so single-probe recall is a
+    property of the data, not pinned here.)"""
+    from dot_spark.operators.similarity import assign_cells, train_ivf_centroids
+    from dot_spark.operators.textdedup import bucketed_neardup_pairs
+
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_neardup_pairs(emb, threshold=0.45).collect()}
+    if not exact:
+        pytest.skip("no near-dup pairs at this sf")
+    cents = train_ivf_centroids(emb, n_cells=8, sample=1024, seed=7)
+    home = assign_cells(emb, cents, "embedding", nprobe=1).select(
+        F.element_at(F.col("__cells"), 1).alias("cell"), "vec_id", "embedding"
+    )
+    got = {(r.id_a, r.id_b)
+           for r in bucketed_neardup_pairs(home, "cell", threshold=0.45).collect()}
+    assert got <= exact
+    # full multi-probe: every vector appears in all 8 cells, so every
+    # pair co-buckets somewhere; distinct() collapses multi-cell hits
+    allcells = assign_cells(emb, cents, "embedding", nprobe=8).select(
+        F.explode(F.col("__cells")).alias("cell"), "vec_id", "embedding"
+    )
+    full = {(r.id_a, r.id_b) for r in bucketed_neardup_pairs(
+        allcells, "cell", threshold=0.45).distinct().collect()}
+    assert full == exact
