@@ -161,3 +161,27 @@ class Warehouse:
         out = transform(self.read(table))
         self.write(out, staging, "truncate")
         self.promote(staging, table)
+
+    # --- ST3 effectively-once micro-batch sink -----------------------------
+
+    def idempotent_batch_sink(self, table: str) -> Callable[[DataFrame, int], None]:
+        """foreachBatch sink that makes at-least-once delivery
+        effectively-once (ST3: duplicate triggers tolerated,
+        docs/DESIGN_fivetran_slot_safety_valve.md:90-97,
+        docs/ARCHITECTURE.md:94,107).
+
+        Each micro-batch writes to its own `batch=<id>` subdirectory
+        with mode=overwrite: a redelivered batch (engine recovery,
+        duplicate trigger) overwrites ITS OWN directory instead of
+        appending a second copy, so replays are harmless — including
+        replays of a partially-written batch, which is the case a
+        committed-ids marker file cannot fix. Readers scan the table
+        root and see each batch exactly once.
+        """
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.path(table), f"batch={batch_id}")
+            )
+
+        return sink

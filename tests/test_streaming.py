@@ -254,3 +254,42 @@ def test_delayed_retry_fires_after_delay_with_loop_guard(spark, tmp_path):
     assert [(r.job_id, r.action, r.cause) for r in rows] == [
         (1, "retry", "Auto-retry: oom")
     ]
+
+
+def test_idempotent_batch_sink_survives_redelivery(spark, tmp_path):
+    """ST3: at-least-once delivery with downstream idempotence. The
+    stream writes each micro-batch through the per-batch-overwrite
+    sink; re-invoking the sink with the same batch_id and payload (a
+    redelivered/replayed batch) must leave the table unchanged, and a
+    replay carrying a PARTIAL payload must not leave a second copy of
+    anything."""
+    from dot_spark.loads import Warehouse
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = pd.DataFrame({"job_id": [1, 2, 3], "status": ["ok", "ok", "err"]})
+    write_parquet(pdf, src / "b0.parquet")
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sink = wh.idempotent_batch_sink("jobs")
+    stream = (
+        spark.readStream.schema("job_id BIGINT, status STRING")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    drive(q)
+    assert wh.read("jobs").count() == 3
+
+    # redeliver batch 0 verbatim -> no duplicates
+    sink(spark.createDataFrame(pdf), 0)
+    assert wh.read("jobs").count() == 3
+    # replay a partial batch 0 (failure mid-write happened upstream):
+    # the overwrite replaces, never appends
+    sink(spark.createDataFrame(pdf.iloc[:1]), 0)
+    got = wh.read("jobs").collect()
+    assert len(got) == 1 and got[0].job_id == 1
