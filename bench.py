@@ -27,6 +27,7 @@ from dot_spark.queries import QUERIES
 HEADLINE = [
     "w1_dedup_keep_latest",
     "j5_parent_child_join",
+    "j7_star_join_rollup",
     "a3_conditional_agg",
     "n2_explode_tokens",
     "s1_scan_projection",

@@ -493,6 +493,52 @@ def j6_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j7_star_join_rollup",
+    """
+    SELECT p.p_brand, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * l.l_quantity), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size >= 10
+    GROUP BY p.p_brand, s.s_name
+    """,
+)
+def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: the fact table joined to two broadcast
+    dimensions, then a partial-aggregated group-by — the downstream-
+    warehouse query shape the reference delegates to BigQuery/dbt
+    (okta-sync/main.py:1124-1131 triggers it; the engine runs it).
+
+    Scale shape: part and supplier broadcast (no fact shuffle for
+    either join), the p_size predicate prunes the part build side
+    before broadcast, and the only exchange is the (brand, supplier)
+    rollup with map-side combine.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_size") >= 10)
+        .select("p_partkey", "p_brand")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Aggregations (A1-A5)
 # ---------------------------------------------------------------------------

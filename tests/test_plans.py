@@ -60,7 +60,7 @@ def test_scan_prunes_columns(spark, sf_dir):
         assert c in read_schema, read_schema
 
 
-@pytest.mark.parametrize("name", ["j4_broadcast_lookup", "j1_anti_join"])
+@pytest.mark.parametrize("name", ["j4_broadcast_lookup", "j1_anti_join", "j7_star_join_rollup"])
 def test_small_dim_joins_broadcast(spark, sf_dir, name):
     plan = _plan(QUERIES[name](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
