@@ -540,8 +540,39 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# §2.5 Aggregations (A1-A5)
+# §2.5 Aggregations (A1-A5, + rollup extension)
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "a6_rollup_subtotals",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a6_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal lattice via ROLLUP — the TPC-H-Q1-shaped warehouse
+    aggregation the reference delegates to BigQuery (beyond-reference
+    §2.5 extension; the reference itself has no grouping sets).
+
+    One shuffle: Spark expands the rollup into grouping-set rows
+    map-side (Expand operator) and partial-aggregates BEFORE the
+    exchange, so the subtotal levels cost one extra map pass, not
+    extra shuffles.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
 
 
 @query(
