@@ -117,3 +117,83 @@ def watermark_max(df: DataFrame, ts_col: str, predicate=None) -> DataFrame:
     """
     out = df.filter(predicate) if predicate is not None else df
     return out.agg(F.max(ts_col).alias("watermark"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join (beyond-reference operator Spark lacks natively):
+    each left row is matched to the LATEST right row with
+    right_ts <= left_ts for the same key — inclusive on ties, like
+    DuckDB/kdb ASOF JOIN.
+
+    Scale shape: the naive range-join formulation (join on key with
+    an inequality, then keep the max right ts per left row) explodes
+    to |left_k| * |right_k| rows per key before pruning. This
+    formulation is union + sorted window carry instead: tag the
+    sides, union, ONE hash shuffle on the key, sort within partitions
+    by (ts, side) — right rows first on ties, making the match
+    inclusive — and carry the latest right values forward with
+    last(ignorenulls). Linear in |left| + |right|, no range
+    explosion, AQE-splittable on skewed keys.
+
+    Right columns come back prefixed ``asof_`` (including
+    ``asof_<right_ts>``). ``how='inner'`` drops left rows with no
+    earlier right row; ``'left'`` keeps them with NULLs. Right rows
+    must be unique per (key, ts) — pre-dedup with
+    dedupe_keep_latest otherwise (ambiguous matches are a data bug,
+    not a tie-break policy).
+    """
+    from pyspark.sql import Window
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    rcols = [c for c in right.columns if c != on]
+    lcols = [c for c in left.columns]
+
+    l_side = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols if c != on],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
+            for c in rcols
+        ],
+    )
+    r_side = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        *[F.col(c).alias(f"asof_{c}") for c in rcols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_side.unionByName(r_side).select(
+        "__k",
+        "__ts",
+        "__side",
+        *[F.col(c) for c in lcols if c != on],
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in rcols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col("__k").alias(on),
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols if c not in (on, left_ts)],
+        *[F.col(f"asof_{c}") for c in rcols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{right_ts}").isNotNull())
+    return out

@@ -539,6 +539,43 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j8_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      FROM events WHERE event_type = 'click'),
+    r AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts,
+             ROUND(MAX(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS asof_ts, r.purchase_value AS asof_purchase_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, beyond-reference): every click
+    matched to the user's latest prior-or-simultaneous purchase.
+    Oracle is DuckDB's native ASOF JOIN; the Spark side is the
+    union + sorted-window-carry formulation (see
+    operators/relational.py:asof_join) — one key shuffle, linear,
+    no range-join explosion.
+    """
+    from dot_spark.operators.relational import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, on="user_id")
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Aggregations (A1-A5, + rollup extension)
 # ---------------------------------------------------------------------------

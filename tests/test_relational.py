@@ -55,3 +55,38 @@ def test_watermark_max_with_predicate(spark):
     )
     wm = watermark_max(df, "ts", F.col("store") == "s1").collect()[0].watermark
     assert wm == dt.datetime(2024, 1, 5)
+
+
+def test_asof_join_semantics(spark):
+    from dot_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 25, "e2"), (1, 5, "e0"), (2, 5, "e3")],
+        "k INT, ts INT, id STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 50, 500.0)],
+        "k INT, ts INT, v DOUBLE",
+    )
+    got = {r.id: (r.asof_ts, r.asof_v)
+           for r in asof_join(left, right, on="k").collect()}
+    # tie is inclusive (e1@10 matches right@10); latest-not-future
+    # wins (e2@25 -> right@20); no prior row -> dropped (e0, e3)
+    assert got == {"e1": (10, 100.0), "e2": (20, 200.0)}
+
+    kept = {r.id: r.asof_ts
+            for r in asof_join(left, right, on="k", how="left").collect()}
+    assert kept == {"e1": 10, "e2": 20, "e0": None, "e3": None}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    from dot_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k INT, ts INT, id STRING")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k INT, ts INT, v DOUBLE")
+    plan = asof_join(left, right, on="k")._jdf.queryExecution().executedPlan().toString()
+    # union + window carry: exactly one hash exchange on the key, no
+    # join node at all (the range-join explosion never exists)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
