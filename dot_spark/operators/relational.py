@@ -197,3 +197,43 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(f"asof_{right_ts}").isNotNull())
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval range join (beyond-reference operator):
+    match each point row to every interval row with
+    start <= point < end.
+
+    Scale shape: a raw inequality join has no equi-key, so Spark
+    executes it as a broadcast-nested-loop — O(|points| * |intervals|)
+    compares. Binning restores an equi-key: each interval is exploded
+    to the fixed-width bins it covers (fan-out = interval length /
+    bin_width, bounded and known), each point computes its single
+    bin, and the join is a hash equi-join on the bin id followed by
+    the exact containment filter. A point's bin is unique, so a pair
+    can only meet in one bin — no post-join dedup. Pick bin_width
+    near the typical interval length: ~1 replica per interval and
+    ~|matches| join output.
+    """
+    p_bin = F.floor(F.col(point_col) / F.lit(bin_width))
+    i_bins = F.sequence(
+        F.floor(F.col(start_col) / F.lit(bin_width)),
+        F.floor((F.col(end_col) - F.lit(1e-9)) / F.lit(bin_width)),
+    )
+    p = points.withColumn("__bin", p_bin)
+    i = intervals.withColumn("__bin", F.explode(i_bins))
+    return (
+        p.join(i, on="__bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bin")
+    )

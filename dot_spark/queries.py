@@ -540,6 +540,44 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j9_range_join",
+    """
+    WITH iv AS (
+      SELECT n_nationkey,
+             CAST(n_nationkey * 4 AS DOUBLE) AS lo,
+             CAST(n_nationkey * 4 + 6 AS DOUBLE) AS hi
+      FROM nation)
+    SELECT e.event_id, iv.n_nationkey, iv.lo, iv.hi,
+           ROUND(e.value, 2) AS value
+    FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+    WHERE e.event_type = 'view'
+    """,
+)
+def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (custom operator): view-event
+    values matched to overlapping [lo, hi) bands. The oracle is the
+    plain inequality join; the Spark plan is the binned equi-join
+    (operators/relational.py:range_join) — hash join on the bin id
+    instead of a nested-loop over every (point, interval) pair.
+    """
+    from dot_spark.operators.relational import range_join
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("event_id", F.round("value", 2).alias("value"))
+    )
+    iv = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 4).cast("double").alias("lo"),
+        (F.col("n_nationkey") * 4 + 6).cast("double").alias("hi"),
+    )
+    return range_join(ev, iv, "value", "lo", "hi", bin_width=4.0).select(
+        "event_id", "n_nationkey", "lo", "hi", "value"
+    )
+
+
+@query(
     "j8_asof_join",
     """
     WITH l AS (

@@ -90,3 +90,39 @@ def test_asof_join_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_range_join_matches_inequality_join(spark):
+    from dot_spark.operators.relational import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 3.9, 4.0, 7.99, 8.0, 100.0])],
+        "pid INT, x DOUBLE",
+    )
+    iv = spark.createDataFrame(
+        [(1, 0.0, 4.0), (2, 2.0, 8.0), (3, 90.0, 101.0)],
+        "iid INT, lo DOUBLE, hi DOUBLE",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pts, iv, "x", "lo", "hi", bin_width=4.0).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .filter("x >= lo AND x < hi")
+        .collect()
+    )
+    assert got == naive
+    # half-open semantics: x=4.0 not in [0,4), x=8.0 not in [2,8)
+    assert (2, 1) not in got and (4, 2) not in got
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    from dot_spark.operators.relational import range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid INT, x DOUBLE")
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], "iid INT, lo DOUBLE, hi DOUBLE")
+    plan = range_join(pts, iv, "x", "lo", "hi", 4.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
