@@ -15,6 +15,7 @@ from dot_spark.streaming.state import (
     drain_actions,
     stream_dedup,
     superseded_latest,
+    session_counts,
     windowed_counts,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "drain_actions",
     "stream_dedup",
     "superseded_latest",
+    "session_counts",
     "windowed_counts",
 ]

@@ -65,6 +65,36 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation per key: a session is a run of
+    events with < `gap` between consecutive ones; the window closes
+    when the watermark passes last_event + gap.
+
+    Beyond-reference surface (the reference has no event-time
+    windows at all): F.session_window keeps this fully declarative —
+    state is per open session per key, bounded by the watermark, and
+    merges are handled by the engine (sessions are merge-able state,
+    unlike fixed windows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 _SUPERSEDED_OUT = "user_id BIGINT, latest_event_id BIGINT, latest_ts TIMESTAMP, n_seen BIGINT"
 _SUPERSEDED_STATE = "latest_event_id BIGINT, latest_ts_us BIGINT, n_seen BIGINT"
 

@@ -293,3 +293,40 @@ def test_idempotent_batch_sink_survives_redelivery(spark, tmp_path):
     sink(spark.createDataFrame(pdf.iloc[:1]), 0)
     got = wh.read("jobs").collect()
     assert len(got) == 1 and got[0].job_id == 1
+
+
+def test_session_windows_split_on_gap(spark, tmp_path):
+    """Two bursts for u1 separated by > gap become two sessions; u2's
+    single event is its own session. Watermark far past the data so
+    all sessions finalize in append mode."""
+    from dot_spark.streaming import session_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows = [
+        (1, t0, 1.0), (1, t0 + pd.Timedelta("1 min"), 2.0),          # session A
+        (1, t0 + pd.Timedelta("30 min"), 3.0),                        # session B
+        (2, t0 + pd.Timedelta("2 min"), 4.0),                         # session C
+        (9, t0 + pd.Timedelta("10 hours"), 0.0),                      # watermark push
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    write_parquet(pdf, src / "b0.parquet")
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = start_memory(
+        session_counts(stream, gap="5 minutes"), "sessions", str(tmp_path / "cp")
+    )
+    drive(q)
+    got = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in spark.table("sessions").filter("user_id < 9").collect()
+    }
+    assert got == {(1, 2, 3.0), (1, 1, 3.0), (2, 1, 4.0)}
+    # session end = last event + gap
+    ends = {r.sess_end for r in spark.table("sessions").filter(
+        "user_id = 2").collect()}
+    assert ends == {t0 + pd.Timedelta("7 min")}
