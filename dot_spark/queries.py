@@ -540,6 +540,37 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a7_distribution_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics per group (beyond-reference §2.5
+    extension — the data-quality profile a training pipeline runs
+    before ingest): exact interpolated percentiles, sample stddev,
+    Pearson correlation, all in one partial-aggregated shuffle.
+    (At 100 TB swap percentile for approx_percentile — same plan
+    shape, sketch-merge instead of exact sort; the exact form is the
+    oracle-checkable gold standard.)
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
+@query(
     "j9_range_join",
     """
     WITH iv AS (
