@@ -1237,6 +1237,35 @@ def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t5_length_histogram",
+    """
+    SELECT lang,
+           CAST(FLOOR(length(text) / 100) AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(length(text)) AS BIGINT) AS min_len,
+           CAST(MAX(length(text)) AS BIGINT) AS max_len
+    FROM documents GROUP BY lang, len_bucket
+    """,
+)
+def t5_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: fixed-width histogram of document
+    length per language (the pre-ingest distribution check a
+    training pipeline runs to pick truncation/packing thresholds).
+    Pure column expression + one partial-aggregated shuffle; the
+    bucket key is an int, so the exchange is narrow no matter how
+    long the documents are."""
+    docs = load_table(spark, "documents", sf_dir)
+    ln = F.length("text")
+    return docs.groupBy(
+        "lang", F.floor(ln / 100).cast("bigint").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(ln).cast("bigint").alias("min_len"),
+        F.max(ln).cast("bigint").alias("max_len"),
+    )
+
+
+@query(
     "t4_fingerprint",
     """
     WITH tk AS (
