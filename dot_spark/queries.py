@@ -1266,6 +1266,58 @@ def t5_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t6_sequence_packing",
+    """
+    WITH tk AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM tk)
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id
+    FROM cum
+    """,
+)
+def t6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget
+    training sequences (2048 here) by contiguous concat-and-split —
+    pack_id = floor(start_offset / budget) over a per-language
+    cumulative token sum.
+
+    The standard distributed packing approximation (contiguous in a
+    deterministic order, so it is reproducible and oracle-checkable;
+    first-fit-decreasing would pack ~1% tighter but is inherently
+    sequential). One shuffle on the partition key; the running sum is
+    a single window pass."""
+    from dot_spark.operators.textdedup import normalize_text
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(normalize_text("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tk.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+@query(
     "t4_fingerprint",
     """
     WITH tk AS (
