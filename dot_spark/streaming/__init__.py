@@ -16,6 +16,7 @@ from dot_spark.streaming.state import (
     stream_dedup,
     superseded_latest,
     session_counts,
+    stream_stream_join,
     windowed_counts,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "stream_dedup",
     "superseded_latest",
     "session_counts",
+    "stream_stream_join",
     "windowed_counts",
 ]

@@ -274,3 +274,47 @@ def drain_actions(status_events: DataFrame, key_col: str = "connector_id") -> Da
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: left events matched to
+    right events for the same key with right_ts in
+    [left_ts - within, left_ts] (the attribution-window shape:
+    "which purchase preceded this click by at most N minutes").
+
+    Beyond-reference surface. State honesty at scale: BOTH sides are
+    buffered in the state store keyed by `key_col`; the watermark +
+    the time-range condition bound how long each row is retained
+    (left rows expire `within` past their ts, right rows when no
+    future left row can match). Without the range condition the
+    state would grow forever — the constraint is what makes the join
+    runnable on an unbounded stream.
+    """
+    l = left.select(
+        F.col(key_col).alias("__k"),
+        F.col(left_ts).alias("l_ts"),
+        *[c for c in left.columns if c not in (key_col, left_ts)],
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key_col).alias("__k"),
+        F.col(right_ts).alias("r_ts"),
+        *[c for c in right.columns if c not in (key_col, right_ts)],
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (l["__k"] == r["__k"])
+        & (r["r_ts"] <= l["l_ts"])
+        & (r["r_ts"] >= F.expr(f"l_ts - INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        l["__k"].alias(key_col), "l_ts", "r_ts",
+        *[c for c in left.columns if c not in (key_col, left_ts)],
+        *[c for c in right.columns if c not in (key_col, right_ts)],
+    )

@@ -330,3 +330,38 @@ def test_session_windows_split_on_gap(spark, tmp_path):
     ends = {r.sess_end for r in spark.table("sessions").filter(
         "user_id = 2").collect()}
     assert ends == {t0 + pd.Timedelta("7 min")}
+
+
+def test_stream_stream_join_attribution_window(spark, tmp_path):
+    """Clicks joined to purchases of the same user within the
+    preceding 10 minutes. p1@t0 matches c1@t0+5m (inside) but not
+    c2@t0+20m (outside); u2's click has no purchase at all."""
+    from dot_spark.streaming import stream_stream_join
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+    write_parquet(
+        pd.DataFrame({
+            "user_id": [1, 1, 2],
+            "ts": [t0 + pd.Timedelta("5 min"), t0 + pd.Timedelta("20 min"), t0],
+            "click_id": [101, 102, 103],
+        }),
+        clicks_dir / "b0.parquet",
+    )
+    write_parquet(
+        pd.DataFrame({"user_id": [1], "ts": [t0], "purchase_id": [900]}),
+        buys_dir / "b0.parquet",
+    )
+    clicks = (spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, click_id BIGINT")
+              .format("parquet").load(str(clicks_dir)))
+    buys = (spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, purchase_id BIGINT")
+            .format("parquet").load(str(buys_dir)))
+    q = start_memory(
+        stream_stream_join(clicks, buys, within="10 minutes"),
+        "attributed", str(tmp_path / "cp"),
+    )
+    drive(q)
+    got = [(r.user_id, r.click_id, r.purchase_id)
+           for r in spark.table("attributed").collect()]
+    assert got == [(1, 101, 900)]
