@@ -540,6 +540,57 @@ def j7_star_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a8_count_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (beyond-reference §2.5): exact per-group
+    COUNT(DISTINCT key). Spark plans this as a two-phase expand —
+    partial distinct per map partition, then the merged count — so
+    the exchange carries distinct (event_type, user_id) pairs, not
+    raw events. At 100 TB with ultra-high cardinality swap in
+    approx_count_distinct (HLL sketch-merge, same plan shape); the
+    exact form is the oracle-checkable gold standard."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "j10_intersect_except",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT user_id, 'click_only' AS cohort FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    """,
+)
+def j10_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection/difference (beyond-reference §2.4): cohort
+    split of clickers into converted (INTERSECT buyers) and
+    unconverted (EXCEPT buyers). Both set ops plan as partial-
+    aggregated semi/anti joins on the already-distinct key sets —
+    the engine-native form of the reference's driver-side
+    set(a) & set(b) / set(a) - set(b) arithmetic."""
+    ev = load_table(spark, "events", sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).select("user_id", F.lit("both").alias("cohort"))
+    only = clickers.exceptAll(buyers).select(
+        "user_id", F.lit("click_only").alias("cohort")
+    )
+    return both.unionByName(only)
+
+
+@query(
     "a7_distribution_stats",
     """
     SELECT l_returnflag,
