@@ -871,6 +871,55 @@ def w3_sort_limit_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w5_rank_lattice",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, ROUND(value, 2) AS value
+      FROM events WHERE event_type IN ('purchase', 'refund')),
+    r AS (
+      SELECT event_id, event_type, value,
+             CAST(RANK() OVER w AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+             CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(LAG(value) OVER w, 2) AS prev_value,
+             ROUND(LEAD(value) OVER w, 2) AS next_value
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+    SELECT * FROM r WHERE rnk <= 50
+    """,
+)
+def w5_rank_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family beyond row_number (beyond-reference
+    §2.6): rank / dense_rank / ntile / percent_rank / lag / lead in
+    ONE window spec, so the plan sorts each partition once and
+    evaluates all six functions in a single Window operator — no
+    repeated exchanges. The rnk <= 50 filter benefits from rank-limit
+    pushdown (WindowGroupLimit) like the dedup flagship."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.filter(F.col("event_type").isin("purchase", "refund")).select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        base.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.lag("value").over(w), 2).alias("prev_value"),
+            F.round(F.lead("value").over(w), 2).alias("next_value"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@query(
     "w4_superseded_dedup",
     """
     SELECT user_id, event_id AS latest_event_id, date_trunc('microseconds', ts) AS latest_ts FROM (
