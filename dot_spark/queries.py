@@ -1231,6 +1231,32 @@ def f8_hmac_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f10_try_cast_coerce",
+    """
+    SELECT doc_id,
+           TRY_CAST(substr(text, 1, 4) AS BIGINT) AS head_int,
+           TRY_CAST(lang AS DOUBLE) AS lang_num,
+           TRY_CAST(substr(source, 1, 10) AS DATE) AS src_date
+    FROM documents
+    """,
+)
+def f10_try_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input coercion (the reference's
+    pd.to_datetime(errors='coerce') / BigQuery autocoerce semantics,
+    okta-sync/main.py:564-566): try_cast yields NULL instead of
+    failing the job under ANSI mode — the engine-wide policy
+    align_schema applies (schema.py), exercised here on three
+    deliberately mostly-unparseable columns."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 4).try_cast("bigint").alias("head_int"),
+        F.col("lang").try_cast("double").alias("lang_num"),
+        F.substring("source", 1, 10).try_cast("date").alias("src_date"),
+    )
+
+
+@query(
     "f9_json_access",
     """
     SELECT event_id,
