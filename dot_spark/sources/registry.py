@@ -31,6 +31,31 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session confs every query depends on, applied defensively at each
+# table load: the harness may hand us a SparkSession built WITHOUT
+# dot_spark.session.get_spark (a bare driver session), and all four
+# are runtime-settable SQL confs. Without nanosAsLong every events
+# read dies on PARQUET_TYPE_ILLEGAL; without UTC the oracle's
+# timestamp hashes drift; the other two gate the Python data source
+# and pandas UDFs.
+_REQUIRED_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.python.filterPushdown.enabled", "true"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply the runtime-settable confs the queries rely on (no-op
+    when the session already has them, e.g. via get_spark)."""
+    for key, value in _REQUIRED_CONFS:
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on this build: keep the session's value
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Lazy parquet scan of one registry table.
@@ -41,6 +66,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     microsecond TimestampType (one codegen'd expression, still fully
     pushdown/prune friendly for the other columns).
     """
+    ensure_session_confs(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -139,4 +139,7 @@ class PagedJsonReader(DataSourceReader):
 
 def register_paged_json(spark) -> None:
     """Register the format with a SparkSession (idempotent)."""
+    from dot_spark.sources.registry import ensure_session_confs
+
+    ensure_session_confs(spark)  # pushFilters needs the runtime conf
     spark.dataSource.register(PagedJsonDataSource)
