@@ -103,3 +103,40 @@ def route_events_batch(events: DataFrame) -> dict[str, DataFrame]:
         "completed": routed.filter(F.col("route") == "completed"),
         "ignored": routed.filter(F.col("route") == "ignore"),
     }
+
+
+def geo_refresh(
+    wh: Warehouse,
+    zip_path: str,
+    table: str = "geo_all_countries",
+    member_regex: str = r"\.txt$",
+) -> DataFrame:
+    """§3.1-geography: ZIP dump -> member select -> positional TSV
+    parse with the custom NA list -> typed conversion -> staged write
+    -> atomic promote (process-geography/main.py:203-459 recomposed).
+
+    The all-string raw schema and the typed target both come from the
+    declared-schema registry (schemas.py, FIXTURES.md port); "NA"
+    stays Namibia because only the explicit sentinel tokens null out.
+    """
+    from dot_spark.schemas import columns_of
+    from dot_spark.sources.files import read_zip_csv
+
+    raw = read_zip_csv(
+        wh.spark,
+        zip_path,
+        columns_of("geo_all_countries_raw"),
+        member_regex=member_regex,
+        sep="\t",
+        null_tokens=["", "NULL", "n/a", "\\N"],
+    )
+    typed = align_schema(
+        raw.withColumnRenamed("asciiname", "name_ascii")
+        .withColumnRenamed("cc2", "alternate_country_codes")
+        .withColumnRenamed("dem", "digital_elevation_model"),
+        columns_of("geo_all_countries"),
+    )
+    staging = f"{table}__staging"
+    wh.write(typed, staging, "truncate")
+    wh.promote(staging, table)
+    return wh.read(table)

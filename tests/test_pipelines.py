@@ -114,3 +114,37 @@ def test_route_events_batch_partitions(spark, sf_dir):
     n = sum(df.count() for df in routes.values())
     assert n == ev.count()
     assert routes["retry"].filter(F.col("event_type") != "error").count() == 0
+
+
+def test_geo_refresh_zip_to_typed_table(spark, tmp_path):
+    """ZIP source + schema registry + warehouse promote end-to-end:
+    GeoNames-style dump lands as the typed table, sentinels null out,
+    Namibia survives, types match the declared schema."""
+    import zipfile
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import geo_refresh
+
+    body = (
+        "1\tWindhoek\tWindhoek\t\tn/a\t17.08\tP\tPPLC\tNA\t\t\t\t\t\t431000\t\\N\t1700\tAfrica/Windhoek\t2026-01-05\n"
+        "2\tParis\tParis\t\t48.85\t2.35\tP\tPPLC\tFR\t\t\t\t\t\t2148000\t35\t42\tEurope/Paris\t2026-02-10\n"
+    )
+    zp = tmp_path / "allCountries.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("readme.md", "not me")
+        zf.writestr("allCountries.txt", body)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    out = geo_refresh(wh, str(zp))
+    rows = {r.geoname_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # sentinel tokens -> NULL; "NA" stays Namibia
+    assert rows[1].latitude is None and rows[1].elevation is None
+    assert rows[1].country_code == "NA"
+    assert rows[2].population == 2148000
+    # typed per the declared schema
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got["latitude"] == "double" and got["modification_date"] == "date"
+    import datetime as dt
+
+    assert rows[2].modification_date == dt.date(2026, 2, 10)
