@@ -591,6 +591,44 @@ def j10_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a9_hypertable_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_h, event_type,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events GROUP BY 1, 2)
+    SELECT date_trunc('day', bucket_h) AS bucket_d, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(SUM(sv), 2) AS sum_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def a9_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup (beyond-reference
+    custom-operator family): an hourly materialization re-aggregated
+    to daily — counts sum, sums sum, so the daily tier reads the tiny
+    hourly tier instead of raw events.
+
+    The pattern that matters at 100 TB: the hourly tier is the thing
+    you'd maintain incrementally (streaming windowed_counts writes
+    it); every coarser granularity derives from it by merging partial
+    states, never rescanning the fact table. Spark executes the
+    two-tier groupBy as one plan with partial aggregation at both
+    levels; AQE coalesces the (small) second exchange.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    return hourly.groupBy(
+        F.date_trunc("day", "bucket_h").alias("bucket_d"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.sum("sv"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "a7_distribution_stats",
     """
     SELECT l_returnflag,
