@@ -132,3 +132,57 @@ def test_exact_dedup_partitions_corpus(spark, texts):
     # keep_id is a real member id
     ids = set(range(len(texts)))
     assert all(g.keep_id in ids for g in groups)
+
+
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+                   min_size=1, max_size=12),
+    rrows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+                   min_size=1, max_size=12),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_reference_model(spark, lrows, rrows):
+    """asof_join == per-row python argmax of right ts <= left ts."""
+    from dot_spark.operators.relational import asof_join
+
+    rrows = list({(k, ts) for k, ts in rrows})  # unique per (key, ts)
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)], "lid INT, k INT, ts INT"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, ts * 10) for k, ts in rrows], "k INT, ts INT, v INT"
+    )
+    got = {r.lid: (r.asof_ts, r.asof_v)
+           for r in asof_join(left, right, on="k").collect()}
+    for i, (k, ts) in enumerate(lrows):
+        cand = [rt for rk, rt in rrows if rk == k and rt <= ts]
+        if cand:
+            best = max(cand)
+            assert got[i] == (best, best * 10), (i, k, ts)
+        else:
+            assert i not in got, (i, k, ts)
+
+
+@given(
+    pts=st.lists(st.integers(0, 40), min_size=1, max_size=10),
+    ivs=st.lists(st.tuples(st.integers(0, 40), st.integers(1, 15)),
+                 min_size=1, max_size=8),
+    width=st.sampled_from([1.0, 3.0, 7.0]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_naive_model(spark, pts, ivs, width):
+    """binned range_join == naive inequality filter, any bin width."""
+    from dot_spark.operators.relational import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(pts)], "pid INT, x DOUBLE"
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(ivs)],
+        "iid INT, lo DOUBLE, hi DOUBLE",
+    )
+    got = sorted((r.pid, r.iid) for r in
+                 range_join(points, intervals, "x", "lo", "hi", width).collect())
+    want = sorted((i, j) for i, x in enumerate(pts)
+                  for j, (lo, ln) in enumerate(ivs) if lo <= x < lo + ln)
+    assert got == want
