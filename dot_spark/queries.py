@@ -1604,6 +1604,49 @@ def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd4b_ngram_jaccard_capped",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(1, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM tk),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) BETWEEN 2 AND 40),
+    ix AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (SELECT shingle FROM kept)
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, inter,
+           ROUND(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+    FROM ix
+    JOIN sizes sa ON ix.id_a = sa.doc_id
+    JOIN sizes sb ON ix.id_b = sb.doc_id
+    WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5
+    """,
+)
+def dd4b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale Jaccard guard, oracle-pinned: stop-shingles
+    with document frequency > 40 are dropped from the inverted index
+    (shingle_maxdf), bounding any single shingle's join contribution
+    at maxdf^2 rows regardless of how boilerplate-heavy the corpus
+    is. Jaccard becomes a lower bound (under-counted intersections),
+    so the threshold is relaxed — exactly the trade a 100 TB dedup
+    pass makes, and the oracle replicates it bit-for-bit."""
+    from dot_spark.operators.textdedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, shingle_maxdf=40)
+
+
+@query(
     "dd4_ngram_jaccard",
     """
     WITH tk AS (
