@@ -28,6 +28,8 @@ HEADLINE = [
     "w1_dedup_keep_latest",
     "j5_parent_child_join",
     "j7_star_join_rollup",
+    "j8_asof_join",
+    "a9_hypertable_rollup",
     "a3_conditional_agg",
     "n2_explode_tokens",
     "s1_scan_projection",
