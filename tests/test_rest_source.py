@@ -85,3 +85,21 @@ def test_unsupported_filter_stays_in_spark(spark, api_dir):
     assert sorted(r.id for r in df.collect()) == [2, 3, 4, 10, 11, 12]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan, plan
+
+
+def test_empty_chain_single_empty_page(spark, tmp_path):
+    (tmp_path / "page-0.json").write_text(json.dumps({"records": [], "next": None}))
+    register_paged_json(spark)
+    df = (spark.read.format("paged_json").option("path", str(tmp_path))
+          .option("schema", SCHEMA).load())
+    assert df.count() == 0
+
+
+def test_missing_fields_become_nulls(spark, tmp_path):
+    # records missing declared columns -> NULL, extra keys ignored
+    (tmp_path / "page-0.json").write_text(json.dumps(
+        {"records": [{"id": 1, "surprise": "x"}], "next": None}))
+    register_paged_json(spark)
+    row = (spark.read.format("paged_json").option("path", str(tmp_path))
+           .option("schema", SCHEMA).load()).collect()[0]
+    assert row.id == 1 and row.status is None and row.modified is None

@@ -81,3 +81,26 @@ def test_extraction_stays_distributed(spark, geo_zip):
     assert plan.count("MapInPandas") == 1, plan
     # generate/posexplode + projection after the Python stage
     assert "Generate" in plan, plan
+
+
+def test_empty_member_yields_no_rows(spark, tmp_path):
+    import zipfile
+
+    p = tmp_path / "empty.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("data.txt", "")
+    df = read_zip_csv(spark, str(p), GEO_SCHEMA, member_regex=r"\.txt$")
+    assert df.count() == 0
+
+
+def test_multiple_archives_scan_in_one_read(spark, tmp_path):
+    import zipfile
+
+    for i in range(3):
+        with zipfile.ZipFile(tmp_path / f"part{i}.zip", "w") as zf:
+            zf.writestr("data.txt", f"{i}\tname{i}\tXX\t{i * 10}\n")
+    df = read_zip_csv(spark, str(tmp_path), GEO_SCHEMA, member_regex=r"\.txt$")
+    assert sorted(r.geonameid for r in df.collect()) == [0, 1, 2]
+    # per-archive parallelism: the binaryFile scan sees 3 files
+    assert len({r.archive for r in read_zip_members(
+        spark, str(tmp_path), r"\.txt$").collect()}) == 3
