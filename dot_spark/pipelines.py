@@ -140,3 +140,45 @@ def geo_refresh(
     wh.write(typed, staging, "truncate")
     wh.promote(staging, table)
     return wh.read(table)
+
+
+def incremental_rollup(
+    wh: Warehouse,
+    events: DataFrame,
+    table: str = "events_hourly",
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Continuous-aggregate maintenance (ST2 watermark protocol
+    applied to the a9 rollup tier): each run re-aggregates ONLY the
+    buckets at-or-after the tier's high-water mark and splices them
+    onto the untouched older buckets.
+
+    The open bucket is re-computed rather than merged, so late rows
+    inside it are picked up on the next run with no partial-state
+    bookkeeping — the warehouse-native version of a streaming
+    windowed aggregation with watermark. Cost per run is
+    O(new events + one bucket), not O(history): the event scan is
+    watermark-pruned exactly like the woo incremental path
+    (woo-sync/main.py:26-42,1156).
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket_h")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(bucket, *keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    staging = f"{table}__staging"
+    if wh.exists(table):
+        old = wh.read(table)
+        wm = old.agg(F.max("bucket_h")).collect()[0][0]
+        delta = agg(events.filter(F.date_trunc("hour", F.col(ts_col)) >= F.lit(wm)))
+        merged = old.filter(F.col("bucket_h") < F.lit(wm)).unionByName(delta)
+        wh.write(merged, staging, "truncate")
+        wh.promote(staging, table)
+    else:
+        wh.write(agg(events), staging, "truncate")
+        wh.promote(staging, table)
+    return wh.read(table)

@@ -148,3 +148,33 @@ def test_geo_refresh_zip_to_typed_table(spark, tmp_path):
     import datetime as dt
 
     assert rows[2].modification_date == dt.date(2026, 2, 10)
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Two incremental runs (initial load, then late + new rows) must
+    land the exact tier a from-scratch rollup of all events builds —
+    including late rows that fell into the open (re-computed) bucket."""
+    import datetime as dt
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import incremental_rollup
+
+    t0 = dt.datetime(2026, 4, 1)
+    m = dt.timedelta(minutes=1)
+    rows1 = [(1, t0, "click", 1.0), (2, t0 + 61 * m, "click", 2.0)]
+    rows2 = rows1 + [
+        (3, t0 + 62 * m, "view", 4.0),     # late, open bucket
+        (4, t0 + 180 * m, "click", 8.0),   # new bucket
+    ]
+    ddl = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    incremental_rollup(wh, spark.createDataFrame(rows1, ddl))
+    out = incremental_rollup(wh, spark.createDataFrame(rows2, ddl))
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    full = incremental_rollup(wh2, spark.createDataFrame(rows2, ddl), table="full")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))
+    got = {(str(r.bucket_h)[11:13], r.event_type): (r.n, r.sum_value)
+           for r in out.collect()}
+    assert got == {("00", "click"): (1, 1.0), ("01", "click"): (1, 2.0),
+                   ("01", "view"): (1, 4.0), ("03", "click"): (1, 8.0)}
