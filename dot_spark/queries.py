@@ -698,6 +698,39 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j11_null_safe_join",
+    """
+    WITH a AS (
+      SELECT doc_id, CASE WHEN lang = 'de' THEN NULL ELSE lang END AS k
+      FROM documents),
+    b AS (
+      SELECT CASE WHEN lang = 'de' THEN NULL ELSE lang END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_lang
+      FROM documents GROUP BY 1)
+    SELECT a.doc_id, a.k, b.n_lang
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (J-family extension): NULL keys match each
+    other via <=> (eqNullSafe) — the semantics a plain equi-join
+    silently drops. Still a hash-joinable key (NULL hashes like any
+    value under null-safe equality), so the plan is a normal
+    broadcast/shuffled hash join, not a nested loop."""
+    docs = load_table(spark, "documents", sf_dir)
+    k = F.when(F.col("lang") == "de", F.lit(None)).otherwise(F.col("lang"))
+    a = docs.select("doc_id", k.alias("k"))
+    b = (
+        docs.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["doc_id"], a["k"], b["n_lang"]
+    )
+
+
+@query(
     "j8_asof_join",
     """
     WITH l AS (
