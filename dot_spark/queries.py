@@ -731,6 +731,50 @@ def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j12_exists_semi_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j12_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery semantics as a LEFT SEMI join (J-family): the
+    probe side is emitted at most once however many orders match, and
+    the urgent-orders filter is pushed below the join into the
+    parquet scan of the build side."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    urgent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(urgent, "c_custkey", "left_semi")
+
+
+@query(
+    "a10_string_agg_ordered",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def a10_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation (A-family extension):
+    collect_list is unordered in a distributed engine, so the
+    canonical form sorts the collected array before joining —
+    byte-identical output on any partitioning, matching DuckDB's
+    string_agg(... ORDER BY)."""
+    nation = load_table(spark, "nation", sf_dir)
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
     "j8_asof_join",
     """
     WITH l AS (
