@@ -136,6 +136,8 @@ def assign_cells(
 
     @pandas_udf("array<int>")
     def _cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch (empty partition)
+            return pd.Series([], dtype=object)
         x = np.stack(vecs.to_numpy())
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sims = x @ cents.T
@@ -262,6 +264,8 @@ def lsh_buckets(
 
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch (empty partition)
+            return pd.Series([], dtype=object)
         x = np.stack(vecs.to_numpy())
         signs = (x @ h.T) > 0
         base = (signs.astype(np.int64) << np.arange(nb, dtype=np.int64)).sum(axis=1)
