@@ -171,14 +171,18 @@ def incremental_rollup(
         )
 
     staging = f"{table}__staging"
+    wm = None
     if wh.exists(table):
+        wm = wh.read(table).agg(F.max("bucket_h")).collect()[0][0]
+    if wm is None:
+        # fresh OR existing-but-empty tier: full aggregate (an empty
+        # tier has no watermark — `ts >= NULL` would filter every row
+        # forever)
+        wh.write(agg(events), staging, "truncate")
+    else:
         old = wh.read(table)
-        wm = old.agg(F.max("bucket_h")).collect()[0][0]
         delta = agg(events.filter(F.date_trunc("hour", F.col(ts_col)) >= F.lit(wm)))
         merged = old.filter(F.col("bucket_h") < F.lit(wm)).unionByName(delta)
         wh.write(merged, staging, "truncate")
-        wh.promote(staging, table)
-    else:
-        wh.write(agg(events), staging, "truncate")
-        wh.promote(staging, table)
+    wh.promote(staging, table)
     return wh.read(table)

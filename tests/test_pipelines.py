@@ -178,3 +178,22 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
            for r in out.collect()}
     assert got == {("00", "click"): (1, 1.0), ("01", "click"): (1, 2.0),
                    ("01", "view"): (1, 4.0), ("03", "click"): (1, 8.0)}
+
+
+def test_incremental_rollup_recovers_from_empty_tier(spark, tmp_path):
+    """An existing-but-empty tier has no watermark; the next run must
+    fall back to a full aggregate instead of filtering on NULL and
+    landing nothing forever."""
+    import datetime as dt
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import incremental_rollup
+
+    ddl = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    incremental_rollup(wh, spark.createDataFrame([], ddl))
+    assert wh.read("events_hourly").count() == 0
+    out = incremental_rollup(
+        wh, spark.createDataFrame([(1, dt.datetime(2026, 4, 1), "click", 1.0)], ddl)
+    )
+    assert out.count() == 1
