@@ -176,7 +176,9 @@ class Warehouse:
         appending a second copy, so replays are harmless — including
         replays of a partially-written batch, which is the case a
         committed-ids marker file cannot fix. Readers scan the table
-        root and see each batch exactly once.
+        root and see each batch exactly once; partition discovery
+        surfaces the batch id as a `batch` column — free provenance
+        (drop it if unwanted).
         """
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
