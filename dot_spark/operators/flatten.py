@@ -61,12 +61,14 @@ def kv_pivot(
 
 def element_first_last(df: DataFrame, array_col: str, out_prefix: str = "elem") -> DataFrame:
     """First/last array element (N4: options[0] woo-sync/main.py:1029;
-    last-discount-wins :613-618). element_at is codegen'd; negative
-    index = last without knowing the length."""
+    last-discount-wins :613-618). try_element_at is codegen'd and
+    yields NULL on an empty array instead of the ANSI out-of-bounds
+    error (the reference's .get()-style tolerance); negative index =
+    last without knowing the length."""
     return df.withColumns(
         {
-            f"{out_prefix}_first": F.element_at(F.col(array_col), 1),
-            f"{out_prefix}_last": F.element_at(F.col(array_col), -1),
+            f"{out_prefix}_first": F.try_element_at(F.col(array_col), F.lit(1)),
+            f"{out_prefix}_last": F.try_element_at(F.col(array_col), F.lit(-1)),
         }
     )
 

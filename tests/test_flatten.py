@@ -52,3 +52,12 @@ def test_sticky_carry_sku_to_bundle_members(spark):
     assert [r.sku_eff for r in out.orderBy("pos").collect()] == [
         "SKU-A", "SKU-A", "SKU-A", "SKU-B", "SKU-B"
     ]
+
+
+def test_element_first_last_empty_array_yields_null(spark):
+    from dot_spark.operators.flatten import element_first_last
+
+    df = spark.createDataFrame([(1, []), (2, ["a", "b"])], "id INT, arr ARRAY<STRING>")
+    got = {r.id: (r.elem_first, r.elem_last)
+           for r in element_first_last(df, "arr").collect()}
+    assert got == {1: (None, None), 2: ("a", "b")}
