@@ -148,6 +148,7 @@ def incremental_rollup(
     table: str = "events_hourly",
     ts_col: str = "ts",
     keys: Sequence[str] = ("event_type",),
+    distinct_col: str | None = "user_id",
 ) -> DataFrame:
     """Continuous-aggregate maintenance (ST2 watermark protocol
     applied to the a9 rollup tier): each run re-aggregates ONLY the
@@ -163,12 +164,19 @@ def incremental_rollup(
     (woo-sync/main.py:26-42,1156).
     """
     bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket_h")
+    with_sketch = distinct_col is not None and distinct_col in events.columns
 
     def agg(df: DataFrame) -> DataFrame:
-        return df.groupBy(bucket, *keys).agg(
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-        )
+        ]
+        if with_sketch:
+            # mergeable distinct state: coarser tiers (or any ad-hoc
+            # bucket range) answer COUNT DISTINCT by hll_union_agg
+            # over this column — never re-scanning raw events
+            aggs.append(F.hll_sketch_agg(distinct_col).alias("distinct_sk"))
+        return df.groupBy(bucket, *keys).agg(*aggs)
 
     staging = f"{table}__staging"
     wm = None

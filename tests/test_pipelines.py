@@ -197,3 +197,28 @@ def test_incremental_rollup_recovers_from_empty_tier(spark, tmp_path):
         wh, spark.createDataFrame([(1, dt.datetime(2026, 4, 1), "click", 1.0)], ddl)
     )
     assert out.count() == 1
+
+
+def test_rollup_tier_answers_distinct_from_sketches(spark, tmp_path):
+    """COUNT DISTINCT over any bucket range from the tier's mergeable
+    HLL column — matches the exact distinct over raw events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import incremental_rollup
+
+    ddl = "user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    t0 = dt.datetime(2026, 5, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [(i, t0 + (i * 30) * m, "click", 1.0) for i in range(8)]
+    rows += [(100 + i, t0 + (i * 30) * m, "click", 1.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ddl)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tier = incremental_rollup(wh, df)
+    est = tier.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("distinct_sk")).alias("e")
+    ).collect()[0].e
+    exact = df.select("user_id").distinct().count()
+    assert abs(est - exact) <= max(1, 0.05 * exact)
