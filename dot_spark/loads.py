@@ -118,6 +118,28 @@ class Warehouse:
         ns = "".join(c if c.isalnum() else "_" for c in os.path.basename(self.root))
         return f"wh_{ns}_{table}"
 
+    def drop(self, table: str) -> None:
+        """Remove a table (directory delete; no-op if absent)."""
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+    def adopt_files(self, staging_table: str, target_table: str) -> None:
+        """Append by FILE ADOPTION: move the staging table's data
+        files into the target directory. Parquet append is exactly
+        "more files in the directory", so adopting renames the
+        already-written delta instead of re-reading and re-writing it
+        — the second half of the single-scan ingest protocol
+        (pipelines._ingest_once). Metadata files (_SUCCESS, .crc)
+        stay behind; a uuid prefix keeps part names collision-free."""
+        src, dst = self.path(staging_table), self.path(target_table)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(src)
+        os.makedirs(dst, exist_ok=True)
+        tag = uuid.uuid4().hex[:8]
+        for name in sorted(os.listdir(src)):
+            if name.startswith(("_", ".")):
+                continue
+            os.rename(os.path.join(src, name), os.path.join(dst, f"{tag}-{name}"))
+
     # --- S8 streamed batch protocol ---------------------------------------
 
     def load_batches(self, batches: Iterable[DataFrame], table: str) -> int:
@@ -162,6 +184,37 @@ class Warehouse:
         self.write(out, staging, "truncate")
         self.promote(staging, table)
 
+    # --- S9 CSV checkpoint sink -------------------------------------------
+
+    def write_csv(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        header: bool = True,
+    ) -> None:
+        """CSV checkpoint sink (S9: okta-sync/main.py:758-789 writes
+        a synced-ids checkpoint CSV with write/append modes and
+        header control). mode='overwrite' starts a fresh checkpoint,
+        'append' extends it. The header option applies to EVERY part
+        file (Spark's reader skips one header line per file, so
+        per-file headers — not one global header — is the coherent
+        multi-file analog of the reference's single-file header).
+        Distributed write — each partition lands its own part file,
+        no driver funnel."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"write_csv mode must be overwrite/append, got {mode!r}")
+        df.write.mode(mode).option("header", str(header).lower()).csv(self.path(table))
+
+    def read_csv(self, table: str, schema: str, header: bool = True) -> DataFrame:
+        """Read back a write_csv checkpoint with an explicit schema
+        (checkpoints are contract files; inference is a trap)."""
+        return (
+            self.spark.read.schema(schema)
+            .option("header", str(header).lower())
+            .csv(self.path(table))
+        )
+
     # --- ST3 effectively-once micro-batch sink -----------------------------
 
     def idempotent_batch_sink(self, table: str) -> Callable[[DataFrame, int], None]:
@@ -187,3 +240,87 @@ class Warehouse:
             )
 
         return sink
+
+
+class ObjectStore:
+    """S10 object-store sink (okta-sync/okta_sync_utils.py:398-434:
+    path-targeted blob upload into a bucket): a key -> bytes store
+    over a local root standing in for the bucket, same call shape as
+    a GCS/S3 client (swap the body for client.put_object and nothing
+    upstream changes).
+
+    Keys are slash-separated paths; writes are atomic (temp file +
+    rename) so a reader never sees a half-uploaded object — the
+    property the reference leans on for its checkpoint artifacts.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _fs_path(self, key: str) -> str:
+        safe = os.path.normpath(key.lstrip("/"))
+        if safe.startswith(".."):
+            raise ValueError(f"object key escapes the bucket: {key!r}")
+        return os.path.join(self.root, safe)
+
+    def put_bytes(self, key: str, data: bytes) -> None:
+        path = self._fs_path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.upload-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.rename(tmp, path)
+
+    def get_bytes(self, key: str) -> bytes:
+        with open(self._fs_path(key), "rb") as fh:
+            return fh.read()
+
+    def exists(self, key: str) -> bool:
+        return os.path.isfile(self._fs_path(key))
+
+    def list(self, prefix: str = "") -> list[str]:
+        """Keys under a prefix, sorted (the bucket-listing call)."""
+        out = []
+        for dirpath, _, files in os.walk(self.root):
+            for name in files:
+                rel = os.path.relpath(os.path.join(dirpath, name), self.root)
+                key = rel.replace(os.sep, "/")
+                if key.startswith(prefix):
+                    out.append(key)
+        return sorted(out)
+
+    def put_csv(self, df: DataFrame, key: str, header: bool = True) -> int:
+        """Export a DataFrame as ONE csv object (the reference
+        uploads single-file artifacts). Spark writes partitioned part
+        files; the driver streams them into the object in partition
+        order. Only for checkpoint-sized artifacts — a large export
+        belongs in Warehouse.write_csv where it stays distributed.
+        Returns the object's byte size."""
+        import shutil as _sh
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="dot_spark_obj_")
+        try:
+            df.write.mode("overwrite").option("header", str(header).lower()).csv(tmp)
+            parts = sorted(
+                n for n in os.listdir(tmp) if not n.startswith(("_", "."))
+            )
+            path = self._fs_path(key)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            staged = f"{path}.upload-{uuid.uuid4().hex[:8]}"
+            first = True
+            with open(staged, "wb") as out:
+                for name in parts:
+                    with open(os.path.join(tmp, name), "rb") as fh:
+                        payload = fh.read()
+                    if header and not first and payload:
+                        # drop the per-part header line on concat
+                        payload = payload.split(b"\n", 1)[1] if b"\n" in payload else b""
+                    if payload:
+                        out.write(payload)
+                        first = False
+            os.rename(staged, path)
+            return os.path.getsize(path)
+        finally:
+            _sh.rmtree(tmp, ignore_errors=True)

@@ -148,6 +148,11 @@ def asof_join(
     must be unique per (key, ts) — pre-dedup with
     dedupe_keep_latest otherwise (ambiguous matches are a data bug,
     not a tie-break policy).
+
+    Row atomicity: the carried right payload is ONE
+    last(struct(all right cols), ignorenulls) — a right row with a
+    NULL in some payload column is carried whole, never stitched
+    together with an older row's non-NULL value for that column.
     """
     from pyspark.sql import Window
 
@@ -161,38 +166,37 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols if c != on],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
-            for c in rcols
-        ],
+        F.lit(None)
+        .cast(f"struct<{', '.join(f'{c}: {right.schema[c].dataType.simpleString()}' for c in rcols)}>")
+        .alias("__r"),
     )
     r_side = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
-        *[F.col(c).alias(f"asof_{c}") for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # one ignorenulls carry of the WHOLE right struct: a struct built
+    # by r_side is never NULL (even if its fields are), so the carry
+    # always lands on the newest right row as a unit
     carried = l_side.unionByName(r_side).select(
         "__k",
         "__ts",
         "__side",
         *[F.col(c) for c in lcols if c != on],
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in rcols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     out = carried.filter(F.col("__side") == 1).select(
         F.col("__k").alias(on),
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in lcols if c not in (on, left_ts)],
-        *[F.col(f"asof_{c}") for c in rcols],
+        *[F.col("__r").getField(c).alias(f"asof_{c}") for c in rcols],
     )
     if how == "inner":
         out = out.filter(F.col(f"asof_{right_ts}").isNotNull())

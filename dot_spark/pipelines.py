@@ -61,6 +61,24 @@ def okta_full_refresh(
     return promoted
 
 
+def _ingest_once(wh: Warehouse, fresh: DataFrame, table: str) -> int:
+    """Single-scan ingest protocol: write the delta to a staging
+    table (the ONLY pass over the source), count the rows from the
+    staged parquet (footer metadata — no second source scan), then
+    adopt the staged files into the target by rename. The old
+    count-then-write shape scanned the filtered source twice; at
+    100 TB that doubles ingest cost."""
+    import uuid
+
+    staging = f"{table}__delta-{uuid.uuid4().hex[:8]}"
+    wh.write(fresh, staging, "truncate")
+    n = wh.read(staging).count()
+    if n:
+        wh.adopt_files(staging, table)
+    wh.drop(staging)
+    return n
+
+
 def woo_incremental(
     wh: Warehouse,
     source: DataFrame,
@@ -74,17 +92,49 @@ def woo_incremental(
 
     First run (no target) ingests everything. The read-own-table
     watermark is safe because the append happens after the max is
-    materialized (no read-overwrite cycle).
+    materialized (no read-overwrite cycle). The filtered source is
+    scanned exactly once per run (see _ingest_once).
     """
     if wh.exists(table):
         wm = wh.read(table).agg(F.max(ts_col)).collect()[0][0]
         fresh = source.filter(F.col(ts_col) > F.lit(wm)) if wm is not None else source
     else:
         fresh = source
-    n = fresh.count()
-    if n:
-        wh.write(fresh, table, "append" if wh.exists(table) else "truncate")
-    return n
+    return _ingest_once(wh, fresh, table)
+
+
+def woo_incremental_by_store(
+    wh: Warehouse,
+    source: DataFrame,
+    table: str,
+    store_col: str = "store",
+    ts_col: str = "ts",
+) -> int:
+    """PER-STORE watermark incremental — the faithful multi-tenant
+    form of the reference's sync: woo-sync/main.py:26-42 reads
+    MAX(sync_timestamp) for ONE store's table, and the per-store
+    configs (main.py:1275-1299) run that read per tenant. Here the
+    tenants share one table, so the watermark is a grouped
+    MAX(ts) GROUP BY store, and each store ingests only rows newer
+    than ITS OWN high-water mark — a lagging store never suppresses
+    (or floods) another store's delta, which a single global max
+    would.
+
+    Scale shape: the watermark table is one row per store (tiny), so
+    the filter is a broadcast left join + per-row compare — the
+    source still gets one scan, no shuffle, and the per-store
+    predicate rides into the scan alongside it.
+    """
+    if wh.exists(table):
+        wms = wh.read(table).groupBy(store_col).agg(F.max(ts_col).alias("__wm"))
+        fresh = (
+            source.join(F.broadcast(wms), on=store_col, how="left")
+            .filter(F.col("__wm").isNull() | (F.col(ts_col) > F.col("__wm")))
+            .select(*source.columns)
+        )
+    else:
+        fresh = source
+    return _ingest_once(wh, fresh, table)
 
 
 def route_events_batch(events: DataFrame) -> dict[str, DataFrame]:
@@ -190,6 +240,15 @@ def incremental_rollup(
     else:
         old = wh.read(table)
         delta = agg(events.filter(F.date_trunc("hour", F.col(ts_col)) >= F.lit(wm)))
+        if set(old.columns) != set(delta.columns):
+            # tier schema drift (sketch column toggled on/off since
+            # the tier was built): the old buckets cannot be spliced
+            # with the new shape, so rebuild the whole tier from
+            # events under the NEW schema — one full re-aggregate,
+            # the same cost as first build, instead of a broken union
+            wh.write(agg(events), staging, "truncate")
+            wh.promote(staging, table)
+            return wh.read(table)
         merged = old.filter(F.col("bucket_h") < F.lit(wm)).unionByName(delta)
         wh.write(merged, staging, "truncate")
     wh.promote(staging, table)

@@ -685,15 +685,18 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, "events", sf_dir)
         .filter(F.col("event_type") == "view")
-        .select("event_id", F.round("value", 2).alias("value"))
+        .select("event_id", "value")
     )
     iv = load_table(spark, "nation", sf_dir).select(
         "n_nationkey",
         (F.col("n_nationkey") * 4).cast("double").alias("lo"),
         (F.col("n_nationkey") * 4 + 6).cast("double").alias("hi"),
     )
+    # join on the RAW value exactly as the oracle does; round only in
+    # the output projection (rounding before the join would disagree
+    # with the oracle for values within 0.005 of a band boundary)
     return range_join(ev, iv, "value", "lo", "hi", bin_width=4.0).select(
-        "event_id", "n_nationkey", "lo", "hi", "value"
+        "event_id", "n_nationkey", "lo", "hi", F.round("value", 2).alias("value")
     )
 
 

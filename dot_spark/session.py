@@ -26,10 +26,19 @@ def get_spark(app_name: str = "dot_spark", shuffle_partitions: int | None = None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("DOT_SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = SparkSession.builder.appName(app_name)
+    # master is env-conditional so the factory never overrides a real
+    # cluster submission: DOT_SPARK_MASTER wins if set; a master
+    # already provided by spark-submit/pyspark (visible as --master
+    # in PYSPARK_SUBMIT_ARGS) is left untouched; bare local runs
+    # fall back to local[N]
+    preset = os.environ.get("DOT_SPARK_MASTER")
+    if preset:
+        builder = builder.master(preset)
+    elif "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.session.timeZone", "UTC")
+        builder.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

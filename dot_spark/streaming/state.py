@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -107,17 +108,20 @@ def _superseded_fn(
     latest_id, latest_us, n_seen = (
         state.get if state.exists else (None, None, 0)
     )
+    # per-batch work is VECTORIZED (lexicographic argmax over
+    # (ts, event_id)); only the cross-batch state transition is
+    # scalar Python — the no-row-at-a-time rule applies inside
+    # applyInPandasWithState too
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            us = int(row["ts"].value // 1_000)
-            n_seen += 1
-            # latest wins; event_id breaks ts ties (W4 determinism)
-            if (
-                latest_us is None
-                or us > latest_us
-                or (us == latest_us and int(row["event_id"]) > latest_id)
-            ):
-                latest_us, latest_id = us, int(row["event_id"])
+        if not len(pdf):
+            continue
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        eid = pdf["event_id"].to_numpy().astype("int64")
+        n_seen += len(pdf)
+        # latest wins; event_id breaks ts ties (W4 determinism)
+        i = np.lexsort((eid, us))[-1]
+        if latest_us is None or (int(us[i]), int(eid[i])) > (latest_us, latest_id):
+            latest_us, latest_id = int(us[i]), int(eid[i])
     state.update((latest_id, latest_us, n_seen))
     yield pd.DataFrame(
         {
@@ -167,16 +171,19 @@ def _make_retry_fn(delay_ms: int):
             )
             return
         pending = state.get[0] if state.exists else None
+        # vectorized per batch: the fold (failure sets pending,
+        # success clears it, Auto-retry-prefixed failures are the
+        # loop guard and no-op) depends only on the LAST relevant row
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                status, cause = str(row["status"]), str(row["cause"])
-                if status == "failure" and not cause.startswith("Auto-retry"):
-                    # loop guard: a failure whose cause carries the
-                    # Auto-retry prefix has already been retried once
-                    pending = cause
-                elif status == "success":
-                    # superseded: a newer success cancels the retry
-                    pending = None
+            if not len(pdf):
+                continue
+            status = pdf["status"].astype(str)
+            cause = pdf["cause"].astype(str)
+            qual_fail = (status == "failure") & ~cause.str.startswith("Auto-retry")
+            relevant = qual_fail | (status == "success")
+            if relevant.any():
+                i = np.flatnonzero(relevant.to_numpy())[-1]
+                pending = str(cause.iloc[i]) if bool(qual_fail.iloc[i]) else None
         if pending is not None:
             state.update((pending,))
             state.setTimeoutDuration(delay_ms)
@@ -237,24 +244,45 @@ def _drain_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     phase, n_events = state.get if state.exists else ("idle", 0)
-    out: dict[str, list] = {c: [] for c in ("connector_id", "status", "action", "phase", "n_events")}
+    parts: list[pd.DataFrame] = []
+    phase_map = {s: p for s, (_, p) in _DRAIN_TRANSITIONS.items()}
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            status = str(row["status"])
-            actions, next_phase = _DRAIN_TRANSITIONS.get(status, (["noop"], phase))
-            if phase == "stopped":
-                # a stopped connector stays stopped until operator reset
-                actions, next_phase = ["noop"], "stopped"
-            phase = next_phase
-            n_events += 1
-            for action in actions:
-                out["connector_id"].append(key[0])
-                out["status"].append(status)
-                out["action"].append(action)
-                out["phase"].append(phase)
-                out["n_events"].append(n_events)
+        if not len(pdf):
+            continue
+        status = pdf["status"].astype(str).reset_index(drop=True)
+        # the stopped latch, vectorized: a connector is stopped for
+        # row i iff it entered the batch stopped or some EARLIER row
+        # was 'broken' (the broken row itself still emits stop+signal)
+        broken_before = np.zeros(len(pdf), dtype=bool)
+        broken_before[1:] = np.cumsum((status == "broken").to_numpy())[:-1] > 0
+        stopped = broken_before | (phase == "stopped")
+        # phase after each row: known statuses map through the
+        # transition table, unknown ones carry the previous phase
+        # forward (ffill seeded with the entering phase)
+        phase_after = (
+            status.map(phase_map).ffill().fillna(phase).where(~stopped, "stopped")
+        )
+        batch = pd.DataFrame(
+            {
+                "connector_id": key[0],
+                "status": status,
+                # plain-string list build + explode replaces the old
+                # iterrows loop (no per-row pandas objects)
+                "action": [
+                    ["noop"] if stop else _DRAIN_TRANSITIONS.get(s, (["noop"], None))[0]
+                    for s, stop in zip(status.to_numpy(), stopped)
+                ],
+                "phase": phase_after,
+                "n_events": n_events + np.arange(1, len(pdf) + 1),
+            }
+        ).explode("action")[["connector_id", "status", "action", "phase", "n_events"]]
+        parts.append(batch)
+        phase = str(phase_after.iloc[-1])
+        n_events += len(pdf)
     state.update((phase, n_events))
-    yield pd.DataFrame(out)
+    yield pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        {c: [] for c in ("connector_id", "status", "action", "phase", "n_events")}
+    )
 
 
 def drain_actions(status_events: DataFrame, key_col: str = "connector_id") -> DataFrame:
@@ -298,15 +326,20 @@ def stream_stream_join(
     state would grow forever — the constraint is what makes the join
     runnable on an unbounded stream.
     """
+    # right residuals come back prefixed r_ (as asof_join prefixes
+    # asof_) so two streams sharing payload column names (both
+    # carrying 'value', 'event_id', ...) never collide in the select
+    l_res = [c for c in left.columns if c not in (key_col, left_ts)]
+    r_res = [c for c in right.columns if c not in (key_col, right_ts)]
     l = left.select(
         F.col(key_col).alias("__k"),
         F.col(left_ts).alias("l_ts"),
-        *[c for c in left.columns if c not in (key_col, left_ts)],
+        *l_res,
     ).withWatermark("l_ts", watermark)
     r = right.select(
         F.col(key_col).alias("__k"),
         F.col(right_ts).alias("r_ts"),
-        *[c for c in right.columns if c not in (key_col, right_ts)],
+        *[F.col(c).alias(f"r_{c}") for c in r_res],
     ).withWatermark("r_ts", watermark)
     cond = (
         (l["__k"] == r["__k"])
@@ -315,6 +348,6 @@ def stream_stream_join(
     )
     return l.join(r, cond, "inner").select(
         l["__k"].alias(key_col), "l_ts", "r_ts",
-        *[c for c in left.columns if c not in (key_col, left_ts)],
-        *[c for c in right.columns if c not in (key_col, right_ts)],
+        *l_res,
+        *[f"r_{c}" for c in r_res],
     )

@@ -222,3 +222,137 @@ def test_rollup_tier_answers_distinct_from_sketches(spark, tmp_path):
     ).collect()[0].e
     exact = df.select("user_id").distinct().count()
     assert abs(est - exact) <= max(1, 0.05 * exact)
+
+
+def test_woo_incremental_scans_source_once(wh, spark, sf_dir, tmp_path, monkeypatch):
+    """Single-scan ingest protocol: the only pass over the SOURCE is
+    the staging write; the row count comes from the staged parquet.
+    Proven by spying on DataFrame.count and asserting no counted plan
+    reads the source files (the old shape counted the filtered
+    source, then scanned it again to write)."""
+    src_dir = str(tmp_path / "src")
+    load_table(spark, "events", sf_dir).select("event_id", "ts", "user_id").write.parquet(src_dir)
+    source = spark.read.parquet(src_dir)
+
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe
+    # overrides the abstract DataFrame.count)
+    cls = type(source)
+    counted: list[list[str]] = []
+    orig = cls.count
+
+    def spy(self):
+        counted.append(list(self.inputFiles()))
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", spy)
+    n1 = woo_incremental(wh, source, "t")
+    n2 = woo_incremental(wh, source, "t")
+    monkeypatch.undo()
+    assert n1 == source.count() and n2 == 0
+    assert counted, "count() should run on the staged delta"
+    for files in counted:
+        assert not any(src_dir in f for f in files), (
+            "count() executed against the source scan — double scan"
+        )
+
+
+def test_woo_incremental_by_store_per_key_watermarks(wh, spark):
+    """Per-store watermarks (woo-sync/main.py:26-42 per store config):
+    a store lagging behind another must still ingest its own newer
+    rows — a single global MAX would silently drop them."""
+    import datetime as dt
+
+    from dot_spark.pipelines import woo_incremental_by_store
+
+    ddl = "store STRING, event_id BIGINT, ts TIMESTAMP"
+    t = lambda h: dt.datetime(2026, 6, 1, h)  # noqa: E731
+    first = [("A", 1, t(10)), ("B", 2, t(20))]
+    n1 = woo_incremental_by_store(wh, spark.createDataFrame(first, ddl), "t")
+    assert n1 == 2
+    second = [
+        ("A", 3, t(5)),   # older than A's mark: dropped
+        ("A", 4, t(15)),  # newer than A's mark but OLDER than B's: kept
+        ("B", 5, t(15)),  # older than B's mark: dropped
+        ("B", 6, t(23)),  # newer than B's mark: kept
+        ("C", 7, t(1)),   # brand-new store, no mark: kept
+    ]
+    n2 = woo_incremental_by_store(wh, spark.createDataFrame(second, ddl), "t")
+    assert n2 == 3
+    got = sorted(r.event_id for r in wh.read("t").collect())
+    assert got == [1, 2, 4, 6, 7]
+
+
+def test_incremental_rollup_schema_drift_rebuilds(spark, tmp_path):
+    """Toggling the sketch column between runs is tier schema drift:
+    the run must rebuild the tier under the NEW schema instead of
+    failing (or silently corrupting) the old/delta union."""
+    import datetime as dt
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import incremental_rollup
+
+    ddl = "user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    t0 = dt.datetime(2026, 4, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i), "click", float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, ddl)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tier1 = incremental_rollup(wh, df, distinct_col=None)
+    assert "distinct_sk" not in tier1.columns
+    tier2 = incremental_rollup(wh, df, distinct_col="user_id")  # drift on
+    assert "distinct_sk" in tier2.columns
+    assert tier2.count() == 4
+    assert tier2.agg(F.sum("n")).collect()[0][0] == 4
+    tier3 = incremental_rollup(wh, df, distinct_col=None)  # drift off
+    assert "distinct_sk" not in tier3.columns and tier3.count() == 4
+
+
+def test_adopt_files_appends_without_rewrite(wh, spark):
+    """adopt_files moves staged part files into the target — same
+    rows as a write-append, no re-read of the delta."""
+    wh.write(spark.range(5).withColumnRenamed("id", "k"), "t", "truncate")
+    wh.write(spark.range(5, 8).withColumnRenamed("id", "k"), "delta", "truncate")
+    wh.adopt_files("delta", "t")
+    assert sorted(r.k for r in wh.read("t").collect()) == list(range(8))
+
+
+def test_csv_checkpoint_sink_roundtrip(wh, spark):
+    """S9: overwrite then append, header honored, schema-stable
+    read-back (okta-sync/main.py:758-789)."""
+    ddl = "user_id BIGINT, login STRING"
+    wh.write_csv(spark.createDataFrame([(1, "a"), (2, "b")], ddl), "ckpt")
+    wh.write_csv(spark.createDataFrame([(3, "c")], ddl), "ckpt", mode="append")
+    got = sorted((r.user_id, r.login) for r in wh.read_csv("ckpt", ddl).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(ValueError):
+        wh.write_csv(spark.createDataFrame([(9, "z")], ddl), "ckpt", mode="errorifexists")
+
+
+def test_object_store_put_get_roundtrip(tmp_path):
+    """S10: path-targeted blob write with atomic visibility
+    (okta_sync_utils.py:398-434)."""
+    from dot_spark.loads import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "bucket"))
+    store.put_bytes("exports/2026/ids.bin", b"\x00\x01\x02")
+    assert store.exists("exports/2026/ids.bin")
+    assert store.get_bytes("exports/2026/ids.bin") == b"\x00\x01\x02"
+    store.put_bytes("exports/2026/ids.bin", b"\xff")  # overwrite = re-upload
+    assert store.get_bytes("exports/2026/ids.bin") == b"\xff"
+    assert store.list("exports/") == ["exports/2026/ids.bin"]
+    with pytest.raises(ValueError):
+        store.put_bytes("../escape", b"x")
+
+
+def test_object_store_single_csv_object(tmp_path, spark):
+    """put_csv lands ONE object with exactly one header line no
+    matter how many partitions wrote parts."""
+    from dot_spark.loads import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "bucket"))
+    df = spark.range(100).repartition(8).withColumnRenamed("id", "k")
+    n_bytes = store.put_csv(df, "exports/ids.csv")
+    text = store.get_bytes("exports/ids.csv").decode()
+    lines = [ln for ln in text.strip().split("\n") if ln]
+    assert n_bytes == len(text.encode())
+    assert lines.count("k") == 1 and lines[0] == "k"
+    assert sorted(int(x) for x in lines[1:]) == list(range(100))

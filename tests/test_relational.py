@@ -126,3 +126,20 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = range_join(pts, iv, "x", "lo", "hi", 4.0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_asof_join_null_payload_row_atomicity(spark):
+    """A right row with a NULL payload column must be carried WHOLE:
+    the match's NULL stays NULL instead of being back-filled from an
+    older right row (per-column ignorenulls carry would stitch
+    together a row that never existed)."""
+    from dot_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 30, "e")], "k INT, ts INT, id STRING")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "old"), (1, 20, None, "new")],
+        "k INT, ts INT, v DOUBLE, tag STRING",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.asof_ts == 20 and row.asof_tag == "new"
+    assert row.asof_v is None, "NULL payload back-filled from an older right row"

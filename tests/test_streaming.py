@@ -362,9 +362,40 @@ def test_stream_stream_join_attribution_window(spark, tmp_path):
         "attributed", str(tmp_path / "cp"),
     )
     drive(q)
-    got = [(r.user_id, r.click_id, r.purchase_id)
+    got = [(r.user_id, r.click_id, r.r_purchase_id)
            for r in spark.table("attributed").collect()]
     assert got == [(1, 101, 900)]
+
+
+def test_stream_stream_join_shared_payload_names(spark, tmp_path):
+    """Both sides carry an identically-named payload column
+    ('event_id'): the right one must come back as r_event_id, not an
+    ambiguous-column AnalysisException."""
+    from dot_spark.streaming import stream_stream_join
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    l_dir, r_dir = tmp_path / "l", tmp_path / "r"
+    l_dir.mkdir(); r_dir.mkdir()
+    write_parquet(
+        pd.DataFrame({"user_id": [1], "ts": [t0 + pd.Timedelta("2 min")],
+                      "event_id": [11]}),
+        l_dir / "b0.parquet",
+    )
+    write_parquet(
+        pd.DataFrame({"user_id": [1], "ts": [t0], "event_id": [77]}),
+        r_dir / "b0.parquet",
+    )
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT"
+    left = spark.readStream.schema(schema).format("parquet").load(str(l_dir))
+    right = spark.readStream.schema(schema).format("parquet").load(str(r_dir))
+    q = start_memory(
+        stream_stream_join(left, right, within="10 minutes"),
+        "shared_names", str(tmp_path / "cp2"),
+    )
+    drive(q)
+    got = [(r.user_id, r.event_id, r.r_event_id)
+           for r in spark.table("shared_names").collect()]
+    assert got == [(1, 11, 77)]
 
 
 def test_full_streaming_path_ingress_route_window_sink(spark, tmp_path):
