@@ -39,7 +39,10 @@ HEADLINE = [
     "dd1_exact_dedup",
     "dd2_minhash_lsh_candidates",
     "dd3_simhash",
-    "dd4_ngram_jaccard",
+    # dd4b (stop-shingle capped) is the 100 TB path; the unguarded
+    # exact dd4 stays registered as the gold standard but is not the
+    # headline (a boilerplate-heavy corpus makes its df² blow up)
+    "dd4b_ngram_jaccard_capped",
     "dd5_embedding_neardup",
     "t2_quality_score",
     "t4_fingerprint",
@@ -59,22 +62,25 @@ def main() -> None:
     # measure the engine, not startup.
     spark.range(1000).count()
 
-    # Two measured executions per query, report the min: run 1 pays
-    # plan compilation + JIT, and the local box sees intermittent CPU
-    # steal from co-tenants — min-of-2 is the steady-state engine
-    # cost, which is the number that extrapolates to a real cluster.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        best = None
-        for _ in range(2):
+    # INTERLEAVED rounds (q1..qN, q1..qN, ...), per-query min of 3:
+    # the box sees intermittent multi-second CPU-steal windows from
+    # co-tenants, and interleaving decorrelates a steal window from
+    # any single query (back-to-back repeats would let one window
+    # poison both samples of the same query). Round 1 additionally
+    # pays plan compilation + JIT. The per-query min is the
+    # steady-state engine cost — the number that extrapolates to a
+    # real cluster.
+    n_rounds = int(os.environ.get("DOT_SPARK_BENCH_ROUNDS", "3"))
+    names = [n for n in HEADLINE if n in QUERIES]
+    best: dict[str, float] = {}
+    for _ in range(n_rounds):
+        for name in names:
             df = QUERIES[name](spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            best[name] = min(best.get(name, dt), dt)
+    timings = {name: round(best[name], 3) for name in names}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": n_rounds,
             }
         )
     )

@@ -6,13 +6,15 @@ metadata struct — the layout a 100 TB multimodal corpus uses (bytes
 in parquet/blob store, metadata queryable without touching payloads,
 so filters/joins prune before any decode).
 
-The DECODE STEP IS A STUB: the container has no image/audio codecs
-(no PIL/ffmpeg), so `decode_media` first tries the real libraries
-and otherwise falls back to a clearly-marked deterministic fake
-(byte-level pseudo-decode). Everything around it — schemas, Arrow
-batch transfer, mapInPandas signatures, partition inheritance — is
-real and tested; swapping in a real codec changes only the inner
-per-batch function.
+DECODE IS REAL for image and audio: `decode_media` sniffs the
+payload's magic bytes and parses PNG (stdlib zlib+struct: IHDR
+dims + actual IDAT decompression) and WAV (stdlib `wave`: sample
+rate / frame count from the RIFF header) — no third-party codec
+needed. Video has no stdlib codec, so video payloads fall back to
+a clearly-marked deterministic STUB pseudo-decode; swapping in a
+real pyav/ffmpeg decoder changes only that one per-batch branch.
+`synthesize_real_media` builds genuine PNG/WAV bytes so the decode
+path is exercised against real containers end-to-end.
 
 Scale notes:
 - All media UDFs are mapInPandas (Arrow-batched, one Python worker
@@ -41,7 +43,7 @@ MEDIA_META_DDL = (
 
 DECODED_DDL = (
     "media_id BIGINT, kind STRING, ok BOOLEAN, decoder STRING, "
-    "width INT, height INT, n_bytes INT"
+    "width INT, height INT, sample_rate INT, n_bytes INT"
 )
 
 FEATURE_DIM = 16
@@ -75,24 +77,164 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder: deterministic pseudo-decode of the payload bytes.
+# --- real containers: PNG (zlib+struct) and WAV (stdlib wave) ----------
 
-    A real deployment replaces this with PIL.Image.open /
-    soundfile.read / pyav frame iteration. The fake derives stable
-    'dimensions' from a digest so downstream plumbing (schemas,
-    joins, filters on decoded fields) is exercised honestly.
+
+def _png_bytes(width: int, height: int, seed: int) -> bytes:
+    """Encode a real grayscale 8-bit PNG (deterministic pixel field
+    keyed off `seed`). Stdlib-only; the decoder below round-trips it
+    bit-for-bit through actual IDAT decompression."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray8
+    raw = b"".join(
+        b"\x00" + bytes((x * 7 + y * 13 + seed) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(data: bytes) -> dict:
+    """REAL PNG decode: walk the chunk stream, read dims from IHDR,
+    decompress the IDAT pixel data. n_bytes = decoded pixel bytes
+    (filter bytes stripped), so a truncated/corrupt payload fails
+    here rather than passing on header trust."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", body[:8])
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    if width is None or len(raw) != height * (width + 1):
+        raise ValueError("PNG pixel data does not match IHDR dims")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sample_rate": None,
+        "n_bytes": len(raw) - height,  # pixels only, per-row filter byte stripped
+    }
+
+
+def _wav_bytes(sample_rate: int, n_frames: int, seed: int) -> bytes:
+    """Encode a real mono 16-bit PCM WAV (deterministic samples)."""
+    import io
+    import wave
+
+    frames = bytes((i * 31 + seed + j) % 256 for i in range(n_frames) for j in (0, 1))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _decode_wav(data: bytes) -> dict:
+    """REAL WAV decode via stdlib `wave`: sample rate / frame count /
+    sample width come from parsing the actual RIFF header."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return {
+            "width": None,
+            "height": None,
+            "sample_rate": w.getframerate(),
+            "n_bytes": w.getnframes() * w.getsampwidth() * w.getnchannels(),
+        }
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB decoder for kinds with no stdlib codec (video).
+
+    A real deployment replaces this branch with pyav/ffmpeg frame
+    iteration. The fake derives stable 'dimensions' from a digest so
+    downstream plumbing (schemas, joins, filters on decoded fields)
+    is exercised honestly.
     """
     # hashes are keyed off the payload's hex text (not raw bytes) so
     # the DuckDB oracle (whose hash fns are VARCHAR-only) can verify
     d = hashlib.md5((payload or b"").hex().encode()).digest()
-    return {"width": 64 + d[0], "height": 48 + d[1], "n_bytes": len(payload or b"")}
+    return {
+        "width": 64 + d[0],
+        "height": 48 + d[1],
+        "sample_rate": None,
+        "n_bytes": len(payload or b""),
+    }
+
+
+def synthesize_real_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Media table with GENUINE container bytes: PNG payloads for
+    image rows, WAV payloads for audio rows (dims/rate/frames are
+    deterministic functions of the id so the oracle can verify the
+    decoded values), digest payloads for video (no stdlib encoder).
+    mapInPandas because container encoding is per-row Python — this
+    is fixture/ingest-side work, not a hot query path."""
+    from pyspark.sql.types import StructType
+
+    out_ddl = f"media_id BIGINT, payload BINARY, meta STRUCT<{MEDIA_META_DDL}>"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                kind = ("image", "audio", "video")[mid % 3]
+                meta = dict.fromkeys(
+                    ("kind", "format", "width", "height", "sample_rate", "duration_ms")
+                )
+                meta["kind"] = kind
+                if kind == "image":
+                    w, h = mid % 48 + 16, mid % 32 + 16
+                    payload = _png_bytes(w, h, mid % 256)
+                    meta.update(format="png", width=w, height=h)
+                elif kind == "audio":
+                    rate, nf = 8000 + (mid % 8) * 1000, mid % 500 + 100
+                    payload = _wav_bytes(rate, nf, mid % 256)
+                    meta.update(format="wav", sample_rate=rate, duration_ms=nf * 1000 // rate)
+                else:
+                    payload = hashlib.sha256(str(mid).encode()).digest()
+                    meta.update(format="synthetic", duration_ms=mid % 5000 + 1000)
+                rows.append((mid, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
 
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode step over (media_id, payload, meta) -> decoded metadata
-    rows. Tries real codecs (PIL) per batch; falls back to the
-    deterministic STUB (`decoder` column records which ran).
+    rows. Dispatches on the payload's MAGIC BYTES, as a real decoder
+    does: PNG and WAV parse for real (stdlib); anything else falls to
+    the deterministic STUB (`decoder` column records which ran).
 
     mapInPandas: Arrow ships each partition's rows in pandas batches;
     the decode loop is per-batch Python, the only non-JVM stage in
@@ -100,22 +242,30 @@ def decode_media(media: DataFrame) -> DataFrame:
     peak memory."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real codec if the container has one
-            from PIL import Image  # noqa: F401
-
-            decoder = "pil"
-        except ImportError:
-            decoder = "stub"
         for pdf in batches:
-            metas = [_fake_decode(p) for p in pdf["payload"]]
+            metas, decoders = [], []
+            for p in pdf["payload"]:
+                p = bytes(p or b"")
+                if p[:8] == b"\x89PNG\r\n\x1a\n":
+                    metas.append(_decode_png(p))
+                    decoders.append("png")
+                elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    metas.append(_decode_wav(p))
+                    decoders.append("wav")
+                else:
+                    metas.append(_fake_decode(p))
+                    decoders.append("stub")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": [m["kind"] for m in pdf["meta"]],
                     "ok": True,
-                    "decoder": decoder,
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
+                    "decoder": decoders,
+                    "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                    "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
                     "n_bytes": [m["n_bytes"] for m in metas],
                 }
             )

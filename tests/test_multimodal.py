@@ -43,7 +43,63 @@ def test_decode_runs_and_is_deterministic(media):
 
 def test_decoder_column_records_stub_or_real(media):
     decs = {r.decoder for r in decode_media(media).select("decoder").distinct().collect()}
-    assert decs <= {"stub", "pil"}
+    assert decs <= {"stub", "png", "wav"}
+
+
+def test_real_png_wav_decode_end_to_end(spark, sf_dir):
+    """Real container path: synthesize_real_media emits genuine
+    PNG/WAV bytes and decode_media recovers dims / sample rate /
+    decoded byte counts by PARSING them (decoder records png/wav, not
+    stub). Video has no stdlib codec and stays stub."""
+    from dot_spark.operators.multimodal import synthesize_real_media
+
+    docs = load_table(spark, "documents", sf_dir).limit(60)
+    rows = decode_media(synthesize_real_media(docs)).collect()
+    assert len(rows) == 60 and all(r.ok for r in rows)
+    for r in rows:
+        mid = r.media_id
+        if r.kind == "image":
+            assert r.decoder == "png"
+            assert (r.width, r.height) == (mid % 48 + 16, mid % 32 + 16)
+            assert r.n_bytes == r.width * r.height  # actual IDAT pixels
+            assert r.sample_rate is None
+        elif r.kind == "audio":
+            assert r.decoder == "wav"
+            assert r.sample_rate == 8000 + (mid % 8) * 1000
+            assert r.n_bytes == (mid % 500 + 100) * 2  # frames * 16-bit mono
+            assert r.width is None and r.height is None
+        else:
+            assert r.decoder == "stub"
+
+
+def test_png_decoder_rejects_corrupt_payload():
+    """The PNG path is a real decoder: truncated IDAT (dims no longer
+    match the decompressed pixel data) must raise, not pass on header
+    trust."""
+    import zlib
+
+    from dot_spark.operators.multimodal import _decode_png, _png_bytes
+
+    good = _png_bytes(24, 18, 3)
+    assert _decode_png(good)["n_bytes"] == 24 * 18
+    # rebuild with an IDAT holding one row too few
+    raw = b"".join(b"\x00" + bytes(24) for _ in range(17))
+    import struct
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        good[:8]
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 24, 18, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _decode_png(bad)
 
 
 def test_features_shape_and_normalization(media):

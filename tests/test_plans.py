@@ -140,3 +140,20 @@ def test_watermark_max_prunes_to_needed_columns(spark, sf_dir):
     assert "ts" in read_schema and "event_type" in read_schema, read_schema
     for c in ("value", "user_id", "event_id"):
         assert c not in read_schema, read_schema
+
+
+def test_no_driver_collect_in_query_callables():
+    """No queries() callable may funnel row-level data through the
+    driver: .collect()/.toPandas()/.toLocalIterator() in a query body
+    is the one pattern that cannot scale past driver memory (scalar
+    aggregate fetches live in the pipelines module and return one
+    row; they are not row funnels). Guards the s2 fixture regression:
+    page synthesis must stay on executors."""
+    import inspect
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        src = inspect.getsource(fn)
+        if ".collect()" in src or ".toPandas()" in src or ".toLocalIterator()" in src:
+            offenders.append(name)
+    assert not offenders, offenders
