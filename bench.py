@@ -44,8 +44,11 @@ HEADLINE = [
     # headline (a boilerplate-heavy corpus makes its df² blow up)
     "dd4b_ngram_jaccard_capped",
     "dd5_embedding_neardup",
+    "dd6_decontamination",
     "t2_quality_score",
     "t4_fingerprint",
+    "t9_tfidf_topterms",
+    "w6_sessionize",
     "ss1_cosine_topk",
     "ss2_ivf_topk",
     # classification over the whole run table

@@ -1,0 +1,80 @@
+"""Deterministic sampling + sessionization operators.
+
+Sampling by hash threshold (not `df.sample`): a training-data
+pipeline needs samples that are REPRODUCIBLE across runs, engines,
+and partitionings — `rand()` is none of those. Hashing a stable key
+and thresholding a byte of the digest gives the same sample on any
+engine that can compute md5 (including the DuckDB oracle), survives
+repartitioning, and never needs a seed file.
+
+Sessionization is the classic gap-based window pass (lag + cumulative
+sum), the shape every event-analytics engine uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_byte(col, pos: int = 0):
+    """Byte `pos` (0-255) of md5(CAST(col AS STRING)) — the portable
+    deterministic uniform hash both Spark and the oracle compute."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), pos * 2 + 1, 2), 16, 10).cast("int")
+
+
+def hash_sample(df: DataFrame, key_col: str, keep_bytes: int = 26) -> DataFrame:
+    """Keep rows whose hash byte < keep_bytes (keep_bytes/256 ≈ the
+    sampling rate; 26 -> ~10.2%). A pure filter: pushes past joins,
+    costs one hash per row, zero shuffle, fully reproducible."""
+    return df.filter(hash_byte(key_col) < keep_bytes)
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, strata_col: str, rates: dict[str, int]
+) -> DataFrame:
+    """Per-stratum hash sampling: `rates` maps stratum value ->
+    keep_bytes threshold (0-256). Strata not listed are dropped —
+    the explicit-allowlist form a corpus-mixing pipeline wants.
+    Implemented as one CASE expression over the broadcast-small rate
+    map: still a pure filter, zero shuffle."""
+    b = hash_byte(key_col)
+    thr = None
+    for val, keep in rates.items():
+        thr = (
+            F.when(F.col(strata_col) == val, F.lit(keep))
+            if thr is None
+            else thr.when(F.col(strata_col) == val, F.lit(keep))
+        )
+    thr = thr.otherwise(F.lit(0))
+    return df.filter(b < thr)
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based session indexes per key: a new session starts
+    when the time since the previous event (per key) exceeds the gap.
+    session_idx is the running count of session starts — the
+    lag + cumulative-sum formulation, two window passes over ONE
+    partitioning (single shuffle on key_col; both windows reuse it).
+    Ties on ts are ordered by `tiebreak_col` so the assignment is
+    deterministic under distributed execution."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_idx",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )

@@ -163,3 +163,96 @@ def fingerprint(
             "fp_rolling": F.array_min(shingle_hashes),
         }
     )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", ns: Sequence[int] = (2, 3)
+) -> DataFrame:
+    """Repetition quality signal (MassiveText-style): for each n in
+    `ns`, the fraction of n-gram occurrences that are repeats of an
+    n-gram already seen in the document — 1 - distinct/total. High
+    ratios flag boilerplate/looping generations that dedup won't
+    catch (the doc is unique; its content is not).
+
+    Pure column expressions over the token array: zero shuffle,
+    codegen'd, linear — the same cost profile as the other per-doc
+    scores. The n-gram array is built ONCE per n (no re-explode)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
+
+    def grams(n: int) -> Column:
+        # NB: the transform lambda must take exactly one parameter —
+        # a second parameter (even a defaulted one) makes pyspark
+        # treat it as the (element, index) form
+        idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (n - 1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    return df.withColumns(
+        {
+            f"rep_{n}gram": F.round(
+                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 4
+            )
+            for n in ns
+            for g in (grams(n),)
+        }
+    )
+
+
+# Scrub patterns are intentionally RE2-safe (no lookarounds) so the
+# same pattern string runs identically on Spark (Java regex) and the
+# DuckDB oracle (RE2).
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"https?://[^ ]+", "<URL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def scrub_text(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    """PII/noise scrubbing pass: emails -> <EMAIL>, URLs -> <URL>,
+    long digit runs -> <NUM>, applied as a chain of regexp_replace
+    column expressions (zero shuffle; order matters — emails before
+    digit runs so an address is not half-eaten)."""
+    c: Column = F.col(text_col)
+    for pat, repl in SCRUB_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col, c)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (idf = ln((N+1)/(df+1)), the smoothed form).
+
+    Scale shape: one explode of the token array feeds BOTH the
+    per-(doc, term) TF aggregate and the per-term DF aggregate (the
+    exploded frame is the shared child; Spark reuses the exchange).
+    The DF table is |vocab| rows — broadcast to the TF side, so the
+    only big shuffles are the two partial-aggregated groupBys on
+    (doc, term) and (term). Ranking ties are broken by term asc over
+    the ROUNDED score so a distributed sum's last-ulp wiggle cannot
+    reorder the cut."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 4),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

@@ -395,3 +395,44 @@ def bucketed_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least one n-token shingle with any benchmark/eval document — the
+    standard contamination sweep run before pretraining.
+
+    Output: one row per contaminated training doc with
+    n_hit_shingles (distinct shared shingles) and n_bench_docs
+    (distinct benchmark docs hit).
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    docs, millions of shingles at worst — so its (shingle_hash ->
+    bench_id) index is BROADCAST. The 100 TB training side then
+    explodes its shingles and probes the broadcast map with no
+    shuffle of training data at all; the only aggregate is the
+    per-(train_doc) count of hits, partial-aggregated map-side.
+    Shingle keys are md5 hashes (16 bytes) so the broadcast is
+    bounded by bench size, not text size."""
+    def shingle_index(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__sh"),
+        ).select(out_id, F.md5(F.col("__sh")).alias("sh_hash"))
+
+    bench_ix = shingle_index(benchmark, "bench_id").distinct()
+    train_ix = shingle_index(train, id_col)
+    return (
+        train_ix.join(F.broadcast(bench_ix), "sh_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("sh_hash").alias("n_hit_shingles"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -2530,6 +2530,260 @@ def mm3_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 2 additions: corpus-quality, decontamination, sampling,
+# sessionization — the remaining first-class LLM-pipeline passes
+# ---------------------------------------------------------------------------
+
+_NORM_TOKS_SQL = (
+    "string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')"
+)
+
+
+@query(
+    "t7_repetition_ratio",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(generate_series(1, greatest(1, len(toks) - 1)),
+                           i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+            list_transform(generate_series(1, greatest(1, len(toks) - 2)),
+                           i -> array_to_string(toks[i:i+2], ' ')) AS g3
+          FROM tk)
+    SELECT doc_id,
+           ROUND(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 4) AS rep_2gram,
+           ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4) AS rep_3gram
+    FROM g
+    """,
+)
+def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: fraction of n-gram occurrences that
+    repeat within the doc (boilerplate/looping-generation detector
+    that dedup can't catch). Pure column expressions, zero shuffle."""
+    from dot_spark.operators.text import repetition_ratio
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_ratio(docs).select("doc_id", "rep_2gram", "rep_3gram")
+
+
+@query(
+    "t8_pii_scrub",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' mail u' || doc_id ||
+                       '@ex.com go https://ex.com/' || doc_id ||
+                       ' pin ' || (doc_id + 10000)
+                  ELSE text END AS text2
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text2,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+    FROM t
+    """,
+)
+def t8_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing: emails/URLs/long digit runs replaced by
+    typed placeholders via an RE2-safe regexp_replace chain (same
+    pattern text runs on both engines). The fixture injects
+    deterministic address/URL/pin strings into every 5th doc so the
+    patterns actually fire."""
+    from dot_spark.operators.text import scrub_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail u"), F.col("doc_id"),
+                F.lit("@ex.com go https://ex.com/"), F.col("doc_id"),
+                F.lit(" pin "), F.col("doc_id") + 10000,
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return scrub_text(injected).select("doc_id", "scrubbed")
+
+
+@query(
+    "t9_tfidf_topterms",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    terms AS (SELECT doc_id, UNNEST(toks) AS term FROM tk),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def t9_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF: one
+    explode feeds both TF and DF aggregates, the |vocab|-sized DF
+    table broadcasts back, ranking ties break on term over the
+    ROUNDED score (distributed-sum-safe)."""
+    from dot_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "dd6_decontamination",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform(
+             generate_series(1, greatest(1, len(toks) - 3)),
+             i -> md5(array_to_string(toks[i:i+3], ' '))))) AS sh_hash
+           FROM tk),
+    bench AS (SELECT DISTINCT sh_hash, doc_id AS bench_id FROM sh
+              WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.sh_hash) AS n_hit_shingles,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM train t JOIN bench b ON t.sh_hash = b.sh_hash
+    GROUP BY 1
+    """,
+)
+def dd6_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: training docs sharing any
+    4-token shingle with the eval split (doc_id % 97 = 0 stands in
+    for the benchmark set). The eval shingle index is BROADCAST — the
+    100 TB training side is never shuffled, only probed."""
+    from dot_spark.operators.textdedup import contamination_flags
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_flags(train, bench, n=4)
+
+
+@query(
+    "p10_deterministic_sample",
+    f"""
+    WITH h AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders)
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM h WHERE {_byte_sql('h', 0)} < 26
+    """,
+)
+def p10_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample by hash-byte threshold (not rand():
+    stable across runs, engines, partitionings — what a training-data
+    pipeline needs for heldout splits). Pure pushable filter."""
+    from dot_spark.operators.sampling import hash_sample
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return hash_sample(orders, "o_orderkey", keep_bytes=26)
+
+
+@query(
+    "p11_stratified_sample",
+    f"""
+    WITH h AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders)
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM h
+    WHERE {_byte_sql('h', 0)} <
+          CASE o_orderstatus WHEN 'O' THEN 64 WHEN 'F' THEN 26 ELSE 0 END
+    """,
+)
+def p11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling (corpus mixing): per-stratum keep
+    rates as one CASE filter — 25% of open orders, 10% of filled,
+    drop the rest. Zero shuffle, fully reproducible."""
+    from dot_spark.operators.sampling import stratified_hash_sample
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return stratified_hash_sample(orders, "o_orderkey", "o_orderstatus", {"O": 64, "F": 26})
+
+
+@query(
+    "w6_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, value
+      FROM events),
+    lagd AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+    marked AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd),
+    sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM marked)
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum over ONE per-user partitioning (single shuffle, both window
+    passes and the session aggregate reuse it)."""
+    from dot_spark.operators.sampling import sessionize
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts", "value")
+    s = sessionize(ev, gap_minutes=30)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "a11_group_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 2) AS p50,
+           ROUND(quantile_cont(value, 0.9), 2) AS p90,
+           ROUND(quantile_cont(value, 0.99), 2) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def a11_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — both engines
+    use the continuous definition). Spark's percentile is a full
+    sort-based exact aggregate; at 100 TB swap to approx_percentile
+    (t-digest) — kept exact here so the oracle can pin it."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
 # 50 queries() entries. Round 1 proved the original first 50 (scans /
 # projections / joins / aggs / windows / nested / f1-f5) green in the

@@ -301,3 +301,148 @@ def test_bucketed_neardup_scale_path(emb):
     full = {(r.id_a, r.id_b) for r in bucketed_neardup_pairs(
         allcells, "cell", threshold=0.45).distinct().collect()}
     assert full == exact
+
+
+# --- round-2 operators: repetition, scrub, tfidf, contamination, ---------
+# --- sampling, sessionize                                         ---------
+
+
+def test_repetition_ratio_known_values(spark):
+    from dot_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z"), (3, "w w w w")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: (r.rep_2gram, r.rep_3gram) for r in repetition_ratio(df).collect()}
+    # doc1 2-grams: [a b, b a, a b, b c] -> 1 - 3/4
+    assert got[1] == (0.25, 0.0)
+    assert got[2] == (0.0, 0.0)
+    # doc3 2-grams: [w w]*3 -> 1 - 1/3; 3-grams: [w w w]*2 -> 1 - 1/2
+    assert got[3] == (0.6667, 0.5)
+
+
+def test_scrub_text_patterns(spark):
+    from dot_spark.operators.text import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org now"),
+         (2, "see https://a.example.com/p?q=1 ok"),
+         (3, "pin 123456 but keep 123"),
+         (4, "clean text stays")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r.scrubbed for r in scrub_text(df).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "see <URL> ok"
+    assert got[3] == "pin <NUM> but keep 123"
+    assert got[4] == "clean text stays"
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from dot_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "shared shared rare"), (2, "shared common"), (3, "shared common")],
+        "doc_id BIGINT, text STRING",
+    )
+    top = {r.doc_id: r.term for r in tfidf_top_terms(df, k=1).collect()}
+    # 'shared' appears in every doc (idf ln(4/4)=0); 'rare' only in doc1
+    assert top[1] == "rare"
+    ranks = tfidf_top_terms(df, k=3).filter(F.col("doc_id") == 1).collect()
+    # doc1 has two distinct terms; rare (idf>0) outranks shared (idf=0)
+    assert [(r.rank, r.term) for r in sorted(ranks, key=lambda r: r.rank)] == [
+        (1, "rare"), (2, "shared")
+    ]
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from dot_spark.operators.textdedup import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id BIGINT, text STRING"
+    )
+    train = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta y"),   # shares 4-gram(s)
+         (2, "totally different words here"),
+         (3, "alpha beta gamma delta epsilon")],  # identical -> 2 shingles
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: (r.n_hit_shingles, r.n_bench_docs)
+           for r in contamination_flags(train, bench, n=4).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == (1, 1)  # 'alpha beta gamma delta'
+    assert got[3] == (2, 1)  # both 4-grams of the 5-word doc
+
+
+def test_contamination_broadcasts_bench_side(spark, sf_dir):
+    """The 100 TB contract: the benchmark shingle index must
+    BROADCAST (training side never shuffles for the join)."""
+    from dot_spark.operators.textdedup import contamination_flags
+    from dot_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = (
+        contamination_flags(docs.filter("doc_id % 97 <> 0"),
+                            docs.filter("doc_id % 97 = 0"), n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hash_sample_reproducible_and_partition_invariant(spark):
+    from dot_spark.operators.sampling import hash_sample
+
+    df = spark.range(10000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, "k").collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(17), "k").collect())
+    assert a == b and a  # same rows regardless of partitioning
+    rate = len(a) / 10000
+    assert 0.07 < rate < 0.14  # ~26/256
+
+
+def test_stratified_hash_sample_rates_and_allowlist(spark):
+    from dot_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(30000).selectExpr(
+        "id AS k", "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS s"
+    )
+    out = stratified_hash_sample(df, "k", "s", {"a": 128, "b": 26}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.s, []).append(r.k)
+    assert set(by) == {"a", "b"}  # 'c' dropped (allowlist)
+    assert 0.45 < len(by["a"]) / 10000 < 0.55
+    assert 0.07 < len(by["b"]) / 10000 < 0.14
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from dot_spark.operators.sampling import sessionize
+
+    t0 = dt.datetime(2026, 5, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 10, t0),            # session 1
+        (1, 11, t0 + 10 * m),   # still session 1 (gap 10m)
+        (1, 12, t0 + 41 * m),   # gap 31m > 30m -> session 2
+        (1, 13, t0 + 71 * m),   # gap exactly 30m -> stays session 2
+        (2, 20, t0),            # other user: own session numbering
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, event_id BIGINT, ts TIMESTAMP")
+    got = {r.event_id: r.session_idx for r in sessionize(df).collect()}
+    assert got == {10: 1, 11: 1, 12: 2, 13: 2, 20: 1}
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window passes must reuse ONE per-user exchange."""
+    import datetime as dt
+
+    from dot_spark.operators.sampling import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2026, 5, 1))], "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
+    )
+    plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
