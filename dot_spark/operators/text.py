@@ -227,12 +227,12 @@ def tfidf_top_terms(
     """Top-k characteristic terms per document by TF-IDF
     (idf = ln((N+1)/(df+1)), the smoothed form).
 
-    Scale shape: one explode of the token array feeds BOTH the
-    per-(doc, term) TF aggregate and the per-term DF aggregate (the
-    exploded frame is the shared child; Spark reuses the exchange).
-    The DF table is |vocab| rows — broadcast to the TF side, so the
-    only big shuffles are the two partial-aggregated groupBys on
-    (doc, term) and (term). Ranking ties are broken by term asc over
+    Scale shape: DF (docs-per-term) is derived FROM the TF aggregate
+    — tf rows are already distinct (doc, term), so a plain COUNT per
+    term equals count_distinct(doc) with no Expand, and the two
+    groupBys share one (doc, term) exchange (ReuseExchange dedupes
+    the identical subtree). The DF table is |vocab| rows — broadcast
+    back to the TF side. Ranking ties are broken by term asc over
     the ROUNDED score so a distributed sum's last-ulp wiggle cannot
     reorder the cut."""
     from pyspark.sql import Window
@@ -240,7 +240,7 @@ def tfidf_top_terms(
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
     terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(docfreq), "term")

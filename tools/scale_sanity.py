@@ -1,0 +1,136 @@
+"""Scale-sanity harness: measure the bucketed dedup/ANN paths on a
+K-times upsampled corpus and report wall-times per scale.
+
+Usage: python tools/scale_sanity.py [K ...]   (default: 1 3 10)
+
+Builds, per K, a deterministic K-times corpus from sf0.1:
+- documents: K copies; copy k rewrites every token with a _k suffix,
+  so each copy's shingle space is DISJOINT from the others — the
+  near-dup cluster structure of the base corpus is preserved within a
+  copy and never bridges copies. That is the honest upsampling for a
+  sweep-scaling measurement: candidate-pair work grows linearly in K,
+  as it would with genuinely new data (appending/prepending a copy
+  tag would instead make every doc a cross-copy near-dup of its K-1
+  clones and measure the quadratic cluster blow-up, not the sweep).
+- embeddings: K copies with vec_id offsets (cell populations scale
+  K-fold; the probe set stays fixed).
+
+Prints one JSON line per (query, K) with wall seconds (min of 2
+interleaved rounds), and a final summary with the growth exponent
+alpha where t ~ K^alpha (alpha <= ~1.15 means the path scales
+linearly, i.e. no hidden quadratic term).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dot_spark import get_spark
+from dot_spark.operators.similarity import ivf_topk
+from dot_spark.operators.textdedup import (
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from dot_spark.sources.registry import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def upsampled_docs(spark, k: int):
+    base = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    n = base.count()
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            # suffix every token so copy i's shingles are disjoint
+            F.regexp_replace("text", r"(\S+)", rf"$1_{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def upsampled_embeddings(spark, k: int):
+    base = load_table(spark, "embeddings", SF_DIR)
+    n = base.count()
+    copies = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"), "embedding", "label"
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def run(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    spark = get_spark("dot_spark_scale_sanity")
+    spark.range(10_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    results: dict[str, dict[int, float]] = {}
+    for k in ks:
+        docs = upsampled_docs(spark, k)
+        emb = upsampled_embeddings(spark, k)
+        queries = {
+            "dd2_minhash_lsh": lambda d=docs: lsh_candidate_pairs(
+                lsh_bands(minhash_signatures(d))
+            ),
+            "dd4b_jaccard_capped": lambda d=docs: ngram_jaccard_pairs(
+                d, threshold=0.7, shingle_maxdf=40
+            ),
+            "ss2_ivf_topk": lambda e=emb: ivf_topk(
+                load_table(spark, "embeddings", SF_DIR)
+                .filter(F.col("vec_id") < 50)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                    "label",
+                ),
+                e,
+                "label",
+                k=5,
+            ),
+        }
+        for name, build in queries.items():
+            best = min(run(build()) for _ in range(2))
+            results.setdefault(name, {})[k] = round(best, 2)
+            print(json.dumps({"query": name, "k": k, "sec": round(best, 2)}), flush=True)
+
+    summary = {}
+    for name, by_k in results.items():
+        ks_sorted = sorted(by_k)
+        lo, hi = ks_sorted[0], ks_sorted[-1]
+        alpha = (
+            math.log(by_k[hi] / by_k[lo]) / math.log(hi / lo) if hi > lo else None
+        )
+        summary[name] = {
+            "times": by_k,
+            "alpha": round(alpha, 2) if alpha is not None else None,
+        }
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
