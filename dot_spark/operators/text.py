@@ -256,3 +256,38 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap
+    (stride < chunk_size), the context-window chunking pass that
+    feeds embedding / training-example generation.
+
+    Same codegen shape as shingle_rows: tokenize ONCE into a carried
+    array column, explode the stride-spaced start positions, slice
+    per exploded row with scalar expressions — no interpreted lambda,
+    no re-tokenization per chunk, zero shuffle (fan-out is
+    ~len/stride per doc, not per-token)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    st = toked.select(
+        F.col(id_col),
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("__toks")), F.lit(stride))
+        ).alias("__i"),
+    )
+    return st.select(
+        F.col(id_col),
+        F.floor((F.col("__i") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("__toks", F.col("__i"), chunk_size), " ").alias("chunk_text"),
+        F.least(F.lit(chunk_size), F.size("__toks") - F.col("__i") + 1)
+        .cast("int")
+        .alias("n_tokens"),
+    )

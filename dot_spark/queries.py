@@ -2761,6 +2761,30 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t10_doc_chunking",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    st AS (SELECT doc_id, toks,
+                  UNNEST(generate_series(1, greatest(1, len(toks)), 24)) AS i
+           FROM tk)
+    SELECT doc_id,
+           CAST((i - 1) // 24 AS INT) AS chunk_idx,
+           array_to_string(toks[i:i+31], ' ') AS chunk_text,
+           CAST(least(32, len(toks) - i + 1) AS INT) AS n_tokens
+    FROM st
+    """,
+)
+def t10_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, stride 24 (8-token
+    overlap) — the pass that turns documents into training/embedding
+    examples. Carried-array index explode, zero shuffle."""
+    from dot_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, chunk_size=32, stride=24)
+
+
+@query(
     "a11_group_percentiles",
     """
     SELECT event_type,

@@ -446,3 +446,20 @@ def test_sessionize_single_shuffle(spark):
     )
     plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from dot_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], "doc_id BIGINT, text STRING")
+    rows = sorted(chunk_documents(df, chunk_size=32, stride=24).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_idx))
+    by1 = [r for r in rows if r.doc_id == 1]
+    # starts at tokens 0, 24, 48 -> 3 chunks; sizes 32, 32, 12
+    assert [r.chunk_idx for r in by1] == [0, 1, 2]
+    assert [r.n_tokens for r in by1] == [32, 32, 12]
+    assert by1[0].chunk_text.split(" ")[24:] == by1[1].chunk_text.split(" ")[:8]  # overlap
+    assert by1[2].chunk_text.split(" ")[-1] == "w59"  # full coverage
+    by2 = [r for r in rows if r.doc_id == 2]
+    assert len(by2) == 1 and by2[0].n_tokens == 2 and by2[0].chunk_text == "short doc"
