@@ -2761,6 +2761,40 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s11_attributed_publish",
+    """
+    SELECT 'events' AS topic,
+           CAST(event_type AS VARCHAR) AS attr_event_type,
+           to_json(struct_pack(event_id := event_id, user_id := user_id)) AS payload
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def s11_attributed_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 attributed message sink end-to-end (okta-sync/main.py:
+    198-207 JSON publish; dbt-webhook/main.py:10-16 filtered
+    subscription): publish the events table as envelopes (attributes
+    map + JSON payload) to a per-topic broker directory, then read it
+    back through a subscriber filtering on attributes['event_type']
+    — the map-access predicate a real subscription pushes down."""
+    import tempfile
+
+    from dot_spark.streaming.fanout import publish_batch, subscribe_batch
+
+    ev = load_table(spark, "events", sf_dir)
+    broker = tempfile.mkdtemp(prefix="dot_spark_broker_")
+    publish_batch(
+        ev, "events", broker,
+        attr_cols=["event_type"], payload_cols=["event_id", "user_id"],
+    )
+    sub = subscribe_batch(spark, "events", broker, {"event_type": "purchase"})
+    return sub.select(
+        "topic",
+        F.col("attributes").getItem("event_type").alias("attr_event_type"),
+        "payload",
+    )
+
+
+@query(
     "t10_doc_chunking",
     f"""
     WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),

@@ -54,3 +54,73 @@ def fan_out(
             .start()
         )
     return queries
+
+
+# --- S11: attributed message sink ------------------------------------------
+
+
+def to_envelope(
+    df: DataFrame,
+    topic: str,
+    attr_cols: Mapping[str, str] | list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build the attributed message envelope (S11: Pub/Sub publish of
+    a JSON-encoded dict with per-message attributes —
+    okta-sync/main.py:198-207, dbt-webhook/main.py:151-162):
+    (topic, attributes MAP<STRING,STRING>, payload JSON).
+
+    Attributes are string-cast columns (Pub/Sub attributes are
+    strings); payload is to_json over the selected columns in
+    declaration order. Works identically on batch and streaming
+    frames — all column expressions, no shuffle."""
+    if not isinstance(attr_cols, Mapping):
+        attr_cols = {c: c for c in attr_cols}
+    payload_cols = payload_cols or df.columns
+    return df.select(
+        F.lit(topic).alias("topic"),
+        F.map_from_arrays(
+            F.array(*[F.lit(name) for name in attr_cols]),
+            F.array(*[F.col(src).cast("string") for src in attr_cols.values()]),
+        ).alias("attributes"),
+        F.to_json(F.struct(*payload_cols)).alias("payload"),
+    )
+
+
+def publish_batch(df: DataFrame, topic: str, broker_root: str, **envelope_kw) -> None:
+    """Attributed publish, batch form: append envelope rows to the
+    topic's directory under the broker stand-in root. Swapping the
+    body for `.format("kafka")` (or a foreachPartition Pub/Sub
+    client) changes nothing upstream — the envelope IS the contract."""
+    to_envelope(df, topic, **envelope_kw).write.mode("append").parquet(
+        f"{broker_root}/{topic}"
+    )
+
+
+def publish_stream(
+    df: DataFrame, topic: str, broker_root: str, checkpoint: str, **envelope_kw
+) -> StreamingQuery:
+    """Attributed publish, streaming form: at-least-once append of
+    envelope rows per micro-batch with an independent checkpoint —
+    the delivery contract of the reference's topic publish."""
+    return (
+        to_envelope(df, topic, **envelope_kw)
+        .writeStream.format("parquet")
+        .option("path", f"{broker_root}/{topic}")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def subscribe_batch(
+    spark, topic: str, broker_root: str, attr_filter: Mapping[str, str] | None = None
+) -> DataFrame:
+    """Subscriber view of a topic with attribute filtering — the
+    Spark analog of a filtered Pub/Sub subscription
+    (dbt-webhook/main.py:10-16): map-access predicates on the
+    attributes column, pushed to the envelope scan."""
+    out = spark.read.parquet(f"{broker_root}/{topic}")
+    for k, v in (attr_filter or {}).items():
+        out = out.filter(F.col("attributes").getItem(k) == v)
+    return out

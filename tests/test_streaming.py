@@ -462,3 +462,28 @@ def test_full_streaming_path_ingress_route_window_sink(spark, tmp_path):
     payload = wh.spark.createDataFrame(lazy.collect(), lazy.schema)
     sink(payload, bid)
     assert sorted(map(tuple, wh.read("routed_counts").collect())) == before
+
+
+def test_attributed_publish_stream_and_filtered_subscribe(spark, tmp_path):
+    """S11 streaming form: envelope publish with checkpoint, then a
+    subscriber filters on a message attribute."""
+    from dot_spark.streaming.fanout import publish_stream, subscribe_batch
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    write_parquet(
+        pd.DataFrame({"event_id": [1, 2, 3], "kind": ["a", "b", "a"]}),
+        src_dir / "b0.parquet",
+    )
+    stream = (
+        spark.readStream.schema("event_id BIGINT, kind STRING")
+        .format("parquet").load(str(src_dir))
+    )
+    q = publish_stream(
+        stream, "t1", str(tmp_path / "broker"), str(tmp_path / "cp"),
+        attr_cols=["kind"], payload_cols=["event_id"],
+    )
+    drive(q)
+    got = subscribe_batch(spark, "t1", str(tmp_path / "broker"), {"kind": "a"}).collect()
+    assert sorted(r.payload for r in got) == ['{"event_id":1}', '{"event_id":3}']
+    assert all(r.attributes["kind"] == "a" and r.topic == "t1" for r in got)
