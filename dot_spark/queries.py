@@ -2173,6 +2173,36 @@ def st2_superseded_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "st3_stream_corpus_dedup",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def st3_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dd1: exact corpus dedup as a continuous
+    aggregation over a documents stream — groupBy(md5(text)) with
+    MIN(doc_id)/COUNT state, complete-mode sink. Deterministic under
+    any arrival order (unlike streaming dropDuplicates, which keeps
+    the nondeterministic first arrival). At 100 TB the unbounded
+    hash state is the concern, not the compute — the production form
+    bounds it with dropDuplicatesWithinWatermark once the dedup
+    horizon is a time window rather than the full corpus."""
+    from dot_spark.operators.textdedup import normalize_text
+    from dot_spark.streaming.ingress import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    agg = (
+        docs.select(F.md5(normalize_text("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+    name = _run_stream_to_table(agg, "complete")
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Pipelines (SURVEY §3) — full dataflows through the write protocols
 # ---------------------------------------------------------------------------

@@ -39,3 +39,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+DOCUMENTS_READ_DDL = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a streaming DataFrame — the ingest-side
+    view of a continuously arriving corpus (each new parquet drop is
+    a micro-batch)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_READ_DDL)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )

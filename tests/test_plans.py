@@ -157,3 +157,17 @@ def test_no_driver_collect_in_query_callables():
         if ".collect()" in src or ".toPandas()" in src or ".toLocalIterator()" in src:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_shingle_rows_no_interpreted_lambda(spark, sf_dir):
+    """shingle_rows must stay on the codegen path: no lambdafunction
+    (interpreted HOF) anywhere in its plan, and the tokenize pipeline
+    must appear exactly once (the carried-array form; regression
+    guard for the 6x explode-recompute trap)."""
+    from dot_spark.operators.textdedup import shingle_rows
+    from dot_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = shingle_rows(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan, plan
+    assert plan.count("regexp_replace") == 1, plan
