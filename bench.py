@@ -43,7 +43,9 @@ HEADLINE = [
     # exact dd4 stays registered as the gold standard but is not the
     # headline (a boilerplate-heavy corpus makes its df² blow up)
     "dd4b_ngram_jaccard_capped",
-    "dd5_embedding_neardup",
+    # dd5b (bucketed equi-join) is the 100 TB path; brute-force dd5
+    # stays registered as the gold standard but is not the headline
+    "dd5b_bucketed_neardup",
     "dd6_decontamination",
     "t2_quality_score",
     "t4_fingerprint",

@@ -62,9 +62,22 @@ def brute_force_topk(
     the per-query rank. With Q queries the scored set is Q*N rows —
     at large Q*N switch to ivf_topk or pre-aggregate per-partition
     local top-k before the global rank.
+
+    Both sides carry their norm as a precomputed column (once per
+    vector, not once per pair — inlined cosine() triples the fold
+    work); the corpus side is spread to full width first so the Q*N
+    scoring pass parallelizes even off a single-split local scan.
     """
-    scored = F.broadcast(queries).crossJoin(corpus).withColumn(
-        "cos_sim", F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6)
+    from dot_spark.operators.textdedup import spread_small_input
+
+    q = queries.withColumn("__qn", norm(F.col(query_vec)))
+    c = spread_small_input(corpus).withColumn("__cn", norm(F.col(corpus_vec)))
+    scored = F.broadcast(q).crossJoin(c).withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col(query_vec), F.col(corpus_vec)) / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
@@ -200,13 +213,24 @@ def ivf_topk(
     query's coarse cell (both sides carry `bucket_col` — the
     inverted-file cell assignment).
 
-    Equi-join on the cell key: each side shuffles once, scored pairs
-    drop from Q*N to Q*(N/cells) on balanced cells. Recall depends on
-    the quantizer; probe more cells by unioning additional
-    (query, cell) assignments before the join.
+    Equi-join on the cell key: the (small) query side is broadcast,
+    so the corpus keeps its scan partitioning — no corpus shuffle,
+    and the scoring pass parallelizes over corpus splits rather than
+    cells. Scored pairs drop from Q*N to Q*(N/cells) on balanced
+    cells. Recall depends on the quantizer; probe more cells by
+    unioning additional (query, cell) assignments before the join.
+    Norms ride as precomputed per-vector columns.
     """
-    scored = queries.join(corpus, on=bucket_col).withColumn(
-        "cos_sim", F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 6)
+    from dot_spark.operators.textdedup import spread_small_input
+
+    q = queries.withColumn("__qn", norm(F.col(query_vec)))
+    c = spread_small_input(corpus).withColumn("__cn", norm(F.col(corpus_vec)))
+    scored = F.broadcast(q).join(c, on=bucket_col).withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col(query_vec), F.col(corpus_vec)) / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()

@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dot_spark.operators.similarity import cosine
 
 
 def spread_small_input(df: DataFrame) -> DataFrame:
@@ -394,11 +393,25 @@ def embedding_neardup_pairs(
     streamed side's partitions, and a sample table small enough to
     brute-force is small enough to arrive as one split otherwise.
     """
+    from dot_spark.operators.similarity import dot as vdot
+    from dot_spark.operators.similarity import norm
+
+    # norms are precomputed ONCE PER VECTOR on each side — inlining
+    # cosine() into the pair projection recomputes both norms per
+    # PAIR, tripling the dominant fold cost
     a = spread_small_input(df).select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("__na"),
     )
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    sim = F.round(
+        vdot(F.col("vec_a"), F.col("vec_b")) / (F.col("__na") * F.col("__nb")), 4
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -414,26 +427,58 @@ def bucketed_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    broadcast_build: bool = True,
 ) -> DataFrame:
     """Bucket-pruned embedding near-dup: only pairs within the same
     coarse bucket (IVF cell id, LSH hyperplane signature, cluster
     label, ...) are scored.
 
     Equi-join on the bucket key replaces the cross join: cost drops
-    from O(n^2) to sum over buckets of O(m_b^2), and the join
-    shuffles each side once on the bucket key. Recall = probability
+    from O(n^2) to sum over buckets of O(m_b^2). Recall = probability
     both members of a true pair share a bucket; raise it by probing
     multiple buckets (union over probe columns).
+
+    broadcast_build=True joins a BROADCAST build side against the
+    spread probe side, so the probe keeps its scan partitioning and
+    the post-join pair blow-up parallelizes over every core. The
+    shuffle-join alternative caps parallelism at the bucket count —
+    and worse, AQE coalesces the tiny pre-blow-up shuffle to ~1
+    partition (exchange bytes are small; the m_b^2 expansion happens
+    AFTER the exchange, invisible to AQE) — measured 8x slower on a
+    10-cell fixture. Disable it only when the build side itself is
+    too big to broadcast (full-corpus self-join at 100 TB, where the
+    bucket count dwarfs the core count and the shuffle join's
+    per-bucket parallelism is already sufficient).
+
+    Norms are precomputed once per vector per side; the per-pair work
+    is a single dot-product fold.
     """
-    a = df.select(
-        F.col(bucket_col).alias("bkt"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    from dot_spark.operators.similarity import dot as vdot
+    from dot_spark.operators.similarity import norm
+
+    pre = df.select(
+        F.col(bucket_col).alias("bkt"),
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__nrm"),
     )
-    b = df.select(
-        F.col(bucket_col).alias("bkt"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    a = spread_small_input(pre).select(
+        "bkt",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("__nrm").alias("__na"),
     )
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    b = pre.select(
+        "bkt",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sim = F.round(
+        vdot(F.col("vec_a"), F.col("vec_b")) / (F.col("__na") * F.col("__nb")), 4
+    )
     return (
-        a.join(b, "bkt")
+        a.join(F.broadcast(b) if broadcast_build else b, "bkt")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)

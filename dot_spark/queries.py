@@ -1828,11 +1828,42 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force gold standard;
-    bucketed variant is the scale path — see ss2_ivf_topk)."""
+    bucketed variant is the scale path — see dd5b/ss2_ivf_topk)."""
     from dot_spark.operators.textdedup import embedding_neardup_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
     return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+@query(
+    "dd5b_bucketed_neardup",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+               4) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
+    """,
+)
+def dd5b_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned embedding near-dup — the 100 TB path dd5 is the
+    gold standard for: score only pairs sharing a coarse bucket
+    (here the label cell; in production an IVF cell or LSH signature,
+    multi-probed for recall). The cross join becomes an equi-join on
+    the bucket key: sum-of-m_b² work instead of n², one shuffle per
+    side. The oracle mirrors the same cell constraint exactly."""
+    from dot_spark.operators.textdedup import bucketed_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return bucketed_neardup_pairs(emb, "label", threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
