@@ -510,8 +510,13 @@ def contamination_flags(
     Shingle keys are md5 hashes (16 bytes) so the broadcast is
     bounded by bench size, not text size."""
     def shingle_index(df: DataFrame, out_id: str) -> DataFrame:
+        # 8-byte xxhash64 keys, not md5 strings: the broadcast map and
+        # the probe comparisons carry a quarter of the bytes, and the
+        # output counts are hash-agnostic (collision odds ~1e-8 at
+        # 1e6 bench shingles — the same acceptance as the jaccard
+        # inverted index)
         return shingle_rows(df, id_col, text_col, n).select(
-            F.col(id_col).alias(out_id), F.md5("shingle").alias("sh_hash")
+            F.col(id_col).alias(out_id), F.xxhash64("shingle").alias("sh_hash")
         )
 
     # bench side dedupes (it is small and becomes the broadcast map);
