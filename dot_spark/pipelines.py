@@ -253,3 +253,33 @@ def incremental_rollup(
         wh.write(merged, staging, "truncate")
     wh.promote(staging, table)
     return wh.read(table)
+
+
+def corpus_ingest_dedup(
+    wh: Warehouse,
+    batch: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Incremental corpus ingestion with cross-batch exact dedup —
+    the arrival path of a continuously growing training corpus: each
+    batch is deduped within itself (min id per normalized-text hash)
+    and against EVERY previously ingested document, then appended
+    via the single-scan protocol. Returns new-docs-ingested.
+
+    Scale shape: the membership check is an anti-join on the 128-bit
+    hash — both sides shuffle only (hash, id) pairs, never document
+    bodies, and the within-batch dedup partial-aggregates map-side.
+    The corpus side reads just the hash column off parquet (column
+    pruning does the rest)."""
+    from dot_spark.operators.textdedup import normalize_text
+
+    hashed = batch.select(
+        F.md5(normalize_text(text_col)).alias("text_hash"), F.col(id_col)
+    )
+    fresh = hashed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    if wh.exists(table):
+        seen = wh.read(table).select("text_hash")
+        fresh = fresh.join(seen, "text_hash", "left_anti")
+    return _ingest_once(wh, fresh.select(id_col, "text_hash"), table)

@@ -2590,6 +2590,41 @@ def mm3_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pl4_corpus_ingest_dedup",
+    """
+    WITH b1 AS (
+      SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h, doc_id
+      FROM documents WHERE doc_id % 2 = 0),
+    r1 AS (SELECT h, MIN(doc_id) AS doc_id FROM b1 GROUP BY 1),
+    b2 AS (
+      SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h, doc_id
+      FROM documents),
+    r2 AS (SELECT h, MIN(doc_id) AS doc_id FROM b2
+           WHERE h NOT IN (SELECT h FROM r1) GROUP BY 1)
+    SELECT doc_id, h AS text_hash FROM r1
+    UNION ALL
+    SELECT doc_id, h AS text_hash FROM r2
+    """,
+)
+def pl4_corpus_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion with cross-batch exact dedup:
+    batch 1 (even ids) is deduped and ingested; batch 2 (everything)
+    adds only documents whose normalized-text hash the corpus has
+    never seen — within-batch min-id dedup + anti-join membership,
+    single-scan append. The oracle replays both runs declaratively."""
+    import tempfile
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import corpus_ingest_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="dot_spark_wh_"))
+    corpus_ingest_dedup(wh, docs.filter(F.col("doc_id") % 2 == 0), "corpus")
+    corpus_ingest_dedup(wh, docs, "corpus")
+    return wh.read("corpus")
+
+
 # ---------------------------------------------------------------------------
 # Round 2 additions: corpus-quality, decontamination, sampling,
 # sessionization — the remaining first-class LLM-pipeline passes

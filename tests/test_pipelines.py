@@ -356,3 +356,22 @@ def test_object_store_single_csv_object(tmp_path, spark):
     assert n_bytes == len(text.encode())
     assert lines.count("k") == 1 and lines[0] == "k"
     assert sorted(int(x) for x in lines[1:]) == list(range(100))
+
+
+def test_corpus_ingest_dedup_cross_batch(wh, spark):
+    """A re-sent document (same normalized text, new id) must never
+    re-enter the corpus; genuinely new text must."""
+    from dot_spark.pipelines import corpus_ingest_dedup
+
+    ddl = "doc_id BIGINT, text STRING"
+    n1 = corpus_ingest_dedup(
+        wh, spark.createDataFrame([(1, "alpha beta"), (2, "alpha  BETA"), (3, "gamma")], ddl),
+        "corpus",
+    )
+    assert n1 == 2  # "alpha beta" and "alpha  BETA" normalize identically
+    n2 = corpus_ingest_dedup(
+        wh, spark.createDataFrame([(9, "Alpha Beta"), (10, "delta")], ddl), "corpus"
+    )
+    assert n2 == 1  # only "delta" is new
+    got = sorted(r.doc_id for r in wh.read("corpus").collect())
+    assert got == [1, 3, 10]
