@@ -260,7 +260,9 @@ class ObjectStore:
 
     def _fs_path(self, key: str) -> str:
         safe = os.path.normpath(key.lstrip("/"))
-        if safe.startswith(".."):
+        # reject only true escapes ('..' as a path SEGMENT), not keys
+        # whose first segment merely begins with two dots
+        if safe == ".." or safe.startswith(".." + os.sep):
             raise ValueError(f"object key escapes the bucket: {key!r}")
         return os.path.join(self.root, safe)
 
@@ -280,10 +282,14 @@ class ObjectStore:
         return os.path.isfile(self._fs_path(key))
 
     def list(self, prefix: str = "") -> list[str]:
-        """Keys under a prefix, sorted (the bucket-listing call)."""
+        """Keys under a prefix, sorted (the bucket-listing call).
+        In-flight staging files (`.upload-` suffix) are never listed —
+        a crashed upload must not surface as a committed object."""
         out = []
         for dirpath, _, files in os.walk(self.root):
             for name in files:
+                if ".upload-" in name:
+                    continue
                 rel = os.path.relpath(os.path.join(dirpath, name), self.root)
                 key = rel.replace(os.sep, "/")
                 if key.startswith(prefix):

@@ -10,6 +10,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def anti_join(df: DataFrame, exclude: DataFrame, on: str | list[str]) -> DataFrame:
@@ -167,7 +168,7 @@ def asof_join(
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols if c != on],
         F.lit(None)
-        .cast(f"struct<{', '.join(f'{c}: {right.schema[c].dataType.simpleString()}' for c in rcols)}>")
+        .cast(T.StructType([T.StructField(c, right.schema[c].dataType) for c in rcols]))
         .alias("__r"),
     )
     r_side = right.select(

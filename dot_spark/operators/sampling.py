@@ -40,14 +40,11 @@ def stratified_hash_sample(
     Implemented as one CASE expression over the broadcast-small rate
     map: still a pure filter, zero shuffle."""
     b = hash_byte(key_col)
-    thr = None
+    # fold from a lit(0) base so an empty rates map means "drop
+    # everything" (b < 0 is never true) instead of crashing
+    thr = F.lit(0)
     for val, keep in rates.items():
-        thr = (
-            F.when(F.col(strata_col) == val, F.lit(keep))
-            if thr is None
-            else thr.when(F.col(strata_col) == val, F.lit(keep))
-        )
-    thr = thr.otherwise(F.lit(0))
+        thr = F.when(F.col(strata_col) == val, F.lit(keep)).otherwise(thr)
     return df.filter(b < thr)
 
 

@@ -174,27 +174,36 @@ def repetition_ratio(
     ratios flag boilerplate/looping generations that dedup won't
     catch (the doc is unique; its content is not).
 
-    Pure column expressions over the token array: zero shuffle,
-    codegen'd, linear — the same cost profile as the other per-doc
-    scores. The n-gram array is built ONCE per n (no re-explode)."""
+    Zero shuffle, linear. STAGED projections matter here: tokenize
+    into a materialized column first, build each n-gram array as its
+    own materialized column, and only then derive the two size()
+    reads — inlining everything into one projection re-tokenizes the
+    doc per gram element on the interpreted HOF path and runs each
+    transform twice (one per size() reference); the staged plan holds
+    ONE regexp/split and ONE transform per n (pinned in
+    tests/test_plans.py)."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
+    staged = df.select("*", toks.alias("__toks"))
 
     def grams(n: int) -> Column:
         # NB: the transform lambda must take exactly one parameter —
         # a second parameter (even a defaulted one) makes pyspark
         # treat it as the (element, index) form
-        idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (n - 1)))
-        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(F.col("__toks")) - (n - 1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "))
 
-    return df.withColumns(
+    staged = staged.select("*", *[grams(n).alias(f"__g{n}") for n in ns])
+    out = staged.withColumns(
         {
             f"rep_{n}gram": F.round(
-                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 4
+                F.lit(1.0)
+                - F.size(F.array_distinct(F.col(f"__g{n}"))) / F.size(F.col(f"__g{n}")),
+                4,
             )
             for n in ns
-            for g in (grams(n),)
         }
     )
+    return out.drop("__toks", *[f"__g{n}" for n in ns])
 
 
 # Scrub patterns are intentionally RE2-safe (no lookarounds) so the

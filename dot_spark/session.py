@@ -28,14 +28,22 @@ def get_spark(app_name: str = "dot_spark", shuffle_partitions: int | None = None
         shuffle_partitions = int(os.environ.get("DOT_SPARK_SHUFFLE_PARTITIONS", cpus))
     builder = SparkSession.builder.appName(app_name)
     # master is env-conditional so the factory never overrides a real
-    # cluster submission: DOT_SPARK_MASTER wins if set; a master
-    # already provided by spark-submit/pyspark (visible as --master
-    # in PYSPARK_SUBMIT_ARGS) is left untouched; bare local runs
-    # fall back to local[N]
+    # cluster submission: DOT_SPARK_MASTER wins if set; otherwise any
+    # externally-launched gateway is left untouched — spark-submit
+    # runs Python via PythonRunner, which exposes the already-
+    # configured JVM through PYSPARK_GATEWAY_PORT (it does NOT set
+    # PYSPARK_SUBMIT_ARGS, so sniffing --master there would still
+    # stomp a `spark-submit --master yarn` run with local[N]); the
+    # pyspark shell sets PYSPARK_SUBMIT_ARGS. Only a bare python
+    # process (neither marker) falls back to local[N].
     preset = os.environ.get("DOT_SPARK_MASTER")
+    externally_launched = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    )
     if preset:
         builder = builder.master(preset)
-    elif "--master" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+    elif not externally_launched:
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder.config("spark.sql.session.timeZone", "UTC")

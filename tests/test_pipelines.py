@@ -375,3 +375,26 @@ def test_corpus_ingest_dedup_cross_batch(wh, spark):
     assert n2 == 1  # only "delta" is new
     got = sorted(r.doc_id for r in wh.read("corpus").collect())
     assert got == [1, 3, 10]
+
+
+def test_object_store_list_hides_inflight_and_allows_dotdot_prefix(tmp_path):
+    """A crashed upload's staging file must never surface in list();
+    a key whose first segment merely BEGINS with '..' is legal."""
+    import os
+
+    from dot_spark.loads import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "bucket"))
+    store.put_bytes("exports/a.bin", b"ok")
+    # simulate a crash mid-upload: staging file left behind
+    with open(os.path.join(store.root, "exports", "b.bin.upload-deadbeef"), "wb") as fh:
+        fh.write(b"partial")
+    assert store.list("exports/") == ["exports/a.bin"]
+    store.put_bytes("..archive/x.bin", b"y")  # legal non-escaping key
+    assert store.get_bytes("..archive/x.bin") == b"y"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.put_bytes("../escape", b"x")
+    with _pytest.raises(ValueError):
+        store.put_bytes("a/../../escape", b"x")

@@ -171,3 +171,17 @@ def test_shingle_rows_no_interpreted_lambda(spark, sf_dir):
     plan = shingle_rows(docs)._jdf.queryExecution().executedPlan().toString()
     assert "lambdafunction" not in plan, plan
     assert plan.count("regexp_replace") == 1, plan
+
+
+def test_repetition_ratio_staged_no_recompute(spark, sf_dir):
+    """repetition_ratio must tokenize once and run each gram
+    transform once — the inlined form re-splits per gram element and
+    doubles every transform (one per size() reference)."""
+    from dot_spark.operators.text import repetition_ratio
+    from dot_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = repetition_ratio(docs).select("doc_id", "rep_2gram", "rep_3gram")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan.count("regexp_replace")
+    assert plan.count("transform(") == 2, plan.count("transform(")

@@ -143,3 +143,14 @@ def test_asof_join_null_payload_row_atomicity(spark):
     row = asof_join(left, right, on="k").collect()[0]
     assert row.asof_ts == 20 and row.asof_tag == "new"
     assert row.asof_v is None, "NULL payload back-filled from an older right row"
+
+
+def test_asof_join_right_columns_with_odd_names(spark):
+    """Right payload columns that are not bare identifiers (spaces,
+    dashes) must survive the struct carry."""
+    from dot_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 30)], "k INT, ts INT")
+    right = spark.createDataFrame([(1, 10, 5.0)], ["k", "ts", "sync timestamp"])
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.asof_ts == 10 and row["asof_sync timestamp"] == 5.0

@@ -463,3 +463,10 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert by1[2].chunk_text.split(" ")[-1] == "w59"  # full coverage
     by2 = [r for r in rows if r.doc_id == 2]
     assert len(by2) == 1 and by2[0].n_tokens == 2 and by2[0].chunk_text == "short doc"
+
+
+def test_stratified_hash_sample_empty_rates_drops_all(spark):
+    from dot_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(100).selectExpr("id AS k", "'a' AS s")
+    assert stratified_hash_sample(df, "k", "s", {}).count() == 0
