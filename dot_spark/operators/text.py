@@ -300,3 +300,26 @@ def chunk_documents(
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.55,
+    max_rep3: float = 0.01,
+    min_stopword: float = 0.03,
+) -> DataFrame:
+    """C4/Gopher-style keep-drop filter: an ORDERED rule chain over
+    the per-doc quality signals (first matching rule wins, like the
+    reference classifier's decision tree) — low_quality, then
+    repetitive, then no_stopwords, else keep. Composes the
+    quality_score and repetition_ratio passes; still one narrow
+    map-only projection end to end."""
+    scored = repetition_ratio(quality_score(df, text_col), text_col, ns=(3,))
+    verdict = (
+        F.when(F.col("quality") < min_quality, "low_quality")
+        .when(F.col("rep_3gram") > max_rep3, "repetitive")
+        .when(F.col("stopword_ratio") < min_stopword, "no_stopwords")
+        .otherwise("keep")
+    )
+    return scored.withColumn("verdict", verdict)

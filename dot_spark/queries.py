@@ -49,6 +49,13 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# DuckDB fragment for the canonical normalized-token array (matches
+# dot_spark.operators.textdedup.normalize_text + split)
+_NORM_TOKS_SQL = (
+    "string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')"
+)
+
+
 # ---------------------------------------------------------------------------
 # §2.1 Scans (S1-S6) — expressed as pushdown-verified parquet scans
 # ---------------------------------------------------------------------------
@@ -2591,6 +2598,112 @@ def mm3_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c3_quality_filter",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             ROUND(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','it')))
+                   * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+             ROUND(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                   * 1.0 / length(text), 4) AS punct_ratio,
+             ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   * 1.0 / length(text), 4) AS digit_ratio,
+             ROUND((length(text) - len(string_split(text, ' ')) + 1.0)
+                   / len(string_split(text, ' ')), 4) AS avg_word_len,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents),
+    q AS (
+      SELECT doc_id, stopword_ratio,
+             ROUND(greatest(0.0,
+               1.0 - least(0.4, punct_ratio * 2) - least(0.3, digit_ratio * 2)
+                   - (CASE WHEN n_toks < 5 THEN 0.3 ELSE 0.0 END)
+                   - (CASE WHEN avg_word_len < 2 OR avg_word_len > 12
+                           THEN 0.2 ELSE 0.0 END)), 4) AS quality
+      FROM r),
+    tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    rep AS (
+      SELECT doc_id, ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 4) AS rep_3gram
+      FROM (SELECT doc_id,
+                   list_transform(generate_series(1, greatest(1, len(toks) - 2)),
+                                  i -> array_to_string(toks[i:i+2], ' ')) AS g3
+            FROM tk))
+    SELECT doc_id,
+           CASE WHEN quality < 0.55 THEN 'low_quality'
+                WHEN rep_3gram > 0.01 THEN 'repetitive'
+                WHEN stopword_ratio < 0.03 THEN 'no_stopwords'
+                ELSE 'keep' END AS verdict,
+           quality, rep_3gram, stopword_ratio
+    FROM q JOIN rep USING (doc_id)
+    """,
+)
+def c3_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keep/drop filter: ordered rule chain (first match wins,
+    the reference classifier's decision-tree shape) over composed
+    quality + repetition signals — the C4-style filtering pass run
+    before training. Map-only; fuses into the scan."""
+    from dot_spark.operators.text import quality_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_filter(docs, max_rep3=0.01).select(
+        "doc_id", "verdict", "quality", "rep_3gram", "stopword_ratio"
+    )
+
+
+@query(
+    "dd7_embedding_decontamination",
+    """
+    WITH ev AS (SELECT vec_id AS eval_id, label, embedding
+                FROM embeddings WHERE vec_id % 83 = 0),
+    p AS (
+      SELECT a.vec_id, b.eval_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+               4) AS cos_sim
+      FROM embeddings a JOIN ev b ON a.label = b.label AND a.vec_id % 83 <> 0)
+    SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(cos_sim) AS max_cos
+    FROM p WHERE cos_sim >= 0.2 GROUP BY 1
+    """,
+)
+def dd7_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (the semantic sibling of dd6's
+    n-gram sweep): flag training vectors within cosine 0.2 of any
+    eval vector in the same coarse cell. The eval side is tiny and
+    BROADCAST with precomputed norms; the training corpus is probed
+    in scan order — no corpus shuffle until the per-vector aggregate
+    of join survivors."""
+    from dot_spark.operators.similarity import dot as vdot
+    from dot_spark.operators.similarity import norm
+    from dot_spark.operators.textdedup import spread_small_input
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    train = spread_small_input(emb.filter(F.col("vec_id") % 83 != 0)).select(
+        "label", "vec_id", "embedding", norm(F.col("embedding")).alias("__tn")
+    )
+    ev = emb.filter(F.col("vec_id") % 83 == 0).select(
+        "label",
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eval_vec"),
+        norm(F.col("embedding")).alias("__en"),
+    )
+    sim = F.round(
+        vdot(F.col("embedding"), F.col("eval_vec")) / (F.col("__tn") * F.col("__en")), 4
+    )
+    return (
+        train.join(F.broadcast(ev), "label")
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.2)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"), F.max("cos_sim").alias("max_cos"))
+    )
+
+
+@query(
     "pl4_corpus_ingest_dedup",
     """
     WITH b1 AS (
@@ -2629,11 +2742,6 @@ def pl4_corpus_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 2 additions: corpus-quality, decontamination, sampling,
 # sessionization — the remaining first-class LLM-pipeline passes
 # ---------------------------------------------------------------------------
-
-_NORM_TOKS_SQL = (
-    "string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')"
-)
-
 
 @query(
     "t7_repetition_ratio",

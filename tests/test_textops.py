@@ -470,3 +470,20 @@ def test_stratified_hash_sample_empty_rates_drops_all(spark):
 
     df = spark.range(100).selectExpr("id AS k", "'a' AS s")
     assert stratified_hash_sample(df, "k", "s", {}).count() == 0
+
+
+def test_quality_filter_rule_order_and_diversity(spark, docs):
+    from dot_spark.operators.text import quality_filter
+
+    crafted = spark.createDataFrame(
+        [(1, "the cat sat on the mat quietly today"),   # keep
+         (2, "spam spam spam spam spam spam"),          # repetitive
+         (3, "alpha beta gamma delta epsilon zeta")],   # no stopwords
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r.verdict for r in quality_filter(crafted).collect()}
+    assert got == {1: "keep", 2: "repetitive", 3: "no_stopwords"}
+    # on the corpus the filter must actually split the data
+    verds = {r.verdict for r in quality_filter(docs, max_rep3=0.01)
+             .select("verdict").distinct().collect()}
+    assert len(verds) >= 2
