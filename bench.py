@@ -57,6 +57,22 @@ HEADLINE = [
     "c1_classify_runs",
 ]
 
+# The previous round's headline set (BENCH_r02.json), so the artifact
+# itself carries a round-over-round comparable number: the r1->r2
+# totals were apples-to-oranges because the suite grew by 5 queries.
+# "common_subset" below sums only queries present in BOTH rounds.
+PREV_ROUND = "BENCH_r02"
+PREV_ROUND_QUERIES = [
+    "w1_dedup_keep_latest", "j5_parent_child_join", "j7_star_join_rollup",
+    "j8_asof_join", "a9_hypertable_rollup", "a3_conditional_agg",
+    "n2_explode_tokens", "s1_scan_projection", "n5_sticky_carry",
+    "a5_collect_sorted_list", "dd1_exact_dedup", "dd2_minhash_lsh_candidates",
+    "dd3_simhash", "dd4b_ngram_jaccard_capped", "dd5b_bucketed_neardup",
+    "dd6_decontamination", "t2_quality_score", "t4_fingerprint",
+    "t9_tfidf_topterms", "w6_sessionize", "ss1_cosine_topk", "ss2_ivf_topk",
+    "c1_classify_runs",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +104,7 @@ def main() -> None:
     timings = {name: round(best[name], 3) for name in names}
 
     total = round(sum(timings.values()), 3)
+    common = [n for n in names if n in PREV_ROUND_QUERIES]
     print(
         json.dumps(
             {
@@ -97,6 +114,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n": n_rounds,
+                "common_subset": {
+                    "vs": PREV_ROUND,
+                    "n_queries": len(common),
+                    "total": round(sum(timings[n] for n in common), 3),
+                    "added_since": sorted(set(names) - set(PREV_ROUND_QUERIES)),
+                    "removed_since": sorted(set(PREV_ROUND_QUERIES) - set(names)),
+                },
             }
         )
     )

@@ -6,15 +6,18 @@ metadata struct — the layout a 100 TB multimodal corpus uses (bytes
 in parquet/blob store, metadata queryable without touching payloads,
 so filters/joins prune before any decode).
 
-DECODE IS REAL for image and audio: `decode_media` sniffs the
+DECODE IS REAL for all three kinds: `decode_media` sniffs the
 payload's magic bytes and parses PNG (stdlib zlib+struct: IHDR
-dims + actual IDAT decompression) and WAV (stdlib `wave`: sample
-rate / frame count from the RIFF header) — no third-party codec
-needed. Video has no stdlib codec, so video payloads fall back to
-a clearly-marked deterministic STUB pseudo-decode; swapping in a
-real pyav/ffmpeg decoder changes only that one per-batch branch.
-`synthesize_real_media` builds genuine PNG/WAV bytes so the decode
-path is exercised against real containers end-to-end.
+dims + actual IDAT decompression), WAV (stdlib `wave`: sample
+rate / frame count from the RIFF header), and uncompressed AVI
+(RIFF chunk-tree walk: avih dims/frame-count + movi DIB frame-byte
+verification) — no third-party codec needed. COMPRESSED video
+codecs (H.264 etc.) have no stdlib decoder; unknown payloads fall
+back to a clearly-marked deterministic STUB pseudo-decode, and
+swapping in a real pyav/ffmpeg decoder changes only that one
+per-batch branch. `synthesize_real_media` builds genuine
+PNG/WAV/AVI bytes so the decode path is exercised against real
+containers end-to-end.
 
 Scale notes:
 - All media UDFs are mapInPandas (Arrow-batched, one Python worker
@@ -141,6 +144,106 @@ def _decode_png(data: bytes) -> dict:
     }
 
 
+def _avi_bytes(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Encode a real uncompressed AVI container (RIFF 'AVI ' with an
+    hdrl avih header, a 'vids'/DIB stream, and raw 24-bit BGR frames
+    in the movi list). Stdlib-only; the decoder below re-derives
+    dims and frame count from the actual container structure and
+    decompresses nothing because DIB frames ARE the pixels."""
+    import struct
+
+    frame_size = width * height * 3
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<14I",
+        100_000,  # dwMicroSecPerFrame (10 fps)
+        frame_size * 10,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags (AVIF_HASINDEX off; interleave off)
+        n_frames,
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_size,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 10,  # dwScale / dwRate = 10 fps
+        0, n_frames, frame_size, 0xFFFFFFFF & -1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0,
+    )
+    frames = b"".join(
+        chunk(
+            b"00db",
+            bytes((x + f * 11 + seed) % 256 for x in range(frame_size)),
+        )
+        for f in range(n_frames)
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", frames)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_avi(data: bytes) -> dict:
+    """REAL AVI parse: walk the RIFF chunk tree, read dims + frame
+    count from avih, then iterate the movi list's frame chunks and
+    check every DIB frame carries exactly width*height*3 pixel bytes
+    — a truncated payload fails here rather than passing on header
+    trust. n_bytes = total decoded pixel bytes."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    width = height = declared_frames = None
+    pixel_bytes, seen_frames = 0, 0
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, declared_frames, pixel_bytes, seen_frames
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + length]
+            if fourcc == b"LIST":
+                walk(body[4:])  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                fields = struct.unpack("<14I", body[:56])
+                declared_frames, width, height = fields[4], fields[8], fields[9]
+            elif fourcc in (b"00db", b"00dc"):
+                # count bytes actually present, not the declared
+                # length — a truncated payload must fail the check
+                pixel_bytes += len(body)
+                seen_frames += 1
+            pos += 8 + length + (length % 2)
+
+    walk(data[12:])
+    if width is None or seen_frames != declared_frames:
+        raise ValueError("AVI frame count does not match avih header")
+    if pixel_bytes != declared_frames * width * height * 3:
+        raise ValueError("AVI pixel data does not match declared dims")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sample_rate": None,
+        "n_bytes": pixel_bytes,
+    }
+
+
 def _wav_bytes(sample_rate: int, n_frames: int, seed: int) -> bytes:
     """Encode a real mono 16-bit PCM WAV (deterministic samples)."""
     import io
@@ -172,7 +275,9 @@ def _decode_wav(data: bytes) -> dict:
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder for kinds with no stdlib codec (video).
+    """STUB decoder for payloads no stdlib codec can parse (e.g.
+    compressed video codecs, or the digest payloads synthesize_media
+    emits for the feature/frame fixtures).
 
     A real deployment replaces this branch with pyav/ffmpeg frame
     iteration. The fake derives stable 'dimensions' from a digest so
@@ -194,11 +299,12 @@ def synthesize_real_media(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Media table with GENUINE container bytes: PNG payloads for
-    image rows, WAV payloads for audio rows (dims/rate/frames are
+    image rows, WAV payloads for audio rows, uncompressed-AVI
+    payloads for video rows (dims/rate/frame counts are
     deterministic functions of the id so the oracle can verify the
-    decoded values), digest payloads for video (no stdlib encoder).
-    mapInPandas because container encoding is per-row Python — this
-    is fixture/ingest-side work, not a hot query path."""
+    decoded values). mapInPandas because container encoding is
+    per-row Python — this is fixture/ingest-side work, not a hot
+    query path."""
     from pyspark.sql.types import StructType
 
     out_ddl = f"media_id BIGINT, payload BINARY, meta STRUCT<{MEDIA_META_DDL}>"
@@ -222,8 +328,11 @@ def synthesize_real_media(
                     payload = _wav_bytes(rate, nf, mid % 256)
                     meta.update(format="wav", sample_rate=rate, duration_ms=nf * 1000 // rate)
                 else:
-                    payload = hashlib.sha256(str(mid).encode()).digest()
-                    meta.update(format="synthetic", duration_ms=mid % 5000 + 1000)
+                    w, h, nframes = mid % 16 + 16, mid % 12 + 12, mid % 4 + 2
+                    payload = _avi_bytes(w, h, nframes, mid % 256)
+                    meta.update(
+                        format="avi", width=w, height=h, duration_ms=nframes * 100
+                    )
                 rows.append((mid, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
@@ -252,6 +361,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                     metas.append(_decode_wav(p))
                     decoders.append("wav")
+                elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    metas.append(_decode_avi(p))
+                    decoders.append("avi")
                 else:
                     metas.append(_fake_decode(p))
                     decoders.append("stub")

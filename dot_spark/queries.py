@@ -2051,10 +2051,14 @@ def _classify_oracle_sql() -> str:
                 THEN fc ELSE 0 END AS failed_count,
            CASE WHEN reason IN ('uncovered_step','transient','nontransient')
                 THEN nc ELSE 0 END AS nontransient_count,
-           CASE WHEN reason IN ('uncovered_step','transient','nontransient')
-                THEN fn ELSE CAST([] AS VARCHAR[]) END AS failed_nodes,
-           CASE WHEN reason IN ('uncovered_step','transient','nontransient')
-                THEN nn ELSE CAST([] AS VARCHAR[]) END AS nontransient_nodes,
+           -- COALESCE: DuckDB's array_to_string returns NULL for an
+           -- empty list where Spark's array_join returns ''
+           COALESCE(array_to_string(CASE WHEN reason IN
+                  ('uncovered_step','transient','nontransient')
+                THEN fn ELSE CAST([] AS VARCHAR[]) END, '|'), '') AS failed_nodes,
+           COALESCE(array_to_string(CASE WHEN reason IN
+                  ('uncovered_step','transient','nontransient')
+                THEN nn ELSE CAST([] AS VARCHAR[]) END, '|'), '') AS nontransient_nodes,
            CASE WHEN reason IN ('metadata_unavailable','already_retried')
                 THEN 0 ELSE fsc END AS failed_step_count,
            CASE WHEN NOT metadata_available THEN '' ELSE created_at END
@@ -2070,7 +2074,13 @@ def c1_classify_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from the events table: user_id = run, error
     events = failed steps/nodes, value thresholds pick test-fail vs
     error and transient vs not. One conditional-agg shuffle + one
-    CASE projection classifies every run at once."""
+    CASE projection classifies every run at once.
+
+    The node-list columns are emitted as '|'-joined sorted strings
+    (not array<string>): the driver's canonicalizer lexsorts all
+    output columns in pandas and cannot hash ndarray cells, so every
+    queries() output must be scalar-typed (see tests/test_contract).
+    """
     from dot_spark.routing import classify_runs
 
     ev = load_table(spark, "events", sf_dir)
@@ -2102,7 +2112,12 @@ def c1_classify_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("permission denied"))
         .alias("message"),
     )
-    return classify_runs(runs, steps, results)
+    return classify_runs(runs, steps, results).withColumns(
+        {
+            "failed_nodes": F.array_join(F.sort_array("failed_nodes"), "|"),
+            "nontransient_nodes": F.array_join(F.sort_array("nontransient_nodes"), "|"),
+        }
+    )
 
 
 ORACLE["c1_classify_runs"] = _classify_oracle_sql()
@@ -2239,6 +2254,117 @@ def st3_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_stream_to_table(agg, "complete")
     return spark.table(name)
+
+
+@query(
+    "st4_attribute_fanout",
+    """
+    WITH routed AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN 'retry'
+                  WHEN event_type = 'purchase' THEN 'completed'
+                  ELSE 'ignore' END AS route
+      FROM events)
+    SELECT 'retry' AS consumer, event_id, route FROM routed WHERE route = 'retry'
+    UNION ALL
+    SELECT 'completed', event_id, route FROM routed WHERE route = 'completed'
+    UNION ALL
+    SELECT 'noticed', event_id, route FROM routed WHERE route <> 'ignore'
+    """,
+)
+def st4_attribute_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered fan-out (ST4): ONE routed event stream,
+    three independently-checkpointed filtered consumers — the Spark
+    form of one Pub/Sub topic with filtered subscriptions
+    (dbt-webhook/main.py:10-16,155-161; docs/ARCHITECTURE.md:240-249).
+    The 'noticed' consumer overlaps retry+completed, mirroring the
+    reference's dual-publish (an event may reach two subscribers).
+    Each consumer is REALLY run as its own streaming query over the
+    shared source; the result unions the drained sinks under a
+    consumer label so the whole fan-out is one oracle row set."""
+    import tempfile
+    import uuid
+
+    from dot_spark.streaming import stream_events
+    from dot_spark.streaming.fanout import fan_out, route_events
+
+    routed = route_events(stream_events(spark, sf_dir)).select("event_id", "route")
+    prefix = f"fo_{uuid.uuid4().hex[:8]}"
+    queries = fan_out(
+        routed,
+        {
+            "retry": F.col("route") == "retry",
+            "completed": F.col("route") == "completed",
+            "noticed": F.col("route") != "ignore",
+        },
+        tempfile.mkdtemp(prefix="dot_spark_cp_"),
+        name_prefix=prefix,
+    )
+    for q in queries.values():
+        q.processAllAvailable()
+        q.stop()
+    out = None
+    for name in queries:
+        part = spark.table(f"{prefix}_{name}").select(
+            F.lit(name).alias("consumer"), "event_id", "route"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
+    "st7_drain_machine",
+    """
+    WITH s AS (
+      SELECT user_id % 50 AS connector_id,
+             CASE event_type WHEN 'error' THEN 'broken'
+                  WHEN 'purchase' THEN 'paused'
+                  WHEN 'view' THEN 'healthy'
+                  ELSE 'running' END AS status,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 50
+                                ORDER BY ts, event_id) AS n_events,
+             COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id % 50 ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0,
+               FALSE) AS stopped
+      FROM events),
+    a AS (
+      SELECT connector_id, status, n_events,
+             CASE WHEN stopped OR status = 'running' THEN ['noop']
+                  WHEN status = 'paused' THEN ['resume', 'sync']
+                  WHEN status = 'broken' THEN ['stop', 'signal']
+                  ELSE ['force-sync'] END AS acts,
+             CASE WHEN stopped OR status = 'broken' THEN 'stopped'
+                  ELSE 'draining' END AS phase
+      FROM s)
+    SELECT connector_id, status, u.act AS action, phase, n_events
+    FROM a, UNNEST(acts) AS u(act)
+    """,
+)
+def st7_drain_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector drain state machine (ST7,
+    docs/DESIGN_fivetran_slot_safety_valve.md:85-108) in its
+    oracle-checkable batch form: events become per-connector status
+    streams (error->broken, purchase->paused, view->healthy,
+    click/signup->running), and drain_actions_batch — built from the
+    SAME transition table as the applyInPandasWithState machine —
+    emits the action rows with the broken->stopped latch. The
+    streaming form's batch-equivalence on in-order input is pinned in
+    tests/test_streaming.py."""
+    from dot_spark.streaming.state import drain_actions_batch
+
+    ev = load_table(spark, "events", sf_dir)
+    statuses = ev.select(
+        (F.col("user_id") % 50).alias("connector_id"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", "broken")
+        .when(F.col("event_type") == "purchase", "paused")
+        .when(F.col("event_type") == "view", "healthy")
+        .otherwise("running")
+        .alias("status"),
+    )
+    return drain_actions_batch(statuses)
 
 
 # ---------------------------------------------------------------------------
@@ -2509,33 +2635,33 @@ def _byte_sql(h: str, pos: int) -> str:
     WITH m AS (
       SELECT doc_id AS media_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                  ELSE 'video' END AS kind,
-             md5(sha256(CAST(doc_id AS VARCHAR))) AS h
+                  ELSE 'video' END AS kind
       FROM documents)
     SELECT media_id, kind, TRUE AS ok,
            CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav'
-                ELSE 'stub' END AS decoder,
+                ELSE 'avi' END AS decoder,
            CASE kind WHEN 'image' THEN CAST(media_id % 48 + 16 AS INT)
-                WHEN 'video' THEN CAST(64 + {_byte_sql('h', 0)} AS INT) END AS width,
+                WHEN 'video' THEN CAST(media_id % 16 + 16 AS INT) END AS width,
            CASE kind WHEN 'image' THEN CAST(media_id % 32 + 16 AS INT)
-                WHEN 'video' THEN CAST(48 + {_byte_sql('h', 1)} AS INT) END AS height,
+                WHEN 'video' THEN CAST(media_id % 12 + 12 AS INT) END AS height,
            CASE kind WHEN 'audio'
                 THEN CAST(8000 + (media_id % 8) * 1000 AS INT) END AS sample_rate,
            CASE kind WHEN 'image'
                   THEN CAST((media_id % 48 + 16) * (media_id % 32 + 16) AS INT)
                 WHEN 'audio' THEN CAST((media_id % 500 + 100) * 2 AS INT)
-                ELSE 32 END AS n_bytes
+                ELSE CAST((media_id % 16 + 16) * (media_id % 12 + 12) * 3
+                          * (media_id % 4 + 2) AS INT) END AS n_bytes
     FROM m
     """,
 )
 def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode, REAL for image/audio: genuine PNG/WAV
-    container bytes -> mapInPandas magic-byte dispatch -> stdlib
-    parse (IHDR dims + IDAT decompression; RIFF sample rate/frames).
-    Video remains the documented stub (no stdlib codec). The oracle
-    recomputes what a correct decoder must recover: the synthesis
-    parameters (dims, rate, decoded byte counts) per media_id, and
-    the stub's keyed-hash pseudo-decode for video."""
+    """Multimodal decode, REAL for all three kinds: genuine PNG / WAV
+    / uncompressed-AVI container bytes -> mapInPandas magic-byte
+    dispatch -> stdlib parse (PNG: IHDR dims + IDAT decompression;
+    WAV: RIFF sample rate/frames; AVI: RIFF chunk tree, avih dims +
+    movi DIB frame-byte verification). The oracle recomputes what a
+    correct decoder must recover: the synthesis parameters (dims,
+    rate, decoded byte counts) per media_id."""
     from dot_spark.operators.multimodal import decode_media, synthesize_real_media
 
     docs = load_table(spark, "documents", sf_dir)
@@ -2555,21 +2681,34 @@ def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(generate_series(0, 31),
                i -> strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) AS nibs
       FROM m)
-    SELECT media_id, kind,
-           list_transform(generate_series(0, 15),
-             b -> CAST(len(list_filter(nibs, x -> x = b)) / 32.0 AS FLOAT)) AS feature
-    FROM nib
+    SELECT media_id, kind, CAST(t.b AS INT) AS bin,
+           len(list_filter(nibs, x -> x = b)) / 32.0 AS feature_val
+    FROM nib, generate_series(0, 15) AS t(b)
     """,
 )
 def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads: byte-histogram
     vectors via Arrow-batched numpy (the slot a real embedding model
     plugs into). Oracle rebuilds the histogram from the payload's
-    hex nibbles (bin width 16 == high nibble)."""
+    hex nibbles (bin width 16 == high nibble).
+
+    The vector is emitted one row per bin (media_id, kind, bin,
+    feature_val) rather than as array<float>: the driver's
+    canonicalizer cannot hash ndarray cells, so queries() outputs
+    must be scalar-typed. The array-valued operator API
+    (extract_features) is unchanged."""
     from dot_spark.operators.multimodal import extract_features, synthesize_media
 
     docs = load_table(spark, "documents", sf_dir)
-    return extract_features(synthesize_media(docs))
+    feats = extract_features(synthesize_media(docs))
+    return feats.select(
+        "media_id", "kind", F.posexplode("feature").alias("bin", "feature_val")
+    ).select(
+        "media_id",
+        "kind",
+        F.col("bin").cast("int").alias("bin"),
+        F.col("feature_val").cast("double").alias("feature_val"),
+    )
 
 
 @query(
@@ -3047,34 +3186,32 @@ def a11_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
-# 50 queries() entries. Round 1 proved the original first 50 (scans /
-# projections / joins / aggs / windows / nested / f1-f5) green in the
-# official artifact; this round rotates the remaining operators into
-# the window — every LLM-pipeline, streaming, pipeline, classifier,
-# f6-f10 and the round-2 additions — while keeping one representative
-# per §2 family from the proven set so no family leaves the gate.
+# 50 queries() entries. Round 1 proved the original relational core;
+# round 2 proved the LLM-pipeline / streaming / pipeline / multimodal
+# rotation (CORRECTNESS_r02). Round 3's window takes in (a) the 15
+# queries added after the r2 window was pinned that therefore have NO
+# official driver row yet, (b) the queries FIXED or CHANGED this
+# round (c1/mm2 array-output fix, mm1 real video decode, pl3's
+# composed oracle), (c) the new st4/st7 queries — while keeping one
+# representative per proven §2 family so no family leaves the gate.
+# After this rotation every registered query has a green row in
+# CORRECTNESS_r01 ∪ r02 ∪ r03.
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
-    # round-1 unchecked: scalar functions
-    "f6_hour_gate", "f7_flag_coerce", "f8_hmac_sha256", "f9_json_access",
-    "f10_try_cast_coerce",
-    # text analysis
-    "t1_token_stats", "t2_quality_score", "t3_language_id", "t4_fingerprint",
-    "t5_length_histogram", "t6_sequence_packing",
-    # dedup family
-    "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
-    "dd4_ngram_jaccard", "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
-    # similarity search
-    "ss1_cosine_topk", "ss2_ivf_topk", "ss3_ivf_trained_topk", "ss4_lsh_topk",
-    # classification, streaming, pipelines, multimodal
-    "c1_classify_runs", "c2_webhook_route",
-    "st1_windowed_agg", "st2_superseded_stream",
-    "pl1_okta_refresh", "pl2_woo_incremental", "pl3_event_retry_pipeline",
-    "mm1_decode_media", "mm2_media_features", "mm3_frame_sampling",
-    # round-2 additions
-    "pl2b_woo_incremental_by_store", "s9_csv_checkpoint", "s10_object_store_export",
-    # one representative per round-1-proven §2 family
+    # (a) never officially tested: round-2 additions past the window
+    "a11_group_percentiles", "c3_quality_filter", "dd5b_bucketed_neardup",
+    "dd6_decontamination", "dd7_embedding_decontamination",
+    "p10_deterministic_sample", "p11_stratified_sample",
+    "pl4_corpus_ingest_dedup", "s11_attributed_publish",
+    "st3_stream_corpus_dedup", "t7_repetition_ratio", "t8_pii_scrub",
+    "t9_tfidf_topterms", "t10_doc_chunking", "w6_sessionize",
+    # (b) fixed/changed this round
+    "c1_classify_runs", "mm2_media_features", "mm1_decode_media",
+    "pl3_event_retry_pipeline",
+    # (c) new this round
+    "st4_attribute_fanout", "st7_drain_machine",
+    # representatives per proven §2 family
     "s1_scan_projection", "s2_paged_rest_scan", "s4_csv_parse",
     "p1_schema_align", "p7_sentinel_null",
     "j1_anti_join", "j5_parent_child_join", "j7_star_join_rollup",
@@ -3082,6 +3219,13 @@ _WINDOW_PRIORITY = [
     "a1_group_having", "a9_hypertable_rollup",
     "w1_dedup_keep_latest", "w4_superseded_dedup",
     "n2_explode_tokens", "n5_sticky_carry",
+    "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
+    "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
+    "ss1_cosine_topk", "ss2_ivf_topk",
+    "t1_token_stats", "t2_quality_score",
+    "c2_webhook_route",
+    "st1_windowed_agg", "st2_superseded_stream",
+    "pl1_okta_refresh",
 ]
 
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)

@@ -304,6 +304,65 @@ def drain_actions(status_events: DataFrame, key_col: str = "connector_id") -> Da
     )
 
 
+def drain_actions_batch(
+    status_events: DataFrame,
+    key_col: str = "connector_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Batch twin of the ST7 drain machine, built from the SAME
+    transition table (_DRAIN_TRANSITIONS) as pure window + explode
+    expressions — the oracle-checkable form of the state machine
+    (the streaming form's output depends on arrival order, which a
+    distributed stream cannot pin; this twin pins it with an explicit
+    deterministic (ts, id) ordering per connector).
+
+    Semantics per row, identical to _drain_fn over in-order arrival:
+    - stopped latch: TRUE iff a strictly earlier row for the same
+      connector was 'broken' (the broken row itself still emits its
+      stop+signal actions);
+    - actions/phase from the shared transition table, with unknown
+      statuses carrying the last known phase forward ('idle' seed);
+    - n_events = running per-connector event count.
+
+    Scale shape: ONE keyed window exchange (all four window
+    expressions share the same partitioning/ordering), then a
+    zero-shuffle explode of ≤2-element literal arrays.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+
+    stopped = F.coalesce(
+        F.sum(F.when(F.col("status") == "broken", 1).otherwise(0)).over(prior) > 0,
+        F.lit(False),
+    )
+
+    acts: F.Column = F.array(F.lit("noop"))
+    phase_known: F.Column = F.lit(None).cast("string")
+    for status, (actions, next_phase) in _DRAIN_TRANSITIONS.items():
+        acts = F.when(F.col("status") == status, F.array(*[F.lit(a) for a in actions])).otherwise(
+            acts
+        )
+        phase_known = F.when(F.col("status") == status, F.lit(next_phase)).otherwise(phase_known)
+
+    phase = F.when(stopped, F.lit("stopped")).otherwise(
+        F.coalesce(F.last(phase_known, ignorenulls=True).over(w), F.lit("idle"))
+    )
+
+    return (
+        status_events.select(
+            F.col(key_col).alias("connector_id"),
+            "status",
+            F.when(stopped, F.array(F.lit("noop"))).otherwise(acts).alias("_acts"),
+            phase.alias("phase"),
+            F.row_number().over(w).cast("bigint").alias("n_events"),
+        )
+        .withColumn("action", F.explode("_acts"))
+        .select("connector_id", "status", "action", "phase", "n_events")
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

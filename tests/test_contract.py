@@ -49,29 +49,47 @@ def test_queries_survive_bare_driver_session(tmp_path):
     assert "BARE_SESSION_OK" in out.stdout, out.stderr[-2000:]
 
 
+def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
+    """The driver's canonicalizer lexsorts every output column in
+    pandas; ndarray/list/dict cells raise `unhashable type` and fail
+    the official gate (the r2 c1/mm2 defect). No queries() output —
+    oracle-twinned OR rows-only — may carry ArrayType / MapType /
+    StructType; serialize to scalars in the final projection."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, fn in QUERIES.items():
+        complex_cols = [
+            f.name
+            for f in fn(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex-typed query outputs: {bad}"
+
+
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-2 window: every LLM-pipeline / streaming / pipeline /
-    multimodal / f6-f10 query plus one representative per round-1-
-    proven family must be inside it — an accidental registration
+    the round-3 window: every query with no official driver row yet
+    (added after the r2 window was pinned), every query fixed or
+    changed this round, the new st4/st7 queries, plus one
+    representative per proven §2 family — an accidental registration
     reorder silently drops operators out of the official artifact."""
     window = list(QUERIES)[:50]
     must_have = {
-        # round-1 unchecked rotation targets
-        "f6_hour_gate", "f7_flag_coerce", "f8_hmac_sha256", "f9_json_access",
-        "f10_try_cast_coerce",
-        "t1_token_stats", "t2_quality_score", "t3_language_id", "t4_fingerprint",
-        "t5_length_histogram", "t6_sequence_packing",
-        "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
-        "dd4_ngram_jaccard", "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
-        "ss1_cosine_topk", "ss2_ivf_topk", "ss3_ivf_trained_topk", "ss4_lsh_topk",
-        "c1_classify_runs", "c2_webhook_route",
-        "st1_windowed_agg", "st2_superseded_stream",
-        "pl1_okta_refresh", "pl2_woo_incremental", "pl3_event_retry_pipeline",
-        "mm1_decode_media", "mm2_media_features", "mm3_frame_sampling",
-        # round-2 additions
-        "pl2b_woo_incremental_by_store", "s9_csv_checkpoint",
-        "s10_object_store_export",
+        # never officially driver-tested before round 3
+        "a11_group_percentiles", "c3_quality_filter", "dd5b_bucketed_neardup",
+        "dd6_decontamination", "dd7_embedding_decontamination",
+        "p10_deterministic_sample", "p11_stratified_sample",
+        "pl4_corpus_ingest_dedup", "s11_attributed_publish",
+        "st3_stream_corpus_dedup", "t7_repetition_ratio", "t8_pii_scrub",
+        "t9_tfidf_topterms", "t10_doc_chunking", "w6_sessionize",
+        # fixed/changed in round 3
+        "c1_classify_runs", "mm2_media_features", "mm1_decode_media",
+        "pl3_event_retry_pipeline",
+        # new in round 3
+        "st4_attribute_fanout", "st7_drain_machine",
         # one per proven §2 family
         "s1_scan_projection", "s2_paged_rest_scan", "s4_csv_parse",
         "p1_schema_align", "p7_sentinel_null",
@@ -80,5 +98,12 @@ def test_correctness_window_composition():
         "a1_group_having", "a9_hypertable_rollup",
         "w1_dedup_keep_latest", "w4_superseded_dedup",
         "n2_explode_tokens", "n5_sticky_carry",
+        "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
+        "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
+        "ss1_cosine_topk", "ss2_ivf_topk",
+        "t1_token_stats", "t2_quality_score",
+        "c2_webhook_route",
+        "st1_windowed_agg", "st2_superseded_stream",
+        "pl1_okta_refresh",
     }
     assert must_have <= set(window), sorted(must_have - set(window))

@@ -48,9 +48,9 @@ def test_decoder_column_records_stub_or_real(media):
 
 def test_real_png_wav_decode_end_to_end(spark, sf_dir):
     """Real container path: synthesize_real_media emits genuine
-    PNG/WAV bytes and decode_media recovers dims / sample rate /
-    decoded byte counts by PARSING them (decoder records png/wav, not
-    stub). Video has no stdlib codec and stays stub."""
+    PNG/WAV/AVI bytes and decode_media recovers dims / sample rate /
+    decoded byte counts by PARSING them (decoder records
+    png/wav/avi, not stub)."""
     from dot_spark.operators.multimodal import synthesize_real_media
 
     docs = load_table(spark, "documents", sf_dir).limit(60)
@@ -69,7 +69,11 @@ def test_real_png_wav_decode_end_to_end(spark, sf_dir):
             assert r.n_bytes == (mid % 500 + 100) * 2  # frames * 16-bit mono
             assert r.width is None and r.height is None
         else:
-            assert r.decoder == "stub"
+            assert r.decoder == "avi"
+            assert (r.width, r.height) == (mid % 16 + 16, mid % 12 + 12)
+            # total decoded DIB pixel bytes: w*h*3 per frame
+            assert r.n_bytes == r.width * r.height * 3 * (mid % 4 + 2)
+            assert r.sample_rate is None
 
 
 def test_png_decoder_rejects_corrupt_payload():
@@ -100,6 +104,25 @@ def test_png_decoder_rejects_corrupt_payload():
     )
     with pytest.raises(ValueError):
         _decode_png(bad)
+
+
+def test_avi_decoder_round_trip_and_rejects_corrupt_payload():
+    """The AVI path is a real container parser: dims/frame count come
+    from walking the RIFF tree, and the movi pixel bytes must match
+    the avih declaration — a truncated frame raises, not passes on
+    header trust."""
+    from dot_spark.operators.multimodal import _avi_bytes, _decode_avi
+
+    good = _avi_bytes(20, 14, 3, seed=7)
+    meta = _decode_avi(good)
+    assert (meta["width"], meta["height"]) == (20, 14)
+    assert meta["n_bytes"] == 20 * 14 * 3 * 3
+    # chop the last frame's tail: frame count still matches but the
+    # pixel byte total no longer does -> must raise
+    with pytest.raises(ValueError):
+        _decode_avi(good[:-10])
+    with pytest.raises(ValueError):
+        _decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
 
 
 def test_features_shape_and_normalization(media):

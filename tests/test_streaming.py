@@ -211,6 +211,47 @@ def test_drain_machine_transitions(spark, tmp_path):
     assert phases["c3"] == "stopped"
 
 
+def test_drain_batch_twin_matches_streaming_machine(spark, tmp_path):
+    """drain_actions_batch (the ST7 oracle-checkable form) must equal
+    the applyInPandasWithState machine when the stream delivers rows
+    in order — same transition table, same latch, same phases."""
+    from dot_spark.streaming.state import drain_actions_batch
+
+    rng_statuses = ["running", "paused", "broken", "healthy", "bogus"]
+    pdf = pd.DataFrame(
+        {
+            "connector_id": [f"c{i % 4}" for i in range(40)],
+            "seq": list(range(40)),
+            "status": [rng_statuses[(i * 7 + i // 5) % 5] for i in range(40)],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # one file per connector, rows in seq order, so each group's
+    # micro-batch arrives exactly in the batch twin's sort order
+    for cid, grp in pdf.groupby("connector_id"):
+        write_parquet(grp.sort_values("seq"), src / f"{cid}.parquet")
+    stream = (
+        spark.readStream.schema("connector_id STRING, seq BIGINT, status STRING")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = start_memory(drain_actions(stream), "drain_twin_out", str(tmp_path / "cp"))
+    drive(q)
+    streamed = sorted(
+        spark.table("drain_twin_out").collect(),
+        key=lambda r: (r.connector_id, r.n_events, r.action),
+    )
+    batch = sorted(
+        drain_actions_batch(
+            spark.createDataFrame(pdf), order_cols=("seq",)
+        ).collect(),
+        key=lambda r: (r.connector_id, r.n_events, r.action),
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
 def test_delayed_retry_fires_after_delay_with_loop_guard(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

@@ -33,8 +33,16 @@ def canonical(df: pd.DataFrame) -> str:
             return repr(round(v, 9))
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+            # DRIVER PARITY: the official canonicalizer lexsorts all
+            # columns in pandas, which raises on ndarray/list cells
+            # ("unhashable type"). Fail here the same way so a
+            # complex-typed output can never pass locally and then
+            # fail the official gate (the r2 c1/mm2 defect).
+            raise TypeError(
+                f"complex-typed cell {type(v).__name__} is not driver-canonicalizable; "
+                "serialize arrays/structs to scalars in the query's final projection"
+            )
         return str(v)
 
     rows = ["\x01".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
