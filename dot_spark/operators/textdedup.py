@@ -507,7 +507,7 @@ def contamination_flags(
     explodes its shingles and probes the broadcast map with no
     shuffle of training data at all; the only aggregate is the
     per-(train_doc) count of hits, partial-aggregated map-side.
-    Shingle keys are md5 hashes (16 bytes) so the broadcast is
+    Shingle keys are 8-byte xxhash64 values so the broadcast is
     bounded by bench size, not text size."""
     def shingle_index(df: DataFrame, out_id: str) -> DataFrame:
         # 8-byte xxhash64 keys, not md5 strings: the broadcast map and

@@ -2852,8 +2852,11 @@ def dd7_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     b2 AS (
       SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h, doc_id
       FROM documents),
+    -- NOT EXISTS, not NOT IN: the implementation is a left_anti
+    -- join, which KEEPS null-hash rows; NOT IN would drop the whole
+    -- branch if any hash were NULL
     r2 AS (SELECT h, MIN(doc_id) AS doc_id FROM b2
-           WHERE h NOT IN (SELECT h FROM r1) GROUP BY 1)
+           WHERE NOT EXISTS (SELECT 1 FROM r1 WHERE r1.h = b2.h) GROUP BY 1)
     SELECT doc_id, h AS text_hash FROM r1
     UNION ALL
     SELECT doc_id, h AS text_hash FROM r2

@@ -64,6 +64,14 @@ def get_spark(app_name: str = "dot_spark", shuffle_partitions: int | None = None
         # small heap degrade monotonically (GC death spiral measured
         # at 19s->134s over 4 runs on 8g; stable ~10s on 24g)
         .config("spark.driver.memory", os.environ.get("DOT_SPARK_DRIVER_MEM", "24g"))
+        # the compiled-codegen LRU defaults to 100 entries; a workload
+        # with >100 distinct codegen'd stages (this suite has ~23
+        # queries x several stages each) evicts and Janino-recompiles
+        # the largest generated methods on every pass — measured 3x on
+        # the simhash query (0.45s steady -> 1.4s when cycled through
+        # the full suite). Any real multi-query deployment wants this
+        # raised; memory cost is compiled classes, not data.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
