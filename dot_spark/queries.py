@@ -2815,31 +2815,18 @@ def dd7_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     eval vector in the same coarse cell. The eval side is tiny and
     BROADCAST with precomputed norms; the training corpus is probed
     in scan order — no corpus shuffle until the per-vector aggregate
-    of join survivors."""
-    from dot_spark.operators.similarity import dot as vdot
-    from dot_spark.operators.similarity import norm
+    of join survivors (decontaminate_embeddings, similarity.py)."""
+    from dot_spark.operators.similarity import decontaminate_embeddings
     from dot_spark.operators.textdedup import spread_small_input
 
     emb = load_table(spark, "embeddings", sf_dir)
-    train = spread_small_input(emb.filter(F.col("vec_id") % 83 != 0)).select(
-        "label", "vec_id", "embedding", norm(F.col("embedding")).alias("__tn")
-    )
+    train = spread_small_input(emb.filter(F.col("vec_id") % 83 != 0))
     ev = emb.filter(F.col("vec_id") % 83 == 0).select(
         "label",
         F.col("vec_id").alias("eval_id"),
         F.col("embedding").alias("eval_vec"),
-        norm(F.col("embedding")).alias("__en"),
     )
-    sim = F.round(
-        vdot(F.col("embedding"), F.col("eval_vec")) / (F.col("__tn") * F.col("__en")), 4
-    )
-    return (
-        train.join(F.broadcast(ev), "label")
-        .withColumn("cos_sim", sim)
-        .filter(F.col("cos_sim") >= 0.2)
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_eval_hits"), F.max("cos_sim").alias("max_cos"))
-    )
+    return decontaminate_embeddings(train, ev)
 
 
 @query(

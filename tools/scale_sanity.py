@@ -36,12 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from dot_spark import get_spark
-from dot_spark.operators.similarity import ivf_topk
+from dot_spark.operators.similarity import decontaminate_embeddings, ivf_topk
+from dot_spark.operators.text import tfidf_top_terms
 from dot_spark.operators.textdedup import (
+    contamination_flags,
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    normalize_text,
 )
 from dot_spark.sources.registry import load_table
 
@@ -113,6 +116,39 @@ def main() -> None:
             docs, threshold=0.7, shingle_maxdf=40
         )
         grid[("ss2_ivf_topk", k)] = ivf_topk(probes, emb, "label", k=5)
+        # dd6: the bench/eval side stays FIXED (base corpus sample)
+        # while the training side scales K-fold — the 100 TB shape
+        # (broadcast bench index, train side unshuffled)
+        bench_docs = load_table(spark, "documents", SF_DIR).filter(
+            F.col("doc_id") % 37 == 0
+        )
+        grid[("dd6_decontamination", k)] = contamination_flags(docs, bench_docs)
+        # dd7: eval embeddings fixed, training embeddings scale K-fold
+        ev = (
+            load_table(spark, "embeddings", SF_DIR)
+            .filter(F.col("vec_id") % 83 == 0)
+            .select(
+                "label",
+                F.col("vec_id").alias("eval_id"),
+                F.col("embedding").alias("eval_vec"),
+            )
+        )
+        grid[("dd7_embedding_decontam", k)] = decontaminate_embeddings(emb, ev)
+        # pl4 compute core (the write protocol is constant-cost): the
+        # arriving batch scales K-fold, the seen-hash set is the base
+        # corpus — within-batch min-id dedup + anti-join membership
+        seen = (
+            load_table(spark, "documents", SF_DIR)
+            .select(F.md5(normalize_text("text")).alias("text_hash"))
+            .distinct()
+        )
+        grid[("pl4_ingest_dedup_core", k)] = (
+            docs.select(F.md5(normalize_text("text")).alias("text_hash"), "doc_id")
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .join(seen, "text_hash", "left_anti")
+        )
+        grid[("t9_tfidf_topterms", k)] = tfidf_top_terms(docs)
 
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
