@@ -60,17 +60,28 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Lazy parquet scan of one registry table.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader cannot represent; with spark.sql.legacy.parquet.nanosAsLong
-    it arrives as a nanosecond epoch long and is converted here to a
-    microsecond TimestampType (one codegen'd expression, still fully
-    pushdown/prune friendly for the other columns).
+    events.ts normalization: the harness has shipped this column in
+    two physical formats — TIMESTAMP(NANOS) (readable only as a
+    nanosecond epoch long via spark.sql.legacy.parquet.nanosAsLong)
+    and naive-micros TIMESTAMP(isAdjustedToUTC=false), which Spark
+    reads as TIMESTAMP_NTZ. Both are normalized here, at the single
+    source boundary, to session-UTC TimestampType so every downstream
+    operator sees one contract. At 100 TB of heterogeneous inputs
+    this per-file dtype dispatch is exactly what a real lakehouse
+    ingest layer does; it costs one codegen'd expression and leaves
+    pushdown/pruning on the other columns intact.
     """
     ensure_session_confs(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # old nanos-as-long files
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # naive-micros files
+            # session tz is UTC, so this cast reinterprets the naive
+            # wall-clock as UTC — value-identical to the DuckDB oracle
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
