@@ -57,21 +57,27 @@ HEADLINE = [
     "c1_classify_runs",
 ]
 
-# The previous round's headline set (BENCH_r02.json), so the artifact
-# itself carries a round-over-round comparable number: the r1->r2
-# totals were apples-to-oranges because the suite grew by 5 queries.
-# "common_subset" below sums only queries present in BOTH rounds.
-PREV_ROUND = "BENCH_r02"
-PREV_ROUND_QUERIES = [
-    "w1_dedup_keep_latest", "j5_parent_child_join", "j7_star_join_rollup",
-    "j8_asof_join", "a9_hypertable_rollup", "a3_conditional_agg",
-    "n2_explode_tokens", "s1_scan_projection", "n5_sticky_carry",
-    "a5_collect_sorted_list", "dd1_exact_dedup", "dd2_minhash_lsh_candidates",
-    "dd3_simhash", "dd4b_ngram_jaccard_capped", "dd5b_bucketed_neardup",
-    "dd6_decontamination", "t2_quality_score", "t4_fingerprint",
-    "t9_tfidf_topterms", "w6_sessionize", "ss1_cosine_topk", "ss2_ivf_topk",
-    "c1_classify_runs",
-]
+# Round-over-round comparison target: the NEWEST BENCH_r*.json in
+# the repo that carries parsed per-query timings (a crashed round —
+# e.g. r04, rc=1 — has none and is skipped). Auto-detecting rolls the
+# target forward every round without a stale hard-coded constant;
+# "common_subset" below sums only queries present in BOTH rounds so
+# suite growth never makes totals apples-to-oranges.
+def _latest_prev_bench() -> tuple[str | None, dict[str, float]]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        q = (d.get("parsed") or {}).get("queries") or d.get("queries")
+        if isinstance(q, dict) and q:
+            name = os.path.splitext(os.path.basename(path))[0]
+            return name, {k: v for k, v in q.items() if isinstance(v, (int, float))}
+    return None, {}
 
 
 def main() -> None:
@@ -91,20 +97,34 @@ def main() -> None:
     # pays plan compilation + JIT. The per-query min is the
     # steady-state engine cost — the number that extrapolates to a
     # real cluster.
+    # Per-query failure isolation: one broken query must cost its own
+    # row (an "err" entry), never the whole artifact — round 4 lost
+    # its entire perf record to a single crashing query.
     n_rounds = int(os.environ.get("DOT_SPARK_BENCH_ROUNDS", "3"))
     names = [n for n in HEADLINE if n in QUERIES]
     best: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(n_rounds):
         for name in names:
-            df = QUERIES[name](spark, sf_dir)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
+            if name in errors:
+                continue
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+            except Exception as exc:  # isolate: record and move on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                best.pop(name, None)
+                continue
             best[name] = min(best.get(name, dt), dt)
-    timings = {name: round(best[name], 3) for name in names}
+    timings: dict[str, object] = {n: round(best[n], 3) for n in names if n in best}
+    for name, err in errors.items():
+        timings[name] = {"err": err}
 
-    total = round(sum(timings.values()), 3)
-    common = [n for n in names if n in PREV_ROUND_QUERIES]
+    total = round(sum(v for v in best.values()), 3)
+    prev_name, prev_queries = _latest_prev_bench()
+    common = [n for n in names if n in best and n in prev_queries]
     print(
         json.dumps(
             {
@@ -114,12 +134,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n": n_rounds,
+                "n_errors": len(errors),
                 "common_subset": {
-                    "vs": PREV_ROUND,
+                    "vs": prev_name,
                     "n_queries": len(common),
-                    "total": round(sum(timings[n] for n in common), 3),
-                    "added_since": sorted(set(names) - set(PREV_ROUND_QUERIES)),
-                    "removed_since": sorted(set(PREV_ROUND_QUERIES) - set(names)),
+                    "total": round(sum(best[n] for n in common), 3),
+                    "prev_total": round(sum(prev_queries[n] for n in common), 3),
+                    "added_since": sorted(set(names) - set(prev_queries)),
+                    "removed_since": sorted(set(prev_queries) - set(names)),
                 },
             }
         )

@@ -3176,46 +3176,49 @@ def a11_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
-# 50 queries() entries. Round 1 proved the original relational core;
-# round 2 proved the LLM-pipeline / streaming / pipeline / multimodal
-# rotation (CORRECTNESS_r02). Round 3's window takes in (a) the 15
-# queries added after the r2 window was pinned that therefore have NO
-# official driver row yet, (b) the queries FIXED or CHANGED this
-# round (c1/mm2 array-output fix, mm1 real video decode, pl3's
-# composed oracle), (c) the new st4/st7 queries — while keeping one
-# representative per proven §2 family so no family leaves the gate.
-# After this rotation every registered query has a green row in
-# CORRECTNESS_r01 ∪ r02 ∪ r03.
+# 50 queries() entries. Rounds 1-3 proved (in turn) the relational
+# core, the LLM-pipeline/streaming rotation, and the round-3
+# additions; round 5 re-proved the r3 window on the regenerated
+# testdata. Round 6's window is a STALENESS rotation: after round 4
+# showed the testdata can be silently regenerated, any query whose
+# newest official row predates the regeneration is unproven. The
+# window takes (a) the two queries FIXED this round (the streaming
+# ingress ts dispatch — the fixes under proof), (b) all 34 queries
+# whose newest row is CORRECTNESS_r01, (c) 14 of the 17 whose newest
+# row is r02 — deferring exactly the three rows-only-by-design
+# queries (f8_hmac_sha256, ss3_ivf_trained_topk, ss4_lsh_topk, which
+# get only a weak rows-check anyway) to the round-7 window. After
+# r06+r07 no query's newest official row predates r05.
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
-    # (a) never officially tested: round-2 additions past the window
-    "a11_group_percentiles", "c3_quality_filter", "dd5b_bucketed_neardup",
-    "dd6_decontamination", "dd7_embedding_decontamination",
-    "p10_deterministic_sample", "p11_stratified_sample",
-    "pl4_corpus_ingest_dedup", "s11_attributed_publish",
-    "st3_stream_corpus_dedup", "t7_repetition_ratio", "t8_pii_scrub",
-    "t9_tfidf_topterms", "t10_doc_chunking", "w6_sessionize",
-    # (b) fixed/changed this round
-    "c1_classify_runs", "mm2_media_features", "mm1_decode_media",
-    "pl3_event_retry_pipeline",
-    # (c) new this round
-    "st4_attribute_fanout", "st7_drain_machine",
-    # representatives per proven §2 family
-    "s1_scan_projection", "s2_paged_rest_scan", "s4_csv_parse",
-    "p1_schema_align", "p7_sentinel_null",
-    "j1_anti_join", "j5_parent_child_join", "j7_star_join_rollup",
-    "j8_asof_join", "j9_range_join",
-    "a1_group_having", "a9_hypertable_rollup",
-    "w1_dedup_keep_latest", "w4_superseded_dedup",
-    "n2_explode_tokens", "n5_sticky_carry",
-    "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
-    "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
-    "ss1_cosine_topk", "ss2_ivf_topk",
-    "t1_token_stats", "t2_quality_score",
-    "c2_webhook_route",
+    # (a) fixed this round: streaming ingress TIMESTAMP_NTZ dispatch
     "st1_windowed_agg", "st2_superseded_stream",
-    "pl1_okta_refresh",
+    # (b) newest official row is r01 (two testdata regenerations ago)
+    "a2_watermark_max", "a3_conditional_agg", "a4_count_predicate",
+    "a5_collect_sorted_list", "a6_rollup_subtotals",
+    "a7_distribution_stats", "a8_count_distinct", "a10_string_agg_ordered",
+    "f1_regex_match", "f2_ts_format", "f3_epoch_seconds",
+    "f4_decimal_negate", "f5_string_ops",
+    "j2_union_distinct", "j3_union_all", "j4_broadcast_lookup",
+    "j6_salted_skew_join", "j10_intersect_except", "j11_null_safe_join",
+    "j12_exists_semi_join",
+    "n1_struct_extract", "n3_kv_pivot", "n4_element_first_last",
+    "n6_json_stringify",
+    "p2_positional_projection", "p4_filter_gate", "p5_status_route",
+    "p6_isin_filter", "p8_coalesce_defaults", "p9_string_norm",
+    "s6_sql_source",
+    "w2_distinct_rows", "w3_sort_limit_top1", "w5_rank_lattice",
+    # (c) newest official row is r02 (oracle-twinned ones first;
+    # f8/ss3/ss4 are rows-only by design and rotate in next round)
+    "dd4_ngram_jaccard",
+    "f6_hour_gate", "f7_flag_coerce", "f9_json_access",
+    "f10_try_cast_coerce",
+    "mm3_frame_sampling",
+    "pl2_woo_incremental", "pl2b_woo_incremental_by_store",
+    "s9_csv_checkpoint", "s10_object_store_export",
+    "t3_language_id", "t4_fingerprint", "t5_length_histogram",
+    "t6_sequence_packing",
 ]
 
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)

@@ -55,6 +55,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
                 spark.conf.set(key, value)
         except Exception:
             pass  # static conf on this build: keep the session's value
+    # The NTZ->timestamp normalization below is value-identical to the
+    # UTC oracle ONLY under a UTC session tz. If the best-effort set
+    # above silently failed (a session where timeZone is static), every
+    # event timestamp would shift by the zone offset — fail loudly
+    # instead of producing subtly wrong data.
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone={tz!r} (need UTC): cannot "
+            "normalize naive-micros event timestamps on this session"
+        )
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

@@ -8,7 +8,7 @@ filtered writeStream queries, and the stateful orchestration
 machines live in applyInPandasWithState.
 """
 
-from dot_spark.streaming.ingress import EVENTS_READ_DDL, stream_events
+from dot_spark.streaming.ingress import EVENTS_READ_DDL_TEMPLATE, stream_events
 from dot_spark.streaming.fanout import fan_out, route_events
 from dot_spark.streaming.state import (
     delayed_retries,
@@ -21,7 +21,7 @@ from dot_spark.streaming.state import (
 )
 
 __all__ = [
-    "EVENTS_READ_DDL",
+    "EVENTS_READ_DDL_TEMPLATE",
     "stream_events",
     "fan_out",
     "route_events",

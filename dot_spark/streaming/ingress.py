@@ -17,28 +17,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.parquet stores TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong=true (session.py) it reads as
-# a bigint nanosecond epoch, declared here and converted below.
-EVENTS_READ_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+from dot_spark.sources.registry import ensure_session_confs
+
+# The harness has shipped events.ts in two physical formats (same
+# contract as the batch registry, sources/registry.py:load_table):
+#   - TIMESTAMP(NANOS): readable only as a bigint nanosecond epoch
+#     via spark.sql.legacy.parquet.nanosAsLong
+#   - naive-micros TIMESTAMP(isAdjustedToUTC=false): reads as
+#     TIMESTAMP_NTZ
+# A stream must declare its schema up front, so we sniff the physical
+# dtype with a one-file batch read (metadata only — no data scan) and
+# declare the matching read schema, normalizing to session-UTC
+# TimestampType either way so every downstream operator sees one
+# contract.
+EVENTS_READ_DDL_TEMPLATE = (
+    "event_id BIGINT, ts {ts_type}, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a streaming DataFrame with a proper
-    microsecond TimestampType ts (same conversion as the batch
-    registry, sources/registry.py)."""
+    microsecond TimestampType ts — value-identical to the batch
+    registry's load_table(spark, "events") over the same files."""
+    ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_ts_type = dict(spark.read.parquet(path).dtypes).get("ts")
+    if raw_ts_type == "bigint":  # legacy nanos-as-long files
+        declared, fix = "BIGINT", F.timestamp_micros(F.expr("ts div 1000"))
+    elif raw_ts_type == "timestamp_ntz":  # naive-micros files
+        # session tz is UTC, so this cast reinterprets the naive
+        # wall-clock as UTC — value-identical to the DuckDB oracle
+        declared, fix = "TIMESTAMP_NTZ", F.col("ts").cast("timestamp")
+    else:  # already a UTC-adjusted timestamp
+        declared, fix = "TIMESTAMP", F.col("ts")
     # the file source requires a directory: scan sf_dir with a glob
     # pinned to the events file
     raw = (
-        spark.readStream.schema(EVENTS_READ_DDL)
+        spark.readStream.schema(EVENTS_READ_DDL_TEMPLATE.format(ts_type=declared))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", fix)
 
 
 DOCUMENTS_READ_DDL = (

@@ -12,6 +12,23 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_events_ts_contract_canary(spark, sf_dir):
+    """Testdata-contract canary (the r4 lesson: the harness regenerated
+    events.parquet with a new physical ts format and every downstream
+    timestamp silently landed in 1970). Post-registry, events.ts must
+    be a session-UTC TIMESTAMP with values inside the fixture's era,
+    for BOTH the batch and the streaming source boundary."""
+    from dot_spark.sources.registry import load_table
+    from dot_spark.streaming import stream_events
+
+    ev = load_table(spark, "events", sf_dir)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    lo, hi = ev.selectExpr("MIN(ts)", "MAX(ts)").first()
+    assert 2000 <= lo.year <= 2100, f"batch min(ts)={lo}: 1970-collapse or garbage"
+    assert 2000 <= hi.year <= 2100, f"batch max(ts)={hi}"
+    assert dict(stream_events(spark, sf_dir).dtypes)["ts"] == "timestamp"
+
+
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -49,6 +66,31 @@ def test_queries_survive_bare_driver_session(tmp_path):
     assert "BARE_SESSION_OK" in out.stdout, out.stderr[-2000:]
 
 
+def test_bench_isolates_per_query_failures(spark, sf_dir, monkeypatch, capsys):
+    """One broken query must cost its own {"err": ...} row, never the
+    whole bench artifact (round 4 lost its entire perf record to a
+    single crashing query)."""
+    import json
+
+    import bench
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("synthetic bench failure")
+
+    monkeypatch.setattr(bench, "HEADLINE", ["s1_scan_projection", "zz_broken"])
+    monkeypatch.setattr(
+        bench, "QUERIES", {**bench.QUERIES, "zz_broken": boom}
+    )
+    monkeypatch.setenv("DOT_SPARK_BENCH_ROUNDS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_errors"] == 1
+    assert "synthetic bench failure" in out["queries"]["zz_broken"]["err"]
+    assert isinstance(out["queries"]["s1_scan_projection"], float)
+    assert out["value"] > 0
+
+
 def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
     """The driver's canonicalizer lexsorts every output column in
     pandas; ndarray/list/dict cells raise `unhashable type` and fail
@@ -71,39 +113,39 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-3 window: every query with no official driver row yet
-    (added after the r2 window was pinned), every query fixed or
-    changed this round, the new st4/st7 queries, plus one
-    representative per proven §2 family — an accidental registration
-    reorder silently drops operators out of the official artifact."""
+    the round-6 staleness rotation: the two streaming fixes under
+    proof (st1/st2) plus every query whose newest official row
+    predates the r4 testdata regeneration (all 34 r1-stale, the 14
+    oracle-twinned r2-stale) — an accidental registration reorder
+    silently drops operators out of the official artifact."""
     window = list(QUERIES)[:50]
     must_have = {
-        # never officially driver-tested before round 3
-        "a11_group_percentiles", "c3_quality_filter", "dd5b_bucketed_neardup",
-        "dd6_decontamination", "dd7_embedding_decontamination",
-        "p10_deterministic_sample", "p11_stratified_sample",
-        "pl4_corpus_ingest_dedup", "s11_attributed_publish",
-        "st3_stream_corpus_dedup", "t7_repetition_ratio", "t8_pii_scrub",
-        "t9_tfidf_topterms", "t10_doc_chunking", "w6_sessionize",
-        # fixed/changed in round 3
-        "c1_classify_runs", "mm2_media_features", "mm1_decode_media",
-        "pl3_event_retry_pipeline",
-        # new in round 3
-        "st4_attribute_fanout", "st7_drain_machine",
-        # one per proven §2 family
-        "s1_scan_projection", "s2_paged_rest_scan", "s4_csv_parse",
-        "p1_schema_align", "p7_sentinel_null",
-        "j1_anti_join", "j5_parent_child_join", "j7_star_join_rollup",
-        "j8_asof_join", "j9_range_join",
-        "a1_group_having", "a9_hypertable_rollup",
-        "w1_dedup_keep_latest", "w4_superseded_dedup",
-        "n2_explode_tokens", "n5_sticky_carry",
-        "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
-        "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
-        "ss1_cosine_topk", "ss2_ivf_topk",
-        "t1_token_stats", "t2_quality_score",
-        "c2_webhook_route",
+        # fixed this round (streaming ingress ts dispatch)
         "st1_windowed_agg", "st2_superseded_stream",
-        "pl1_okta_refresh",
+        # newest official row r01
+        "a2_watermark_max", "a3_conditional_agg", "a4_count_predicate",
+        "a5_collect_sorted_list", "a6_rollup_subtotals",
+        "a7_distribution_stats", "a8_count_distinct", "a10_string_agg_ordered",
+        "f1_regex_match", "f2_ts_format", "f3_epoch_seconds",
+        "f4_decimal_negate", "f5_string_ops",
+        "j2_union_distinct", "j3_union_all", "j4_broadcast_lookup",
+        "j6_salted_skew_join", "j10_intersect_except", "j11_null_safe_join",
+        "j12_exists_semi_join",
+        "n1_struct_extract", "n3_kv_pivot", "n4_element_first_last",
+        "n6_json_stringify",
+        "p2_positional_projection", "p4_filter_gate", "p5_status_route",
+        "p6_isin_filter", "p8_coalesce_defaults", "p9_string_norm",
+        "s6_sql_source",
+        "w2_distinct_rows", "w3_sort_limit_top1", "w5_rank_lattice",
+        # newest official row r02, oracle-twinned
+        "dd4_ngram_jaccard",
+        "f6_hour_gate", "f7_flag_coerce", "f9_json_access",
+        "f10_try_cast_coerce",
+        "mm3_frame_sampling",
+        "pl2_woo_incremental", "pl2b_woo_incremental_by_store",
+        "s9_csv_checkpoint", "s10_object_store_export",
+        "t3_language_id", "t4_fingerprint", "t5_length_histogram",
+        "t6_sequence_packing",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
+    assert len(must_have) == 50

@@ -52,13 +52,65 @@ def events_stream(spark, sf_dir):
 
 
 def test_stream_matches_batch_scan(spark, sf_dir, events_stream, tmp_path):
+    """Counts AND timestamp values: the r4/r5 ingress bug (micros
+    read as BIGINT, ÷1000 → everything lands in 1970) was invisible
+    to a count-only comparison. min/max/sum-of-epoch pins the streamed
+    ts to be value-identical to the batch registry read."""
     q = start_memory(events_stream, "all_events", str(tmp_path / "cp"))
     drive(q)
     from dot_spark.sources.registry import load_table
 
-    got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM all_events").collect()[0]
-    want = load_table(spark, "events", sf_dir).count()
-    assert got.c == want and got.d == want
+    probe = "COUNT(*) c, COUNT(DISTINCT event_id) d, MIN(ts) lo, MAX(ts) hi, SUM(unix_micros(ts)) s"
+    got = spark.sql(f"SELECT {probe} FROM all_events").collect()[0]
+    want = load_table(spark, "events", sf_dir).selectExpr(probe.split(", ")).collect()[0]
+    assert tuple(got) == tuple(want)
+    # sanity: the fixture's events are modern, not 1970 collapse
+    assert got.lo.year >= 2000, got.lo
+
+
+def test_stream_events_handles_both_physical_ts_formats(spark, tmp_path):
+    """stream_events must yield identical ts values whether the file
+    stores naive-micros TIMESTAMP (the current testdata contract,
+    reads as TIMESTAMP_NTZ) or legacy TIMESTAMP(NANOS) (reads as
+    bigint under nanosAsLong) — same per-file dispatch as the batch
+    registry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        ["2026-02-01 00:00:01", "2026-02-01 12:34:56.789012"], format="ISO8601"
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": ts,
+            "user_id": [10, 20],
+            "event_type": ["click", "view"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    got = {}
+    for fmt in ("us", "ns"):
+        d = tmp_path / fmt
+        d.mkdir()
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        if fmt == "us":
+            table = table.set_column(
+                1, "ts", table.column("ts").cast(pa.timestamp("us"))
+            )
+        # version=2.6 keeps ns as TIMESTAMP(NANOS) instead of
+        # silently coercing to micros
+        pq.write_table(table, d / "events.parquet", version="2.6")
+        stream = stream_events(spark, str(d))
+        assert dict(stream.dtypes)["ts"] == "timestamp"
+        q = start_memory(stream, f"fmt_{fmt}", str(tmp_path / f"cp_{fmt}"))
+        drive(q)
+        got[fmt] = sorted(
+            (r.event_id, r.ts) for r in spark.table(f"fmt_{fmt}").collect()
+        )
+    expect = sorted(zip(pdf.event_id, ts.to_pydatetime()))
+    assert got["us"] == got["ns"] == expect
 
 
 def test_fanout_routes_partition_the_stream(spark, sf_dir, events_stream, tmp_path):

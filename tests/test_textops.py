@@ -435,6 +435,23 @@ def test_sessionize_gap_boundaries(spark):
     assert got == {10: 1, 11: 1, 12: 2, 13: 2, 20: 1}
 
 
+def test_sessionize_accepts_timestamp_ntz(spark):
+    """The gap arithmetic must be legal for TIMESTAMP_NTZ inputs
+    (cast("long") is not): any reader bypassing load_table's
+    normalization hands sessionize a raw NTZ column."""
+    import datetime as dt
+
+    from dot_spark.operators.sampling import sessionize
+
+    t0 = dt.datetime(2026, 5, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [(1, 10, t0), (1, 11, t0 + 10 * m), (1, 12, t0 + 41 * m)]
+    df = spark.createDataFrame(rows, "user_id BIGINT, event_id BIGINT, ts TIMESTAMP_NTZ")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = {r.event_id: r.session_idx for r in sessionize(df).collect()}
+    assert got == {10: 1, 11: 1, 12: 2}
+
+
 def test_sessionize_single_shuffle(spark):
     """Both window passes must reuse ONE per-user exchange."""
     import datetime as dt
