@@ -9,15 +9,17 @@ so filters/joins prune before any decode).
 DECODE IS REAL for all three kinds: `decode_media` sniffs the
 payload's magic bytes and parses PNG (stdlib zlib+struct: IHDR
 dims + actual IDAT decompression), WAV (stdlib `wave`: sample
-rate / frame count from the RIFF header), and uncompressed AVI
+rate / frame count from the RIFF header), uncompressed AVI
 (RIFF chunk-tree walk: avih dims/frame-count + movi DIB frame-byte
-verification) — no third-party codec needed. COMPRESSED video
-codecs (H.264 etc.) have no stdlib decoder; unknown payloads fall
+verification), and Motion-JPEG AVI (per-frame JPEG marker walk:
+SOI/EOI framing, SOF dims/components checked against the avih
+header) — no third-party codec needed. Inter-frame video codecs
+(H.264 etc.) have no stdlib decoder; unknown payloads fall
 back to a clearly-marked deterministic STUB pseudo-decode, and
 swapping in a real pyav/ffmpeg decoder changes only that one
 per-batch branch. `synthesize_real_media` builds genuine
-PNG/WAV/AVI bytes so the decode path is exercised against real
-containers end-to-end.
+PNG/WAV/AVI/MJPEG bytes so the decode path is exercised against
+real containers end-to-end.
 
 Scale notes:
 - All media UDFs are mapInPandas (Arrow-batched, one Python worker
@@ -144,15 +146,21 @@ def _decode_png(data: bytes) -> dict:
     }
 
 
-def _avi_bytes(width: int, height: int, n_frames: int, seed: int) -> bytes:
-    """Encode a real uncompressed AVI container (RIFF 'AVI ' with an
-    hdrl avih header, a 'vids'/DIB stream, and raw 24-bit BGR frames
-    in the movi list). Stdlib-only; the decoder below re-derives
-    dims and frame count from the actual container structure and
-    decompresses nothing because DIB frames ARE the pixels."""
+def _avi_bytes(
+    width: int, height: int, n_frames: int, seed: int, codec: str = "dib"
+) -> bytes:
+    """Encode a real AVI container (RIFF 'AVI ' with an hdrl avih
+    header, a 'vids' stream, and frames in the movi list).
+    Stdlib-only, two codecs:
+    - "dib": raw 24-bit BGR frames ('00db'); frames ARE the pixels.
+    - "mjpg": Motion-JPEG — each '00dc' frame is a genuine baseline
+      JPEG from _jpeg_bytes (flat gray field keyed off seed+frame).
+    The decoder below re-derives dims and frame count from the actual
+    container/codestream structure in both cases."""
     import struct
 
-    frame_size = width * height * 3
+    mjpg = codec == "mjpg"
+    frame_size = width * height * (1 if mjpg else 3)
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -177,22 +185,30 @@ def _avi_bytes(width: int, height: int, n_frames: int, seed: int) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", b"MJPG" if mjpg else b"DIB ", 0, 0, 0, 0,
         1, 10,  # dwScale / dwRate = 10 fps
         0, n_frames, frame_size, 0xFFFFFFFF & -1, 0,
         0, 0, width, height,
     )
     strf = struct.pack(
         "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0,
+        40, width, height, 1, 8 if mjpg else 24,
+        struct.unpack("<I", b"MJPG")[0] if mjpg else 0,  # biCompression
+        frame_size, 0, 0, 0, 0,
     )
-    frames = b"".join(
-        chunk(
-            b"00db",
-            bytes((x + f * 11 + seed) % 256 for x in range(frame_size)),
+    if mjpg:
+        frames = b"".join(
+            chunk(b"00dc", _jpeg_bytes(width, height, (seed + f * 11) % 256))
+            for f in range(n_frames)
         )
-        for f in range(n_frames)
-    )
+    else:
+        frames = b"".join(
+            chunk(
+                b"00db",
+                bytes((x + f * 11 + seed) % 256 for x in range(frame_size)),
+            )
+            for f in range(n_frames)
+        )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", frames)
     riff_body = b"AVI " + hdrl + movi
@@ -201,19 +217,29 @@ def _avi_bytes(width: int, height: int, n_frames: int, seed: int) -> bytes:
 
 def _decode_avi(data: bytes) -> dict:
     """REAL AVI parse: walk the RIFF chunk tree, read dims + frame
-    count from avih, then iterate the movi list's frame chunks and
-    check every DIB frame carries exactly width*height*3 pixel bytes
-    — a truncated payload fails here rather than passing on header
-    trust. n_bytes = total decoded pixel bytes."""
+    count from avih, then iterate the movi list's frame chunks.
+    Two codecs, dispatched per-frame on the frame's own magic bytes:
+    - DIB frames: check every frame carries exactly width*height*3
+      pixel bytes — a truncated payload fails here rather than
+      passing on header trust. n_bytes = total pixel bytes present.
+    - MJPEG frames (SOI magic): parse each frame's JPEG codestream
+      (_parse_jpeg: SOI/EOI framing + SOF dims/components) and check
+      the per-frame SOF dims against the avih header. n_bytes = the
+      decoded pixel size the codestream declares (w*h*components per
+      frame) — entropy reconstruction itself is a real codec's job.
+    The returned "codec" records which path ran ("dib" | "mjpeg")."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     width = height = declared_frames = None
-    pixel_bytes, seen_frames = 0, 0
+    dib_bytes, jpeg_pixel_bytes = 0, 0
+    dib_frames, jpeg_frames = 0, 0
+    jpeg_dims: set[tuple[int, int]] = set()
 
     def walk(buf: bytes) -> None:
-        nonlocal width, height, declared_frames, pixel_bytes, seen_frames
+        nonlocal width, height, declared_frames
+        nonlocal dib_bytes, jpeg_pixel_bytes, dib_frames, jpeg_frames
         pos = 0
         while pos + 8 <= len(buf):
             fourcc = buf[pos : pos + 4]
@@ -225,23 +251,117 @@ def _decode_avi(data: bytes) -> dict:
                 fields = struct.unpack("<14I", body[:56])
                 declared_frames, width, height = fields[4], fields[8], fields[9]
             elif fourcc in (b"00db", b"00dc"):
-                # count bytes actually present, not the declared
-                # length — a truncated payload must fail the check
-                pixel_bytes += len(body)
-                seen_frames += 1
+                if body[:2] == b"\xff\xd8":  # JPEG SOI: an MJPEG frame
+                    dims = _parse_jpeg(body)
+                    jpeg_dims.add((dims["width"], dims["height"]))
+                    jpeg_pixel_bytes += (
+                        dims["width"] * dims["height"] * dims["n_components"]
+                    )
+                    jpeg_frames += 1
+                else:
+                    # count bytes actually present, not the declared
+                    # length — a truncated payload must fail the check
+                    dib_bytes += len(body)
+                    dib_frames += 1
             pos += 8 + length + (length % 2)
 
     walk(data[12:])
+    seen_frames = dib_frames + jpeg_frames
     if width is None or seen_frames != declared_frames:
         raise ValueError("AVI frame count does not match avih header")
-    if pixel_bytes != declared_frames * width * height * 3:
-        raise ValueError("AVI pixel data does not match declared dims")
+    if dib_frames and jpeg_frames:
+        raise ValueError("AVI mixes DIB and MJPEG frames")
+    if jpeg_frames:
+        if jpeg_dims != {(width, height)}:
+            raise ValueError("MJPEG frame SOF dims do not match avih header")
+        n_bytes, codec = jpeg_pixel_bytes, "mjpeg"
+    else:
+        if dib_bytes != declared_frames * width * height * 3:
+            raise ValueError("AVI pixel data does not match declared dims")
+        n_bytes, codec = dib_bytes, "dib"
     return {
         "width": int(width),
         "height": int(height),
         "sample_rate": None,
-        "n_bytes": pixel_bytes,
+        "n_bytes": n_bytes,
+        "codec": codec,
     }
+
+
+def _jpeg_bytes(width: int, height: int, gray: int) -> bytes:
+    """Encode a REAL baseline JPEG (stdlib-only) of a flat gray field
+    with pixel value `gray`. Spec-valid JFIF: quant table, SOF0 dims,
+    custom canonical Huffman tables (DC: 12 categories at 4 bits; AC:
+    EOB only, 1 bit), and a correct entropy stream — a flat field is
+    DC-only per MCU, which is the restricted input class a stdlib
+    encoder can emit exactly (the DIB path's analog: those frames ARE
+    the pixels; these MCUs ARE the DC coefficients)."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # quant: Q[0]=8 so quantized DC == gray-128 exactly; rest flat 16
+    dqt = seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    # DC table 0: 12 symbols (categories 0-11), all 4-bit canonical ->
+    # category c encodes as the 4-bit value c. AC table 0: one 1-bit
+    # symbol, EOB -> "0".
+    dht_dc = seg(0xFFC4, b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+    dht_ac = seg(0xFFC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00")
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+
+    n_mcus = ((width + 7) // 8) * ((height + 7) // 8)
+    d = gray - 128  # quantized DC of the first MCU; diffs after are 0
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
+
+    cat = abs(d).bit_length()
+    put(cat, 4)  # DC category code (canonical: category == code)
+    if cat:  # magnitude bits, JPEG one's-complement convention
+        put(d if d >= 0 else d + (1 << cat) - 1, cat)
+    put(0, 1)  # EOB
+    for _ in range(n_mcus - 1):
+        put(0, 4)  # DC diff 0
+        put(0, 1)  # EOB
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    raw = bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
+        for p in range(0, len(bits), 8)
+    )
+    entropy = raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+    return b"\xff\xd8" + dqt + sof0 + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+
+
+def _parse_jpeg(data: bytes) -> dict:
+    """REAL JPEG marker walk: verify SOI/EOI framing, parse SOF dims
+    and component count from the actual codestream (not trusted
+    metadata). Entropy-coded pixel reconstruction is left to a real
+    codec (pyav) — what's verified here is everything structural."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos, dims = 2, None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            dims = {"width": w, "height": h, "n_components": data[pos + 9]}
+        if marker == 0xDA:  # SOS: entropy follows; EOI must terminate
+            if data[-2:] != b"\xff\xd9":
+                raise ValueError("JPEG missing EOI")
+            break
+        pos += 2 + length
+    if dims is None:
+        raise ValueError("JPEG missing SOF")
+    return dims
 
 
 def _wav_bytes(sample_rate: int, n_frames: int, seed: int) -> bytes:
@@ -328,10 +448,14 @@ def synthesize_real_media(
                     payload = _wav_bytes(rate, nf, mid % 256)
                     meta.update(format="wav", sample_rate=rate, duration_ms=nf * 1000 // rate)
                 else:
+                    # alternate codecs across video rows: odd ids get
+                    # Motion-JPEG (compressed), even ids raw DIB —
+                    # both decode for real downstream
                     w, h, nframes = mid % 16 + 16, mid % 12 + 12, mid % 4 + 2
-                    payload = _avi_bytes(w, h, nframes, mid % 256)
+                    codec = "mjpg" if mid % 2 else "dib"
+                    payload = _avi_bytes(w, h, nframes, mid % 256, codec=codec)
                     meta.update(
-                        format="avi", width=w, height=h, duration_ms=nframes * 100
+                        format=codec, width=w, height=h, duration_ms=nframes * 100
                     )
                 rows.append((mid, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
@@ -362,8 +486,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                     metas.append(_decode_wav(p))
                     decoders.append("wav")
                 elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
-                    metas.append(_decode_avi(p))
-                    decoders.append("avi")
+                    m = _decode_avi(p)
+                    decoders.append("mjpeg" if m.pop("codec") == "mjpeg" else "avi")
+                    metas.append(m)
                 else:
                     metas.append(_fake_decode(p))
                     decoders.append("stub")

@@ -2639,7 +2639,8 @@ def _byte_sql(h: str, pos: int) -> str:
       FROM documents)
     SELECT media_id, kind, TRUE AS ok,
            CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav'
-                ELSE 'avi' END AS decoder,
+                ELSE CASE WHEN media_id % 2 = 1 THEN 'mjpeg' ELSE 'avi' END
+           END AS decoder,
            CASE kind WHEN 'image' THEN CAST(media_id % 48 + 16 AS INT)
                 WHEN 'video' THEN CAST(media_id % 16 + 16 AS INT) END AS width,
            CASE kind WHEN 'image' THEN CAST(media_id % 32 + 16 AS INT)
@@ -2649,19 +2650,24 @@ def _byte_sql(h: str, pos: int) -> str:
            CASE kind WHEN 'image'
                   THEN CAST((media_id % 48 + 16) * (media_id % 32 + 16) AS INT)
                 WHEN 'audio' THEN CAST((media_id % 500 + 100) * 2 AS INT)
-                ELSE CAST((media_id % 16 + 16) * (media_id % 12 + 12) * 3
+                -- video: decoded pixel bytes — MJPEG frames are
+                -- single-component grayscale, DIB frames 24-bit BGR
+                ELSE CAST((media_id % 16 + 16) * (media_id % 12 + 12)
+                          * (CASE WHEN media_id % 2 = 1 THEN 1 ELSE 3 END)
                           * (media_id % 4 + 2) AS INT) END AS n_bytes
     FROM m
     """,
 )
 def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, REAL for all three kinds: genuine PNG / WAV
-    / uncompressed-AVI container bytes -> mapInPandas magic-byte
-    dispatch -> stdlib parse (PNG: IHDR dims + IDAT decompression;
-    WAV: RIFF sample rate/frames; AVI: RIFF chunk tree, avih dims +
-    movi DIB frame-byte verification). The oracle recomputes what a
-    correct decoder must recover: the synthesis parameters (dims,
-    rate, decoded byte counts) per media_id."""
+    / AVI container bytes -> mapInPandas magic-byte dispatch ->
+    stdlib parse (PNG: IHDR dims + IDAT decompression; WAV: RIFF
+    sample rate/frames; AVI: RIFF chunk tree, avih dims + per-frame
+    DIB byte-count or Motion-JPEG codestream verification — video
+    rows alternate raw DIB and compressed MJPEG payloads). The
+    oracle recomputes what a correct decoder must recover: the
+    synthesis parameters (dims, rate, decoded byte counts, codec)
+    per media_id."""
     from dot_spark.operators.multimodal import decode_media, synthesize_real_media
 
     docs = load_table(spark, "documents", sf_dir)

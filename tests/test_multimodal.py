@@ -68,11 +68,18 @@ def test_real_png_wav_decode_end_to_end(spark, sf_dir):
             assert r.sample_rate == 8000 + (mid % 8) * 1000
             assert r.n_bytes == (mid % 500 + 100) * 2  # frames * 16-bit mono
             assert r.width is None and r.height is None
-        else:
+        elif mid % 2 == 0:
             assert r.decoder == "avi"
             assert (r.width, r.height) == (mid % 16 + 16, mid % 12 + 12)
             # total decoded DIB pixel bytes: w*h*3 per frame
             assert r.n_bytes == r.width * r.height * 3 * (mid % 4 + 2)
+            assert r.sample_rate is None
+        else:
+            # odd video ids carry Motion-JPEG: dims from per-frame SOF
+            # parse, n_bytes = grayscale pixels the codestream declares
+            assert r.decoder == "mjpeg"
+            assert (r.width, r.height) == (mid % 16 + 16, mid % 12 + 12)
+            assert r.n_bytes == r.width * r.height * (mid % 4 + 2)
             assert r.sample_rate is None
 
 
@@ -123,6 +130,44 @@ def test_avi_decoder_round_trip_and_rejects_corrupt_payload():
         _decode_avi(good[:-10])
     with pytest.raises(ValueError):
         _decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_mjpeg_avi_round_trip_and_rejects_corrupt_payload():
+    """The MJPEG path parses each frame's actual JPEG codestream:
+    SOI/EOI framing, SOF dims checked against the avih header. A
+    frame whose SOF disagrees with the container, or whose EOI is
+    chopped, must raise — never pass on header trust."""
+    from dot_spark.operators.multimodal import _avi_bytes, _decode_avi
+
+    good = _avi_bytes(20, 14, 3, seed=7, codec="mjpg")
+    meta = _decode_avi(good)
+    assert (meta["width"], meta["height"], meta["codec"]) == (20, 14, "mjpeg")
+    assert meta["n_bytes"] == 20 * 14 * 3  # grayscale pixels, 3 frames
+    # a truncated final frame loses its EOI -> the JPEG parse raises
+    with pytest.raises(ValueError):
+        _decode_avi(good[:-4])
+    # container says 20x14 but frame SOFs say 24x14 -> cross-check
+    # raises (patch the SOF dims in place so chunk framing is intact)
+    import struct
+
+    sof_dims = struct.pack(">BHH", 8, 14, 20)  # precision, height, width
+    assert good.count(sof_dims) == 3  # one per frame
+    wrong = good.replace(sof_dims, struct.pack(">BHH", 8, 14, 24))
+    with pytest.raises(ValueError):
+        _decode_avi(wrong)
+
+
+def test_jpeg_encoder_emits_valid_codestream():
+    """The flat-field JPEG encoder is spec-valid: marker walk finds
+    SOI, SOF dims/components, and a terminating EOI, for dims that
+    are and are not MCU-aligned."""
+    from dot_spark.operators.multimodal import _jpeg_bytes, _parse_jpeg
+
+    for w, h, v in [(16, 16, 0), (17, 9, 255), (31, 23, 128), (8, 8, 77)]:
+        j = _jpeg_bytes(w, h, v)
+        assert j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9"
+        dims = _parse_jpeg(j)
+        assert (dims["width"], dims["height"], dims["n_components"]) == (w, h, 1)
 
 
 def test_features_shape_and_normalization(media):
