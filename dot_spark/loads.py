@@ -184,6 +184,32 @@ class Warehouse:
         self.write(out, staging, "truncate")
         self.promote(staging, table)
 
+    def compact(self, table: str, target_file_mb: int = 128) -> int:
+        """Small-files compaction — the maintenance pass every
+        streaming/incremental ingest needs: micro-batch appends leave
+        thousands of KB-sized parquet parts, and at 100 TB the
+        per-file open/footer overhead (plus the driver's file-listing
+        memory) dominates scan cost long before the data does.
+
+        Rewrites the table to ceil(bytes / target_file_mb) files via
+        repartition (a full shuffle — correct for a maintenance pass:
+        it also re-packs row groups), staged + atomically promoted so
+        readers never see a half-compacted table. Returns the new
+        file count. On a real lakehouse the byte-size listing comes
+        from the table format's manifest (Delta/Iceberg) or the
+        object-store listing; the local warehouse walks the
+        directory."""
+        root = self.path(table)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(root)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        self.rewrite(table, lambda df: df.repartition(n_files))
+        return n_files
+
     # --- S9 CSV checkpoint sink -------------------------------------------
 
     def write_csv(
@@ -214,6 +240,36 @@ class Warehouse:
             .option("header", str(header).lower())
             .csv(self.path(table))
         )
+
+    def write_jsonl(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        compression: str | None = "gzip",
+    ) -> None:
+        """JSON-Lines corpus sink — the interchange format LLM
+        training corpora actually ship in (one JSON object per line,
+        gzip part files). Distributed write: each partition lands its
+        own .jsonl[.gz] part, so a 100 TB export is embarrassingly
+        parallel and downstream loaders stream-decompress per file.
+        gzip (not snappy) because jsonl consumers outside the lake
+        expect it; pass compression=None for plain text."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"write_jsonl mode must be overwrite/append, got {mode!r}")
+        w = df.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.json(self.path(table))
+
+    def read_jsonl(self, table: str, schema: str) -> DataFrame:
+        """Read back a JSONL corpus with an explicit schema. Schema is
+        REQUIRED by design: inference samples the data (an extra scan
+        at 100 TB) and silently widens/narrows types between drops —
+        corpus files are contract files, same policy as read_csv.
+        Compression is sniffed per file from the extension, so mixed
+        .jsonl / .jsonl.gz directories read fine."""
+        return self.spark.read.schema(schema).json(self.path(table))
 
     # --- ST3 effectively-once micro-batch sink -----------------------------
 

@@ -1963,10 +1963,61 @@ def ss3_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no SQL oracle: seeded-Gaussian hyperplanes are not SQL-expressible —
 # rows-only here; the exactness invariant (full Hamming probe ==
 # brute force) is tested in tests/test_textops.py
-@query("ss4_lsh_topk")
+def _ss4_oracle_sql() -> str:
+    """ss4's full SQL oracle: the hyperplanes and multi-probe masks
+    are seeded constants, so they embed as literals — the oracle
+    recomputes the packed sign signature, the Hamming<=2 probe set,
+    the bucket equi-join, and the ranked cosine, end to end."""
+    from itertools import combinations
+
+    from dot_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, n_planes=6, seed=7)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}])" for i, p in enumerate(planes)
+    )
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for d in (1, 2)
+        for bits in combinations(range(6), d)
+    ]
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    return f"""
+    WITH planes AS (SELECT * FROM (VALUES {plane_rows}) AS t(p_id, p)),
+    masks AS (SELECT * FROM (VALUES {mask_rows}) AS t(mask)),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_sum(list_transform(
+                    generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) > 0
+                  THEN 1 << pl.p_id ELSE 0 END) AS BIGINT) AS b
+      FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+    probes AS (
+      SELECT e.vec_id AS query_id, e.embedding AS query_vec,
+             xor(s.b, m.mask) AS pb
+      FROM embeddings e JOIN sig s USING (vec_id) CROSS JOIN masks m
+      WHERE e.vec_id < 5),
+    cand AS (
+      SELECT p.query_id, p.query_vec, s.vec_id
+      FROM probes p JOIN sig s ON s.b = p.pb),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM cand q JOIN embeddings e ON e.vec_id = q.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    SELECT query_id, vec_id, cos_sim, rn AS "rank" FROM r WHERE rn <= 10
+    """
+
+
+@query("ss4_lsh_topk", _ss4_oracle_sql())
 def ss4_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-10: packed hyperplane sign bits as
-    the bucket key, Hamming-radius-2 multi-probe equi-join."""
+    the bucket key, Hamming-radius-2 multi-probe equi-join. Fully
+    oracle-checked: the seeded hyperplanes embed in the SQL as
+    literals (float64 sign computation both sides; a dot product
+    would have to land within accumulation-order epsilon of zero to
+    flip a bucket bit between engines)."""
     from dot_spark.operators.similarity import lsh_topk, random_hyperplanes
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -2548,6 +2599,39 @@ def s10_object_store_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("n_nationkey BIGINT, n_name STRING")
         .option("header", "true")
         .csv(store._fs_path("exports/nation.csv"))
+    )
+
+
+@query(
+    "s13_jsonl_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 4 IN (0, 1)
+    """,
+)
+def s13_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus sink/source round-trip — the format training
+    corpora ship in (one JSON object per line, gzip parts). Overwrite
+    one slice, append a second (the drop-by-drop corpus build), read
+    back with the contract schema. Exercises writer escaping + reader
+    parsing on real document text; the oracle is simply both slices.
+    Distributed both ways: per-partition part files, no driver
+    funnel."""
+    import tempfile
+
+    from dot_spark.loads import Warehouse
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="dot_spark_wh_"))
+    wh.write_jsonl(docs.filter(F.col("doc_id") % 4 == 0), "corpus", mode="overwrite")
+    wh.write_jsonl(
+        docs.filter(F.col("doc_id") % 4 == 1), "corpus", mode="append",
+        compression=None,  # mixed plain + gzip parts must both read
+    )
+    return wh.read_jsonl(
+        "corpus", "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     )
 
 
@@ -3191,10 +3275,13 @@ def a11_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window takes (a) the two queries FIXED this round (the streaming
 # ingress ts dispatch — the fixes under proof), (b) all 34 queries
 # whose newest row is CORRECTNESS_r01, (c) 14 of the 17 whose newest
-# row is r02 — deferring exactly the three rows-only-by-design
-# queries (f8_hmac_sha256, ss3_ivf_trained_topk, ss4_lsh_topk, which
-# get only a weak rows-check anyway) to the round-7 window. After
-# r06+r07 no query's newest official row predates r05.
+# row is r02 — deferring f8_hmac_sha256 and ss3_ivf_trained_topk
+# (rows-only by design: DuckDB 1.0 sha256 is VARCHAR-only so HMAC's
+# binary inner digest is inexpressible; k-means training is not SQL)
+# plus ss4_lsh_topk (upgraded THIS round from rows-only to a full
+# generated-literal oracle — rotates in next round with the new
+# s13_jsonl_roundtrip) to the round-7 window. After r06+r07 no
+# query's newest official row predates r05.
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [

@@ -327,6 +327,48 @@ def test_csv_checkpoint_sink_roundtrip(wh, spark):
         wh.write_csv(spark.createDataFrame([(9, "z")], ddl), "ckpt", mode="errorifexists")
 
 
+def test_jsonl_corpus_sink_roundtrip(wh, spark):
+    """JSONL export/import: overwrite + append (mixed gzip and plain
+    parts), contract-schema read-back, escaping survives hostile
+    text."""
+    ddl = "doc_id BIGINT, text STRING"
+    nasty = 'quote " backslash \\ newline\nunicode é tab\t end'
+    wh.write_jsonl(
+        spark.createDataFrame([(1, "plain"), (2, nasty)], ddl), "corpus"
+    )
+    wh.write_jsonl(
+        spark.createDataFrame([(3, "late drop")], ddl), "corpus",
+        mode="append", compression=None,
+    )
+    got = sorted((r.doc_id, r.text) for r in wh.read_jsonl("corpus", ddl).collect())
+    assert got == [(1, "plain"), (2, nasty), (3, "late drop")]
+    with pytest.raises(ValueError):
+        wh.write_jsonl(spark.createDataFrame([(9, "z")], ddl), "corpus", mode="errorifexists")
+
+
+def test_compact_shrinks_file_count_preserves_rows(wh, spark):
+    """A micro-batch-fragmented table (64 tiny parts) compacts to the
+    byte-budgeted file count with identical content, and readers
+    never see a partial table (staged + atomic promote)."""
+    import glob
+    import os
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    wh.write(df.repartition(64), "frag", "truncate")
+
+    def parts(table):
+        return [
+            p for p in glob.glob(os.path.join(wh.path(table), "*"))
+            if not os.path.basename(p).startswith(("_", "."))
+        ]
+
+    assert len(parts("frag")) == 64
+    n_files = wh.compact("frag", target_file_mb=128)
+    assert n_files == 1  # 10k longs is far under one 128 MB budget
+    assert len(parts("frag")) == 1
+    assert sorted(r.k for r in wh.read("frag").collect()) == list(range(10_000))
+
+
 def test_object_store_put_get_roundtrip(tmp_path):
     """S10: path-targeted blob write with atomic visibility
     (okta_sync_utils.py:398-434)."""
