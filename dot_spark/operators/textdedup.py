@@ -533,3 +533,66 @@ def contamination_flags(
             F.count_distinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster candidate pairs into connected components: the step a
+    real dedup pipeline runs AFTER pair mining (dd2/dd4/dd5 emit
+    pairs; dropping duplicates needs one canonical doc per CLUSTER,
+    and clusters are transitive closures, not pairs).
+
+    Min-label propagation to fixpoint: every node starts labeled with
+    itself; each iteration a node takes the min of its own and its
+    neighbors' labels. Converges to cluster_id = min node id in the
+    component, in O(cluster diameter) iterations — near-dup clusters
+    are shallow (dup families, not long chains), so this terminates
+    in a handful of passes. Each pass is ONE shuffle (groupBy node);
+    localCheckpoint truncates lineage so plan depth stays constant.
+    The per-iteration convergence probe collects one scalar (the
+    documented iterative-algorithm exception to no-driver-collects).
+    At 100 TB-scale graphs swap the loop body for the alternating
+    large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds,
+    same per-round shape.
+
+    Returns (node, label): one row per node appearing in any pair,
+    label = min node id reachable from it.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    # monotone fixpoint probe: labels only ever decrease, so the
+    # (count, sum) pair is invariant exactly at convergence
+    probe = lambda df: df.agg(
+        F.count("*"), F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()
+    state = probe(labels)
+    for _ in range(max_iterations):
+        msgs = edges.join(labels, edges["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        )
+        labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        new_state = probe(labels)
+        if new_state == state:
+            break
+        state = new_state
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    edges.unpersist()
+    return labels

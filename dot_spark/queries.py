@@ -1712,6 +1712,52 @@ def dd2_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
 
 
+def _dd8_oracle_sql() -> str:
+    """dd8's oracle: dd2's candidate-pair SQL wrapped in a recursive
+    CTE computing min-reachable-id per node — the transitive closure
+    the Spark label-propagation loop converges to."""
+    dd2 = ORACLE["dd2_minhash_lsh_candidates"]
+    return f"""
+    WITH RECURSIVE cand AS ({dd2}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+           node = MIN(lbl) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+
+@query("dd8_dedup_clusters", _dd8_oracle_sql())
+def dd8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation over dd2's MinHash+LSH candidate
+    pairs: connected components by min-label propagation, one
+    canonical doc per cluster (is_canonical = keep this one, drop the
+    rest). Pairs alone cannot drive dropping — transitivity chains
+    A~B~C must collapse to one survivor, which is exactly the
+    component closure."""
+    from dot_spark.operators.textdedup import (
+        connected_components,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 @query(
     "dd3_simhash",
     """

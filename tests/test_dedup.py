@@ -68,3 +68,42 @@ def test_plan_is_single_shuffle(spark):
     df = make(spark, [("a", "g", T0, 1)])
     plan = dedupe_keep_latest(df, ["id"], ["ts"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+def test_connected_components_clusters_and_chain(spark):
+    """Star + chain + isolated pair: labels converge to the min node
+    id per component; the 5-hop chain forces multiple propagation
+    iterations; is-canonical semantics follow from node == label."""
+    from dot_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # star 10-{11,12,13}; chain 1-2-3-4-5-6; pair 20-21
+        [(10, 11), (10, 12), (10, 13),
+         (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (20, 21)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_empty_and_limit(spark):
+    """Empty pair set yields an empty labeling (no crash); an
+    insufficient iteration cap raises instead of returning a
+    half-converged labeling."""
+    import pytest
+
+    from dot_spark.operators.textdedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    assert connected_components(empty).count() == 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a BIGINT, id_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iterations=2)
