@@ -185,3 +185,34 @@ def test_repetition_ratio_staged_no_recompute(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_replace") == 1, plan.count("regexp_replace")
     assert plan.count("transform(") == 2, plan.count("transform(")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune at PLANNING time (PartitionFilters + only matching
+    partition directories listed), not scan-then-filter — at 100 TB a
+    date-partitioned events table makes a one-day query read 1/365th
+    of the files, and this pins that the layout actually delivers
+    it."""
+    from pyspark.sql import functions as F
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(ev, "events_by_day", partition_cols=["event_date"])
+
+    one_day = ev.select(F.max(F.to_date("ts"))).first()[0]
+    df = wh.read("events_by_day").filter(F.col("event_date") == F.lit(one_day))
+    plan = _plan(df)
+    # the date predicate must land in the PartitionFilters slot (planning-time
+    # directory pruning), NOT in PushedFilters/post-scan Filter (data-time)
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan
+    part_filters = plan.split("PartitionFilters")[1].split("PushedFilters")[0]
+    assert f"= {one_day})" in part_filters, plan
+    # and the pruned read returns exactly that day's rows
+    want = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
+    assert df.count() == want > 0
