@@ -546,19 +546,23 @@ def connected_components(
     pairs; dropping duplicates needs one canonical doc per CLUSTER,
     and clusters are transitive closures, not pairs).
 
-    Min-label propagation to fixpoint: every node starts labeled with
-    itself; each iteration a node takes the min of its own and its
-    neighbors' labels. Converges to cluster_id = min node id in the
-    component, in O(cluster diameter) iterations — near-dup clusters
-    are shallow (dup families, not long chains), so this terminates
-    in a handful of passes. Each pass is ONE shuffle (groupBy node);
-    localCheckpoint truncates lineage so plan depth stays constant.
-    The per-iteration convergence probe collects one scalar (the
-    documented iterative-algorithm exception to no-driver-collects).
-    At 100 TB-scale graphs swap the loop body for the alternating
-    large-star/small-star rounds (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds,
-    same per-round shape.
+    Min-label propagation WITH pointer jumping: every node starts
+    labeled with itself; each round (1) takes the min of its own and
+    its neighbors' labels, then (2) shortcuts, replacing each label
+    with the label's own label (path halving). Step 1 alone needs
+    O(component diameter) rounds — real LSH pair graphs chain (A~B~C
+    ~…), and the sf0.1 corpus already produces chains past 25 hops —
+    the shortcut step makes progress multiplicative, so convergence
+    is O(log diameter) rounds, the same bound as the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Each round is two
+    keyed shuffles; localCheckpoint truncates lineage so plan depth
+    stays constant. The per-round convergence probe collects one
+    scalar row (the documented iterative-algorithm exception to
+    no-driver-collects). Fixpoint = component minimum: at a fixpoint
+    neighbors share labels (step 1) and labels are self-owned
+    (step 2), which forces the one label per component to be its min
+    node id.
 
     Returns (node, label): one row per node appearing in any pair,
     label = min node id reachable from it.
@@ -573,19 +577,33 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+
     # monotone fixpoint probe: labels only ever decrease, so the
     # (count, sum) pair is invariant exactly at convergence
-    probe = lambda df: df.agg(
-        F.count("*"), F.sum(F.col("label").cast("decimal(38,0)"))
-    ).first()
+    def probe(df):
+        return df.agg(
+            F.count("*"), F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()
+
     state = probe(labels)
     for _ in range(max_iterations):
+        # (1) min over self + neighborhood labels
         msgs = edges.join(labels, edges["b"] == labels["node"]).select(
             F.col("a").alias("node"), "label"
         )
         labels = (
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
+        # (2) pointer jump: label <- label(label); every label value
+        # is itself a node in `labels`, so the lookup always hits
+        lk = labels.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
+        labels = (
+            labels.join(lk, labels["label"] == lk["__ln"], "left")
+            .select("node", F.coalesce("__ll", "label").alias("label"))
+            .localCheckpoint()
+        )
         new_state = probe(labels)
         if new_state == state:
             break

@@ -103,7 +103,22 @@ def test_connected_components_empty_and_limit(spark):
     assert connected_components(empty).count() == 0
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 8)], "id_a BIGINT, id_b BIGINT"
+        [(i, i + 1) for i in range(1, 40)], "id_a BIGINT, id_b BIGINT"
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iterations=2)
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """A 60-hop chain must converge well inside the default cap —
+    the pointer-jumping shortcut makes rounds O(log diameter), not
+    O(diameter). (Naive propagation would need 60 rounds and trip
+    the 25-round cap; the sf0.1 LSH pair graph produced exactly such
+    chains.)"""
+    from dot_spark.operators.textdedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 61)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {r.node: r.label for r in connected_components(chain, max_iterations=12).collect()}
+    assert got == {i: 1 for i in range(1, 62)}
