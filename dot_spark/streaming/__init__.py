@@ -8,7 +8,11 @@ filtered writeStream queries, and the stateful orchestration
 machines live in applyInPandasWithState.
 """
 
-from dot_spark.streaming.ingress import EVENTS_READ_DDL_TEMPLATE, stream_events
+from dot_spark.streaming.ingress import (
+    EVENTS_READ_DDL_TEMPLATE,
+    stream_events,
+    stream_jsonl_corpus,
+)
 from dot_spark.streaming.fanout import fan_out, route_events
 from dot_spark.streaming.state import (
     delayed_retries,
@@ -23,6 +27,7 @@ from dot_spark.streaming.state import (
 __all__ = [
     "EVENTS_READ_DDL_TEMPLATE",
     "stream_events",
+    "stream_jsonl_corpus",
     "fan_out",
     "route_events",
     "delayed_retries",

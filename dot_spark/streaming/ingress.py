@@ -67,6 +67,21 @@ DOCUMENTS_READ_DDL = (
 )
 
 
+def stream_jsonl_corpus(
+    spark: SparkSession, corpus_dir: str, schema: str = DOCUMENTS_READ_DDL
+) -> DataFrame:
+    """A JSONL corpus directory as a streaming DataFrame: each new
+    .jsonl[.gz] drop is a micro-batch — the ingest-side twin of
+    Warehouse.write_jsonl (loads.py). Schema is REQUIRED (contract
+    files; streaming sources cannot infer anyway), and compression is
+    sniffed per file from the extension, so mixed plain/gzip
+    directories stream fine. At scale this is the continuous-ingest
+    front door: downstream dedup (pl4) and quality filters consume
+    micro-batches while the file source checkpoint tracks what has
+    been absorbed."""
+    return spark.readStream.schema(schema).json(corpus_dir)
+
+
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table as a streaming DataFrame — the ingest-side
     view of a continuously arriving corpus (each new parquet drop is

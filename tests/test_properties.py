@@ -186,3 +186,45 @@ def test_range_join_matches_naive_model(spark, pts, ivs, width):
     want = sorted((i, j) for i, x in enumerate(pts)
                   for j, (lo, ln) in enumerate(ivs) if lo <= x < lo + ln)
     assert got == want
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(edges=edges_st)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components must equal a driver-side union-find on
+    ANY pair multiset (self-loops, duplicates, reversed duplicates,
+    multi-component graphs): same node set, label = min id of the
+    union-find component."""
+    from dot_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+
+    # reference: union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges or [(0, 0)]:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want

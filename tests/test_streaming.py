@@ -580,3 +580,28 @@ def test_attributed_publish_stream_and_filtered_subscribe(spark, tmp_path):
     got = subscribe_batch(spark, "t1", str(tmp_path / "broker"), {"kind": "a"}).collect()
     assert sorted(r.payload for r in got) == ['{"event_id":1}', '{"event_id":3}']
     assert all(r.attributes["kind"] == "a" and r.topic == "t1" for r in got)
+
+
+def test_jsonl_corpus_stream_absorbs_drops(spark, tmp_path):
+    """stream_jsonl_corpus: each JSONL drop (gzip or plain, mixed in
+    one directory) arrives as a micro-batch; the absorbed corpus
+    equals the batch read of the same directory."""
+    import gzip
+
+    from dot_spark.streaming import stream_jsonl_corpus
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    ddl = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    with gzip.open(src / "drop0.jsonl.gz", "wt") as f:
+        f.write('{"doc_id": 1, "text": "a \\" b", "lang": "en", "source": "s", "n_chars": 5}\n')
+        f.write('{"doc_id": 2, "text": "t2", "lang": "de", "source": "s", "n_chars": 2}\n')
+    q = start_memory(stream_jsonl_corpus(spark, str(src), ddl), "jl", str(tmp_path / "cp"))
+    q.processAllAvailable()
+    (src / "drop1.jsonl").write_text('{"doc_id": 3, "text": "late", "lang": "en", "source": "s2", "n_chars": 4}\n')
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table("jl").collect())
+    want = sorted(tuple(r) for r in spark.read.schema(ddl).json(str(src)).collect())
+    assert got == want and len(got) == 3
+    assert got[0][1] == 'a " b'  # escaping round-trips
