@@ -63,7 +63,12 @@ HEADLINE = [
 # target forward every round without a stale hard-coded constant;
 # "common_subset" below sums only queries present in BOTH rounds so
 # suite growth never makes totals apples-to-oranges.
-def _latest_prev_bench() -> tuple[str | None, dict[str, float]]:
+def _latest_prev_bench() -> tuple[str | None, dict[str, float], set[str]]:
+    """(artifact name, numeric per-query timings, ALL query names).
+    The name set includes err'd entries so added_since/removed_since
+    reflect genuine suite changes, not queries that merely crashed
+    last round; the timings dict excludes them so totals stay sums of
+    numbers."""
     here = os.path.dirname(os.path.abspath(__file__))
     import glob
 
@@ -76,8 +81,9 @@ def _latest_prev_bench() -> tuple[str | None, dict[str, float]]:
         q = (d.get("parsed") or {}).get("queries") or d.get("queries")
         if isinstance(q, dict) and q:
             name = os.path.splitext(os.path.basename(path))[0]
-            return name, {k: v for k, v in q.items() if isinstance(v, (int, float))}
-    return None, {}
+            timings = {k: v for k, v in q.items() if isinstance(v, (int, float))}
+            return name, timings, set(q)
+    return None, {}, set()
 
 
 def main() -> None:
@@ -123,7 +129,7 @@ def main() -> None:
         timings[name] = {"err": err}
 
     total = round(sum(v for v in best.values()), 3)
-    prev_name, prev_queries = _latest_prev_bench()
+    prev_name, prev_queries, prev_names = _latest_prev_bench()
     common = [n for n in names if n in best and n in prev_queries]
     print(
         json.dumps(
@@ -140,8 +146,8 @@ def main() -> None:
                     "n_queries": len(common),
                     "total": round(sum(best[n] for n in common), 3),
                     "prev_total": round(sum(prev_queries[n] for n in common), 3),
-                    "added_since": sorted(set(names) - set(prev_queries)),
-                    "removed_since": sorted(set(prev_queries) - set(names)),
+                    "added_since": sorted(set(names) - prev_names),
+                    "removed_since": sorted(prev_names - set(names)),
                 },
             }
         )

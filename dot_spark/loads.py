@@ -174,15 +174,43 @@ class Warehouse:
         if os.path.isdir(trash):
             shutil.rmtree(trash)
 
-    def rewrite(self, table: str, transform: Callable[[DataFrame], DataFrame]) -> None:
+    def rewrite(
+        self,
+        table: str,
+        transform: Callable[[DataFrame], DataFrame],
+        partition_cols: Sequence[str] = (),
+    ) -> None:
         """In-place rewrite (D2: CTAS over self for the warehouse-side
         dedup, okta-sync/main.py:657-669). Spark cannot overwrite a
         table it is reading, so the rewrite stages through a temp
-        table and promotes — the reference's temp-dataset pattern."""
+        table and promotes — the reference's temp-dataset pattern.
+        `partition_cols` re-applies a hive layout on the staging
+        write; omitting it on a partitioned table would silently
+        flatten the directory structure and lose partition pruning."""
         staging = f"{table}.rewrite-{uuid.uuid4().hex[:8]}"
         out = transform(self.read(table))
-        self.write(out, staging, "truncate")
+        self.write(out, staging, "truncate", partition_cols=partition_cols)
         self.promote(staging, table)
+
+    def partition_cols_of(self, table: str) -> list[str]:
+        """Detect the hive partition columns of an on-disk table from
+        its `key=value` directory levels (outermost first). On a real
+        lakehouse this comes from the table format's metadata; the
+        local warehouse reads the layout itself."""
+        cols: list[str] = []
+        d = self.path(table)
+        while True:
+            subdirs = [
+                e for e in os.listdir(d)
+                if "=" in e and os.path.isdir(os.path.join(d, e))
+            ]
+            if not subdirs:
+                return cols
+            keys = {e.split("=", 1)[0] for e in subdirs}
+            if len(keys) != 1:
+                return cols
+            cols.append(keys.pop())
+            d = os.path.join(d, subdirs[0])
 
     def compact(self, table: str, target_file_mb: int = 128) -> int:
         """Small-files compaction — the maintenance pass every
@@ -194,11 +222,15 @@ class Warehouse:
         Rewrites the table to ceil(bytes / target_file_mb) files via
         repartition (a full shuffle — correct for a maintenance pass:
         it also re-packs row groups), staged + atomically promoted so
-        readers never see a half-compacted table. Returns the new
-        file count. On a real lakehouse the byte-size listing comes
-        from the table format's manifest (Delta/Iceberg) or the
-        object-store listing; the local warehouse walks the
-        directory."""
+        readers never see a half-compacted table. A hive-partitioned
+        layout is detected and PRESERVED: rows re-cluster on the
+        partition columns so each partition value lands in few tasks
+        (≈ one output file per value) and the staging write re-applies
+        partitionBy — compacting must never cost the partition pruning
+        the layout exists for. Returns the shuffle file-count budget.
+        On a real lakehouse the byte-size listing comes from the table
+        format's manifest (Delta/Iceberg) or the object-store listing;
+        the local warehouse walks the directory."""
         root = self.path(table)
         total_bytes = sum(
             os.path.getsize(os.path.join(dirpath, f))
@@ -207,7 +239,15 @@ class Warehouse:
             if not f.startswith(("_", "."))
         )
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-        self.rewrite(table, lambda df: df.repartition(n_files))
+        pcols = self.partition_cols_of(table)
+        if pcols:
+            self.rewrite(
+                table,
+                lambda df: df.repartition(n_files, *pcols),
+                partition_cols=pcols,
+            )
+        else:
+            self.rewrite(table, lambda df: df.repartition(n_files))
         return n_files
 
     # --- S9 CSV checkpoint sink -------------------------------------------

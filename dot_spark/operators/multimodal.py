@@ -345,22 +345,30 @@ def _parse_jpeg(data: bytes) -> dict:
 
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
-    pos, dims = 2, None
+    pos, dims, saw_sos = 2, None, False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = data[pos + 1]
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if pos + 2 + length > len(data):
+            raise ValueError("JPEG segment truncated")
         if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
             h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
             dims = {"width": w, "height": h, "n_components": data[pos + 9]}
         if marker == 0xDA:  # SOS: entropy follows; EOI must terminate
+            saw_sos = True
             if data[-2:] != b"\xff\xd9":
                 raise ValueError("JPEG missing EOI")
             break
         pos += 2 + length
     if dims is None:
         raise ValueError("JPEG missing SOF")
+    if not saw_sos:
+        # a codestream cut before its scan has headers but no pixels:
+        # accepting it would pass on header trust, the exact failure
+        # mode this parser exists to reject
+        raise ValueError("JPEG truncated before SOS (no scan data)")
     return dims
 
 

@@ -67,17 +67,15 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
     prev_ts = F.lag(ts_col).over(w)
 
-    # Gap arithmetic legal for TIMESTAMP and TIMESTAMP_NTZ alike:
-    # cast("long") is illegal on NTZ, so normalize through a
-    # timestamp cast (no-op on TIMESTAMP; session-tz reinterpretation
-    # on NTZ — consistent for both operands, so the DIFFERENCE is
-    # exact regardless of zone) and diff in microseconds.
-    def _epoch_us(c):
-        return F.unix_micros(c.cast("timestamp"))
-
+    # Gap arithmetic legal for TIMESTAMP and TIMESTAMP_NTZ alike,
+    # with NO zone dependence: timestamp subtraction yields a
+    # day-time interval for both types (absolute elapsed time for
+    # TIMESTAMP, wall-clock difference for NTZ), compared against an
+    # interval literal. A cast-based normalization would distort NTZ
+    # differences across DST transitions on non-UTC sessions.
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTE")
     is_new = F.when(
-        prev_ts.isNull()
-        | (_epoch_us(F.col(ts_col)) - _epoch_us(prev_ts) > gap_minutes * 60 * 1_000_000),
+        prev_ts.isNull() | (F.col(ts_col) - prev_ts > gap),
         1,
     ).otherwise(0)
     return events.withColumn(

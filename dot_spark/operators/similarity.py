@@ -255,6 +255,24 @@ def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[
     return h.tolist()
 
 
+def hamming_masks(n_planes: int, radius: int) -> list[int]:
+    """All bit masks with <= radius set bits among n_planes bits: the
+    multi-probe bucket flips for sign-LSH (mask 0 = the home bucket).
+    ONE definition shared by the Spark operator (lsh_buckets) and the
+    generated SQL oracle (queries._ss4_oracle_sql) so the probe set
+    can never drift between engine and oracle."""
+    from itertools import combinations
+
+    masks = [0]
+    for d in range(1, radius + 1):
+        for bits in combinations(range(n_planes), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],
@@ -271,20 +289,11 @@ def lsh_buckets(
     fan-out is (n_planes choose <=hamming) — a handful of ints per
     row, exploded JVM-side.
     """
-    from itertools import combinations
-
     from pyspark.sql.functions import pandas_udf
 
     h = np.array(planes, dtype=np.float64)
     nb = len(planes)
-    flip_masks = [0]
-    for d in range(1, hamming + 1):
-        for bits in combinations(range(nb), d):
-            m = 0
-            for b in bits:
-                m |= 1 << b
-            flip_masks.append(m)
-    masks = np.array(flip_masks, dtype=np.int64)
+    masks = np.array(hamming_masks(nb, hamming), dtype=np.int64)
 
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:

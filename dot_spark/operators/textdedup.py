@@ -578,39 +578,45 @@ def connected_components(
         .localCheckpoint()
     )
 
-    # monotone fixpoint probe: labels only ever decrease, so the
-    # (count, sum) pair is invariant exactly at convergence
+    # fixpoint probe: the (count, sum-of-row-hashes) pair changes
+    # whenever any (node, label) assignment changes. Hash-based so it
+    # works for ANY id type (string doc hashes, URLs, composite keys
+    # cast to string) — a numeric cast would crash on ANSI builds and
+    # silently return NULL==NULL "convergence" on non-ANSI ones.
     def probe(df):
         return df.agg(
-            F.count("*"), F.sum(F.col("label").cast("decimal(38,0)"))
+            F.count("*"),
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")),
         ).first()
 
-    state = probe(labels)
-    for _ in range(max_iterations):
-        # (1) min over self + neighborhood labels
-        msgs = edges.join(labels, edges["b"] == labels["node"]).select(
-            F.col("a").alias("node"), "label"
-        )
-        labels = (
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        )
-        # (2) pointer jump: label <- label(label); every label value
-        # is itself a node in `labels`, so the lookup always hits
-        lk = labels.select(
-            F.col("node").alias("__ln"), F.col("label").alias("__ll")
-        )
-        labels = (
-            labels.join(lk, labels["label"] == lk["__ln"], "left")
-            .select("node", F.coalesce("__ll", "label").alias("label"))
-            .localCheckpoint()
-        )
-        new_state = probe(labels)
-        if new_state == state:
-            break
-        state = new_state
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} iterations"
-        )
-    edges.unpersist()
+    try:
+        state = probe(labels)
+        for _ in range(max_iterations):
+            # (1) min over self + neighborhood labels
+            msgs = edges.join(labels, edges["b"] == labels["node"]).select(
+                F.col("a").alias("node"), "label"
+            )
+            labels = (
+                labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+            )
+            # (2) pointer jump: label <- label(label); every label value
+            # is itself a node in `labels`, so the lookup always hits
+            lk = labels.select(
+                F.col("node").alias("__ln"), F.col("label").alias("__ll")
+            )
+            labels = (
+                labels.join(lk, labels["label"] == lk["__ln"], "left")
+                .select("node", F.coalesce("__ll", "label").alias("label"))
+                .localCheckpoint()
+            )
+            new_state = probe(labels)
+            if new_state == state:
+                break
+            state = new_state
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} iterations"
+            )
+    finally:
+        edges.unpersist()
     return labels

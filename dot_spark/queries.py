@@ -2014,20 +2014,13 @@ def _ss4_oracle_sql() -> str:
     are seeded constants, so they embed as literals — the oracle
     recomputes the packed sign signature, the Hamming<=2 probe set,
     the bucket equi-join, and the ranked cosine, end to end."""
-    from itertools import combinations
-
-    from dot_spark.operators.similarity import random_hyperplanes
+    from dot_spark.operators.similarity import hamming_masks, random_hyperplanes
 
     planes = random_hyperplanes(64, n_planes=6, seed=7)
     plane_rows = ", ".join(
         f"({i}, [{', '.join(repr(x) for x in p)}])" for i, p in enumerate(planes)
     )
-    masks = [0] + [
-        sum(1 << b for b in bits)
-        for d in (1, 2)
-        for bits in combinations(range(6), d)
-    ]
-    mask_rows = ", ".join(f"({m})" for m in masks)
+    mask_rows = ", ".join(f"({m})" for m in hamming_masks(6, 2))
     return f"""
     WITH planes AS (SELECT * FROM (VALUES {plane_rows}) AS t(p_id, p)),
     masks AS (SELECT * FROM (VALUES {mask_rows}) AS t(mask)),

@@ -68,6 +68,25 @@ def ensure_session_confs(spark: SparkSession) -> None:
         )
 
 
+def events_ts_dispatch(raw_ts_type: str | None):
+    """THE single decision point for the events.ts physical-format
+    contract, shared by the batch registry (load_table) and the
+    streaming ingress (streaming/ingress.py:stream_events): map the
+    file's physical dtype to (declared DDL type, normalizing
+    expression yielding session-UTC TimestampType). The harness has
+    shipped two formats so far — TIMESTAMP(NANOS) (reads as a bigint
+    nanosecond epoch under nanosAsLong) and naive-micros TIMESTAMP
+    (reads as TIMESTAMP_NTZ; the cast below reinterprets the naive
+    wall-clock as UTC under the UTC session, value-identical to the
+    DuckDB oracle). A third format needs exactly one new branch HERE,
+    and both source boundaries pick it up."""
+    if raw_ts_type == "bigint":  # legacy nanos-as-long files
+        return "BIGINT", F.timestamp_micros(F.expr("ts div 1000"))
+    if raw_ts_type == "timestamp_ntz":  # naive-micros files
+        return "TIMESTAMP_NTZ", F.col("ts").cast("timestamp")
+    return "TIMESTAMP", F.col("ts")  # already UTC-adjusted
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Lazy parquet scan of one registry table.
 
@@ -87,12 +106,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":  # old nanos-as-long files
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":  # naive-micros files
-            # session tz is UTC, so this cast reinterprets the naive
-            # wall-clock as UTC — value-identical to the DuckDB oracle
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        _, fix = events_ts_dispatch(ts_type)
+        if ts_type != "timestamp":
+            df = df.withColumn("ts", fix)
     return df
 
 

@@ -17,19 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dot_spark.sources.registry import ensure_session_confs
+from dot_spark.sources.registry import ensure_session_confs, events_ts_dispatch
 
-# The harness has shipped events.ts in two physical formats (same
-# contract as the batch registry, sources/registry.py:load_table):
-#   - TIMESTAMP(NANOS): readable only as a bigint nanosecond epoch
-#     via spark.sql.legacy.parquet.nanosAsLong
-#   - naive-micros TIMESTAMP(isAdjustedToUTC=false): reads as
-#     TIMESTAMP_NTZ
-# A stream must declare its schema up front, so we sniff the physical
-# dtype with a one-file batch read (metadata only — no data scan) and
-# declare the matching read schema, normalizing to session-UTC
-# TimestampType either way so every downstream operator sees one
-# contract.
+# A stream must declare its schema up front, so stream_events sniffs
+# the file's physical ts dtype with a one-file batch read (metadata
+# only — no data scan) and declares the matching read schema. The
+# dtype -> (declared type, normalizing expression) decision itself
+# lives in ONE place — sources/registry.py:events_ts_dispatch —
+# shared with the batch registry, so a new physical format can never
+# again be fixed on one boundary and missed on the other (the r4/r5
+# defect).
 EVENTS_READ_DDL_TEMPLATE = (
     "event_id BIGINT, ts {ts_type}, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
@@ -43,14 +40,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
     raw_ts_type = dict(spark.read.parquet(path).dtypes).get("ts")
-    if raw_ts_type == "bigint":  # legacy nanos-as-long files
-        declared, fix = "BIGINT", F.timestamp_micros(F.expr("ts div 1000"))
-    elif raw_ts_type == "timestamp_ntz":  # naive-micros files
-        # session tz is UTC, so this cast reinterprets the naive
-        # wall-clock as UTC — value-identical to the DuckDB oracle
-        declared, fix = "TIMESTAMP_NTZ", F.col("ts").cast("timestamp")
-    else:  # already a UTC-adjusted timestamp
-        declared, fix = "TIMESTAMP", F.col("ts")
+    declared, fix = events_ts_dispatch(raw_ts_type)
     # the file source requires a directory: scan sf_dir with a glob
     # pinned to the events file
     raw = (

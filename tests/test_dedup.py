@@ -109,6 +109,22 @@ def test_connected_components_empty_and_limit(spark):
         connected_components(chain, max_iterations=2)
 
 
+def test_connected_components_string_ids(spark):
+    """Real dedup pipelines key docs by string hashes/URLs: the
+    labeling (and its convergence probe) must work for non-numeric
+    ids, with cluster_id = lexicographic min of the component."""
+    from dot_spark.operators.textdedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("urlB", "urlA"), ("urlB", "urlC"), ("x", "y")],
+        "id_a STRING, id_b STRING",
+    )
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert got == {
+        "urlA": "urlA", "urlB": "urlA", "urlC": "urlA", "x": "x", "y": "x",
+    }
+
+
 def test_connected_components_long_chain_logarithmic(spark):
     """A 60-hop chain must converge well inside the default cap —
     the pointer-jumping shortcut makes rounds O(log diameter), not

@@ -157,6 +157,21 @@ def test_mjpeg_avi_round_trip_and_rejects_corrupt_payload():
         _decode_avi(wrong)
 
 
+def test_jpeg_parser_rejects_cut_before_scan():
+    """A codestream truncated just before its SOS marker still has
+    SOI/DQT/SOF/DHT headers — accepting it would pass on header
+    trust with zero pixel data present. Must raise, and any cut
+    landing mid-segment must raise ValueError too (not struct.error)."""
+    from dot_spark.operators.multimodal import _jpeg_bytes, _parse_jpeg
+
+    j = _jpeg_bytes(20, 14, 7)
+    sos = j.index(b"\xff\xda")
+    with pytest.raises(ValueError):
+        _parse_jpeg(j[:sos])  # headers only, no scan
+    with pytest.raises(ValueError):
+        _parse_jpeg(j[: sos - 3])  # cut mid-DHT segment
+
+
 def test_jpeg_encoder_emits_valid_codestream():
     """The flat-field JPEG encoder is spec-valid: marker walk finds
     SOI, SOF dims/components, and a terminating EOI, for dims that

@@ -369,6 +369,28 @@ def test_compact_shrinks_file_count_preserves_rows(wh, spark):
     assert sorted(r.k for r in wh.read("frag").collect()) == list(range(10_000))
 
 
+def test_compact_preserves_hive_partition_layout(wh, spark):
+    """Compacting a date-partitioned table must keep the key=value
+    directory levels (and therefore partition pruning) — flattening
+    the layout would silently cost every downstream query its
+    pruning."""
+    import os
+
+    df = spark.range(2000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS day"
+    )
+    wh.write(df.repartition(16), "p", "truncate", partition_cols=["day"])
+    assert wh.partition_cols_of("p") == ["day"]
+    wh.compact("p", target_file_mb=128)
+    assert wh.partition_cols_of("p") == ["day"]
+    assert sorted(
+        e for e in os.listdir(wh.path("p")) if e.startswith("day=")
+    ) == ["day=0", "day=1", "day=2"]
+    got = wh.read("p")
+    assert got.count() == 2000
+    assert got.filter("day = '1'").count() == df.filter("day = '1'").count()
+
+
 def test_object_store_put_get_roundtrip(tmp_path):
     """S10: path-targeted blob write with atomic visibility
     (okta_sync_utils.py:398-434)."""
