@@ -2996,6 +2996,65 @@ def pl4_corpus_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.read("corpus")
 
 
+def _pl5_oracle_sql() -> str:
+    """pl5's composed oracle: dd1's exact-dedup survivors feed dd2's
+    pair SQL (source table swapped in), whose output feeds dd8's
+    recursive component closure; the final projection keeps each
+    cluster's canonical doc plus every unclustered doc."""
+    dd2_over_survivors = ORACLE["dd2_minhash_lsh_candidates"].replace(
+        "FROM documents", "FROM survivors"
+    )
+    return f"""
+    WITH RECURSIVE
+    survivors AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT MIN(doc_id) AS keep_id FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))) k
+        ON d.doc_id = k.keep_id),
+    cand AS ({dd2_over_survivors}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT s.doc_id, s.lang, s.n_chars
+    FROM survivors s LEFT JOIN clusters c ON s.doc_id = c.node
+    WHERE c.node IS NULL OR c.cluster_id = s.doc_id
+    """
+
+
+@query("pl5_corpus_dedup_pipeline", _pl5_oracle_sql())
+def pl5_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-dedup pipeline in ONE plan — the pass a
+    training-data build runs end to end: exact dedup (hash-groupBy,
+    keep min id) -> MinHash+LSH candidate mining over the survivors
+    -> connected-component clustering -> keep one canonical doc per
+    near-dup cluster plus everything unclustered. Composes dd1 + dd2
+    + dd8; every stage keeps its individual scale shape (128-bit hash
+    shuffle, band-bucket equi-join, O(log) component rounds)."""
+    from dot_spark.operators.textdedup import (
+        connected_components,
+        exact_dedup,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id")
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(survivors)))
+    labels = connected_components(pairs)
+    return (
+        survivors.join(labels, survivors["doc_id"] == labels["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("label") == F.col("doc_id")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 2 additions: corpus-quality, decontamination, sampling,
 # sessionization — the remaining first-class LLM-pipeline passes
