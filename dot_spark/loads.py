@@ -311,6 +311,20 @@ class Warehouse:
         .jsonl / .jsonl.gz directories read fine."""
         return self.spark.read.schema(schema).json(self.path(table))
 
+    def write_orc(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        """ORC sink — the other JVM-native columnar format; interop
+        surface for Hive-era warehouses that standardized on ORC.
+        Same distributed shape as parquet: per-partition part files,
+        predicate pushdown and column pruning on read."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"write_orc mode must be overwrite/append, got {mode!r}")
+        df.write.mode(mode).orc(self.path(table))
+
+    def read_orc(self, table: str) -> DataFrame:
+        """Read back an ORC table (self-describing schema, like
+        parquet — no contract DDL needed)."""
+        return self.spark.read.orc(self.path(table))
+
     # --- ST3 effectively-once micro-batch sink -----------------------------
 
     def idempotent_batch_sink(self, table: str) -> Callable[[DataFrame, int], None]:

@@ -2674,6 +2674,31 @@ def s13_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s14_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip — the other JVM-native columnar
+    format (Hive-era warehouse interop). Export an orders slice,
+    read it back through the ORC reader; decimals, strings and keys
+    must survive the format conversion bit-exactly. The oracle is
+    simply the slice."""
+    import tempfile
+
+    from dot_spark.loads import Warehouse
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="dot_spark_wh_"))
+    wh.write_orc(orders.filter(F.col("o_orderkey") % 5 == 0), "orders_orc")
+    return wh.read_orc("orders_orc")
+
+
 def _pl3_oracle_sql() -> str:
     return f"""
     WITH verdicts AS ({_classify_oracle_sql()}),
