@@ -71,8 +71,19 @@ def _latest_prev_bench() -> tuple[str | None, dict[str, float], set[str]]:
     numbers."""
     here = os.path.dirname(os.path.abspath(__file__))
     import glob
+    import re
 
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    # Sort by the NUMERIC round — lexicographic order only works while
+    # round numbers stay zero-padded two digits (an unpadded
+    # BENCH_r7.json would outrank r10..r99, and r100+ breaks entirely).
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no, reverse=True
+    )
+    for path in candidates:
         try:
             with open(path) as f:
                 d = json.load(f)

@@ -217,29 +217,35 @@ def _avi_bytes(
 
 def _decode_avi(data: bytes) -> dict:
     """REAL AVI parse: walk the RIFF chunk tree, read dims + frame
-    count from avih, then iterate the movi list's frame chunks.
-    Two codecs, dispatched per-frame on the frame's own magic bytes:
-    - DIB frames: check every frame carries exactly width*height*3
+    count from avih, read the DECLARED codec from the hdrl stream
+    header (strh fccHandler, cross-checked against strf
+    biCompression), then iterate the movi list's frame chunks.
+
+    Codec dispatch is container-declared, not sniffed: a valid
+    uncompressed DIB frame whose first pixel bytes happen to be
+    0xFF 0xD8 must NOT be routed into the JPEG parser (it would
+    raise, or trip the mixed-codec check, on valid input). Frame
+    magic is only the fallback for containers lacking any stream
+    header. Per-codec checks:
+    - DIB frames: every frame must carry exactly width*height*3
       pixel bytes — a truncated payload fails here rather than
       passing on header trust. n_bytes = total pixel bytes present.
-    - MJPEG frames (SOI magic): parse each frame's JPEG codestream
-      (_parse_jpeg: SOI/EOI framing + SOF dims/components) and check
-      the per-frame SOF dims against the avih header. n_bytes = the
-      decoded pixel size the codestream declares (w*h*components per
-      frame) — entropy reconstruction itself is a real codec's job.
+    - MJPEG frames: parse each frame's JPEG codestream (_parse_jpeg:
+      SOI/EOI framing + SOF dims/components) and check the per-frame
+      SOF dims against the avih header. n_bytes = the decoded pixel
+      size the codestream declares (w*h*components per frame) —
+      entropy reconstruction itself is a real codec's job.
     The returned "codec" records which path ran ("dib" | "mjpeg")."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     width = height = declared_frames = None
-    dib_bytes, jpeg_pixel_bytes = 0, 0
-    dib_frames, jpeg_frames = 0, 0
-    jpeg_dims: set[tuple[int, int]] = set()
+    handler = compression = None
+    frames: list[bytes] = []
 
     def walk(buf: bytes) -> None:
-        nonlocal width, height, declared_frames
-        nonlocal dib_bytes, jpeg_pixel_bytes, dib_frames, jpeg_frames
+        nonlocal width, height, declared_frames, handler, compression
         pos = 0
         while pos + 8 <= len(buf):
             fourcc = buf[pos : pos + 4]
@@ -250,35 +256,48 @@ def _decode_avi(data: bytes) -> dict:
             elif fourcc == b"avih":
                 fields = struct.unpack("<14I", body[:56])
                 declared_frames, width, height = fields[4], fields[8], fields[9]
+            elif fourcc == b"strh" and body[:4] == b"vids":
+                handler = body[4:8]  # fccHandler
+            elif fourcc == b"strf" and handler is not None and compression is None:
+                # BITMAPINFOHEADER: biCompression at offset 16
+                (compression,) = struct.unpack("<I", body[16:20])
             elif fourcc in (b"00db", b"00dc"):
-                if body[:2] == b"\xff\xd8":  # JPEG SOI: an MJPEG frame
-                    dims = _parse_jpeg(body)
-                    jpeg_dims.add((dims["width"], dims["height"]))
-                    jpeg_pixel_bytes += (
-                        dims["width"] * dims["height"] * dims["n_components"]
-                    )
-                    jpeg_frames += 1
-                else:
-                    # count bytes actually present, not the declared
-                    # length — a truncated payload must fail the check
-                    dib_bytes += len(body)
-                    dib_frames += 1
+                frames.append(body)
             pos += 8 + length + (length % 2)
 
     walk(data[12:])
-    seen_frames = dib_frames + jpeg_frames
-    if width is None or seen_frames != declared_frames:
+    if width is None or len(frames) != declared_frames:
         raise ValueError("AVI frame count does not match avih header")
-    if dib_frames and jpeg_frames:
-        raise ValueError("AVI mixes DIB and MJPEG frames")
-    if jpeg_frames:
-        if jpeg_dims != {(width, height)}:
-            raise ValueError("MJPEG frame SOF dims do not match avih header")
-        n_bytes, codec = jpeg_pixel_bytes, "mjpeg"
+
+    # Declared-codec dispatch: strh fccHandler first, strf
+    # biCompression as corroboration (BI_RGB=0 means uncompressed).
+    mjpg_cc = struct.unpack("<I", b"MJPG")[0]
+    if handler == b"MJPG" or compression == mjpg_cc:
+        codec = "mjpeg"
+    elif handler in (b"DIB ", b"\x00\x00\x00\x00") or compression == 0:
+        codec = "dib"
+    elif frames and frames[0][:2] == b"\xff\xd8":
+        codec = "mjpeg"  # headerless container: frame-magic fallback
     else:
+        codec = "dib"
+
+    if codec == "mjpeg":
+        jpeg_dims: set[tuple[int, int]] = set()
+        jpeg_pixel_bytes = 0
+        for body in frames:
+            dims = _parse_jpeg(body)
+            jpeg_dims.add((dims["width"], dims["height"]))
+            jpeg_pixel_bytes += dims["width"] * dims["height"] * dims["n_components"]
+        if frames and jpeg_dims != {(width, height)}:
+            raise ValueError("MJPEG frame SOF dims do not match avih header")
+        n_bytes = jpeg_pixel_bytes
+    else:
+        # count bytes actually present, not the declared length —
+        # a truncated payload must fail the check
+        dib_bytes = sum(len(body) for body in frames)
         if dib_bytes != declared_frames * width * height * 3:
             raise ValueError("AVI pixel data does not match declared dims")
-        n_bytes, codec = dib_bytes, "dib"
+        n_bytes = dib_bytes
     return {
         "width": int(width),
         "height": int(height),

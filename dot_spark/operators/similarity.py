@@ -89,6 +89,31 @@ def brute_force_topk(
     )
 
 
+def spherical_kmeans(
+    x: np.ndarray, n_cells: int, iters: int = 8, seed: int = 7
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) on unit-normalized rows of ``x``,
+    float64 numpy throughout. ONE definition shared by the Spark
+    training path (train_ivf_centroids) and the generated SQL oracle
+    (queries._ss3_oracle_sql, which replays training on the same
+    sample read via DuckDB) — identical input rows in identical order
+    produce bit-identical centroids, so the oracle's literal
+    centroids can never drift from the engine's."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -115,18 +140,7 @@ def train_ivf_centroids(
         .collect()
     )
     x = np.array([r[1] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
-    for _ in range(iters):
-        sims = x @ cents.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
-    return cents.tolist()
+    return spherical_kmeans(x, n_cells, iters=iters, seed=seed)
 
 
 def assign_cells(

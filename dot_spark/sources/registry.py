@@ -84,7 +84,18 @@ def events_ts_dispatch(raw_ts_type: str | None):
         return "BIGINT", F.timestamp_micros(F.expr("ts div 1000"))
     if raw_ts_type == "timestamp_ntz":  # naive-micros files
         return "TIMESTAMP_NTZ", F.col("ts").cast("timestamp")
-    return "TIMESTAMP", F.col("ts")  # already UTC-adjusted
+    if raw_ts_type == "timestamp":  # already UTC-adjusted
+        return "TIMESTAMP", F.col("ts")
+    # A THIRD physical format (string, INT96, date, ...) must fail
+    # loudly AT THE DISPATCH POINT — silently passing it through as
+    # "already UTC" is the exact r4/r5 wrong-data failure mode this
+    # module exists to prevent, and streaming would also declare a
+    # wrong read schema from it.
+    raise RuntimeError(
+        f"events.ts physical dtype {raw_ts_type!r} is not a known "
+        "format (expected bigint | timestamp_ntz | timestamp): add an "
+        "explicit branch in events_ts_dispatch rather than guessing"
+    )
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

@@ -29,6 +29,21 @@ def test_events_ts_contract_canary(spark, sf_dir):
     assert dict(stream_events(spark, sf_dir).dtypes)["ts"] == "timestamp"
 
 
+def test_events_ts_dispatch_rejects_unknown_physical_format():
+    """A THIRD physical ts dtype (string, INT96 regeneration, ...)
+    must fail loudly at the shared dispatch point, not pass through
+    as 'already UTC' — the silent-wrong-data mode of r4/r5 (r6
+    advisor finding)."""
+    from dot_spark.sources.registry import events_ts_dispatch
+
+    # the three known formats dispatch
+    for known in ("bigint", "timestamp_ntz", "timestamp"):
+        events_ts_dispatch(known)
+    for unknown in ("string", "date", "int", None):
+        with pytest.raises(RuntimeError, match="not a known"):
+            events_ts_dispatch(unknown)
+
+
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -114,39 +129,39 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-6 staleness rotation: the two streaming fixes under
-    proof (st1/st2) plus every query whose newest official row
-    predates the r4 testdata regeneration (all 34 r1-stale, the 14
-    oracle-twinned r2-stale) — an accidental registration reorder
-    silently drops operators out of the official artifact."""
+    the round-7 rotation: the 7 queries with no current official row
+    (the five added/upgraded in r6 and never yet gated, f8 with its
+    new tamper-pattern oracle, rows-only ss3) plus the oldest-proven
+    r5-row backfill — an accidental registration reorder silently
+    drops operators out of the official artifact."""
     window = list(QUERIES)[:50]
     must_have = {
-        # fixed this round (streaming ingress ts dispatch)
-        "st1_windowed_agg", "st2_superseded_stream",
-        # newest official row r01
-        "a2_watermark_max", "a3_conditional_agg", "a4_count_predicate",
-        "a5_collect_sorted_list", "a6_rollup_subtotals",
-        "a7_distribution_stats", "a8_count_distinct", "a10_string_agg_ordered",
-        "f1_regex_match", "f2_ts_format", "f3_epoch_seconds",
-        "f4_decimal_negate", "f5_string_ops",
-        "j2_union_distinct", "j3_union_all", "j4_broadcast_lookup",
-        "j6_salted_skew_join", "j10_intersect_except", "j11_null_safe_join",
-        "j12_exists_semi_join",
-        "n1_struct_extract", "n3_kv_pivot", "n4_element_first_last",
-        "n6_json_stringify",
-        "p2_positional_projection", "p4_filter_gate", "p5_status_route",
-        "p6_isin_filter", "p8_coalesce_defaults", "p9_string_norm",
-        "s6_sql_source",
-        "w2_distinct_rows", "w3_sort_limit_top1", "w5_rank_lattice",
-        # newest official row r02, oracle-twinned
-        "dd4_ngram_jaccard",
-        "f6_hour_gate", "f7_flag_coerce", "f9_json_access",
-        "f10_try_cast_coerce",
-        "mm3_frame_sampling",
-        "pl2_woo_incremental", "pl2b_woo_incremental_by_store",
-        "s9_csv_checkpoint", "s10_object_store_export",
-        "t3_language_id", "t4_fingerprint", "t5_length_histogram",
-        "t6_sequence_packing",
+        # never-current: first official gate this round
+        "ss4_lsh_topk", "s13_jsonl_roundtrip", "s14_orc_roundtrip",
+        "dd8_dedup_clusters", "pl5_corpus_dedup_pipeline",
+        "f8_hmac_sha256", "ss3_ivf_trained_topk",
+        # backfill: newest official row is r05
+        "s1_scan_projection", "s2_paged_rest_scan", "s4_csv_parse",
+        "p1_schema_align", "p7_sentinel_null",
+        "j1_anti_join", "j5_parent_child_join",
+        "a1_group_having",
+        "w1_dedup_keep_latest", "w4_superseded_dedup",
+        "n2_explode_tokens", "n5_sticky_carry",
+        "st3_stream_corpus_dedup", "st4_attribute_fanout",
+        "st7_drain_machine",
+        "pl1_okta_refresh", "pl3_event_retry_pipeline",
+        "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
+        "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
+        "dd5b_bucketed_neardup", "dd6_decontamination",
+        "dd7_embedding_decontamination",
+        "t1_token_stats", "t2_quality_score", "t7_repetition_ratio",
+        "t8_pii_scrub", "t9_tfidf_topterms", "t10_doc_chunking",
+        "c1_classify_runs", "c2_webhook_route", "c3_quality_filter",
+        "ss1_cosine_topk", "ss2_ivf_topk",
+        "mm1_decode_media", "mm2_media_features",
+        "p10_deterministic_sample", "p11_stratified_sample",
+        "w6_sessionize",
+        "j7_star_join_rollup", "j8_asof_join",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50

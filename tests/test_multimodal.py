@@ -157,6 +157,24 @@ def test_mjpeg_avi_round_trip_and_rejects_corrupt_payload():
         _decode_avi(wrong)
 
 
+def test_avi_codec_dispatch_is_container_declared():
+    """Dispatch must come from the hdrl stream header (strh
+    fccHandler / strf biCompression), not per-frame byte sniffing: a
+    valid uncompressed DIB frame whose first pixel bytes happen to be
+    0xFF 0xD8 (the JPEG SOI magic) is still a DIB frame — routing it
+    into the JPEG parser fails valid input (r6 advisor finding)."""
+    from dot_spark.operators.multimodal import _avi_bytes, _decode_avi
+
+    good = _avi_bytes(20, 14, 3, seed=7)
+    # patch the first two pixel bytes of the first DIB frame to the
+    # JPEG SOI magic; the container still declares codec DIB
+    marker = good.index(b"00db") + 8
+    patched = good[:marker] + b"\xff\xd8" + good[marker + 2 :]
+    meta = _decode_avi(patched)
+    assert meta["codec"] == "dib"
+    assert meta["n_bytes"] == 20 * 14 * 3 * 3
+
+
 def test_jpeg_parser_rejects_cut_before_scan():
     """A codestream truncated just before its SOS marker still has
     SOI/DQT/SOF/DHT headers — accepting it would pass on header

@@ -132,6 +132,65 @@ def test_topk_ranks_map_side_first(spark, sf_dir, name):
     assert partials, plan
 
 
+def test_connected_components_plan_stays_constant_depth(spark):
+    """dd8's iterative loop must not grow lineage: localCheckpoint
+    truncates every round, so each round's input — and the returned
+    labels — is a flat scan of a materialized RDD with a bounded plan,
+    regardless of how many rounds ran. A dropped checkpoint turns
+    round N's plan into a 2N-join tree (the classic iterative-Spark
+    driver blowup); this pins the truncation, so that regression
+    fails CI instead of the bench."""
+    from dot_spark.operators.textdedup import connected_components
+
+    # a 12-node chain: diameter forces several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    labels = connected_components(pairs)
+    plan = _plan(labels)
+    assert "Scan ExistingRDD" in plan, plan
+    assert len(plan.splitlines()) <= 6, plan
+    # and the closure is right: one component labeled by its min node
+    rows = labels.collect()
+    assert {r.node for r in rows} == set(range(13))
+    assert {r.label for r in rows} == {0}
+
+
+def test_pl5_composition_keeps_stage_shapes(spark, sf_dir):
+    """pl5 composes dd1 -> dd2 -> dd8 in one pipeline; each stage must
+    keep its individual scale shape through the composition:
+    - the pair-mining stage stays a band-bucket EQUI-join (never a
+      cross product over survivor pairs);
+    - the final survivors-vs-labels join is an equi-join too.
+    The clustering stage itself is covered by the constant-depth pin
+    above (it executes eagerly inside the callable)."""
+    from pyspark.sql import functions as F
+
+    from dot_spark.operators.textdedup import (
+        exact_dedup,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dot_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id")
+    pairs_plan = _plan(lsh_candidate_pairs(lsh_bands(minhash_signatures(survivors))))
+    assert "CartesianProduct" not in pairs_plan, pairs_plan
+    assert "BroadcastNestedLoopJoin" not in pairs_plan, pairs_plan
+    assert (
+        "SortMergeJoin" in pairs_plan
+        or "ShuffledHashJoin" in pairs_plan
+        or "BroadcastHashJoin" in pairs_plan
+    ), pairs_plan
+
+    final_plan = _plan(QUERIES["pl5_corpus_dedup_pipeline"](spark, sf_dir))
+    assert "CartesianProduct" not in final_plan, final_plan
+    assert "BroadcastNestedLoopJoin" not in final_plan, final_plan
+
+
 def test_watermark_max_prunes_to_needed_columns(spark, sf_dir):
     # MAX(ts) WHERE event_type = ...: exactly the ts + filter columns
     # may be read; value/user_id/event_id must be pruned

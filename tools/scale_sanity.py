@@ -41,6 +41,7 @@ from dot_spark.operators.text import tfidf_top_terms
 from dot_spark.operators.textdedup import (
     connected_components,
     contamination_flags,
+    exact_dedup,
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -161,6 +162,29 @@ def main() -> None:
             .join(seen, "text_hash", "left_anti")
         )
         grid[("t9_tfidf_topterms", k)] = tfidf_top_terms(docs)
+
+        # pl5: the END-TO-END corpus dedup pass (dd1 -> dd2 -> dd8 ->
+        # canonical survivors) as ONE cell — the composed pipeline's
+        # curve, not just its stages'. Clustering executes eagerly, so
+        # it enters as a thunk like dd8.
+        def pl5_cell(docs=docs):
+            keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+            survivors = docs.join(keep, "doc_id")
+            pairs = lsh_candidate_pairs(
+                lsh_bands(minhash_signatures(survivors))
+            )
+            labels = connected_components(pairs)
+            return (
+                survivors.join(
+                    labels, survivors["doc_id"] == labels["node"], "left"
+                )
+                .filter(
+                    F.col("node").isNull() | (F.col("label") == F.col("doc_id"))
+                )
+                .select("doc_id")
+            )
+
+        grid[("pl5_corpus_dedup", k)] = pl5_cell
 
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
