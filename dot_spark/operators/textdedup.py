@@ -535,6 +535,37 @@ def contamination_flags(
     )
 
 
+def dedup_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The end-to-end corpus dedup pass (pl5's core): exact dedup
+    (hash-groupBy, keep min id) -> MinHash+LSH candidate mining over
+    the survivors -> connected-component clustering -> keep one
+    canonical doc per near-dup cluster plus everything unclustered.
+    ONE definition shared by the batch query (pl5), the streaming
+    compaction pass (pipelines.canonical_corpus), and their parity
+    test, so the three can never drift.
+
+    Returns the surviving rows of ``docs`` with their original
+    columns. Each stage keeps its individual scale shape (128-bit
+    hash shuffle, band-bucket equi-join, O(log) component rounds);
+    the clustering stage executes eagerly (documented iterative
+    exception)."""
+    keep = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    survivors = docs.join(keep, id_col)
+    pairs = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(survivors, id_col=id_col, text_col=text_col))
+    )
+    labels = connected_components(pairs)
+    return (
+        survivors.join(labels, survivors[id_col] == labels["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("label") == F.col(id_col)))
+        .select(*docs.columns)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -283,3 +283,81 @@ def corpus_ingest_dedup(
         seen = wh.read(table).select("text_hash")
         fresh = fresh.join(seen, "text_hash", "left_anti")
     return _ingest_once(wh, fresh.select(id_col, "text_hash"), table)
+
+
+def corpus_ingest_docs(
+    wh: Warehouse,
+    batch: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """corpus_ingest_dedup keeping the FULL document rows — needed
+    when a downstream near-dup pass must re-shingle the text (the
+    streaming pl5 path). Within-batch dedup keeps the min id per
+    normalized-text hash (one rank window — the rows carry bodies, so
+    they shuffle once regardless); cross-batch membership is the same
+    hash anti-join, bodies never join. Cross-batch semantics are
+    FIRST-ARRIVAL: a later batch's copy loses to the stored one even
+    with a smaller id (identical to min-id when ids grow with arrival
+    order, the ingest norm)."""
+    from pyspark.sql import Window
+
+    from dot_spark.operators.textdedup import normalize_text
+
+    hashed = batch.withColumn("text_hash", F.md5(normalize_text(text_col)))
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    fresh = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if wh.exists(table):
+        seen = wh.read(table).select("text_hash")
+        fresh = fresh.join(seen, "text_hash", "left_anti")
+    return _ingest_once(wh, fresh, table)
+
+
+def streaming_corpus_dedup(
+    spark,
+    corpus_dir: str,
+    wh: Warehouse,
+    checkpoint_dir: str,
+    table: str = "corpus_docs",
+    schema: str | None = None,
+):
+    """Continuous-ingest twin of pl5, stage 1: stream_jsonl_corpus ->
+    per-micro-batch cross-batch exact dedup (corpus_ingest_docs) via
+    foreachBatch. Each JSONL drop lands exactly-once in ``table``
+    (file-source checkpoint = ingest frontier; the adopt-by-rename
+    ingest is idempotent per batch). Returns the StreamingQuery.
+
+    The near-dup clustering stage is deliberately NOT per-batch: LSH
+    cluster assignments are not incrementally stable under min-label
+    semantics (one new doc can bridge two existing clusters and
+    change their canonical choice), so true streaming clustering
+    would need mutable union-find state. The honest scale design is
+    ingest continuously + recluster periodically — run
+    canonical_corpus(wh, table) as the compaction pass after any
+    trigger, like a lakehouse OPTIMIZE."""
+    from dot_spark.streaming.ingress import DOCUMENTS_READ_DDL, stream_jsonl_corpus
+
+    stream = stream_jsonl_corpus(spark, corpus_dir, schema or DOCUMENTS_READ_DDL)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: corpus_ingest_docs(wh, batch, table)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def canonical_corpus(wh: Warehouse, table: str = "corpus_docs") -> DataFrame:
+    """Continuous-ingest twin of pl5, stage 2 (the compaction pass):
+    near-dup cluster the accumulated exact-survivors and keep one
+    canonical doc per cluster. Shares dedup_corpus with the batch
+    pl5 query, so stream-then-compact equals the one-shot batch
+    pipeline over the same corpus (parity-tested)."""
+    from dot_spark.operators.textdedup import dedup_corpus
+
+    return dedup_corpus(wh.read(table))

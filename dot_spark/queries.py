@@ -3183,24 +3183,10 @@ def pl5_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster plus everything unclustered. Composes dd1 + dd2
     + dd8; every stage keeps its individual scale shape (128-bit hash
     shuffle, band-bucket equi-join, O(log) component rounds)."""
-    from dot_spark.operators.textdedup import (
-        connected_components,
-        exact_dedup,
-        lsh_bands,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    from dot_spark.operators.textdedup import dedup_corpus
 
     docs = load_table(spark, "documents", sf_dir)
-    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    survivors = docs.join(keep, "doc_id")
-    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(survivors)))
-    labels = connected_components(pairs)
-    return (
-        survivors.join(labels, survivors["doc_id"] == labels["node"], "left")
-        .filter(F.col("node").isNull() | (F.col("label") == F.col("doc_id")))
-        .select("doc_id", "lang", "n_chars")
-    )
+    return dedup_corpus(docs).select("doc_id", "lang", "n_chars")
 
 
 # ---------------------------------------------------------------------------

@@ -582,6 +582,72 @@ def test_attributed_publish_stream_and_filtered_subscribe(spark, tmp_path):
     assert all(r.attributes["kind"] == "a" and r.topic == "t1" for r in got)
 
 
+def test_streaming_corpus_dedup_matches_batch_pl5(spark, tmp_path):
+    """The continuous-ingest twin of pl5: two JSONL drops streamed
+    through foreachBatch cross-batch exact dedup, then the
+    canonical_corpus compaction pass — the surviving doc set must
+    equal the ONE-SHOT batch pipeline (dedup_corpus) over the same
+    corpus. Drops carry exact dups (within a drop AND across drops)
+    and a near-dup chain bridging the two drops, so both dedup
+    stages and the cross-batch membership check are load-bearing.
+    Ids grow with arrival order, so first-arrival == global-min-id
+    and parity is exact."""
+    import json
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.operators.textdedup import dedup_corpus
+    from dot_spark.pipelines import canonical_corpus, streaming_corpus_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs0 = [
+        (1, base),  # canonical of the near-dup chain
+        (2, base + " extra"),  # near-dup of 1
+        (3, base),  # exact dup of 1, same drop
+        (4, "completely different text about spark streaming micro batches"),
+    ]
+    docs1 = [
+        (5, base),  # exact dup of 1, LATER drop (cross-batch member)
+        (6, base + " extra words"),  # near-dup bridging into 1's cluster
+        (7, "another unrelated document with its own unique content here"),
+    ]
+    src = tmp_path / "corpus"
+    src.mkdir()
+    for name, docs in (("drop0.jsonl", docs0), ("drop1.jsonl", docs1)):
+        (src / name).write_text(
+            "".join(
+                json.dumps(
+                    {
+                        "doc_id": i,
+                        "text": t,
+                        "lang": "en",
+                        "source": "s",
+                        "n_chars": len(t),
+                    }
+                )
+                + "\n"
+                for i, t in docs
+            )
+        )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    (src / "drop1.jsonl").rename(tmp_path / "drop1.jsonl")  # stage drop 2
+    q = streaming_corpus_dedup(spark, str(src), wh, str(tmp_path / "cp"))
+    q.processAllAvailable()
+    (tmp_path / "drop1.jsonl").rename(src / "drop1.jsonl")
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.doc_id for r in canonical_corpus(wh).select("doc_id").collect())
+
+    ddl = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    batch_docs = spark.read.schema(ddl).json(str(src))
+    want = sorted(r.doc_id for r in dedup_corpus(batch_docs).select("doc_id").collect())
+    assert got == want
+    # and the semantics are right, not just self-consistent: the
+    # near-dup chain {1,2,6} collapses to 1; exact dups 3/5 are gone
+    assert got == [1, 4, 7]
+
+
 def test_jsonl_corpus_stream_absorbs_drops(spark, tmp_path):
     """stream_jsonl_corpus: each JSONL drop (gzip or plain, mixed in
     one directory) arrives as a micro-batch; the absorbed corpus
