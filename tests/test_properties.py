@@ -188,6 +188,174 @@ def test_range_join_matches_naive_model(spark, pts, ivs, width):
     assert got == want
 
 
+texts_st = st.lists(
+    # tiny alphabet + short texts force shared shingles, where the
+    # inverted-index join and the df-cap actually engage
+    st.text(alphabet="ab ", min_size=0, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _naive_jaccard(texts: list[str], n: int = 3):
+    """Driver-side reference: normalized-token n-gram sets, exact
+    jaccard for every pair (the textdedup normalize/shingle rules:
+    lowercase, collapse spaces, trim, distinct n-token windows with
+    a min of one window)."""
+    import re
+
+    sets = []
+    for t in texts:
+        toks = re.sub(" +", " ", t.lower()).strip().split(" ")
+        grams = {
+            " ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))
+        }
+        sets.append(grams)
+    out = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union:
+                out[(i, j)] = (inter, round(inter / union, 4))
+    return out
+
+
+@given(texts=texts_st)
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_naive_model(spark, texts):
+    """ngram_jaccard_pairs(threshold=0) == exact per-pair jaccard of
+    the shingle SETS for every co-shingled pair, on ANY input —
+    including empty texts, all-space texts, and exact duplicates."""
+    from dot_spark.operators.textdedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    want = {k: v for k, v in _naive_jaccard(texts).items() if v[0] > 0}
+    assert got == want
+
+
+@given(texts=texts_st, maxdf=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_capped_jaccard_is_lower_bound_of_exact(spark, texts, maxdf):
+    """The shingle_maxdf stop-shingle cap may only UNDER-count
+    intersections: every capped pair must exist in the exact result
+    with capped.inter <= exact.inter and capped.jaccard <=
+    exact.jaccard — the documented lower-bound contract dd4b's scale
+    guard relies on."""
+    from dot_spark.operators.textdedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    exact = {
+        (r.id_a, r.id_b): (r.inter, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    capped = ngram_jaccard_pairs(df, threshold=0.0, shingle_maxdf=maxdf).collect()
+    for r in capped:
+        assert (r.id_a, r.id_b) in exact
+        e_inter, e_jac = exact[(r.id_a, r.id_b)]
+        assert r.inter <= e_inter
+        assert r.jaccard <= e_jac + 1e-9
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200)),
+        min_size=1,
+        max_size=20,
+    ),
+    gap_minutes=st.sampled_from([1, 30]),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_gap_split_model(spark, events, gap_minutes):
+    """sessionize == the naive per-key gap-split: sort a key's events
+    by (ts, id), start a new session whenever the gap from the
+    previous event exceeds gap_minutes. Ties and duplicate
+    timestamps included (tiebreak on event_id keeps it total)."""
+    import datetime
+
+    from dot_spark.operators.sampling import sessionize
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, k, base + datetime.timedelta(minutes=m))
+        for i, (k, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id INT, user_id INT, ts TIMESTAMP")
+    got = {
+        r.event_id: r.session_idx
+        for r in sessionize(df, gap_minutes=gap_minutes).collect()
+    }
+
+    want = {}
+    by_key: dict[int, list[tuple]] = {}
+    for i, k, ts in rows:
+        by_key.setdefault(k, []).append((ts, i))
+    for k, evs in by_key.items():
+        evs.sort()
+        idx, prev = 0, None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_minutes * 60:
+                idx += 1
+            want[i] = idx
+            prev = ts
+    assert got == want
+
+
+@given(texts=texts_st)
+@settings(**SETTINGS)
+def test_dedup_corpus_invariants(spark, texts):
+    """dedup_corpus on ANY corpus: survivors are a subset of the
+    input, no two survivors share a normalized text, and at least
+    one representative of every distinct normalized text family
+    survives... unless its whole near-dup cluster collapsed onto a
+    single canonical doc (then the canonical covers it). The checkable
+    universal laws: subset, exact-uniqueness among survivors, and
+    the canonical doc of every LSH cluster survives."""
+    from dot_spark.operators.textdedup import dedup_corpus, normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    survivors = dedup_corpus(df).collect()
+    ids = [r.doc_id for r in survivors]
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= set(range(len(texts)))
+    # survivors are exact-unique on normalized text
+    norm = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", normalize_text("text").alias("n")).collect()
+    }
+    surv_norms = [norm[i] for i in ids]
+    assert len(surv_norms) == len(set(surv_norms))
+    # non-empty corpus always keeps something
+    assert ids
+
+
+@given(
+    keys=st.lists(st.integers(0, 1_000_000), min_size=1, max_size=40),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@settings(**SETTINGS)
+def test_hash_sample_is_partition_invariant(spark, keys, parts):
+    """hash_sample must select the SAME rows regardless of physical
+    partitioning (the reproducibility contract p10 sells): the filter
+    depends only on row content, never on split placement."""
+    from dot_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+    a = sorted(r.k for r in hash_sample(df, "k").collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(parts), "k").collect())
+    assert a == b
+
+
 edges_st = st.lists(
     st.tuples(st.integers(0, 15), st.integers(0, 15)),
     min_size=0,
