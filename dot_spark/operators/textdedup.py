@@ -535,6 +535,73 @@ def contamination_flags(
     )
 
 
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+) -> DataFrame:
+    """Chunk-granularity exact dedup — the passage-level pass of Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL'22), used by production corpus pipelines to strip
+    boilerplate passages repeated ACROSS documents that whole-doc
+    dedup (dd1) cannot see: split each doc into non-overlapping
+    fixed-size token chunks, keep only the globally-first occurrence
+    of each distinct chunk (min (doc_id, chunk_idx)), drop every
+    repeat, and reassemble the surviving chunks per doc in order.
+
+    Scale shape — chunk BODIES never shuffle on the dedup key:
+    1. the first-occurrence aggregate runs over (md5, doc_id,
+       chunk_idx) rows only (16-byte hash + two ints; min of a
+       2-field struct partial-aggregates map-side);
+    2. winners collapse to one int-array row per surviving doc
+       (collect_set of kept chunk indexes);
+    3. that keep-set joins back to the chunk rows BY DOC ID, and the
+       reassembly groupBy reuses the same doc-keyed exchange.
+
+    Output per input doc: (id, n_chunks, n_kept, dedup_text), where
+    dedup_text is the normalized surviving text ('' when every chunk
+    of the doc was a repeat).
+    """
+    from dot_spark.operators.text import chunk_documents
+
+    ch = chunk_documents(
+        df, id_col, text_col, chunk_size=chunk_size, stride=chunk_size
+    )
+    ids = ch.select(
+        F.md5("chunk_text").alias("__h"), F.col(id_col), F.col("chunk_idx")
+    )
+    first = ids.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("chunk_idx").alias("c"))
+        ).alias("__f")
+    )
+    keep_sets = (
+        first.select(F.col("__f.i").alias(id_col), F.col("__f.c").alias("c"))
+        .groupBy(id_col)
+        .agg(F.collect_set("c").alias("__keep"))
+    )
+    flagged = ch.join(keep_sets, id_col, "left").withColumn(
+        "__kept",
+        F.array_contains(
+            F.coalesce("__keep", F.array().cast("array<int>")), F.col("chunk_idx")
+        ),
+    )
+    kept_struct = F.when(
+        F.col("__kept"), F.struct("chunk_idx", "chunk_text")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("__kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk_text
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
 def dedup_corpus(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

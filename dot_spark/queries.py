@@ -1820,6 +1820,41 @@ def dd8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd9_chunk_dedup",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id,
+             CAST((i - 1) // 16 AS INT) AS chunk_idx,
+             array_to_string(toks[i:i+15], ' ') AS chunk_text
+      FROM tk, UNNEST(generate_series(1, greatest(1, len(toks)), 16)) AS t(i)),
+    k AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             ROW_NUMBER() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) = 1 AS keep
+      FROM ch)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                      FILTER (WHERE keep), '') AS dedup_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def dd9_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup (Lee et al. ACL'22 passage
+    dedup): 16-token non-overlapping chunks, globally-first
+    occurrence kept, docs reassembled from their surviving chunks —
+    strips cross-document boilerplate whole-doc dedup (dd1) cannot
+    see. Bodies never shuffle on the dedup key (see
+    textdedup.chunk_dedup)."""
+    from dot_spark.operators.textdedup import chunk_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_dedup(docs, chunk_size=16)
+
+
+@query(
     "dd3_simhash",
     """
     WITH tk AS (

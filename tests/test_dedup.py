@@ -138,3 +138,32 @@ def test_connected_components_long_chain_logarithmic(spark):
     )
     got = {r.node: r.label for r in connected_components(chain, max_iterations=12).collect()}
     assert got == {i: 1 for i in range(1, 62)}
+
+
+def test_chunk_dedup_strips_cross_doc_passages(spark):
+    """Chunk-level dedup: a passage repeated across docs survives
+    only at its first (doc_id, chunk_idx) occurrence; intra-doc
+    repeats collapse too; unique chunks all survive; a doc made
+    entirely of repeats reassembles to ''."""
+    from dot_spark.operators.textdedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one 4-token chunk
+    fresh1 = " ".join(f"x{i}" for i in range(4))
+    fresh2 = " ".join(f"y{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + fresh1),          # keeps both chunks
+            (2, boiler + " " + fresh2),          # boilerplate stripped
+            (3, boiler),                         # all-repeat -> ''
+            (4, fresh2 + " " + fresh2),          # intra-corpus repeat of doc2's chunk
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+        for r in chunk_dedup(docs, chunk_size=4).collect()
+    }
+    assert got[1] == (2, 2, boiler + " " + fresh1)
+    assert got[2] == (2, 1, fresh2)
+    assert got[3] == (1, 0, "")
+    assert got[4] == (2, 0, "")  # fresh2 already kept by doc 2
