@@ -535,6 +535,72 @@ def contamination_flags(
     )
 
 
+def verified_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs VERIFIED by exact n-gram jaccard — the
+    two-stage miner production dedup runs: MinHash+LSH proposes
+    (cheap, linear-ish, but has false positives by construction),
+    exact jaccard over ONLY the proposed pairs disposes (each
+    candidate pair costs |A|+|B| join rows instead of the corpus-wide
+    inverted-index blow-up of all-pairs jaccard). Compared to
+    clustering raw LSH collisions (pl5), verification stops false
+    positives from bridging unrelated clusters — the transitive-
+    closure failure mode of unverified candidate graphs.
+
+    Scale shape: candidates fan out once per shingle of their A side
+    (cand ⋈ shingles(id_a)), then an equi-join on (id_b, shingle
+    hash) counts intersections; sizes ride a broadcast-small side.
+    Only candidate pairs ever materialize — never all co-shingled
+    pairs. Same shingle space as the MinHash signatures (n=3), so
+    the verified jaccard measures exactly what LSH approximated.
+
+    Returns (id_a, id_b, inter, jaccard) with jaccard >= threshold.
+    """
+    cand = lsh_candidate_pairs(
+        lsh_bands(
+            minhash_signatures(df, id_col, text_col, num_hashes, shingle_n),
+            id_col=id_col,
+            bands=bands,
+            rows_per_band=rows_per_band,
+        ),
+        id_col=id_col,
+    )
+    sh = (
+        shingle_rows(df, id_col, text_col, shingle_n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh_h")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "sh_h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

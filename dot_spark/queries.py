@@ -3224,6 +3224,80 @@ def pl5_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(docs).select("doc_id", "lang", "n_chars")
 
 
+def _pl6_oracle_sql() -> str:
+    """pl6's composed oracle: pl5's skeleton with the verification
+    stage inserted — dd2's candidate SQL proposes, an exact
+    shingle-set jaccard over ONLY the candidates disposes, and the
+    recursive closure clusters just the verified pairs."""
+    dd2_over_survivors = ORACLE["dd2_minhash_lsh_candidates"].replace(
+        "FROM documents", "FROM survivors"
+    )
+    return f"""
+    WITH RECURSIVE
+    survivors AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT MIN(doc_id) AS keep_id FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))) k
+        ON d.doc_id = k.keep_id),
+    cand AS ({dd2_over_survivors}),
+    tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM survivors),
+    shs AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(1, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM tk),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shs GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_int
+      FROM cand c JOIN shs a ON a.doc_id = c.id_a
+                  JOIN shs b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    verified AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE ROUND(i.n_int * 1.0 / (sa.n_sh + sb.n_sh - i.n_int), 4) >= 0.7),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION SELECT id_b AS src, id_a AS dst FROM verified),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT s.doc_id, s.lang, s.n_chars
+    FROM survivors s LEFT JOIN clusters c ON s.doc_id = c.node
+    WHERE c.node IS NULL OR c.cluster_id = s.doc_id
+    """
+
+
+@query("pl6_verified_dedup_pipeline", _pl6_oracle_sql())
+def pl6_verified_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl5 with the verification stage production dedup inserts
+    between pair mining and clustering: LSH candidates are verified
+    by EXACT jaccard over the same shingle space before clustering,
+    so LSH false positives cannot bridge unrelated clusters through
+    the transitive closure (the failure mode of clustering raw
+    collisions). Each candidate costs |A|+|B| verify join rows —
+    linear in the candidate list, never all co-shingled pairs."""
+    from dot_spark.operators.textdedup import (
+        connected_components,
+        exact_dedup,
+        verified_neardup_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id")
+    pairs = verified_neardup_pairs(survivors, threshold=0.7)
+    labels = connected_components(pairs)
+    return (
+        survivors.join(labels, survivors["doc_id"] == labels["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("label") == F.col("doc_id")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 2 additions: corpus-quality, decontamination, sampling,
 # sessionization — the remaining first-class LLM-pipeline passes

@@ -167,3 +167,38 @@ def test_chunk_dedup_strips_cross_doc_passages(spark):
     assert got[2] == (2, 1, fresh2)
     assert got[3] == (1, 0, "")
     assert got[4] == (2, 0, "")  # fresh2 already kept by doc 2
+
+
+def test_verified_pairs_agree_with_exact_jaccard(spark):
+    """verified_neardup_pairs must be a SUBSET of the all-pairs exact
+    jaccard result (verification can only remove LSH proposals, never
+    invent pairs or change scores), and exact duplicates — guaranteed
+    LSH candidates via identical signatures — must come out verified
+    at jaccard 1.0."""
+    from dot_spark.operators.textdedup import (
+        ngram_jaccard_pairs,
+        verified_neardup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact dup of 1
+            (3, base + " extra tail here"), # near dup of 1/2
+            (4, "totally different words about other things entirely"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.jaccard)
+        for r in verified_neardup_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): (r.inter, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, scores in got.items():
+        assert scores == exact[pair], pair
+    assert got[(1, 2)][1] == 1.0
