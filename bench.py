@@ -47,6 +47,8 @@ HEADLINE = [
     # stays registered as the gold standard but is not the headline
     "dd5b_bucketed_neardup",
     "dd6_decontamination",
+    # chunk-granularity (passage) dedup — the newest dedup pass
+    "dd9_chunk_dedup",
     "t2_quality_score",
     "t4_fingerprint",
     "t9_tfidf_topterms",

@@ -337,16 +337,7 @@ def ngram_jaccard_pairs(
     # hot shingle keys (measured 5x slower); the broadcast-hash plan
     # streams the probe side in scan order, spreading a hot bucket's
     # m^2 expansion evenly over tasks.
-    # per-doc set semantics via distinct on the 8-byte hash (not the
-    # shingle string) — the dedupe exchange ships hashes, and sizes/
-    # freq count DISTINCT shingles exactly as the array_distinct form
-    # did
-    sh = (
-        shingle_rows(df, id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
-        .distinct()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh, sizes = _distinct_shingle_hashes(df, id_col, text_col, n)
     freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_sh"))
     keep = F.col("df_sh") >= 2
     if shingle_maxdf is not None:
@@ -363,6 +354,36 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _score_jaccard_pairs(inter, sizes, id_col, threshold)
+
+
+def _distinct_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """((id, sh_h) rows, (id, n_sh) sizes) — per-doc SET semantics via
+    distinct on the 8-byte xxhash64 of the shingle, not the string:
+    the dedupe exchange ships hashes, and sizes count DISTINCT
+    shingles exactly as the array_distinct form did. ONE definition
+    shared by the all-pairs miner (ngram_jaccard_pairs) and the
+    candidate verifier (verified_neardup_pairs) so the jaccard both
+    compute is the same measure."""
+    sh = (
+        shingle_rows(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return sh, sizes
+
+
+def _score_jaccard_pairs(
+    inter: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Turn per-pair intersection counts into thresholded jaccard
+    rows: join both sides' set sizes, jaccard = inter/(|A|+|B|-inter)
+    rounded to 4 (engine-portable), filter. Shared by the all-pairs
+    miner and the candidate verifier — the scoring definition lives
+    once."""
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.round(
@@ -573,12 +594,7 @@ def verified_neardup_pairs(
         ),
         id_col=id_col,
     )
-    sh = (
-        shingle_rows(df, id_col, text_col, shingle_n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
-        .distinct()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh, sizes = _distinct_shingle_hashes(df, id_col, text_col, shingle_n)
     a = sh.select(F.col(id_col).alias("id_a"), "sh_h")
     b = sh.select(F.col(id_col).alias("id_b"), "sh_h")
     inter = (
@@ -587,18 +603,7 @@ def verified_neardup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.round(
-        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
-    )
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "inter", "jaccard")
-    )
+    return _score_jaccard_pairs(inter, sizes, id_col, threshold)
 
 
 def chunk_dedup(
@@ -669,29 +674,46 @@ def chunk_dedup(
 
 
 def dedup_corpus(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs_fn=None,
 ) -> DataFrame:
     """The end-to-end corpus dedup pass (pl5's core): exact dedup
-    (hash-groupBy, keep min id) -> MinHash+LSH candidate mining over
-    the survivors -> connected-component clustering -> keep one
+    (hash-groupBy, keep min id) -> near-dup pair mining over the
+    survivors -> connected-component clustering -> keep one
     canonical doc per near-dup cluster plus everything unclustered.
-    ONE definition shared by the batch query (pl5), the streaming
-    compaction pass (pipelines.canonical_corpus), and their parity
-    test, so the three can never drift.
+    ONE definition shared by the batch queries (pl5, and pl6 via
+    ``pairs_fn``), the streaming compaction pass
+    (pipelines.canonical_corpus), the scale sweep, and the parity
+    test, so none of them can drift.
+
+    ``pairs_fn(survivors) -> (id_a, id_b, ...)`` swaps the pair
+    miner; the default is raw MinHash+LSH candidates (pl5). Pass
+    ``verified_neardup_pairs`` for the jaccard-verified variant
+    (pl6).
 
     Returns the surviving rows of ``docs`` with their original
     columns. Each stage keeps its individual scale shape (128-bit
     hash shuffle, band-bucket equi-join, O(log) component rounds);
     the clustering stage executes eagerly (documented iterative
     exception)."""
+    if pairs_fn is None:
+
+        def pairs_fn(survivors):
+            return lsh_candidate_pairs(
+                lsh_bands(
+                    minhash_signatures(survivors, id_col=id_col, text_col=text_col),
+                    id_col=id_col,
+                ),
+                id_col=id_col,
+            )
+
     keep = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
     )
     survivors = docs.join(keep, id_col)
-    pairs = lsh_candidate_pairs(
-        lsh_bands(minhash_signatures(survivors, id_col=id_col, text_col=text_col))
-    )
-    labels = connected_components(pairs)
+    labels = connected_components(pairs_fn(survivors))
     return (
         survivors.join(labels, survivors[id_col] == labels["node"], "left")
         .filter(F.col("node").isNull() | (F.col("label") == F.col(id_col)))

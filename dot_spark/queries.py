@@ -2100,20 +2100,30 @@ def _ss3_oracle_sql() -> str | None:
     equi-join, and the ranked cosine, end to end — only the training
     loop itself stays out of SQL.
 
-    SCOPE: the literals ARE the sf0.01 training output, so the
-    comparison is defined at the driver's gate scale (sf=0.01) —
-    exactly where the driver runs it. Returns None (rows-only
-    fallback) when the gate-scale table is not on disk."""
+    SCOPE: the literals ARE one corpus's training output, so the
+    comparison is only defined where oracle and engine see the SAME
+    table. The build reads $DOT_SPARK_GATE_SF_DIR, defaulting to the
+    driver's gate scale (sf0.01) — the one place the official
+    comparison runs; tools/oracle_check.py exports the env var to
+    whatever sf_dir it is checking, so a local gate replica at any
+    other scale regenerates matching literals instead of false-
+    mismatching against frozen sf0.01 centroids. Returns None
+    (rows-only fallback) when the table is not on disk."""
+    import os
+
     import numpy as np
 
     from dot_spark.operators.similarity import spherical_kmeans
 
+    gate_dir = os.environ.get(
+        "DOT_SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+    ).rstrip("/")
     try:
         import duckdb
 
         sample = duckdb.sql(
             "SELECT embedding FROM "
-            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            f"read_parquet('{gate_dir}/embeddings.parquet') "
             "ORDER BY vec_id LIMIT 1024"
         ).fetchall()
     except Exception:
@@ -3280,22 +3290,12 @@ def pl6_verified_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transitive closure (the failure mode of clustering raw
     collisions). Each candidate costs |A|+|B| verify join rows —
     linear in the candidate list, never all co-shingled pairs."""
-    from dot_spark.operators.textdedup import (
-        connected_components,
-        exact_dedup,
-        verified_neardup_pairs,
-    )
+    from dot_spark.operators.textdedup import dedup_corpus, verified_neardup_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    survivors = docs.join(keep, "doc_id")
-    pairs = verified_neardup_pairs(survivors, threshold=0.7)
-    labels = connected_components(pairs)
-    return (
-        survivors.join(labels, survivors["doc_id"] == labels["node"], "left")
-        .filter(F.col("node").isNull() | (F.col("label") == F.col("doc_id")))
-        .select("doc_id", "lang", "n_chars")
-    )
+    return dedup_corpus(
+        docs, pairs_fn=lambda s: verified_neardup_pairs(s, threshold=0.7)
+    ).select("doc_id", "lang", "n_chars")
 
 
 # ---------------------------------------------------------------------------
@@ -3629,8 +3629,8 @@ _WINDOW_PRIORITY = [
     # (a) never-current: added/upgraded r6, first official gate now
     "ss4_lsh_topk", "s13_jsonl_roundtrip", "s14_orc_roundtrip",
     "dd8_dedup_clusters", "pl5_corpus_dedup_pipeline",
-    # (b) f8 upgraded this round (tamper-pattern oracle);
-    #     ss3 current-rows-only by design (training is not SQL)
+    # (b) both upgraded this round to full oracles: f8 tamper-pattern,
+    #     ss3 replayed-training generated literals
     "f8_hmac_sha256", "ss3_ivf_trained_topk",
     # (c) backfill: newest official row is r05 (oldest-proven first)
     "s1_scan_projection", "s2_paged_rest_scan", "s4_csv_parse",

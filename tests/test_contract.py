@@ -130,8 +130,8 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
     the round-7 rotation: the 7 queries with no current official row
-    (the five added/upgraded in r6 and never yet gated, f8 with its
-    new tamper-pattern oracle, rows-only ss3) plus the oldest-proven
+    (the five added/upgraded in r6 and never yet gated, plus f8 and
+    ss3 — both upgraded to full oracles) plus the oldest-proven
     r5-row backfill — an accidental registration reorder silently
     drops operators out of the official artifact."""
     window = list(QUERIES)[:50]

@@ -311,32 +311,68 @@ def test_sessionize_matches_gap_split_model(spark, events, gap_minutes):
 
 @given(texts=texts_st)
 @settings(**SETTINGS)
-def test_dedup_corpus_invariants(spark, texts):
-    """dedup_corpus on ANY corpus: survivors are a subset of the
-    input, no two survivors share a normalized text, and at least
-    one representative of every distinct normalized text family
-    survives... unless its whole near-dup cluster collapsed onto a
-    single canonical doc (then the canonical covers it). The checkable
-    universal laws: subset, exact-uniqueness among survivors, and
-    the canonical doc of every LSH cluster survives."""
-    from dot_spark.operators.textdedup import dedup_corpus, normalize_text
+def test_dedup_corpus_matches_reference_model(spark, texts):
+    """dedup_corpus on ANY corpus must equal the reference model
+    exactly: min-id exact-dedup survivors (python), the LSH pair
+    miner's output over those survivors (the Spark operator — the
+    pair graph is the pipeline's own definition), union-find
+    components over those pairs (python, itself property-tested
+    against connected_components), keep = unclustered survivors plus
+    each cluster's min-id canonical. This pins the canonical-
+    selection filter itself — a flipped keep condition (e.g. keeping
+    the non-canonical members) passes weaker subset/uniqueness
+    checks but not this equality."""
+    from dot_spark.operators.textdedup import (
+        dedup_corpus,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        normalize_text,
+    )
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
     )
-    survivors = dedup_corpus(df).collect()
-    ids = [r.doc_id for r in survivors]
-    assert len(ids) == len(set(ids))
-    assert set(ids) <= set(range(len(texts)))
-    # survivors are exact-unique on normalized text
+    got = sorted(r.doc_id for r in dedup_corpus(df).collect())
+
+    # reference: exact dedup in python (min id per normalized text)
     norm = {
         r.doc_id: r.n
         for r in df.select("doc_id", normalize_text("text").alias("n")).collect()
     }
-    surv_norms = [norm[i] for i in ids]
-    assert len(surv_norms) == len(set(surv_norms))
-    # non-empty corpus always keeps something
-    assert ids
+    first_by_text: dict[str, int] = {}
+    for i in sorted(norm):
+        first_by_text.setdefault(norm[i], i)
+    exact_ids = sorted(first_by_text.values())
+
+    # the pipeline's own pair miner over the exact survivors...
+    surv_df = df.filter(F.col("doc_id").isin(exact_ids))
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            lsh_bands(minhash_signatures(surv_df))
+        ).collect()
+    ]
+    # ...clustered by python union-find
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a), parent.setdefault(b, b)
+        parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    clustered = set(parent)
+    canonical = {min(members) for members in comps.values()}
+    want = sorted(i for i in exact_ids if i not in clustered or i in canonical)
+    assert got == want
 
 
 @given(

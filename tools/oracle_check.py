@@ -54,6 +54,13 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
 
+    # Data-dependent generated-literal oracles (ss3's replayed k-means
+    # training) must build their literals from the SAME tables this
+    # check runs against — export the dir BEFORE the oracle-building
+    # import so a replica run at sf0.001/sf0.1 regenerates matching
+    # literals instead of false-mismatching frozen sf0.01 ones.
+    os.environ["DOT_SPARK_GATE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from dot_spark import get_spark
 

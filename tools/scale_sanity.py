@@ -41,7 +41,7 @@ from dot_spark.operators.text import tfidf_top_terms
 from dot_spark.operators.textdedup import (
     connected_components,
     contamination_flags,
-    exact_dedup,
+    dedup_corpus,
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -166,25 +166,12 @@ def main() -> None:
         # pl5: the END-TO-END corpus dedup pass (dd1 -> dd2 -> dd8 ->
         # canonical survivors) as ONE cell — the composed pipeline's
         # curve, not just its stages'. Clustering executes eagerly, so
-        # it enters as a thunk like dd8.
-        def pl5_cell(docs=docs):
-            keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-            survivors = docs.join(keep, "doc_id")
-            pairs = lsh_candidate_pairs(
-                lsh_bands(minhash_signatures(survivors))
-            )
-            labels = connected_components(pairs)
-            return (
-                survivors.join(
-                    labels, survivors["doc_id"] == labels["node"], "left"
-                )
-                .filter(
-                    F.col("node").isNull() | (F.col("label") == F.col("doc_id"))
-                )
-                .select("doc_id")
-            )
-
-        grid[("pl5_corpus_dedup", k)] = pl5_cell
+        # it enters as a thunk like dd8; the composition is the SAME
+        # shared dedup_corpus the pl5 query runs, so the measured cell
+        # can never drift from the shipped pipeline.
+        grid[("pl5_corpus_dedup", k)] = lambda docs=docs: dedup_corpus(
+            docs
+        ).select("doc_id")
 
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
