@@ -3604,6 +3604,105 @@ def a11_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a12_cube_lattice",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a12_cube_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping lattice via CUBE — a6's ROLLUP sibling with the
+    cross-dimension subtotal rows ((NULL, l_linestatus)) a rollup
+    omits. Same one-shuffle shape: the Expand operator emits all 4
+    grouping-set rows map-side and partial-aggregates BEFORE the
+    exchange."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "w7_moving_avg",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS sum7,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt7,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+    FROM events
+    """,
+)
+def w7_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving window (sum + count) and running total
+    per user — the sliding-frame window staple (smoothed metrics,
+    monitoring). All frames share ONE (user_id) partitioning and ONE
+    (ts, event_id) sort; ties carry the unique event_id tiebreaker so
+    the frame contents are deterministic under distributed execution.
+
+    The moving average itself is emitted DECOMPOSED as (sum7, cnt7),
+    not as ROUND(AVG, 2): sums of 2-decimal inputs have exact
+    2-decimal true values, so rounding them is engine-portable, while
+    rounding the quotient lands on exact .005 halves (e.g.
+    156.23 / 2 = 78.115) where half-up (Spark) and half-even (DuckDB)
+    deterministically disagree — measured 6 such rows in the 10k-row
+    fixture."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame7 = w.rowsBetween(-6, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(frame7), 2).alias("sum7"),
+        F.count(F.lit(1)).over(frame7).alias("cnt7"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_sum"),
+    )
+
+
+@query(
+    "n7_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def n7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): four measure columns become
+    (metric, value) rows — N3's kv-pivot inverse, the reshape feeding
+    generic metric pipelines. Map-side Expand only (4x fan-out, zero
+    shuffle); the oracle states the same reshape as UNION ALL."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
 # 50 queries() entries. Rounds 1-3 proved (in turn) the relational
