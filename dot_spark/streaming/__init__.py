@@ -10,6 +10,7 @@ machines live in applyInPandasWithState.
 
 from dot_spark.streaming.ingress import (
     EVENTS_READ_DDL_TEMPLATE,
+    enrich_stream,
     stream_events,
     stream_jsonl_corpus,
 )
@@ -26,6 +27,7 @@ from dot_spark.streaming.state import (
 
 __all__ = [
     "EVENTS_READ_DDL_TEMPLATE",
+    "enrich_stream",
     "stream_events",
     "stream_jsonl_corpus",
     "fan_out",

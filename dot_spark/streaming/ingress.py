@@ -58,7 +58,10 @@ DOCUMENTS_READ_DDL = (
 
 
 def stream_jsonl_corpus(
-    spark: SparkSession, corpus_dir: str, schema: str = DOCUMENTS_READ_DDL
+    spark: SparkSession,
+    corpus_dir: str,
+    schema: str = DOCUMENTS_READ_DDL,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """A JSONL corpus directory as a streaming DataFrame: each new
     .jsonl[.gz] drop is a micro-batch — the ingest-side twin of
@@ -68,8 +71,33 @@ def stream_jsonl_corpus(
     directories stream fine. At scale this is the continuous-ingest
     front door: downstream dedup (pl4) and quality filters consume
     micro-batches while the file source checkpoint tracks what has
-    been absorbed."""
-    return spark.readStream.schema(schema).json(corpus_dir)
+    been absorbed.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    input files — the backpressure knob for catching up on a backlog
+    (a restart against 10k accumulated drops must not absorb them as
+    ONE giant batch whose state/shuffle exceeds what the cluster was
+    sized for; bounded triggers drain the backlog incrementally at
+    the provisioned rate)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(corpus_dir)
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a streaming frame to
+    a small static dim with an explicit broadcast, so every
+    micro-batch probes the dim map-side — the stream never shuffles
+    for the join, and no streaming state accumulates (stream-static
+    joins are stateless by definition; only stream-stream joins hold
+    state). The static side is re-resolved per micro-batch, so a dim
+    refreshed in place (e.g. the atomic CTAS promote, D1) is picked
+    up on the next trigger without restarting the query. At a dim too
+    big to broadcast, pre-bucket both sides on the key instead."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -582,6 +582,69 @@ def test_attributed_publish_stream_and_filtered_subscribe(spark, tmp_path):
     assert all(r.attributes["kind"] == "a" and r.topic == "t1" for r in got)
 
 
+def test_enrich_stream_matches_batch_join(spark, sf_dir, events_stream, tmp_path):
+    """Stream-static dimension enrichment: every micro-batch probes
+    the broadcast dim map-side; the absorbed result must equal the
+    batch join of the same tables — including left-join rows whose
+    key has no dim match."""
+    from dot_spark.sources.registry import load_table
+    from dot_spark.streaming import enrich_stream
+
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .filter(F.col("user_id") % 2 == 0)  # force unmatched stream keys
+    )
+    q = start_memory(
+        enrich_stream(events_stream.select("event_id", "user_id"), dim, "user_id"),
+        "enr",
+        str(tmp_path / "cp"),
+    )
+    drive(q)
+    got = spark.table("enr")
+    want = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.filter(F.col("c_mktsegment").isNull()).count() > 0
+
+
+def test_jsonl_stream_bounded_triggers(spark, tmp_path):
+    """maxFilesPerTrigger=1: a 3-drop backlog must drain as >= 3
+    micro-batches (bounded ingestion), never one giant catch-up
+    batch, and absorb every row exactly once."""
+    import json
+
+    from dot_spark.streaming import stream_jsonl_corpus
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    ddl = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    for d in range(3):
+        (src / f"drop{d}.jsonl").write_text(
+            json.dumps(
+                {"doc_id": d, "text": f"t{d}", "lang": "en", "source": "s",
+                 "n_chars": 2}
+            )
+            + "\n"
+        )
+    batches = []
+    q = (
+        stream_jsonl_corpus(spark, str(src), ddl, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            lambda df, bid: batches.append((bid, df.count()))
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(batches) >= 3, batches
+    assert sum(n for _, n in batches) == 3
+
+
 def test_streaming_corpus_dedup_matches_batch_pl5(spark, tmp_path):
     """The continuous-ingest twin of pl5: two JSONL drops streamed
     through foreachBatch cross-batch exact dedup, then the
