@@ -31,7 +31,49 @@ import shutil
 import uuid
 from collections.abc import Callable, Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:
+    """Morton (Z-curve) key over numeric columns as ONE codegen
+    expression: each column min/max-scales to a ``bits``-wide
+    integer, and the integers' bits interleave (bit b of column i
+    lands at position b*k+i). Ordering by the key clusters rows that
+    are close in every dimension simultaneously.
+
+    The min/max stats come from one tiny aggregate (two driver
+    scalars per column — the documented watermark-style exception,
+    never row data). A constant column scales to 0 and drops out of
+    the ordering."""
+    k = len(cols)
+    row = df.agg(
+        *[F.min(c).alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx{i}") for i, c in enumerate(cols)],
+    ).first()
+    key = F.lit(0).cast("long")
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        mn, mx = float(row[f"mn{i}"]), float(row[f"mx{i}"])
+        span = mx - mn
+        if span <= 0:
+            continue
+        scaled = F.coalesce(
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top
+                ).cast("long"),
+            ),
+            F.lit(0),  # NULL sorts with the minimum, key stays non-null
+        )
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * k + i
+                )
+            )
+    return key
 
 
 class Warehouse:
@@ -249,6 +291,34 @@ class Warehouse:
         else:
             self.rewrite(table, lambda df: df.repartition(n_files))
         return n_files
+
+    def zorder(
+        self, table: str, cols: Sequence[str], n_files: int = 8, bits: int = 16
+    ) -> None:
+        """Z-order (Morton-curve) clustering rewrite — the
+        multi-dimensional layout pass for scan pruning: rows whose
+        values are close in EVERY listed column land in the same
+        files, so each file's parquet min/max footer stats are narrow
+        on ALL the columns at once and a predicate on any of them
+        skips most files/row groups. Linear sort can only do this for
+        one leading column; at 100 TB a two-filter workload
+        (user_id = X AND value BETWEEN ...) needs the interleaved
+        layout or one of the two predicates reads everything.
+
+        Mechanics: each column is min/max-scaled to a bits-wide
+        integer (the stats scan is one tiny aggregate; the two driver
+        scalars are the documented watermark-style exception), the
+        bit-interleaved Morton key orders the rows, and
+        repartitionByRange + sortWithinPartitions on that key writes
+        n_files clustered files — staged and atomically promoted like
+        every other maintenance rewrite. On a lakehouse this is the
+        OPTIMIZE ZORDER BY maintenance command; the key expression is
+        pure codegen."""
+        def xf(df: DataFrame) -> DataFrame:
+            key = zorder_key(df, cols, bits=bits)
+            return df.repartitionByRange(n_files, key).sortWithinPartitions(key)
+
+        self.rewrite(table, xf, partition_cols=self.partition_cols_of(table))
 
     # --- S9 CSV checkpoint sink -------------------------------------------
 

@@ -96,3 +96,54 @@ def test_bucketed_groupby_is_shuffle_free(wh, spark, sf_dir):
     agg = wh.read_bucketed("li_bg").groupBy("l_orderkey").agg(F.sum("l_quantity"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_zorder_rewrite_narrows_per_file_ranges(wh, spark, sf_dir):
+    """Z-order clustering must make every output file's parquet
+    min/max footer stats narrow on BOTH interleaved columns at once —
+    the property multi-dimensional scan pruning depends on (a linear
+    sort can only narrow its leading column; the natural event order
+    narrows neither). Checked against the actual written footers, and
+    the rewrite must preserve the rows exactly."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dot_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    wh.write(ev, "ev_z")
+    wh.zorder("ev_z", ["user_id", "value"], n_files=8)
+
+    got = wh.read("ev_z")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ev.collect()))
+
+    files = glob.glob(os.path.join(wh.path("ev_z"), "*.parquet"))
+    assert len(files) >= 4, files
+    spans: dict[str, list[float]] = {"user_id": [], "value": []}
+    globals_: dict[str, tuple[float, float]] = {}
+    for col in spans:
+        mn, mx = ev.selectExpr(f"min({col})", f"max({col})").first()
+        globals_[col] = (float(mn), float(mx))
+    for f in files:
+        md = pq.read_metadata(f)
+        names = md.schema.names
+        for col in spans:
+            j = names.index(col)
+            lo = min(
+                float(md.row_group(g).column(j).statistics.min)
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                float(md.row_group(g).column(j).statistics.max)
+                for g in range(md.num_row_groups)
+            )
+            spans[col].append(hi - lo)
+    for col, widths in spans.items():
+        gmn, gmx = globals_[col]
+        avg = sum(widths) / len(widths)
+        # 8 z-ordered files over 2 dims ~ sqrt(8) slices per dim: each
+        # file should cover well under 60% of the global range on BOTH
+        # columns (natural order covers ~100% of each)
+        assert avg < 0.6 * (gmx - gmn), (col, avg, gmx - gmn, widths)
