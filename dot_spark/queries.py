@@ -3721,7 +3721,15 @@ def n7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _ss3_oracle_sql). Backfill = the oldest-proven (r5-row) queries,
 # VERDICT r6's order. After r07 every registered query's newest
 # official row is r05+, all postdating the last testdata
-# regeneration, and every one of the 105 is value-verified.
+# regeneration, and every registered query is value-verified (the
+# full local gate run this round: 110/110 PASS, zero rows-only).
+#
+# ROUND-8 ROTATION PLAN: the five queries ADDED in r7 after the
+# window froze (dd9_chunk_dedup, pl6_verified_dedup_pipeline,
+# a12_cube_lattice, w7_moving_avg, n7_unpivot — all five pass the
+# local driver-gate replica at sf0.01) have no official row yet;
+# lead the r8 window with them, then backfill oldest-first (the r5
+# remainder j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [

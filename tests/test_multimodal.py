@@ -175,6 +175,34 @@ def test_avi_codec_dispatch_is_container_declared():
     assert meta["n_bytes"] == 20 * 14 * 3 * 3
 
 
+def test_avi_codec_fallback_sniffs_when_no_stream_header():
+    """A container with an avih but NO strl stream header (so no
+    declared codec) must fall back to frame-magic sniffing — MJPEG
+    frames (SOI magic) parse as MJPEG, raw frames as DIB."""
+    import struct
+
+    from dot_spark.operators.multimodal import _avi_bytes, _decode_avi
+
+    def strip_strl(avi: bytes) -> bytes:
+        # excise the strl LIST from hdrl, fixing hdrl + RIFF lengths
+        i = avi.index(b"strl") - 8  # start of its LIST chunk
+        (ln,) = struct.unpack("<I", avi[i + 4 : i + 8])
+        cut = 8 + ln + (ln % 2)
+        out = avi[:i] + avi[i + cut :]
+        # hdrl LIST length field sits 8 bytes after "LIST", 4 before "hdrl"
+        h = out.index(b"hdrl") - 8
+        (hl,) = struct.unpack("<I", out[h + 4 : h + 8])
+        out = out[: h + 4] + struct.pack("<I", hl - cut) + out[h + 8 :]
+        return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+    for codec, want in (("mjpg", "mjpeg"), (None, "dib")):
+        kw = {"codec": codec} if codec else {}
+        headerless = strip_strl(_avi_bytes(20, 14, 3, seed=7, **kw))
+        meta = _decode_avi(headerless)
+        assert meta["codec"] == want, (codec, meta)
+        assert (meta["width"], meta["height"]) == (20, 14)
+
+
 def test_jpeg_parser_rejects_cut_before_scan():
     """A codestream truncated just before its SOS marker still has
     SOI/DQT/SOF/DHT headers — accepting it would pass on header
