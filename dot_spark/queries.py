@@ -3604,6 +3604,97 @@ def a11_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pl7_oracle_sql() -> str:
+    """pl7's composed oracle: the c3 verdict SQL picks the quality
+    keeps, pl5's dedup skeleton (dd1 + dd2 + dd8) runs over them,
+    dd6's shingle-overlap logic drops benchmark-contaminated
+    survivors, and t10's chunking emits the final training examples —
+    the whole corpus build replayed declaratively."""
+    dd2_over_survivors = ORACLE["dd2_minhash_lsh_candidates"].replace(
+        "FROM documents", "FROM survivors"
+    )
+    c3 = ORACLE["c3_quality_filter"]
+    return f"""
+    WITH RECURSIVE
+    verdicts AS ({c3}),
+    kept AS (
+      SELECT d.* FROM documents d
+      JOIN verdicts v USING (doc_id) WHERE v.verdict = 'keep'),
+    survivors AS (
+      SELECT d.* FROM kept d
+      JOIN (SELECT MIN(doc_id) AS keep_id FROM kept
+            GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))) k
+        ON d.doc_id = k.keep_id),
+    cand AS ({dd2_over_survivors}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    canon AS (
+      SELECT s.* FROM survivors s LEFT JOIN clusters c ON s.doc_id = c.node
+      WHERE c.node IS NULL OR c.cluster_id = s.doc_id),
+    bench_sh AS (
+      SELECT DISTINCT UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(1, len({_NORM_TOKS_SQL}) - 3)),
+               i -> md5(array_to_string(({_NORM_TOKS_SQL})[i:i+3], ' ')))))
+             AS sh_hash
+      FROM documents WHERE doc_id % 97 = 0),
+    train_sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(1, len({_NORM_TOKS_SQL}) - 3)),
+               i -> md5(array_to_string(({_NORM_TOKS_SQL})[i:i+3], ' ')))))
+             AS sh_hash
+      FROM canon WHERE doc_id % 97 <> 0),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM train_sh t JOIN bench_sh b USING (sh_hash)),
+    clean AS (
+      SELECT * FROM canon
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM clean),
+    st AS (SELECT doc_id, toks,
+                  UNNEST(generate_series(1, greatest(1, len(toks)), 24)) AS i
+           FROM tk)
+    SELECT doc_id,
+           CAST((i - 1) // 24 AS INT) AS chunk_idx,
+           array_to_string(toks[i:i+31], ' ') AS chunk_text,
+           CAST(least(32, len(toks) - i + 1) AS INT) AS n_tokens
+    FROM st
+    """
+
+
+@query("pl7_corpus_build_pipeline", _pl7_oracle_sql())
+def pl7_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-corpus build, raw documents to training
+    examples, in one pipeline — the engine's end-to-end user story:
+    C4/Gopher quality filter (c3) -> exact + near-dup dedup with
+    cluster-canonical keep (pl5's dedup_corpus) -> benchmark
+    decontamination by 4-token shingle overlap, eval split excluded
+    from the corpus (dd6) -> 32-token/stride-24 context-window
+    chunking (t10). Every stage keeps its audited scale shape: the
+    filter is map-only, dedup shuffles hashes not bodies, the
+    benchmark index broadcasts, chunking is a zero-shuffle carried-
+    array explode."""
+    from dot_spark.operators.text import chunk_documents, quality_filter
+    from dot_spark.operators.textdedup import contamination_flags, dedup_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept_ids = (
+        quality_filter(docs).filter(F.col("verdict") == "keep").select("doc_id")
+    )
+    canon = dedup_corpus(docs.join(kept_ids, "doc_id"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = canon.filter(F.col("doc_id") % 97 != 0)
+    flagged = contamination_flags(train, bench, n=4).select("doc_id")
+    clean = train.join(flagged, "doc_id", "left_anti")
+    return chunk_documents(clean, chunk_size=32, stride=24)
+
+
 @query(
     "a12_cube_lattice",
     """
