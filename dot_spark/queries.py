@@ -3815,12 +3815,13 @@ def n7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regeneration, and every registered query is value-verified (the
 # full local gate run this round: 110/110 PASS, zero rows-only).
 #
-# ROUND-8 ROTATION PLAN: the five queries ADDED in r7 after the
+# ROUND-8 ROTATION PLAN: the six queries ADDED in r7 after the
 # window froze (dd9_chunk_dedup, pl6_verified_dedup_pipeline,
-# a12_cube_lattice, w7_moving_avg, n7_unpivot — all five pass the
-# local driver-gate replica at sf0.01) have no official row yet;
-# lead the r8 window with them, then backfill oldest-first (the r5
-# remainder j9/a9/a11/s11/pl4 first, then r6 rows).
+# pl7_corpus_build_pipeline, a12_cube_lattice, w7_moving_avg,
+# n7_unpivot — all six pass the local driver-gate replica at sf0.01)
+# have no official row yet; lead the r8 window with them, then
+# backfill oldest-first (the r5 remainder j9/a9/a11/s11/pl4 first,
+# then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
