@@ -44,9 +44,16 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:
 
     The min/max stats come from one tiny aggregate (two driver
     scalars per column — the documented watermark-style exception,
-    never row data). A constant column scales to 0 and drops out of
-    the ordering."""
+    never row data). A constant or all-NULL column scales to 0 and
+    drops out of the ordering. ``bits`` is auto-reduced so the key
+    fits a signed long: position 63 would flip the sign (sorting
+    extreme-high rows before the minimum) and positions >= 64 wrap
+    under the JVM's 6-bit shift masking, colliding columns' bits —
+    either silently anti-clusters the layout."""
     k = len(cols)
+    if not k:
+        raise ValueError("zorder_key needs at least one column")
+    bits = min(bits, 63 // k)
     row = df.agg(
         *[F.min(c).alias(f"mn{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"mx{i}") for i, c in enumerate(cols)],
@@ -54,7 +61,10 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:
     key = F.lit(0).cast("long")
     top = (1 << bits) - 1
     for i, c in enumerate(cols):
-        mn, mx = float(row[f"mn{i}"]), float(row[f"mx{i}"])
+        mn_raw, mx_raw = row[f"mn{i}"], row[f"mx{i}"]
+        if mn_raw is None or mx_raw is None:  # empty table / all-NULL col
+            continue
+        mn, mx = float(mn_raw), float(mx_raw)
         span = mx - mn
         if span <= 0:
             continue

@@ -3656,15 +3656,8 @@ def _pl7_oracle_sql() -> str:
       SELECT * FROM canon
       WHERE doc_id % 97 <> 0
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-    tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM clean),
-    st AS (SELECT doc_id, toks,
-                  UNNEST(generate_series(1, greatest(1, len(toks)), 24)) AS i
-           FROM tk)
-    SELECT doc_id,
-           CAST((i - 1) // 24 AS INT) AS chunk_idx,
-           array_to_string(toks[i:i+31], ' ') AS chunk_text,
-           CAST(least(32, len(toks) - i + 1) AS INT) AS n_tokens
-    FROM st
+    chunks AS ({ORACLE["t10_doc_chunking"].replace("FROM documents", "FROM clean")})
+    SELECT * FROM chunks
     """
 
 
@@ -3684,10 +3677,15 @@ def pl7_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dot_spark.operators.textdedup import contamination_flags, dedup_corpus
 
     docs = load_table(spark, "documents", sf_dir)
-    kept_ids = (
-        quality_filter(docs).filter(F.col("verdict") == "keep").select("doc_id")
+    # quality_filter only ADDS columns, so the keep set is a zero-
+    # shuffle map-only projection — no corpus self-join to restore
+    # the original columns
+    kept = (
+        quality_filter(docs)
+        .filter(F.col("verdict") == "keep")
+        .select(*docs.columns)
     )
-    canon = dedup_corpus(docs.join(kept_ids, "doc_id"))
+    canon = dedup_corpus(kept)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = canon.filter(F.col("doc_id") % 97 != 0)
     flagged = contamination_flags(train, bench, n=4).select("doc_id")

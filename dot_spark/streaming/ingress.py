@@ -93,10 +93,13 @@ def enrich_stream(
     micro-batch probes the dim map-side — the stream never shuffles
     for the join, and no streaming state accumulates (stream-static
     joins are stateless by definition; only stream-stream joins hold
-    state). The static side is re-resolved per micro-batch, so a dim
-    refreshed in place (e.g. the atomic CTAS promote, D1) is picked
-    up on the next trigger without restarting the query. At a dim too
-    big to broadcast, pre-bucket both sides on the key instead."""
+    state). NOTE on dim refreshes: a plain-parquet static frame
+    caches its file listing at read time, so an in-place rewrite of
+    the dim directory is NOT picked up by a running query (and a
+    promote's file swap can fail it with FileNotFound) — live dim
+    refresh needs a catalog/ACID table format (Delta/Iceberg) on the
+    static side, or a query restart. At a dim too big to broadcast,
+    pre-bucket both sides on the key instead."""
     return stream.join(F.broadcast(dim), on=on, how=how)
 
 

@@ -147,3 +147,28 @@ def test_zorder_rewrite_narrows_per_file_ranges(wh, spark, sf_dir):
         # file should cover well under 60% of the global range on BOTH
         # columns (natural order covers ~100% of each)
         assert avg < 0.6 * (gmx - gmn), (col, avg, gmx - gmn, widths)
+
+
+def test_zorder_key_edge_cases(spark):
+    """The Morton key must stay inside a signed long (bits auto-reduce
+    when len(cols)*bits would reach the sign bit — position 63 flips
+    ordering, >=64 wraps under JVM shift masking), and empty tables /
+    all-NULL columns must degrade gracefully instead of crashing on
+    float(None)."""
+    from dot_spark.loads import zorder_key
+
+    # 4 columns at default bits=16 would place bits at positions >=63
+    df = spark.createDataFrame(
+        [(i, i * 2, i * 3, 100 - i) for i in range(50)],
+        "a long, b long, c long, d long",
+    )
+    keys = [r.k for r in df.select(zorder_key(df, ["a", "b", "c", "d"]).alias("k")).collect()]
+    assert all(k is not None and k >= 0 for k in keys)
+    assert len(set(keys)) > 1  # still discriminates
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert empty.select(zorder_key(empty, ["a", "b"]).alias("k")).count() == 0
+
+    nulls = spark.createDataFrame([(1, None), (2, None)], "a long, b long")
+    ks = [r.k for r in nulls.select(zorder_key(nulls, ["a", "b"]).alias("k")).collect()]
+    assert len(ks) == 2 and all(k is not None and k >= 0 for k in ks)
