@@ -1459,9 +1459,13 @@ def f8_hmac_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sig"
         ),
     )
-    # Independent verify pass: recompute and compare.
+    # Independent verify pass through the public helper (recompute
+    # and compare — the same path a webhook consumer calls).
+    from dot_spark.functions.crypto import verify_signature
+
     return tampered.select(
-        "event_id", (sig(F.col("props")) == F.col("sig")).alias("sig_valid")
+        "event_id",
+        verify_signature("props", "sig", "test-webhook-secret").alias("sig_valid"),
     )
 
 

@@ -72,7 +72,9 @@ def test_queries_survive_bare_driver_session(tmp_path):
         "from dot_spark.queries import QUERIES\n"
         "for n in ('a2_watermark_max', 's2_paged_rest_scan', 'f8_hmac_sha256',\n"
         "          'mm1_decode_media', 's9_csv_checkpoint', 'st3_stream_corpus_dedup',\n"
-        "          's13_jsonl_roundtrip', 'dd8_dedup_clusters'):\n"
+        "          's13_jsonl_roundtrip', 'dd8_dedup_clusters',\n"
+        "          'ss3_ivf_trained_topk', 'dd9_chunk_dedup',\n"
+        "          'pl7_corpus_build_pipeline'):\n"
         "    assert len(QUERIES[n](spark, '/root/testdata/sf0.001').collect()) >= 0, n\n"
         "print('BARE_SESSION_OK')\n"
     )
