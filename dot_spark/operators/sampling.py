@@ -48,6 +48,30 @@ def stratified_hash_sample(
     return df.filter(b < thr)
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_bytes: int = 13,
+    test_bytes: int = 13,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic 3-way corpus split by hash byte: the first
+    ``test_bytes``/256 of the hash space is 'test', the next
+    ``val_bytes``/256 'val', the rest 'train' (defaults ≈ 5%/5%/90%).
+    A pure per-row expression — reproducible across runs, engines,
+    and physical partitioning (the property a training split MUST
+    have: re-running the pipeline can never leak a test doc into
+    train), zero shuffle, and membership is decidable for one key
+    without the corpus."""
+    b = hash_byte(key_col)
+    split = (
+        F.when(b < test_bytes, "test")
+        .when(b < test_bytes + val_bytes, "val")
+        .otherwise("train")
+    )
+    return df.withColumn(out_col, split)
+
+
 def sessionize(
     events: DataFrame,
     key_col: str = "user_id",

@@ -3487,6 +3487,64 @@ def p11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p12_train_val_test_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN {_byte_sql('h', 0)} < 13 THEN 'test'
+                WHEN {_byte_sql('h', 0)} < 26 THEN 'val'
+                ELSE 'train' END AS split
+    FROM h
+    """,
+)
+def p12_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way train/val/test split (~90/5/5) by hash
+    byte — reproducible across runs, engines, and partitioning, so a
+    pipeline re-run can never leak a test document into train. Pure
+    per-row expression, zero shuffle."""
+    from dot_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return train_val_test_split(docs, "doc_id")
+
+
+@query(
+    "t11_bigram_counts",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT UNNEST(list_transform(
+               generate_series(1, greatest(1, len(toks) - 1)),
+               i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+      FROM tk)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM g GROUP BY bigram HAVING COUNT(*) >= 5
+    """,
+)
+def t11_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table with a min-count floor — the
+    n-gram LM / collocation-statistics pass (and the input to
+    stop-shingle lists like dd4b's). Counts every OCCURRENCE (not
+    per-doc distinct), so it reuses the shingle sweep without the
+    set-dedup exchange: one explode, one count aggregate with
+    map-side partials, HAVING prunes the long tail before the
+    result materializes."""
+    from dot_spark.operators.textdedup import shingle_rows
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        shingle_rows(docs, n=2)
+        .groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+@query(
     "w6_sessionize",
     """
     WITH e AS (
@@ -3817,13 +3875,14 @@ def n7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regeneration, and every registered query is value-verified (the
 # full local gate run this round: 110/110 PASS, zero rows-only).
 #
-# ROUND-8 ROTATION PLAN: the six queries ADDED in r7 after the
+# ROUND-8 ROTATION PLAN: the eight queries ADDED in r7 after the
 # window froze (dd9_chunk_dedup, pl6_verified_dedup_pipeline,
 # pl7_corpus_build_pipeline, a12_cube_lattice, w7_moving_avg,
-# n7_unpivot — all six pass the local driver-gate replica at sf0.01)
-# have no official row yet; lead the r8 window with them, then
-# backfill oldest-first (the r5 remainder j9/a9/a11/s11/pl4 first,
-# then r6 rows).
+# n7_unpivot, p12_train_val_test_split, t11_bigram_counts — all
+# eight pass the local driver-gate replica at sf0.01) have no
+# official row yet; lead the r8 window with them, then backfill
+# oldest-first (the r5 remainder j9/a9/a11/s11/pl4 first, then r6
+# rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
