@@ -72,6 +72,52 @@ def train_val_test_split(
     return df.withColumn(out_col, split)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic subsample up to a total weight budget ("take a
+    10B-token subsample"): docs are ranked by md5(key) (a stable
+    shuffle of the corpus), and every doc whose RUNNING weight total
+    fits the budget is kept, with the running total emitted as
+    ``cum_weight``.
+
+    Scale shape — a global running sum with NO global sort: the
+    classic distributed prefix sum. Docs land in 256 hash buckets
+    (the md5's first byte, so bucket order == global md5-hex order);
+    per-bucket totals (256 rows) cumsum on a single tiny partition;
+    each bucket's preceding-total broadcasts back; the within-bucket
+    running sum is a window partitioned BY BUCKET — 256-way parallel,
+    never one global ordering partition. A naive
+    ``SUM OVER (ORDER BY hash)`` window funnels the whole corpus
+    through one task; this funnels 256 scalar rows.
+    """
+    from pyspark.sql import Window
+
+    hexed = df.withColumn("__hx", F.md5(F.col(key_col).cast("string")))
+    bucketed = hexed.withColumn("__b", hash_byte(key_col))
+    totals = bucketed.groupBy("__b").agg(F.sum(weight_col).alias("__bt"))
+    # 256 rows: the single-partition window is over bucket TOTALS,
+    # never rows
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.withColumn(
+        "__before", F.coalesce(F.sum("__bt").over(wb), F.lit(0))
+    ).select("__b", "__before")
+    ww = Window.partitionBy("__b").orderBy("__hx", key_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        bucketed.join(F.broadcast(prefix), "__b")
+        .withColumn(
+            "cum_weight", F.col("__before") + F.sum(weight_col).over(ww)
+        )
+        .filter(F.col("cum_weight") <= budget)
+    )
+    return out.drop("__hx", "__b", "__before")
+
+
 def sessionize(
     events: DataFrame,
     key_col: str = "user_id",

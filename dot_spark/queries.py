@@ -3513,6 +3513,37 @@ def p12_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p13_token_budget_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (ORDER BY hx, doc_id) AS cum
+      FROM h)
+    SELECT doc_id, lang, n_chars, CAST(cum AS BIGINT) AS cum_weight
+    FROM c WHERE cum <= 60000
+    """,
+)
+def p13_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted subsample ("take the first N tokens' worth of a
+    stable corpus shuffle"): keep docs in md5(doc_id) order while the
+    running n_chars total fits 60k. The engine computes the global
+    running sum as a DISTRIBUTED prefix sum (256 hash buckets,
+    single-partition window only over the 256 bucket totals,
+    within-bucket windows 256-way parallel); the oracle states the
+    same thing as one global-order window, which is fine for DuckDB's
+    single node and exactly the plan shape Spark must avoid."""
+    from dot_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return token_budget_sample(docs, budget=60_000)
+
+
+@query(
     "t11_bigram_counts",
     f"""
     WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
@@ -3875,11 +3906,12 @@ def n7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regeneration, and every registered query is value-verified (the
 # full local gate run this round: 110/110 PASS, zero rows-only).
 #
-# ROUND-8 ROTATION PLAN: the eight queries ADDED in r7 after the
+# ROUND-8 ROTATION PLAN: the nine queries ADDED in r7 after the
 # window froze (dd9_chunk_dedup, pl6_verified_dedup_pipeline,
 # pl7_corpus_build_pipeline, a12_cube_lattice, w7_moving_avg,
-# n7_unpivot, p12_train_val_test_split, t11_bigram_counts — all
-# eight pass the local driver-gate replica at sf0.01) have no
+# n7_unpivot, p12_train_val_test_split, t11_bigram_counts,
+# p13_token_budget_sample — all of which pass the local
+# driver-gate replica at sf0.01) have no
 # official row yet; lead the r8 window with them, then backfill
 # oldest-first (the r5 remainder j9/a9/a11/s11/pl4 first, then r6
 # rows).

@@ -192,6 +192,19 @@ def test_pl5_composition_keeps_stage_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in final_plan, final_plan
 
 
+def test_token_budget_sample_avoids_global_sort_window(spark, sf_dir):
+    """p13's global running sum must be the distributed prefix-sum
+    shape: the ROW-level window partitions by hash bucket (256-way
+    parallel), and the only SinglePartition exchange in the plan
+    feeds the 256-row bucket-totals window, broadcast back. A naive
+    SUM OVER (ORDER BY hash) would funnel the whole corpus through
+    one task — the regression this pins against."""
+    plan = _plan(QUERIES["p13_token_budget_sample"](spark, sf_dir))
+    assert "hashpartitioning(__b" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
 def test_watermark_max_prunes_to_needed_columns(spark, sf_dir):
     # MAX(ts) WHERE event_type = ...: exactly the ts + filter columns
     # may be read; value/user_id/event_id must be pruned
