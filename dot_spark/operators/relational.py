@@ -204,6 +204,56 @@ def asof_join(
     return out
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval-overlap join (beyond-reference operator): match every
+    pair of rows whose half-open intervals overlap
+    (ls < re AND rs < le) — the session-overlap / ad-attribution /
+    genomics primitive range_join's point-in-interval shape cannot
+    express.
+
+    Scale shape: same binning trick as range_join, but BOTH sides
+    explode to the fixed-width bins they cover, the join is a hash
+    equi-join on the bin id, and — because two overlapping intervals
+    now share EVERY bin their overlap spans — the exact-overlap
+    filter is followed by a dedup on the pair's bin-independent
+    content... avoided here without a distinct: a pair is emitted
+    only from the FIRST bin of the overlap region
+    (bin == floor(greatest(ls, rs) / w)), which each pair has exactly
+    one of. Fan-out per row = ceil(len / bin_width); pick bin_width
+    near the typical interval length."""
+    w = F.lit(bin_width)
+    lb = F.sequence(
+        F.floor(F.col(left_start) / w),
+        F.floor((F.col(left_end) - F.lit(1e-9)) / w),
+    )
+    rb = F.sequence(
+        F.floor(F.col(right_start) / w),
+        F.floor((F.col(right_end) - F.lit(1e-9)) / w),
+    )
+    l_ = left.withColumn("__bin", F.explode(lb))
+    r_ = right.withColumn("__bin", F.explode(rb))
+    overlap_first_bin = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / w
+    )
+    return (
+        l_.join(r_, on="__bin")
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("__bin") == overlap_first_bin)
+        )
+        .drop("__bin")
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -3487,6 +3487,48 @@ def p11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j13_interval_overlap_join",
+    """
+    WITH l AS (
+      SELECT event_id AS a_id, value AS a_s, value + 20 AS a_e
+      FROM events WHERE event_type = 'view' AND event_id % 7 = 0),
+    r AS (
+      SELECT event_id AS b_id, value AS b_s, value + 15 AS b_e
+      FROM events WHERE event_type = 'click' AND event_id % 11 = 0)
+    SELECT a_id, b_id
+    FROM l JOIN r ON a_s < b_e AND b_s < a_e
+    """,
+)
+def j13_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (session overlap / ad attribution /
+    genomics): view windows [v, v+20) vs click windows [v, v+15) —
+    pairs whose half-open value intervals overlap. Executed as the
+    binned hash equi-join (both sides explode to covering bins, the
+    pair is emitted only from the overlap's first bin so no distinct
+    is needed); the oracle states the raw inequality join."""
+    from dot_spark.operators.relational import interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") % 7 == 0)
+    ).select(
+        F.col("event_id").alias("a_id"),
+        F.col("value").alias("a_s"),
+        (F.col("value") + 20).alias("a_e"),
+    )
+    right = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 11 == 0)
+    ).select(
+        F.col("event_id").alias("b_id"),
+        F.col("value").alias("b_s"),
+        (F.col("value") + 15).alias("b_e"),
+    )
+    return interval_join(
+        left, right, "a_s", "a_e", "b_s", "b_e", bin_width=16.0
+    ).select("a_id", "b_id")
+
+
+@query(
     "p12_train_val_test_split",
     f"""
     WITH h AS (
@@ -3906,11 +3948,12 @@ def n7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regeneration, and every registered query is value-verified (the
 # full local gate run this round: 110/110 PASS, zero rows-only).
 #
-# ROUND-8 ROTATION PLAN: the nine queries ADDED in r7 after the
+# ROUND-8 ROTATION PLAN: the ten queries ADDED in r7 after the
 # window froze (dd9_chunk_dedup, pl6_verified_dedup_pipeline,
 # pl7_corpus_build_pipeline, a12_cube_lattice, w7_moving_avg,
 # n7_unpivot, p12_train_val_test_split, t11_bigram_counts,
-# p13_token_budget_sample — all of which pass the local
+# p13_token_budget_sample, j13_interval_overlap_join — all of
+# which pass the local
 # driver-gate replica at sf0.01) have no
 # official row yet; lead the r8 window with them, then backfill
 # oldest-first (the r5 remainder j9/a9/a11/s11/pl4 first, then r6

@@ -72,7 +72,8 @@ def test_small_dim_joins_broadcast(spark, sf_dir, name):
     "name",
     ["j5_parent_child_join", "j6_salted_skew_join", "dd2_minhash_lsh_candidates",
      "dd4_ngram_jaccard", "ss2_ivf_topk", "pl1_okta_refresh",
-     "dd9_chunk_dedup", "pl6_verified_dedup_pipeline"],
+     "dd9_chunk_dedup", "pl6_verified_dedup_pipeline",
+     "j13_interval_overlap_join"],
 )
 def test_equi_joins_never_nested_loop(spark, sf_dir, name):
     plan = _plan(QUERIES[name](spark, sf_dir))

@@ -392,6 +392,40 @@ def test_hash_sample_is_partition_invariant(spark, keys, parts):
     assert a == b
 
 
+@given(
+    livs=st.lists(st.tuples(st.integers(0, 40), st.integers(1, 15)),
+                  min_size=1, max_size=8),
+    rivs=st.lists(st.tuples(st.integers(0, 40), st.integers(1, 15)),
+                  min_size=1, max_size=8),
+    width=st.sampled_from([1.0, 4.0, 9.0]),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_naive_model(spark, livs, rivs, width):
+    """binned interval_join == naive overlap filter for any bin
+    width, with no duplicate pairs (the first-overlap-bin emission
+    rule must fire exactly once per overlapping pair)."""
+    from dot_spark.operators.relational import interval_join
+
+    left = spark.createDataFrame(
+        [(i, float(s), float(s + ln)) for i, (s, ln) in enumerate(livs)],
+        "lid INT, ls DOUBLE, le DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [(j, float(s), float(s + ln)) for j, (s, ln) in enumerate(rivs)],
+        "rid INT, rs DOUBLE, re DOUBLE",
+    )
+    got = [(r.lid, r.rid) for r in
+           interval_join(left, right, "ls", "le", "rs", "re", width).collect()]
+    want = sorted(
+        (i, j)
+        for i, (s1, l1) in enumerate(livs)
+        for j, (s2, l2) in enumerate(rivs)
+        if s1 < s2 + l2 and s2 < s1 + l1
+    )
+    assert sorted(got) == want
+    assert len(got) == len(set(got))  # no bin-duplicated pairs
+
+
 edges_st = st.lists(
     st.tuples(st.integers(0, 15), st.integers(0, 15)),
     min_size=0,
