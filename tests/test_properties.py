@@ -375,6 +375,44 @@ def test_dedup_corpus_matches_reference_model(spark, texts):
     assert got == want
 
 
+@given(texts=texts_st)
+@settings(**SETTINGS)
+def test_chunk_dedup_matches_reference_model(spark, texts):
+    """chunk_dedup == the python reference on ANY corpus: normalized
+    tokens, non-overlapping 4-token chunks (short tail kept), keep
+    only the first (doc_id, chunk_idx) occurrence of each distinct
+    chunk text, reassemble in order — counts and reassembled text
+    both equal."""
+    import re
+
+    from dot_spark.operators.textdedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+        for r in chunk_dedup(df, chunk_size=4).collect()
+    }
+
+    chunks: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        toks = re.sub(" +", " ", t.lower()).strip().split(" ")
+        chunks[i] = [
+            " ".join(toks[p : p + 4]) for p in range(0, max(1, len(toks)), 4)
+        ]
+    seen: set[str] = set()
+    want = {}
+    for i in sorted(chunks):
+        kept = []
+        for c in chunks[i]:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        want[i] = (len(chunks[i]), len(kept), " ".join(kept))
+    assert got == want
+
+
 @given(
     keys=st.lists(st.integers(0, 1_000_000), min_size=1, max_size=40),
     parts=st.sampled_from([1, 3, 7]),
