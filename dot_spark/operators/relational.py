@@ -292,3 +292,32 @@ def range_join(
         )
         .drop("__bin")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order,
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via one ROW_NUMBER window over a per-key
+    exchange. ``order`` must end in a unique tiebreaker column so the
+    cut at rank k is deterministic under any physical row order.
+
+    Scale note: Spark inserts a WindowGroupLimit (partial top-k per
+    input partition) before the shuffle when the window is a
+    row_number-filter pattern, so each map task forwards at most k
+    rows per group it sees — the reduce-side sort never materializes
+    whole groups. For FEW huge groups the alternative rewrite is a
+    groupBy + slice(sort_array(collect_list(struct(...))), 1, k)
+    partial aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .withColumn(rank_col, F.col(rank_col).cast("int"))
+    )

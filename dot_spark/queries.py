@@ -3927,6 +3927,183 @@ def n7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st8_session_window",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, value
+      FROM events),
+    lagd AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+    marked AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) > CAST(1800000000 AS BIGINT)
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end_excl,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sidx
+    """,
+)
+def st8_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (F.session_window): the
+    operator Structured Streaming uses for stateful session merging,
+    run here in batch so the oracle can pin its exact semantics —
+    boundary-INCLUSIVE merging (an event exactly gap after the
+    previous one MERGES — probed empirically, the docs' "within the
+    gap" is inclusive) and window end = last event + gap. One
+    shuffle on user_id;
+    sessions merge inside the aggregation, no window-function pass."""
+    from dot_spark.operators.timeseries import session_window_agg
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts", "value")
+    return session_window_agg(ev, "user_id", "ts", "30 minutes")
+
+
+@query(
+    "a14_gapfill_locf",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             ROUND(SUM(value), 2) AS bucket_value
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM spans),
+    j AS (
+      SELECT g.user_id, g.bucket, o.bucket_value
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket))
+    SELECT user_id, bucket,
+           bucket_value IS NOT NULL AS observed,
+           last_value(bucket_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM j
+    """,
+)
+def a14_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: densify each user's hourly series over its
+    own [first, last] span and carry the last observation forward
+    (LOCF) — the time_bucket_gapfill + locf() pass a TimescaleDB-style
+    engine exposes. Scale shape: the grid explodes per-key sequences
+    (keys x span-hours rows, independent of event volume) and the
+    carry is ONE per-key window pass; no global calendar cross join."""
+    from dot_spark.operators.timeseries import gapfill_locf
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "value")
+    return gapfill_locf(ev, "user_id", "ts", "value", bucket="hour")
+
+
+@query(
+    "w9_scd2_history",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id, event_type
+      FROM events),
+    lagd AS (
+      SELECT *, lag(event_type) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+    changes AS (
+      SELECT * FROM lagd WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def w9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from a change stream: consecutive
+    equal attribute values collapse (only real changes open a
+    version), each version's validity closes at the next change
+    (valid_to NULL = current). The auditable twin of the reference's
+    keep-latest materialization (okta-sync/main.py:628-671). Both
+    window passes share one per-user exchange."""
+    from dot_spark.operators.timeseries import scd2_history
+
+    ev = load_table(spark, "events", sf_dir)
+    return scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "a13_pivot_wide",
+    """
+    SELECT user_id,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 2) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def a13_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot (n7_unpivot's inverse): one row per user,
+    one SUM(value) column per event type. Pivot values are PINNED
+    (no discovery pass — at 100 TB the distinct-scan a dynamic pivot
+    needs is a full extra job); with explicit values Spark compiles
+    this to a single hash aggregate with conditional partials, the
+    same plan as the oracle's FILTER clauses. Absent combinations
+    stay NULL on both sides."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@query(
+    "w8_topk_per_group",
+    """
+    WITH ranked AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice, c.c_name,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice, c_name
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def w8_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders per market segment: broadcast dim join, then ONE
+    ranking window partitioned by segment with a unique tiebreaker
+    (orderkey) so the cut is deterministic. At 100 TB the window's
+    per-segment sort is the cost center; with few segments a
+    groupBy + slice-of-sorted-array partial-aggregate rewrite avoids
+    the skewed sort — documented alternative, not needed at this
+    cardinality."""
+    from dot_spark.operators.relational import topk_per_group
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice", "c_name")
+    return topk_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
 # 50 queries() entries. Rounds 1-3 proved (in turn) the relational
