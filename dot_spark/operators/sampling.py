@@ -152,3 +152,44 @@ def sessionize(
         "session_idx",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def hash_frac16(col):
+    """16-bit hash value (0-65535) from the first two md5 bytes —
+    finer-grained than hash_byte for probability thresholds that need
+    better than 1/256 resolution. Portable: the oracle computes the
+    same two hex-nibble bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def weighted_hash_sample(df: DataFrame, key_col: str, weight_col) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep each row with
+    probability `weight` (a column expression in [0, 1]) by comparing
+    its 16-bit hash fraction against weight * 65536. Same guarantees
+    as hash_sample (reproducible across runs/engines/partitionings,
+    pure pushable filter, zero shuffle) with a per-row inclusion
+    probability — the quality-weighted downsampling pass a corpus
+    mixing pipeline runs."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(hash_frac16(key_col) < w * F.lit(65536.0))
+
+
+def corpus_shuffle(df: DataFrame, key_col: str, out_col: str = "pos") -> DataFrame:
+    """Reproducible global permutation: each row's 1-based position in
+    md5(key) order — "shuffle the corpus identically every run".
+
+    Scale shape: positions come from the token_budget_sample
+    distributed prefix sum with unit weights (256 hash buckets,
+    bucket totals cumsum on one tiny partition, per-bucket windows) —
+    never a single global-ordering window. Bucket order is the md5
+    hex prefix, so within-bucket (hex, key) order composes to the
+    exact global md5 order the oracle states.
+    """
+    numbered = token_budget_sample(
+        df.withColumn("__one", F.lit(1).cast("long")),
+        budget=1 << 62,
+        weight_col="__one",
+        key_col=key_col,
+    )
+    return numbered.withColumnRenamed("cum_weight", out_col).drop("__one")

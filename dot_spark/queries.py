@@ -4104,6 +4104,251 @@ def w8_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t12_domain_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             text || ' see https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.org/d/' || CAST(doc_id AS VARCHAR) || ' ok' AS text
+      FROM documents),
+    u AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(text, 'https?://([^/ ]+)', 1) AS host
+      FROM d)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM u GROUP BY 1
+    """,
+)
+def t12_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus statistics — the URL-provenance pass a web
+    corpus needs for domain-level filtering/mixing (and the input to
+    domain blocklists). Deterministic URLs are injected (the corpus
+    has no native links; same pattern as t8's PII injection), the
+    host is extracted with Spark's parse_url(HOST) — the engine's
+    dedicated URL parser — and stats aggregate per host with map-side
+    partials. The oracle extracts the same host with a regex; for
+    well-formed http(s) URLs the two definitions coincide."""
+    docs = load_table(spark, "documents", sf_dir)
+    injected = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://cdn"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".org/d/"), F.col("doc_id").cast("string"), F.lit(" ok"),
+        ).alias("text"),
+    )
+    url = F.regexp_extract(F.col("text"), r"(https?://[^/ ]+/[^ ]*)", 1)
+    return (
+        injected.select(
+            "doc_id", "n_chars", F.parse_url(url, F.lit("HOST")).alias("host")
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "p14_weighted_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+    SELECT doc_id, n_chars,
+           ROUND(least(n_chars, 2000) / 2000.0, 4) AS keep_weight
+    FROM h
+    WHERE ({_byte_sql('h', 0)}) * 256 + ({_byte_sql('h', 1)})
+          < least(n_chars, 2000) / 2000.0 * 65536
+    """,
+)
+def p14_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each doc is kept with
+    probability proportional to a quality weight (here a length proxy
+    capped at 2000 chars), decided by comparing a 16-bit md5 hash
+    fraction against the weight — reproducible across runs, engines,
+    and partitionings (the p10 property, importance-weighted). A pure
+    pushable filter: zero shuffle, membership decidable per row."""
+    from dot_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = weighted_hash_sample(
+        docs, "doc_id", F.least(F.col("n_chars"), F.lit(2000)) / 2000.0
+    )
+    return kept.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.least(F.col("n_chars"), F.lit(2000)) / 2000.0, 4).alias(
+            "keep_weight"
+        ),
+    )
+
+
+@query(
+    "p15_corpus_shuffle",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def p15_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: a reproducible global permutation
+    (position in md5-of-key order) — the "shuffle the training data
+    the same way every epoch/run" pass. Scale shape: NO global-sort
+    window (a naive ROW_NUMBER() OVER (ORDER BY hash) funnels the
+    corpus through one task); positions come from the p13 distributed
+    prefix-sum — 256 hash buckets whose totals cumsum on one tiny
+    partition, then a per-bucket window, so the permutation is
+    256-way parallel. The oracle states the same order globally."""
+    from dot_spark.operators.sampling import corpus_shuffle
+
+    docs = load_table(spark, "documents", sf_dir)
+    return corpus_shuffle(docs.select("doc_id"), "doc_id")
+
+
+@query(
+    "f11_higher_order_arrays",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             generate_series(1, o_orderkey % 7 + 2) AS arr
+      FROM orders)
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(arr, x -> x * 2)) AS BIGINT)
+             AS sum_doubled,
+           CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+           CAST(list_sum(list_transform(generate_series(1, len(arr)),
+                 i -> arr[i] * arr[len(arr) - i + 1])) AS BIGINT) AS dot_rev,
+           CAST(list_max(arr) AS BIGINT) AS max_elem
+    FROM a
+    """,
+)
+def f11_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (SURVEY §2.7 lambda surface):
+    transform / filter / aggregate / zip_with / array_max over a
+    per-row generated sequence. All four stay in codegen as JVM
+    lambda expressions — the engine's no-UDF path for array-typed
+    columns (the same kernel the embedding ops build on)."""
+    orders = load_table(spark, "orders", sf_dir)
+    arr = F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 7 + 2)
+    with_arr = orders.select("o_orderkey", arr.alias("arr"))
+    zero = F.lit(0).cast("long")
+    return with_arr.select(
+        "o_orderkey",
+        F.aggregate(
+            F.transform("arr", lambda x: x * 2), zero, lambda a, x: a + x
+        ).alias("sum_doubled"),
+        F.size(F.filter("arr", lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.zip_with("arr", F.reverse(F.col("arr")), lambda x, y: x * y),
+            zero,
+            lambda a, x: a + x,
+        ).alias("dot_rev"),
+        F.array_max("arr").alias("max_elem"),
+    )
+
+
+@query(
+    "ss5_recall_eval",
+    f"""
+    WITH q AS (SELECT label, vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 5),
+    bs AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM q CROSS JOIN embeddings e),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM bs) WHERE rn <= 10),
+    isc AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM q JOIN embeddings e ON q.label = e.label),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM isc) WHERE rn <= 10)
+    SELECT b.query_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(i.vec_id) / 10.0, 2) AS recall_at_10
+    FROM brute b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    GROUP BY 1
+    """,
+)
+def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@10 of the IVF-pruned
+    search (ss2) against brute-force ground truth (ss1), per query.
+    The standard acceptance gate before an approximate index replaces
+    exact search in a production dedup/retrieval pipeline. Both
+    top-k sets come from the existing operators (shared code path),
+    joined on (query, neighbor); ranking ties are deterministic on
+    both engines (rounded cosine DESC, vec_id)."""
+    from dot_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q_flat = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    q_cell = emb.filter(F.col("vec_id") < 5).select(
+        "label", F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = brute_force_topk(q_flat, emb, k=10).select("query_id", "vec_id")
+    ivf = ivf_topk(q_cell, emb, "label", k=10).select(
+        "query_id", F.col("vec_id").alias("ivf_vec_id")
+    )
+    hits = brute.join(
+        ivf,
+        (brute.query_id == ivf.query_id) & (brute.vec_id == ivf.ivf_vec_id),
+        "left",
+    )
+    return hits.groupBy(brute.query_id.alias("query_id")).agg(
+        F.count("ivf_vec_id").alias("n_overlap"),
+        F.round(F.count("ivf_vec_id") / 10.0, 2).alias("recall_at_10"),
+    )
+
+
+@query(
+    "a15_approx_distinct_audit",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ accuracy audit: per group, the engine's
+    approx_count_distinct (rsd=2%) is checked against the exact count
+    and a boolean within-5%-relative-error verdict is emitted. The
+    oracle pins the exact count AND the verdict (TRUE — HLL++ at
+    rsd=0.02 is well inside 5% at these cardinalities); the sketch
+    estimate itself is engine-specific so it is intentionally NOT an
+    output column. At 100 TB the sketch is the point: mergeable
+    fixed-size state instead of a distinct-shuffle of raw user ids."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
 # 50 queries() entries. Rounds 1-3 proved (in turn) the relational
