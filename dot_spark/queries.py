@@ -4054,18 +4054,24 @@ def w9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a13_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-to-wide pivot (n7_unpivot's inverse): one row per user,
-    one SUM(value) column per event type. Pivot values are PINNED
-    (no discovery pass — at 100 TB the distinct-scan a dynamic pivot
-    needs is a full extra job); with explicit values Spark compiles
-    this to a single hash aggregate with conditional partials, the
-    same plan as the oracle's FILTER clauses. Absent combinations
-    stay NULL on both sides."""
+    one SUM(value) column per event type. Pivot values are PINNED (no
+    discovery pass — at 100 TB the distinct-scan a dynamic pivot
+    needs is a full extra job), and the pivot is LOWERED to
+    conditional aggregation (SUM(CASE WHEN ...)) rather than
+    DataFrame.pivot(): even with explicit values, .pivot() compiles
+    to a (user, type) pre-aggregate plus a pivotfirst aggregate — TWO
+    exchanges — while the conditional form is one hash-aggregate pair
+    on user_id alone, the same single-shuffle plan as the oracle's
+    FILTER clauses. Absent combinations stay NULL on both sides
+    (SUM over an empty CASE set is NULL)."""
     ev = load_table(spark, "events", sf_dir)
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .agg(F.round(F.sum("value"), 2))
-    )
+    cols = [
+        F.round(
+            F.sum(F.when(F.col("event_type") == v, F.col("value"))), 2
+        ).alias(v)
+        for v in ("click", "error", "purchase", "signup", "view")
+    ]
+    return ev.groupBy("user_id").agg(*cols)
 
 
 @query(

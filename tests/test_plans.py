@@ -290,3 +290,60 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly that day's rows
     want = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
     assert df.count() == want > 0
+
+
+def test_topk_per_group_ranks_map_side_first(spark, sf_dir):
+    """w8: the rank<=5 cut must run as a Partial WindowGroupLimit
+    before the shuffle (map-side top-k per segment) and the customer
+    dim must broadcast — the fact side shuffles only the per-map
+    survivors."""
+    plan = _plan(QUERIES["w8_topk_per_group"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    partials = [ln for ln in plan.splitlines()
+                if "WindowGroupLimit" in ln and "Partial" in ln]
+    assert partials, plan
+
+
+def test_pivot_wide_is_single_aggregate_no_expand(spark, sf_dir):
+    """a13 with PINNED pivot values must compile to one hash-aggregate
+    pair (conditional partials) — no distinct-discovery job and no
+    Expand fan-out."""
+    plan = _plan(QUERIES["a13_pivot_wide"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    """st8: native session windows aggregate in one keyed exchange —
+    no window-function pass, no second shuffle."""
+    plan = _plan(QUERIES["st8_session_window"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_gapfill_grid_joins_without_nested_loop(spark, sf_dir):
+    """a14: the dense grid joins observations on (key, bucket) as an
+    equi-join; a plan regression to a nested-loop would be the
+    O(grid x obs) blowup this operator exists to avoid."""
+    plan = _plan(QUERIES["a14_gapfill_locf"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weighted_sample_filter_reaches_scan(spark, sf_dir):
+    """p14 is a pure filter: no Exchange at all, and the scan reads
+    only the columns the query needs."""
+    plan = _plan(QUERIES["p14_weighted_sample"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+
+
+def test_corpus_shuffle_avoids_global_sort_window(spark, sf_dir):
+    """p15 inherits p13's prefix-sum shape: row-level windows partition
+    by hash bucket; only the 256-row totals pass through a single
+    partition."""
+    plan = _plan(QUERIES["p15_corpus_shuffle"](spark, sf_dir))
+    assert "hashpartitioning(__b" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
