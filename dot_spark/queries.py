@@ -4376,16 +4376,20 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regeneration, and every registered query is value-verified (the
 # full local gate run this round: 110/110 PASS, zero rows-only).
 #
-# ROUND-8 ROTATION PLAN: the ten queries ADDED in r7 after the
-# window froze (dd9_chunk_dedup, pl6_verified_dedup_pipeline,
-# pl7_corpus_build_pipeline, a12_cube_lattice, w7_moving_avg,
-# n7_unpivot, p12_train_val_test_split, t11_bigram_counts,
-# p13_token_budget_sample, j13_interval_overlap_join — all of
-# which pass the local
-# driver-gate replica at sf0.01) have no
-# official row yet; lead the r8 window with them, then backfill
-# oldest-first (the r5 remainder j9/a9/a11/s11/pl4 first, then r6
-# rows).
+# ROUND-8 ROTATION PLAN: the 21 queries ADDED in r7 after the
+# window froze — the mid-round ten (dd9_chunk_dedup,
+# pl6_verified_dedup_pipeline, pl7_corpus_build_pipeline,
+# a12_cube_lattice, w7_moving_avg, n7_unpivot,
+# p12_train_val_test_split, t11_bigram_counts,
+# p13_token_budget_sample, j13_interval_overlap_join) plus the
+# late-round eleven (st8_session_window, a14_gapfill_locf,
+# w9_scd2_history, a13_pivot_wide, w8_topk_per_group,
+# t12_domain_stats, p14_weighted_sample, p15_corpus_shuffle,
+# f11_higher_order_arrays, ss5_recall_eval,
+# a15_approx_distinct_audit), all of which pass the local
+# driver-gate replica at sf0.01 — have no official row yet; lead
+# the r8 window with them, then backfill oldest-first (the r5
+# remainder j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
