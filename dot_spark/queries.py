@@ -4325,6 +4325,41 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm4_image_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 48 + 16 AS w, doc_id % 32 + 16 AS h,
+             doc_id % 256 AS seed
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT media_id,
+             list_transform(generate_series(0, 63), k ->
+               (((k % 8) * w // 8) * 7 + ((k // 8) * h // 8) * 13 + seed) % 256
+             ) AS pix
+      FROM m)
+    SELECT media_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           ROUND(list_sum(pix) / 64.0, 4) AS mean_px,
+           md5(array_to_string(pix, ',')) AS thumb_sig
+    FROM px
+    """,
+)
+def mm4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: PNG payloads decode through actual IDAT
+    decompression, then an 8x8 nearest-neighbor thumbnail is cut with
+    numpy fancy-indexing (src = floor(dst * dim / 8)). The oracle
+    recomputes every thumbnail pixel from the synthesis formula
+    (pixel(x,y) = (7x + 13y + seed) mod 256) and pins both the mean
+    (exact: /64 is a power-of-two division) and an md5 signature of
+    the full pixel list — any resize-index or decode bug flips it.
+    Video/audio rows are filtered inside the same mapInPandas pass."""
+    from dot_spark.operators.multimodal import resize_images, synthesize_real_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return resize_images(synthesize_real_media(docs))
+
+
+@query(
     "a15_approx_distinct_audit",
     """
     SELECT event_type,
@@ -4386,7 +4421,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w9_scd2_history, a13_pivot_wide, w8_topk_per_group,
 # t12_domain_stats, p14_weighted_sample, p15_corpus_shuffle,
 # f11_higher_order_arrays, ss5_recall_eval,
-# a15_approx_distinct_audit), all of which pass the local
+# a15_approx_distinct_audit, mm4_image_resize), all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
 # remainder j9/a9/a11/s11/pl4 first, then r6 rows).

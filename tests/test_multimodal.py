@@ -265,3 +265,43 @@ def test_metadata_only_query_prunes_payload(media, spark, tmp_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+def test_resize_thumbnail_pixels_match_formula(spark):
+    """The 8x8 nearest-neighbor thumbnail of a synthesized PNG must
+    equal the synthesis formula sampled at floor-scaled indices —
+    verified pixel-exactly via the md5 signature, plus the exact mean
+    (/64 is a power-of-two division)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dot_spark.operators.multimodal import resize_images, synthesize_real_media
+
+    # doc_id 6 -> image row: w=6%48+16=22, h=6%32+16=22, seed=6
+    docs = spark.createDataFrame([(6, "x")], "doc_id bigint, text string")
+    out = resize_images(synthesize_real_media(docs)).collect()
+    assert len(out) == 1
+    r = out[0]
+    w = h = 22
+    seed = 6
+    pix = [
+        (((k % 8) * w // 8) * 7 + ((k // 8) * h // 8) * 13 + seed) % 256
+        for k in range(64)
+    ]
+    assert r["thumb_sig"] == hashlib.md5(
+        ",".join(str(v) for v in pix).encode()
+    ).hexdigest()
+    assert r["mean_px"] == round(sum(pix) / 64.0, 4)
+    assert (r["out_w"], r["out_h"]) == (8, 8)
+
+
+def test_resize_drops_non_image_rows(spark):
+    from dot_spark.operators.multimodal import resize_images, synthesize_real_media
+
+    # ids 0,1,2 -> image, audio, video; only the image row survives
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "doc_id bigint, text string"
+    )
+    out = resize_images(synthesize_real_media(docs)).collect()
+    assert [r["media_id"] for r in out] == [0]
