@@ -4325,6 +4325,44 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ss6_label_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             UNNEST(list_transform(generate_series(1, len(embedding)),
+                    i -> {'i': i, 'v': embedding[i]})) AS s
+      FROM embeddings)
+    SELECT label, CAST(s.i - 1 AS INT) AS dim,
+           ROUND(AVG(CAST(s.v AS DOUBLE)), 4) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def ss6_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed centroid update — the M-step of k-means / IVF
+    training as a pure DataFrame aggregation: posexplode each vector
+    to (label, dim, component), average per (label, dim) with
+    map-side partials. At 100 TB this is THE way to recompute
+    centroids: no driver materialization (contrast ss3's 4096-row
+    driver-sample training, which is for bootstrapping only), state
+    is |labels| x dim partial sums, one shuffle. Emitted long-form
+    (label, dim, centroid_val) because the driver canonicalizer
+    hashes scalars only; n_members carried per row pins the member
+    count the average divided by."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "component"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("component").cast("double")), 4).alias(
+                "centroid_val"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+@query(
     "mm4_image_resize",
     """
     WITH m AS (
@@ -4421,7 +4459,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w9_scd2_history, a13_pivot_wide, w8_topk_per_group,
 # t12_domain_stats, p14_weighted_sample, p15_corpus_shuffle,
 # f11_higher_order_arrays, ss5_recall_eval,
-# a15_approx_distinct_audit, mm4_image_resize), all of which pass the local
+# a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids),
+# all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
 # remainder j9/a9/a11/s11/pl4 first, then r6 rows).

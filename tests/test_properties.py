@@ -504,3 +504,51 @@ def test_connected_components_matches_union_find(spark, edges):
         comps.setdefault(find(n), []).append(n)
     want = {n: min(members) for members in comps.values() for n in members}
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # user
+            st.integers(0, 200),    # minutes offset (forces exact-gap ties)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    gap_minutes=st.sampled_from([10, 30]),
+)
+@settings(**SETTINGS)
+def test_session_window_agrees_with_lag_cumsum_sessionize(spark, events, gap_minutes):
+    """Two INDEPENDENT sessionization implementations — the native
+    F.session_window aggregation (st8) and the lag+cumsum window
+    chain (w6) — must partition any event stream identically,
+    including streams with gaps of exactly the threshold (both merge
+    at the boundary: new session iff diff > gap)."""
+    import datetime as dt
+
+    from dot_spark.operators.sampling import sessionize
+    from dot_spark.operators.timeseries import session_window_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t0 + dt.timedelta(minutes=m), 1.0)
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+
+    native = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_window_agg(
+            df, "user_id", "ts", f"{gap_minutes} minutes"
+        ).collect()
+    }
+    manual = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(df, gap_minutes=gap_minutes)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert native == manual
