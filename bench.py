@@ -57,6 +57,12 @@ HEADLINE = [
     "ss2_ivf_topk",
     # classification over the whole run table
     "c1_classify_runs",
+    # round-7 late additions: native session windows (stateful-agg
+    # machinery), gap-fill grid+LOCF (sequence explode + carry
+    # window), and the prefix-sum corpus shuffle
+    "st8_session_window",
+    "a14_gapfill_locf",
+    "p15_corpus_shuffle",
 ]
 
 # Round-over-round comparison target: the NEWEST BENCH_r*.json in

@@ -4325,6 +4325,90 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a16_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the rollup (a6) /
+    cube (a12) lattice family, with an arbitrary (non-prefix,
+    non-powerset) set list and GROUPING() disambiguation of real
+    NULLs vs subtotal NULLs. One Expand (3x fan-out) + one
+    hash-aggregate exchange; at 100 TB you prune the set list rather
+    than cube over every dimension."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("bigint").alias("gid"),
+        )
+    )
+
+
+@query(
+    "n8_malformed_json_audit",
+    """
+    WITH tampered AS (
+      SELECT event_type,
+             CASE WHEN event_id % 11 = 0 THEN '{not json'
+                  ELSE props END AS props
+      FROM events),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      FROM tampered)
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_valid,
+           CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_malformed,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY 1
+    """,
+)
+def n8_malformed_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest with corrupt-record accounting: parse a
+    JSON column with an explicit schema (from_json — PERMISSIVE,
+    returns NULL struct on malformed input rather than failing the
+    job), count valid vs malformed per group, aggregate an extracted
+    field. Malformed rows are injected deterministically (event_id %
+    11) since the fixture JSON is all well-formed; the audit shape —
+    never let a bad record kill a 100 TB ingest, but always COUNT
+    what was dropped — is the production contract."""
+    ev = load_table(spark, "events", sf_dir)
+    tampered = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit("{not json"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = tampered.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_valid"),
+        (F.count(F.lit(1)) - F.count("k")).alias("n_malformed"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+@query(
     "ss6_label_centroids",
     """
     WITH ex AS (
@@ -4459,7 +4543,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w9_scd2_history, a13_pivot_wide, w8_topk_per_group,
 # t12_domain_stats, p14_weighted_sample, p15_corpus_shuffle,
 # f11_higher_order_arrays, ss5_recall_eval,
-# a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids),
+# a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids,
+# a16_grouping_sets, n8_malformed_json_audit),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
