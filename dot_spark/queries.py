@@ -4325,6 +4325,58 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pl8_merge_upsert",
+    """
+    WITH kept AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 <> 0),
+    upd AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             'N' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 997 = 0)
+    SELECT * FROM kept
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+)
+def pl8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end-to-end: a CDC batch (updates for keys % 7 = 0,
+    deletes for % 13 = 0 — delete wins on overlap, inserts with fresh
+    keys for % 997 = 0) applies against a warehouse snapshot of
+    orders via Warehouse.merge_upsert (broadcast touched-keys
+    anti-join + staged atomic rewrite), and the merged table is read
+    back. The oracle restates the delete/update/insert algebra
+    directly over the source table."""
+    from dot_spark.loads import Warehouse
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = Warehouse(spark, _scratch("dot_spark_wh_"))
+    wh.write(orders, "orders_snap", "truncate")
+
+    k = F.col("o_orderkey")
+    deletes = orders.filter(k % 13 == 0).withColumn("is_delete", F.lit(True))
+    upd = (
+        orders.filter((k % 7 == 0) & (k % 13 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("is_delete", F.lit(False))
+    )
+    ins = (
+        orders.filter(k % 997 == 0)
+        .withColumn("o_orderkey", k + 10000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    cdc = deletes.unionByName(upd).unionByName(ins)
+    wh.merge_upsert(cdc, "orders_snap", ["o_orderkey"], delete_col="is_delete")
+    return wh.read("orders_snap")
+
+
+@query(
     "a16_grouping_sets",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -4544,7 +4596,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t12_domain_stats, p14_weighted_sample, p15_corpus_shuffle,
 # f11_higher_order_arrays, ss5_recall_eval,
 # a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids,
-# a16_grouping_sets, n8_malformed_json_audit),
+# a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
