@@ -4325,6 +4325,39 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p16_fixed_k_per_stratum",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 10
+    """,
+)
+def p16_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget stratified sampling: EXACTLY k (=10) docs per
+    source (vs p11's rate-based thresholds) — the "take 10M docs from each
+    source" corpus-mixing contract. Deterministic reservoir via hash
+    rank: row_number per stratum ordered by md5(key), cut at k.
+    Reproducible across runs and partitionings; the rank window gets
+    the map-side WindowGroupLimit cut (each task forwards at most k
+    rows per stratum), so the exchange carries k x tasks rows per
+    stratum, not the corpus."""
+    from dot_spark.operators.relational import topk_per_group
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    return topk_per_group(
+        hashed, ["source"], [F.col("__h").asc(), F.col("doc_id").asc()], k=10
+    ).drop("__h")
+
+
+@query(
     "pl8_merge_upsert",
     """
     WITH kept AS (
@@ -4596,7 +4629,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t12_domain_stats, p14_weighted_sample, p15_corpus_shuffle,
 # f11_higher_order_arrays, ss5_recall_eval,
 # a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids,
-# a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert),
+# a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert,
+# p16_fixed_k_per_stratum),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5

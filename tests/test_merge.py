@@ -86,3 +86,25 @@ def test_merge_upsert_delete_wins_on_same_key(spark, tmp_path):
     )
     wh.merge_upsert(cdc, "t", ["k"], delete_col="is_delete")
     assert wh.read("t").count() == 0
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    """Applying the SAME CDC batch twice must be a no-op the second
+    time — the at-least-once delivery contract: a replayed batch
+    (retry, redelivered message) cannot duplicate inserts or re-flip
+    state."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"),
+        "t",
+        "truncate",
+    )
+    cdc = spark.createDataFrame(
+        [(2, 9.0, False), (3, 3.0, False), (1, None, True)],
+        "k bigint, v double, is_delete boolean",
+    )
+    wh.merge_upsert(cdc, "t", ["k"], delete_col="is_delete")
+    once = sorted((r["k"], r["v"]) for r in wh.read("t").collect())
+    wh.merge_upsert(cdc, "t", ["k"], delete_col="is_delete")
+    twice = sorted((r["k"], r["v"]) for r in wh.read("t").collect())
+    assert once == twice == [(2, 9.0), (3, 3.0)]
