@@ -361,3 +361,52 @@ def canonical_corpus(wh: Warehouse, table: str = "corpus_docs") -> DataFrame:
     from dot_spark.operators.textdedup import dedup_corpus
 
     return dedup_corpus(wh.read(table))
+
+
+def streaming_cdc_apply(
+    spark,
+    cdc_dir: str,
+    wh: Warehouse,
+    checkpoint_dir: str,
+    table: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    delete_col: str = "is_delete",
+    schema: str = "",
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous CDC apply: stream JSONL change records ->
+    per-micro-batch MERGE INTO the warehouse table via foreachBatch.
+
+    Each batch first COLLAPSES to the newest change per key (keep-
+    latest on ``seq_col`` — a batch can carry several changes for one
+    key, and Warehouse.merge_upsert requires unique keys per apply),
+    then merges: update/insert rows replace, ``delete_col`` rows
+    remove. End-to-end delivery contract: the file-source checkpoint
+    makes each drop process at-least-once, and merge_upsert is
+    idempotent under replay of the same collapsed batch (touched keys
+    are removed before re-insert), so the pipeline is effectively
+    exactly-once without a transactional table format.
+
+    The ORDER contract is per-batch, not global: changes for a key
+    arriving in DIFFERENT drops apply in drop order (later batch
+    wins), which is the standard CDC log-shipping assumption.
+    """
+    from dot_spark.operators.dedup import dedupe_keep_latest
+    from dot_spark.streaming.ingress import stream_jsonl_corpus
+
+    def apply_batch(batch: DataFrame, _id: int) -> None:
+        collapsed = dedupe_keep_latest(
+            batch, list(key_cols), [seq_col]
+        ).drop(seq_col)
+        wh.merge_upsert(collapsed, table, list(key_cols), delete_col=delete_col)
+
+    stream = stream_jsonl_corpus(
+        spark, cdc_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

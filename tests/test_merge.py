@@ -108,3 +108,53 @@ def test_merge_upsert_is_idempotent(spark, tmp_path):
     wh.merge_upsert(cdc, "t", ["k"], delete_col="is_delete")
     twice = sorted((r["k"], r["v"]) for r in wh.read("t").collect())
     assert once == twice == [(2, 9.0), (3, 3.0)]
+
+
+def test_streaming_cdc_apply_end_to_end(spark, tmp_path):
+    """JSONL CDC drops stream into merge_upsert via foreachBatch:
+    intra-batch changes collapse to the newest per key (seq_col),
+    batches apply in drop order, and a restarted query resumes from
+    the file-source checkpoint (drop 2 applies without re-reading
+    drop 1)."""
+    import json
+
+    from dot_spark.pipelines import streaming_cdc_apply
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        "t",
+        "truncate",
+    )
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k BIGINT, v STRING, seq BIGINT, is_delete BOOLEAN"
+
+    def drop(name, rows):
+        with open(cdc_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    drop("b1.jsonl", [
+        {"k": 2, "v": "b2", "seq": 1, "is_delete": False},
+        {"k": 4, "v": "x", "seq": 1, "is_delete": False},
+        {"k": 4, "v": "y", "seq": 2, "is_delete": False},  # newest wins
+    ])
+    q = streaming_cdc_apply(
+        spark, str(cdc_dir), wh, ckpt, "t", ["k"], "seq", schema=schema
+    )
+    q.awaitTermination(120)
+    state1 = {r["k"]: r["v"] for r in wh.read("t").collect()}
+    assert state1 == {1: "a", 2: "b2", 4: "y"}
+
+    drop("b2.jsonl", [
+        {"k": 1, "v": None, "seq": 3, "is_delete": True},
+        {"k": 4, "v": "z", "seq": 4, "is_delete": False},
+    ])
+    q2 = streaming_cdc_apply(
+        spark, str(cdc_dir), wh, ckpt, "t", ["k"], "seq", schema=schema
+    )
+    q2.awaitTermination(120)
+    state2 = {r["k"]: r["v"] for r in wh.read("t").collect()}
+    assert state2 == {2: "b2", 4: "z"}
