@@ -4325,6 +4325,114 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f12_bitwise_aggs",
+    """
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id) AS BIGINT) AS bor,
+           CAST(bit_xor(event_id) AS BIGINT) AS bxor,
+           CAST(SUM(CAST(user_id & 7 AS BIGINT)) AS BIGINT) AS sum_low3
+    FROM events GROUP BY 1
+    """,
+)
+def f12_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate + scalar surface (SURVEY §2.7): BIT_AND /
+    BIT_OR / BIT_XOR aggregates (set-membership masks, parity
+    checksums) and scalar masking. All codegen'd JVM expressions with
+    map-side partials — bitwise partial states are single longs, the
+    cheapest mergeable aggregate there is."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+        F.sum(F.col("user_id").bitwiseAND(F.lit(7)).cast("bigint")).alias(
+            "sum_low3"
+        ),
+    )
+
+
+@query(
+    "f13_calendar_arith",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+             AS quarter_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+             AS plus3m,
+           CAST(week(CAST(o_orderdate AS DATE)) AS INT) AS iso_week
+    FROM orders
+    """,
+)
+def f13_calendar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface (SURVEY §2.7): quarter truncation,
+    month-end, day differencing against an epoch, month addition with
+    end-of-month clamping (add_months: Jan 31 + 1m = Feb 28, matching
+    the oracle's INTERVAL addition), ISO week numbers. Pure codegen
+    date expressions — the derived-date-dimension pass every
+    warehouse rollup builds on. Dates are emitted as ISO strings on
+    both sides: DuckDB's DATE -> pandas conversion widens to
+    Timestamp, which would canonicalize differently from a date."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = F.to_date("o_orderdate")
+    iso = "yyyy-MM-dd"
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("quarter", d), iso).alias("quarter_start"),
+        F.date_format(F.last_day(d), iso).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.add_months(d, 3), iso).alias("plus3m"),
+        F.weekofyear(d).alias("iso_week"),
+    )
+
+
+@query(
+    "s15_text_log_source",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY 1
+    """,
+)
+def s15_text_log_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-log source round-trip: events are formatted as
+    log lines (`EVT id=<id> user=<user> type=<type>`), written with
+    the distributed text sink, read back via spark.read.text, and
+    parsed with regexp_extract back into typed columns — the
+    unstructured-log front door (S4's CSV twin for line-oriented
+    formats). The oracle aggregates the source table directly, so a
+    format/parse mismatch in any field breaks the hash."""
+    ev = load_table(spark, "events", sf_dir)
+    lines = ev.select(
+        F.format_string(
+            "EVT id=%d user=%d type=%s",
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+        ).alias("value")
+    )
+    path = _scratch("dot_spark_log_")
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.regexp_extract("value", r"id=(\d+)", 1).cast("bigint").alias("event_id"),
+        F.regexp_extract("value", r"user=(\d+)", 1).cast("bigint").alias("user_id"),
+        F.regexp_extract("value", r"type=(\S+)", 1).alias("event_type"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("event_id").alias("sum_ids"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+@query(
     "p16_fixed_k_per_stratum",
     """
     WITH r AS (
@@ -4630,7 +4738,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # f11_higher_order_arrays, ss5_recall_eval,
 # a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids,
 # a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert,
-# p16_fixed_k_per_stratum),
+# p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
+# s15_text_log_source),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
