@@ -110,3 +110,54 @@ def test_scd2_equal_ts_ties_break_on_tiebreaker(spark):
     assert [r["attr"] for r in out] == ["a", "b"]
     assert out[0]["valid_to"] == T0  # closed by the same-ts successor
     assert out[1]["is_current"]
+
+
+def test_session_window_runs_under_structured_streaming(spark, tmp_path):
+    """The st8 operator's claim is that F.session_window is the
+    STREAMING session machinery run in batch; pin the streaming half:
+    the same groupBy(session_window) aggregation executes as a
+    watermarked streaming query (state-store session merging) and
+    yields the same sessions as the batch run over the same input."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, 1, T0, 1.0),
+        (2, 1, T0 + dt.timedelta(minutes=5), 2.0),
+        (3, 1, T0 + dt.timedelta(hours=2), 3.0),   # new session
+        (4, 2, T0, 4.0),
+    ]
+    src = str(tmp_path / "events_src")
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_window"]["start"], r["n_events"], r["sum_value"])
+        for r in spark.table("sess_stream").collect()
+    }
+    from dot_spark.operators.timeseries import session_window_agg
+
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in session_window_agg(df, "user_id", "ts", "30 minutes").collect()
+    }
+    assert got == want
+    assert len(got) == 3
