@@ -1,0 +1,143 @@
+"""Distributed BPE merge training — the tokenizer-training pass of an
+LLM data pipeline, expressed Spark-first.
+
+Byte-pair encoding learns a merge table by repeatedly (1) counting
+adjacent symbol pairs across the corpus, weighted by word frequency,
+(2) picking the most frequent pair, (3) fusing that pair everywhere.
+Step 1 is the distributed work: ONE aggregation over the word-vocab
+table per round (pair counting has map-side partials; the vocab table
+is |distinct words|, already tiny relative to the corpus). Step 2 is
+a one-row argmax fetch (the documented scalar-collect exception, like
+dd8's convergence probe). Step 3 is a map-only higher-order fold —
+no UDF, no shuffle.
+
+Scale shape at 100 TB:
+- the corpus is touched ONCE (word-frequency aggregation); every BPE
+  round thereafter runs on the vocab table (distinct words), which is
+  orders of magnitude smaller and sub-linear in corpus size;
+- per-round lineage is truncated with localCheckpoint (the dd8
+  pattern) so K rounds never build a K-deep plan;
+- the per-round argmax ships exactly one row to the driver.
+
+The greedy left-to-right fuse is implemented as an array fold
+(aggregate): append each symbol, but when the accumulator's last
+element is `l` and the incoming symbol is `r`, replace the last
+element with `l+r`. Because the fused symbol `l+r` can never equal
+`l` again within the round (r is non-empty), the fold is exactly the
+non-overlapping left-to-right merge the reference BPE definition
+uses ("aaa" + (a,a) -> [aa, a]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# adjacent-pair struct: l = symbol i, r = symbol i+1
+_PAIRS_EXPR = (
+    "transform(slice(syms, 1, size(syms) - 1), "
+    "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"
+)
+
+
+def _fuse_expr(left: str, right: str) -> F.Column:
+    """Fold `syms`, fusing every left-to-right occurrence of
+    (left, right) into one symbol."""
+    l, r = F.lit(left), F.lit(right)
+    fused = F.lit(left + right)
+
+    def step(acc, x):
+        can_merge = (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (x == r)
+        return F.when(
+            can_merge,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"), step
+    )
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the normalized corpus — the one pass that
+    touches every document. Normalization matches the engine's
+    canonical tokenizer (lower, collapse spaces, split on space)."""
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")),
+                " ",
+            )
+        ).alias("word")
+    )
+    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def bpe_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame:
+    """Learn the top-k BPE merges over the corpus. Returns one row per
+    learned merge: (rank, left_sym, right_sym, pair_count), where
+    pair_count is the weighted adjacent-pair frequency at the time the
+    merge was chosen. Ties break on (count DESC, left ASC, right ASC)
+    so training is deterministic on any engine."""
+    spark = docs.sparkSession
+    vocab = word_vocab(docs, text_col)
+    syms = vocab.select(
+        "freq",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    out = []
+    for rank in range(1, k + 1):
+        top = (
+            syms.select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if top is None:
+            break
+        out.append((rank, top["l"], top["r"], int(top["cnt"])))
+        syms = syms.select(
+            "freq", _fuse_expr(top["l"], top["r"]).alias("syms")
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        out, "rank INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )
+
+
+def reference_bpe(texts: list[str], k: int = 4) -> list[tuple[int, str, str, int]]:
+    """Independent pure-Python BPE used by the oracle builder and the
+    property tests — shares NO code with the Spark path."""
+    import re
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in re.sub(r" +", " ", (t or "").lower()).strip().split(" "):
+            vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+
+    merges = []
+    for rank in range(1, k + 1):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), cnt = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, l, r, cnt))
+        for w, syms in words.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = new
+    return merges

@@ -4324,6 +4324,68 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t13_oracle_sql() -> str | None:
+    """t13's oracle via the ss3/ss4 generated-literal mechanism: BPE
+    training is deterministic (count desc, pair asc tie-break), so the
+    oracle builder replays it with an INDEPENDENT pure-Python BPE
+    (operators/bpe.py reference_bpe — no code shared with the Spark
+    fold) over the same gate-scale corpus read via DuckDB, and embeds
+    the learned merge table as literals. Any divergence in pair
+    counting, tie-breaking, or the greedy fuse breaks the hash.
+    Reads $DOT_SPARK_GATE_SF_DIR (the oracle_check convention) so a
+    replica run at another scale regenerates matching literals."""
+    import os
+
+    gate_dir = os.environ.get(
+        "DOT_SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+    ).rstrip("/")
+    try:
+        import duckdb
+
+        texts = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT text FROM read_parquet('{gate_dir}/documents.parquet')"
+            ).fetchall()
+        ]
+    except Exception:
+        return None
+    if not texts:
+        return None
+    from dot_spark.operators.bpe import reference_bpe
+
+    rows = reference_bpe(texts, k=4)
+    if not rows:
+        return None
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"({rank}, '{q(l)}', '{q(r)}', {cnt})" for rank, l, r, cnt in rows
+    )
+    return f"""
+    SELECT CAST(rank AS INT) AS rank, left_sym, right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM (VALUES {vals}) AS t(rank, left_sym, right_sym, pair_count)
+    """
+
+
+@query("t13_bpe_merges", _t13_oracle_sql())
+def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (the tokenizer-training pass):
+    4 merge rounds over the corpus word-vocab — pair counting is one
+    partial-aggregated shuffle per round over the (tiny) vocab table,
+    the corpus itself is scanned exactly once, the argmax ships one
+    row, and the fuse is a map-only array fold. localCheckpoint
+    bounds lineage per round (the dd8 iterative pattern). Oracle =
+    an independent Python BPE replayed at oracle-build time."""
+    from dot_spark.operators.bpe import bpe_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_merges(docs, k=4)
+
+
 @query(
     "f12_bitwise_aggs",
     """
@@ -4739,7 +4801,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids,
 # a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert,
 # p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
-# s15_text_log_source),
+# s15_text_log_source, t13_bpe_merges),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5

@@ -552,3 +552,30 @@ def test_session_window_agrees_with_lag_cumsum_sessionize(spark, events, gap_min
         .collect()
     }
     assert native == manual
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([1, 3]),
+)
+@settings(**SETTINGS)
+def test_bpe_merges_match_reference_implementation(spark, texts, k):
+    """The distributed BPE (fold-based fuse, partial-agg pair counts)
+    must learn the SAME merge table as the independent pure-Python
+    reference on any corpus — tiny {a,b} alphabets force heavy ties,
+    overlapping runs (aaa), and re-merges of fused symbols, which is
+    where greedy-fuse implementations diverge."""
+    from dot_spark.operators.bpe import bpe_merges, reference_bpe
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(docs, k=k).orderBy("rank").collect()
+    ]
+    assert got == reference_bpe(texts, k=k)
