@@ -400,3 +400,86 @@ def decontaminate_embeddings(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_eval_hits"), F.max("cos_sim").alias("max_cos"))
     )
+
+
+def cosine_to_cell_centroid(
+    emb: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-vector cosine similarity to its cell's mean vector —
+    the centrality score SemDeDup-style semantic dedup ranks by.
+
+    Long-form throughout (posexplode -> per-(cell, dim) average ->
+    broadcast the |cells| x dim centroid table back -> one grouped
+    fold per vector): no driver materialization, two shuffles total
+    (centroid aggregate + the per-vector regroup), both with map-side
+    partials. Output: (id, cell, cos_to_centroid) with the score
+    ROUNDED so downstream ordering is reproducible across engines.
+    """
+    comp = emb.select(
+        F.col(id_col),
+        F.col(cell_col),
+        F.posexplode(vec_col).alias("dim", "c"),
+    ).withColumn("c", F.col("c").cast("double"))
+    cent = comp.groupBy(cell_col, "dim").agg(F.avg("c").alias("cv"))
+    joined = comp.join(F.broadcast(cent), [cell_col, "dim"])
+    return joined.groupBy(id_col, cell_col).agg(
+        F.round(
+            F.sum(F.col("c") * F.col("cv"))
+            / (
+                F.sqrt(F.sum(F.col("c") * F.col("c")))
+                * F.sqrt(F.sum(F.col("cv") * F.col("cv")))
+            ),
+            round_to,
+        ).alias("cos_to_centroid")
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, public
+    arXiv:2303.09540): within each embedding cell, near-duplicate
+    pairs above `threshold` cluster transitively, and each cluster
+    keeps its LEAST central member (minimum cosine to the cell
+    centroid — the paper's keep-the-outlier rule, which preserves
+    diversity); every other member is marked dropped. Vectors with no
+    near-duplicate form singleton clusters and are kept.
+
+    Composition of three existing scale shapes: dd5b bucket-pruned
+    pair mining (broadcast-build equi-join, never n^2), dd8
+    connected components (pointer-jumping label propagation), and the
+    centroid scoring pass (two partial-agg shuffles). Output:
+    (id, cell, cluster_id, cos_to_centroid, keep).
+    """
+    from pyspark.sql import Window
+
+    from dot_spark.operators.textdedup import (
+        bucketed_neardup_pairs,
+        connected_components,
+    )
+
+    scored = cosine_to_cell_centroid(emb, cell_col, id_col, vec_col)
+    pairs = bucketed_neardup_pairs(
+        emb, cell_col, id_col=id_col, vec_col=vec_col, threshold=threshold
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    labeled = scored.join(
+        cc, scored[id_col] == cc["node"], "left"
+    ).select(
+        scored[id_col],
+        scored[cell_col],
+        F.coalesce(cc["label"], scored[id_col]).alias("cluster_id"),
+        "cos_to_centroid",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("cos_to_centroid"), F.asc(id_col)
+    )
+    return labeled.withColumn("keep", F.row_number().over(w) == 1)

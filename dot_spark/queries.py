@@ -4324,6 +4324,66 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pl9_oracle_sql() -> str:
+    """pl9's oracle composes dd5b's pair SQL (same cell constraint and
+    threshold) inside the dd8 recursive-closure pattern, rebuilds the
+    cell centroids and cosine-to-centroid in SQL, and applies the
+    keep-the-outlier rule with the same (rounded cos ASC, id ASC)
+    deterministic ordering."""
+    dd5b = ORACLE["dd5b_bucketed_neardup"]
+    return f"""
+    WITH RECURSIVE cand AS ({dd5b}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    closure AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    comp AS (
+      SELECT label, vec_id,
+             UNNEST(list_transform(generate_series(1, len(embedding)),
+                    i -> {{'i': i, 'v': CAST(embedding[i] AS DOUBLE)}})) AS s
+      FROM embeddings),
+    cent AS (
+      SELECT label, s.i AS dim, AVG(s.v) AS cv
+      FROM comp GROUP BY 1, 2),
+    scored AS (
+      SELECT c.vec_id, c.label,
+             ROUND(SUM(c.s.v * t.cv)
+                   / (sqrt(SUM(c.s.v * c.s.v)) * sqrt(SUM(t.cv * t.cv))),
+                   4) AS cos_to_centroid
+      FROM comp c JOIN cent t ON c.label = t.label AND c.s.i = t.dim
+      GROUP BY 1, 2),
+    lab AS (
+      SELECT s.vec_id, s.label,
+             COALESCE(cl.cluster_id, s.vec_id) AS cluster_id,
+             s.cos_to_centroid
+      FROM scored s LEFT JOIN closure cl ON s.vec_id = cl.node)
+    SELECT vec_id, label, CAST(cluster_id AS BIGINT) AS cluster_id,
+           cos_to_centroid,
+           ROW_NUMBER() OVER (
+             PARTITION BY cluster_id
+             ORDER BY cos_to_centroid ASC, vec_id ASC) = 1 AS keep
+    FROM lab
+    """
+
+
+@query("pl9_semdedup", _pl9_oracle_sql())
+def pl9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end (SemDeDup, arXiv:2303.09540): cell-
+    bucketed near-dup pair mining (dd5b shape) -> connected-component
+    clustering (dd8 shape) -> keep each cluster's LEAST-central
+    member by cosine-to-centroid (diversity-preserving outlier rule);
+    singletons keep themselves. Three composed scale shapes, no new
+    shuffle machinery."""
+    from dot_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semdedup(emb, "label", threshold=0.45)
+
+
 def _t13_oracle_sql() -> str | None:
     """t13's oracle via the ss3/ss4 generated-literal mechanism: BPE
     training is deterministic (count desc, pair asc tie-break), so the
@@ -4801,7 +4861,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids,
 # a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert,
 # p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
-# s15_text_log_source, t13_bpe_merges),
+# s15_text_log_source, t13_bpe_merges, pl9_semdedup),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5

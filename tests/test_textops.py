@@ -504,3 +504,33 @@ def test_quality_filter_rule_order_and_diversity(spark, docs):
     verds = {r.verdict for r in quality_filter(docs, max_rep3=0.01)
              .select("verdict").distinct().collect()}
     assert len(verds) >= 2
+
+
+def test_semdedup_keep_rule_and_singletons(spark):
+    """pl9: within a cell, transitive near-dups collapse to one
+    cluster keeping the LEAST-central member (min cosine to the cell
+    centroid); a vector with no near-dup keeps itself."""
+    from dot_spark.operators.similarity import semdedup
+
+    # cell 0: three near-identical vectors (pairwise cos ~1) plus one
+    # orthogonal outlier -> one 3-cluster + one singleton
+    rows = [
+        (1, [1.0, 0.0, 0.01], 0),
+        (2, [1.0, 0.0, 0.02], 0),
+        (3, [1.0, 0.0, 0.03], 0),
+        (4, [0.0, 1.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, "label", threshold=0.9).collect()}
+    assert len(out) == 4
+    # 1,2,3 share one cluster labeled by the min id
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    # singleton keeps itself
+    assert out[4]["cluster_id"] == 4 and out[4]["keep"]
+    # exactly one survivor in the big cluster, the least-central one
+    kept = [v for v in (1, 2, 3) if out[v]["keep"]]
+    assert len(kept) == 1
+    least_central = min((1, 2, 3), key=lambda v: (out[v]["cos_to_centroid"], v))
+    assert kept == [least_central]
