@@ -323,13 +323,16 @@ def test_session_window_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 1, plan
 
 
-def test_gapfill_grid_joins_without_nested_loop(spark, sf_dir):
-    """a14: the dense grid joins observations on (key, bucket) as an
-    equi-join; a plan regression to a nested-loop would be the
-    O(grid x obs) blowup this operator exists to avoid."""
+def test_gapfill_single_scan_no_join(spark, sf_dir):
+    """a14: the run-derivation form reads the input ONCE and fills
+    gaps with zero joins (each observation explodes its own run, so
+    LOCF is inherited, not joined). The earlier grid-join form read
+    the input twice — column pruning made the two aggregate subtrees
+    differ, defeating exchange reuse; this pins the regression out."""
     plan = _plan(QUERIES["a14_gapfill_locf"](spark, sf_dir))
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
 
 
 def test_weighted_sample_filter_reaches_scan(spark, sf_dir):
