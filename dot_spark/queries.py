@@ -4447,6 +4447,31 @@ def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a17_global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def a17_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k WITHOUT a global sort: ORDER BY + LIMIT compiles
+    to TakeOrderedAndProject — each partition keeps its local top-100
+    in a bounded heap and only k x partitions rows reach the driver-
+    side merge, vs a full range-exchange sort of the table. The
+    deterministic tiebreak (orderkey) makes the cut reproducible.
+    Plan-pinned in test_plans; at 100 TB this is the only acceptable
+    shape for leaderboard-style queries."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
     "f12_bitwise_aggs",
     """
     SELECT event_type,
@@ -4861,7 +4886,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids,
 # a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert,
 # p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
-# s15_text_log_source, t13_bpe_merges, pl9_semdedup),
+# s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5

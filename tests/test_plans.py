@@ -351,3 +351,13 @@ def test_corpus_shuffle_avoids_global_sort_window(spark, sf_dir):
     plan = _plan(QUERIES["p15_corpus_shuffle"](spark, sf_dir))
     assert "hashpartitioning(__b" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_global_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    """a17: ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (bounded per-partition heaps) — a rangepartitioning exchange here
+    means the whole table is being globally sorted for a 100-row
+    answer."""
+    plan = _plan(QUERIES["a17_global_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
