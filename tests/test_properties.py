@@ -579,3 +579,102 @@ def test_bpe_merges_match_reference_implementation(spark, texts, k):
         for r in bpe_merges(docs, k=k).orderBy("rank").collect()
     ]
     assert got == reference_bpe(texts, k=k)
+
+
+@given(
+    target=st.dictionaries(st.integers(0, 6), st.integers(0, 50), max_size=6),
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 6),          # key
+                st.integers(0, 50),         # value
+                st.booleans(),              # is_delete
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, target, batches):
+    """Warehouse.merge_upsert over any CDC batch sequence must equal
+    the obvious dict model (delete wins within a batch for a key that
+    both updates and deletes — the operator removes touched keys
+    first and re-inserts only non-deletes; the model mirrors that by
+    applying a batch's updates only for keys without a delete)."""
+    from dot_spark.loads import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    rows = list(target.items())
+    df = spark.createDataFrame(rows, "k bigint, v bigint") if rows else \
+        spark.createDataFrame([], "k bigint, v bigint")
+    wh.write(df, "t", "truncate")
+
+    model = dict(target)
+    for batch in batches:
+        # collapse to one change per key (last change in the batch
+        # wins), matching the keep-latest precondition of the operator
+        collapsed = {}
+        for i, (k, v, d) in enumerate(batch):
+            collapsed[k] = (i, k, v, d)
+        cdc_rows = [(k, v, d) for (_, k, v, d) in collapsed.values()]
+        cdc = spark.createDataFrame(cdc_rows, "k bigint, v bigint, is_delete boolean")
+        wh.merge_upsert(cdc, "t", ["k"], delete_col="is_delete")
+        for _, k, v, d in collapsed.values():
+            if d:
+                model.pop(k, None)
+            else:
+                model[k] = v
+
+    got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+    assert got == model
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 2)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_history_reconstructs_keep_latest_state(spark, events):
+    """The SCD2 history's CURRENT rows (valid_to IS NULL) must equal
+    keep-latest-per-key over the change stream, and per key the
+    validity intervals must tile [first_change, inf) without gaps or
+    overlaps."""
+    import datetime as dt
+
+    from dot_spark.operators.timeseries import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, k, t0 + dt.timedelta(minutes=m), f"v{a}")
+        for i, (k, m, a) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, attr string"
+    )
+    hist = scd2_history(df, "user_id", "attr", "ts", "event_id").collect()
+
+    # model: latest attr per key by (ts, event_id)
+    latest = {}
+    for i, (k, m, a) in enumerate(events):
+        key = (m, i)
+        if k not in latest or key > latest[k][0]:
+            latest[k] = (key, f"v{a}")
+    current = {r["user_id"]: r["attr"] for r in hist if r["is_current"]}
+    assert current == {k: v for k, (_, v) in latest.items()}
+
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]  # tiling, no gaps
+            assert a["attr"] != b["attr"]            # runs collapsed
+        assert versions[-1]["valid_to"] is None
