@@ -74,7 +74,14 @@ def test_queries_survive_bare_driver_session(tmp_path):
         "          'mm1_decode_media', 's9_csv_checkpoint', 'st3_stream_corpus_dedup',\n"
         "          's13_jsonl_roundtrip', 'dd8_dedup_clusters',\n"
         "          'ss3_ivf_trained_topk', 'dd9_chunk_dedup',\n"
-        "          'pl7_corpus_build_pipeline'):\n"
+        "          'pl7_corpus_build_pipeline',\n"
+        # round-7 continuation surfaces: native session windows +
+        # events ts dispatch (st8), sequence explode on events (a14),
+        # warehouse merge writes (pl8), iterative localCheckpoint
+        # loops (t13, pl9), Arrow mapInPandas resize (mm4)
+        "          'st8_session_window', 'a14_gapfill_locf',\n"
+        "          'pl8_merge_upsert', 't13_bpe_merges',\n"
+        "          'pl9_semdedup', 'mm4_image_resize'):\n"
         "    assert len(QUERIES[n](spark, '/root/testdata/sf0.001').collect()) >= 0, n\n"
         "print('BARE_SESSION_OK')\n"
     )
