@@ -4446,6 +4446,108 @@ def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=4)
 
 
+def _dd10_oracle_sql() -> str:
+    """dd10's oracle: dd2's candidate SQL, then Levenshtein over the
+    same normalized 64-char prefixes (DuckDB's levenshtein matches
+    Spark's — plain edit distance, unit costs)."""
+    dd2 = ORACLE["dd2_minhash_lsh_candidates"]
+    return f"""
+    WITH cand AS ({dd2}),
+    nt AS (SELECT doc_id,
+                  substr(trim(regexp_replace(lower(text), ' +', ' ', 'g')),
+                         1, 64) AS pfx
+           FROM documents)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INT) AS prefix_edit_dist,
+           levenshtein(a.pfx, b.pfx) <= 16 AS verified
+    FROM cand c JOIN nt a ON c.id_a = a.doc_id
+                JOIN nt b ON c.id_b = b.doc_id
+    """
+
+
+@query("dd10_edit_distance_verify", _dd10_oracle_sql())
+def dd10_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates — pl6's twin with
+    a CHARACTER-level metric (Levenshtein on normalized 64-char
+    prefixes) instead of token-set Jaccard: the right disposer when
+    near-dups differ by typos/diacritics rather than token swaps.
+    Scale shape: the O(len^2) DP runs ONLY on mined candidate pairs
+    (never all pairs) and only on bounded prefixes, joined in via two
+    equi-joins on doc_id; the metric itself is a JVM built-in."""
+    from dot_spark.operators.textdedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        normalize_text,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(docs, num_hashes=16, shingle_n=3))
+    )
+    pfx = docs.select(
+        "doc_id", F.substring(normalize_text(F.col("text")), 1, 64).alias("pfx")
+    )
+    a = pfx.select(F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a"))
+    b = pfx.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("pfx_b"))
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("int").alias("prefix_edit_dist"),
+            (dist <= 16).alias("verified"),
+        )
+    )
+
+
+@query(
+    "a18_winsorize",
+    """
+    WITH lim AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY 1)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           ROUND(least(greatest(l.l_extendedprice, lim.lo), lim.hi), 2)
+             AS price_winsorized,
+           (l.l_extendedprice < lim.lo OR l.l_extendedprice > lim.hi)
+             AS clipped
+    FROM lineitem l JOIN lim USING (l_returnflag)
+    """,
+)
+def a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) per group — the outlier-
+    taming pass a feature/stats pipeline runs before aggregation:
+    values clamp to their group's [p5, p95]. Two stages sharing one
+    pattern: an exact-percentile aggregate produces a |groups|-row
+    limits table that BROADCASTS back onto the fact scan (the fact
+    side never shuffles). At 100 TB swap the percentile for
+    approx_percentile — same plan, sketch-merge partials."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lim = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    joined = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    ).join(F.broadcast(lim), "l_returnflag")
+    price = F.col("l_extendedprice")
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.least(F.greatest(price, F.col("lo")), F.col("hi")), 2).alias(
+            "price_winsorized"
+        ),
+        ((price < F.col("lo")) | (price > F.col("hi"))).alias("clipped"),
+    )
+
+
 @query(
     "a17_global_topk",
     """
@@ -4886,7 +4988,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a15_approx_distinct_audit, mm4_image_resize, ss6_label_centroids,
 # a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert,
 # p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
-# s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk),
+# s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk,
+# dd10_edit_distance_verify, a18_winsorize),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
