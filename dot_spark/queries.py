@@ -4446,6 +4446,78 @@ def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=4)
 
 
+@query(
+    "w10_funnel_steps",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type
+      FROM events),
+    lagd AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+    marked AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd),
+    sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM marked),
+    seqs AS (
+      SELECT user_id, session_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(event_type, ' ' ORDER BY ts, event_id) AS type_seq
+      FROM sess GROUP BY 1, 2)
+    SELECT user_id, session_idx, n_events,
+           CAST(CASE
+             WHEN regexp_matches(type_seq, 'view.*click.*purchase') THEN 3
+             WHEN regexp_matches(type_seq, 'view.*click') THEN 2
+             WHEN regexp_matches(type_seq, 'view') THEN 1
+             ELSE 0 END AS INT) AS funnel_stage
+    FROM seqs
+    """,
+)
+def w10_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE-style funnel):
+    per w6 session, how far the view -> click -> purchase funnel
+    progressed, decided by ORDER-sensitive matching over the
+    session's event-type sequence. Spark-first shape: the sequence
+    is an array_sort(collect_list(struct)) per session — the sort is
+    WITHIN each session's handful of events (no extra exchange; the
+    aggregate reuses the sessionize partitioning) — and the pattern
+    is one regex over the joined sequence. The oracle builds the same
+    sequence with string_agg ORDER BY."""
+    from dot_spark.operators.sampling import sessionize
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    s = sessionize(ev, gap_minutes=30)
+    seqs = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            " ",
+        ).alias("type_seq"),
+    )
+    stage = (
+        F.when(F.col("type_seq").rlike("view.*click.*purchase"), 3)
+        .when(F.col("type_seq").rlike("view.*click"), 2)
+        .when(F.col("type_seq").rlike("view"), 1)
+        .otherwise(0)
+    )
+    return seqs.select(
+        "user_id", "session_idx", "n_events", stage.cast("int").alias("funnel_stage")
+    )
+
+
 def _dd10_oracle_sql() -> str:
     """dd10's oracle: dd2's candidate SQL, then Levenshtein over the
     same normalized 64-char prefixes (DuckDB's levenshtein matches
@@ -4989,7 +5061,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert,
 # p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
 # s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk,
-# dd10_edit_distance_verify, a18_winsorize),
+# dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
