@@ -4446,6 +4446,95 @@ def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=4)
 
 
+_PL10_REC_SQL = """
+      SELECT c_custkey AS rec_id, c_name AS name, c_acctbal AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             substr(c_name, 1, len(c_name) - 1) || 'X',
+             c_acctbal + 0.5
+      FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
+@query(
+    "pl10_record_linkage",
+    f"""
+    WITH RECURSIVE recs AS ({_PL10_REC_SQL}),
+    blocked AS (SELECT *, substr(name, 10, 7) AS blk FROM recs),
+    pairs AS (
+      SELECT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 1
+        AND abs(a.bal - b.bal) <= 1.0),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    closure AS (SELECT node, MIN(lbl) AS entity_id FROM reach GROUP BY node)
+    SELECT r.rec_id, r.name,
+           CAST(COALESCE(cl.entity_id, r.rec_id) AS BIGINT) AS entity_id,
+           COALESCE(cl.entity_id, r.rec_id) <> r.rec_id AS is_duplicate
+    FROM recs r LEFT JOIN closure cl ON r.rec_id = cl.node
+    """,
+)
+def pl10_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage — the structured-data twin
+    of the corpus dedup pipelines: BLOCK on a cheap key (name digit
+    prefix — bounds candidate pairs to within-block, the same
+    O(sum m_b^2) shape as dd5b), SCORE candidates with a fuzzy rule
+    (Levenshtein <= 1 AND balance within 1.0 — the DP runs only on
+    blocked pairs), CLUSTER matches transitively (dd8 components),
+    and assign every record its entity id (min rec_id survivor).
+    Perturbed twin records are injected (key % 97) since the fixture
+    has no natural duplicates; genuine near-key collisions that pass
+    the rule link too, exactly as the oracle states."""
+    from dot_spark.operators.textdedup import connected_components
+
+    cust = load_table(spark, "customer", sf_dir)
+    base = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    twins = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rec_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("name"),
+        (F.col("c_acctbal") + 0.5).alias("bal"),
+    )
+    recs = base.unionByName(twins)
+    blocked = recs.withColumn("blk", F.substring("name", 10, 7))
+    a = blocked.select(
+        F.col("rec_id").alias("id_a"), F.col("name").alias("name_a"),
+        F.col("bal").alias("bal_a"), "blk",
+    )
+    b = blocked.select(
+        F.col("rec_id").alias("id_b"), F.col("name").alias("name_b"),
+        F.col("bal").alias("bal_b"), "blk",
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.levenshtein("name_a", "name_b") <= 1)
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 1.0)
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs)
+    return recs.join(cc, recs.rec_id == cc.node, "left").select(
+        "rec_id",
+        "name",
+        F.coalesce(cc.label, recs.rec_id).alias("entity_id"),
+        (F.coalesce(cc.label, recs.rec_id) != recs.rec_id).alias("is_duplicate"),
+    )
+
+
 @query(
     "w10_funnel_steps",
     """
@@ -5061,7 +5150,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a16_grouping_sets, n8_malformed_json_audit, pl8_merge_upsert,
 # p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
 # s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk,
-# dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps),
+# dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps,
+# pl10_record_linkage),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
