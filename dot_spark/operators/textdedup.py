@@ -806,3 +806,41 @@ def connected_components(
     finally:
         edges.unpersist()
     return labels
+
+
+def lsh_candidate_pairs_incremental(
+    bands_new: DataFrame, bands_all: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental LSH pair mining: candidate pairs where at least one
+    side is NEW — the maintenance pass of a standing near-dup index.
+
+    When a batch of new docs lands on an already-deduped corpus, the
+    full self-join over the whole corpus re-mines every historical
+    pair; the only pairs that can CHANGE the dedup decision are those
+    touching a new doc. Joining the (small) new-side bands against
+    the full band table costs |new| x bucket-occupancy instead of
+    |corpus|^2-shaped work, and the band table itself is the standing
+    index (store it; append new bands per batch).
+
+    Output matches lsh_candidate_pairs restricted to pairs with a new
+    member: (id_a < id_b, distinct across bands). The new-new pair
+    (both sides in the batch) appears exactly once because the
+    new-vs-all join sees it in both orders and the id_a < id_b filter
+    keeps one.
+    """
+    a = bands_new.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_n")
+    )
+    b = bands_all.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_o")
+    )
+    joined = a.join(b, on=["band_id", "band_hash"]).filter(
+        F.col("id_n") != F.col("id_o")
+    )
+    return (
+        joined.select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -4446,6 +4446,41 @@ def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=4)
 
 
+def _pl11_oracle_sql() -> str:
+    """pl11's oracle: dd2's full-corpus candidate SQL restricted to
+    pairs with at least one member in the new batch — incremental
+    mining must find exactly the full recompute's pairs that touch a
+    new doc, no more, no fewer."""
+    dd2 = ORACLE["dd2_minhash_lsh_candidates"]
+    return f"""
+    WITH base AS ({dd2})
+    SELECT id_a, id_b FROM base
+    WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """
+
+
+@query("pl11_incremental_lsh", _pl11_oracle_sql())
+def pl11_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup index maintenance: a new batch (doc_id %
+    5 = 0 stands in for the arriving drop) mines candidate pairs by
+    joining ITS bands against the standing band index — |new| x
+    bucket-occupancy work instead of re-running the corpus self-join
+    (pl4's exact-hash anti-join, upgraded to the near-dup metric).
+    Equals the full recompute restricted to pairs touching a new doc
+    (the oracle states exactly that), so periodic full reclustering
+    (pl5) sees identical candidates."""
+    from dot_spark.operators.textdedup import (
+        lsh_bands,
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bands_all = lsh_bands(minhash_signatures(docs, num_hashes=16, shingle_n=3))
+    bands_new = bands_all.filter(F.col("doc_id") % 5 == 0)
+    return lsh_candidate_pairs_incremental(bands_new, bands_all)
+
+
 _PL10_REC_SQL = """
       SELECT c_custkey AS rec_id, c_name AS name, c_acctbal AS bal
       FROM customer
@@ -5151,7 +5186,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
 # s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk,
 # dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps,
-# pl10_record_linkage),
+# pl10_record_linkage, pl11_incremental_lsh),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5

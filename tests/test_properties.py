@@ -678,3 +678,44 @@ def test_scd2_history_reconstructs_keep_latest_state(spark, events):
             assert a["valid_to"] == b["valid_from"]  # tiling, no gaps
             assert a["attr"] != b["attr"]            # runs collapsed
         assert versions[-1]["valid_to"] is None
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=4, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_incremental_lsh_equals_restricted_full_mine(spark, texts):
+    """pl11's law: incremental mining (new bands vs the standing band
+    index) must equal the FULL self-join's pairs restricted to those
+    touching a new doc — on any corpus split."""
+    from dot_spark.operators.textdedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    bands = lsh_bands(
+        minhash_signatures(docs, num_hashes=8, shingle_n=2),
+        bands=4,
+        rows_per_band=2,
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(bands).collect()
+    }
+    want = {(a, b) for a, b in full if a % 3 == 0 or b % 3 == 0}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs_incremental(
+            bands.filter(F.col("doc_id") % 3 == 0), bands
+        ).collect()
+    }
+    assert got == want
