@@ -4745,6 +4745,53 @@ def a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a19_percentile_sketch_audit",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS rank_in_bounds
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a19_percentile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy audit (the a15 pattern for
+    approx_percentile): per group, the sketch median's RANK must sit
+    within the published +-n/accuracy bound of n/2 — checked by
+    broadcasting the per-group sketch value back over the fact scan
+    and counting rows strictly below / at-or-below it (the [lt, le]
+    interval absorbs ties). The oracle pins the exact median and the
+    verdict; the sketch value itself is engine-specific and is
+    deliberately not an output column. At 100 TB the sketch IS the
+    production path (mergeable fixed-size state); this query is the
+    acceptance gate that lets a7/a11's documented exact->approx swap
+    happen with evidence."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lim = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(lim), "l_returnflag"
+    )
+    eps = F.col("n") / 10000 + 1
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            (
+                F.sum((F.col("l_extendedprice") < F.col("ap")).cast("long"))
+                <= F.first("n") / 2 + F.first(eps)
+            )
+            & (
+                F.sum((F.col("l_extendedprice") <= F.col("ap")).cast("long"))
+                >= F.first("n") / 2 - F.first(eps)
+            )
+        ).alias("rank_in_bounds"),
+    )
+
+
+@query(
     "a17_global_topk",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
@@ -5186,7 +5233,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p16_fixed_k_per_stratum, f12_bitwise_aggs, f13_calendar_arith,
 # s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk,
 # dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps,
-# pl10_record_linkage, pl11_incremental_lsh),
+# pl10_record_linkage, pl11_incremental_lsh,
+# a19_percentile_sketch_audit),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
