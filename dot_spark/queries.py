@@ -4745,6 +4745,47 @@ def a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n9_nested_json_explode",
+    """
+    SELECT event_id,
+           CAST(t.i AS INT) AS item_idx,
+           event_type || '-' || CAST(t.i AS VARCHAR) AS item_val
+    FROM events, UNNEST(generate_series(0, event_id % 3)) AS t(i)
+    """,
+)
+def n9_nested_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON array round-trip (the N-family's deep case): each
+    event SERIALIZES an array<struct> to a JSON string (to_json over
+    a generated sequence), PARSES it back with an explicit
+    array<struct> schema (from_json — the shape a real ingest of
+    nested API payloads hits), and explodes items with the parent
+    key. The oracle regenerates the exploded rows from the
+    construction formula, so any serialize/parse/explode defect in
+    the array-of-structs path breaks the hash. All codegen'd JVM
+    expressions; the explode fan-out is bounded (<= 3 per row)."""
+    ev = load_table(spark, "events", sf_dir)
+    items = F.transform(
+        F.sequence(F.lit(0), F.col("event_id") % 3),
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.concat(F.col("event_type"), F.lit("-"), i.cast("string")).alias("v"),
+        ),
+    )
+    with_json = ev.select("event_id", F.to_json(items).alias("js"))
+    parsed = with_json.select(
+        "event_id",
+        F.explode(
+            F.from_json(F.col("js"), "array<struct<i:int,v:string>>")
+        ).alias("item"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("item.i").alias("item_idx"),
+        F.col("item.v").alias("item_val"),
+    )
+
+
+@query(
     "a19_percentile_sketch_audit",
     """
     SELECT l_returnflag,
@@ -5234,7 +5275,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk,
 # dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps,
 # pl10_record_linkage, pl11_incremental_lsh,
-# a19_percentile_sketch_audit),
+# a19_percentile_sketch_audit, n9_nested_json_explode),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
