@@ -4745,6 +4745,50 @@ def a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f14_map_functions",
+    """
+    SELECT o_orderkey,
+           CAST(3 AS INT) AS n_entries,
+           CAST(o_orderkey % 100 AS BIGINT) AS base_val,
+           CAST((CASE WHEN o_orderkey % 100 > 50 THEN 1 ELSE 0 END)
+              + (CASE WHEN (o_orderkey + 37) % 100 > 50 THEN 1 ELSE 0 END)
+              + (CASE WHEN (o_orderkey + 74) % 100 > 50 THEN 1 ELSE 0 END)
+                AS INT) AS n_over_50,
+           CAST(o_orderkey % 100 + (o_orderkey + 37) % 100
+                + (o_orderkey + 74) % 100 AS BIGINT) AS sum_vals
+    FROM orders
+    """,
+)
+def f14_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed function surface (SURVEY §2.7): build a map from
+    parallel key/value arrays (map_from_arrays), look up a key
+    (element_at), filter entries with a (k, v) lambda (map_filter),
+    and reduce the values (map_values + aggregate) — the shapes a
+    properties/attributes column needs. Outputs are projected to
+    scalars (the driver canonicalizer hashes scalars only); the
+    oracle restates the generating arithmetic directly, so any defect
+    in the map construction/lookup/filter path breaks the hash."""
+    orders = load_table(spark, "orders", sf_dir)
+    keys = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+    vals = F.array(
+        F.col("o_orderkey") % 100,
+        (F.col("o_orderkey") + 37) % 100,
+        (F.col("o_orderkey") + 74) % 100,
+    )
+    m = F.map_from_arrays(keys, vals)
+    with_map = orders.select("o_orderkey", m.alias("m"))
+    return with_map.select(
+        "o_orderkey",
+        F.size("m").alias("n_entries"),
+        F.element_at("m", "a").alias("base_val"),
+        F.size(F.map_filter("m", lambda k, v: v > 50)).alias("n_over_50"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_vals"),
+    )
+
+
+@query(
     "n9_nested_json_explode",
     """
     SELECT event_id,
@@ -5275,7 +5319,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s15_text_log_source, t13_bpe_merges, pl9_semdedup, a17_global_topk,
 # dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps,
 # pl10_record_linkage, pl11_incremental_lsh,
-# a19_percentile_sketch_audit, n9_nested_json_explode),
+# a19_percentile_sketch_audit, n9_nested_json_explode,
+# f14_map_functions),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
