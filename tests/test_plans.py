@@ -401,3 +401,39 @@ def test_bpe_round_plans_stay_constant_depth(spark):
     rows = out.collect()
     assert 1 <= len(rows) <= 3
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_plan_shapes_match_committed_baseline(spark):
+    """Global plan-regression net: every query's shuffle / scan /
+    Python-eval / nested-loop node counts must not EXCEED the
+    committed baseline (tools/plan_baseline.json). Catches the silent
+    class — a lost broadcast, a defeated exchange reuse, an
+    accidental UDF — across the WHOLE registry, not just the queries
+    with hand-written pins. Counts below baseline are improvements;
+    refresh with `python tools/plan_baseline.py` when intentional."""
+    import json
+    import os
+
+    from tools.plan_baseline import SF_DIR, plan_counts
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "plan_baseline.json",
+    )
+    with open(path) as f:
+        baseline = json.load(f)
+
+    regressions = {}
+    for name, fn in QUERIES.items():
+        base = baseline.get(name)
+        if base is None:
+            regressions[name] = "missing from baseline — run tools/plan_baseline.py"
+            continue
+        now = plan_counts(fn(spark, SF_DIR))
+        worse = {
+            k: (base[k], now[k]) for k in now if now[k] > base[k]
+        }
+        if worse:
+            regressions[name] = worse
+    assert not regressions, regressions
