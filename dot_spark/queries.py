@@ -4446,6 +4446,66 @@ def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=4)
 
 
+def _dd11_oracle_sql() -> str:
+    """dd11's oracle: dd2's candidate SQL and dd4's exact-Jaccard SQL
+    composed, with hit/recall/precision computed over the pair-set
+    join — the same set algebra the engine runs."""
+    dd2 = ORACLE["dd2_minhash_lsh_candidates"]
+    dd4 = ORACLE["dd4_ngram_jaccard"]
+    return f"""
+    WITH cand AS ({dd2}),
+    truth AS ({dd4}),
+    hit AS (
+      SELECT t.id_a, t.id_b
+      FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+           ROUND((SELECT COUNT(*) FROM hit)
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall,
+           ROUND((SELECT COUNT(*) FROM hit)
+                 / NULLIF((SELECT COUNT(*) FROM cand), 0), 4) AS precision
+    """
+
+
+@query("dd11_lsh_quality_eval", _dd11_oracle_sql())
+def dd11_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index quality evaluation (ss5's twin for the text path):
+    recall and precision of the MinHash+LSH candidate set (dd2)
+    against exact n-gram-Jaccard ground truth (dd4, threshold 0.7) —
+    the measurement that justifies band/row parameters before LSH
+    replaces exact mining at scale. The gold standard is itself a
+    scale-bounded inverted-index join, so the evaluation runs on a
+    sample tier, never the full corpus."""
+    from dot_spark.operators.textdedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(docs, num_hashes=16, shingle_n=3))
+    ).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.7).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"])
+    counts = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit") / F.nullif("n_truth", F.lit(0)), 4).alias("recall"),
+        F.round(F.col("n_hit") / F.nullif("n_candidates", F.lit(0)), 4).alias(
+            "precision"
+        ),
+    )
+
+
 def _pl11_oracle_sql() -> str:
     """pl11's oracle: dd2's full-corpus candidate SQL restricted to
     pairs with at least one member in the new batch — incremental
@@ -5320,7 +5380,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps,
 # pl10_record_linkage, pl11_incremental_lsh,
 # a19_percentile_sketch_audit, n9_nested_json_explode,
-# f14_map_functions),
+# f14_map_functions, dd11_lsh_quality_eval),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
