@@ -719,3 +719,50 @@ def test_incremental_lsh_equals_restricted_full_mine(spark, texts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(1, 9)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_gapfill_matches_naive_model(spark, obs):
+    """a14's law on any input: per key, the output grid is exactly
+    the hour range [first_obs, last_obs]; observed cells carry their
+    own (rounded) bucket sum, holes carry the previous observation."""
+    import datetime as dt
+
+    from dot_spark.operators.timeseries import gapfill_locf
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (i, k, t0 + dt.timedelta(hours=h, minutes=i % 60), float(v))
+        for i, (k, h, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket"]): (r["observed"], r["filled_value"])
+        for r in gapfill_locf(df, "user_id", "ts", "value").collect()
+    }
+
+    # naive model
+    buckets = {}
+    for i, (k, h, v) in enumerate(obs):
+        buckets.setdefault(k, {}).setdefault(h, 0.0)
+        buckets[k][h] += float(v)
+    want = {}
+    for k, hs in buckets.items():
+        lo, hi = min(hs), max(hs)
+        last = None
+        for h in range(lo, hi + 1):
+            if h in hs:
+                last = round(hs[h], 2)
+                want[(k, t0 + dt.timedelta(hours=h))] = (True, last)
+            else:
+                want[(k, t0 + dt.timedelta(hours=h))] = (False, last)
+    assert got == want
