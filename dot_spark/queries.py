@@ -4805,6 +4805,103 @@ def a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f15_array_sort_comparator",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             list_transform(generate_series(1, o_orderkey % 6 + 2),
+               i -> {'v': (o_orderkey * i) % 7, 'i': i}) AS arr
+      FROM orders),
+    x AS (
+      SELECT o_orderkey, u.s.v AS v, u.s.i AS i
+      FROM (SELECT o_orderkey, UNNEST(arr) AS s FROM a) u)
+    SELECT o_orderkey,
+           string_agg(CAST(v AS VARCHAR) || ':' || CAST(i AS VARCHAR), ','
+                      ORDER BY v DESC, i ASC) AS sorted_sig
+    FROM x GROUP BY 1
+    """,
+)
+def f15_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_sort with a CUSTOM COMPARATOR lambda (v DESC, i ASC) —
+    the function-surface case a plain asc/desc sort can't express
+    (multi-field struct ordering inside an array, fully codegen'd).
+    The sorted array is emitted as a joined signature string; the
+    oracle reproduces the same ordering relationally (UNNEST + ORDER
+    BY inside string_agg)."""
+    orders = load_table(spark, "orders", sf_dir)
+    arr = F.transform(
+        F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 6 + 2),
+        lambda i: F.struct(
+            ((F.col("o_orderkey") * i) % 7).alias("v"), i.alias("i")
+        ),
+    )
+    cmp = lambda l, r: (  # noqa: E731 - comparator lambda
+        F.when(l["v"] > r["v"], F.lit(-1))
+        .when(l["v"] < r["v"], F.lit(1))
+        .when(l["i"] < r["i"], F.lit(-1))
+        .when(l["i"] > r["i"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sorted_arr = F.array_sort(arr, cmp)
+    sig = F.array_join(
+        F.transform(
+            sorted_arr,
+            lambda x: F.concat(
+                x["v"].cast("string"), F.lit(":"), x["i"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return orders.select("o_orderkey", sig.alias("sorted_sig"))
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@query(
+    "t14_stopword_stem",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    kept AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_transform(
+               list_filter(toks, t -> t NOT IN ('the','a','of','and','to')),
+               t -> regexp_replace(t, '(ing|ed|es)$', '')) AS stems
+      FROM tk)
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(len(stems) AS INT) AS n_kept,
+           array_to_string(stems[1:5], ' ') AS head_stems
+    FROM kept
+    """,
+)
+def t14_stopword_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal + suffix stemming — the index-building text
+    normalization tier (beyond t8's scrubbing): tokens filter against
+    a broadcast-small stopword list (an IN predicate, codegen'd) and
+    stem with one suffix regex, all inside array lambdas (zero
+    shuffle, zero UDF). Emits counts plus the first five stems as a
+    signature."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")), " "
+    )
+    stems = F.transform(
+        F.filter(toks, lambda t: ~t.isin(*_STOPWORDS)),
+        lambda t: F.regexp_replace(t, "(ing|ed|es)$", ""),
+    )
+    with_stems = docs.select(
+        "doc_id", toks.alias("toks"), stems.alias("stems")
+    )
+    return with_stems.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size("stems").alias("n_kept"),
+        F.array_join(F.slice("stems", 1, 5), " ").alias("head_stems"),
+    )
+
+
+@query(
     "f14_map_functions",
     """
     SELECT o_orderkey,
@@ -5380,7 +5477,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd10_edit_distance_verify, a18_winsorize, w10_funnel_steps,
 # pl10_record_linkage, pl11_incremental_lsh,
 # a19_percentile_sketch_audit, n9_nested_json_explode,
-# f14_map_functions, dd11_lsh_quality_eval),
+# f14_map_functions, dd11_lsh_quality_eval, f15_array_sort_comparator,
+# t14_stopword_stem),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
