@@ -4805,6 +4805,97 @@ def a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w11_moving_zscore",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS mu,
+             stddev_samp(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS sd
+      FROM events)
+    SELECT user_id, event_id,
+           ROUND(value, 2) AS value,
+           -- + 0 normalizes IEEE negative zero: DuckDB's ROUND keeps
+           -- -0.0 where Spark emits 0.0, and repr() distinguishes them
+           CASE WHEN sd IS NOT NULL AND sd > 0.001
+                THEN ROUND((value - mu) / sd, 2) + 0 END AS zscore,
+           COALESCE(sd IS NOT NULL AND sd > 0.001
+                    AND abs((value - mu) / sd) > 2.0, FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def w11_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flagging in batch: each event's value
+    scored against its user's TRAILING window (previous 6 events,
+    current row excluded — no self-contamination), z > 2 flags. One
+    keyed window exchange carries both moving moments. The sd floor
+    (0.001) keeps near-constant windows from dividing by ~0 — where
+    engines' float ulps would differ — and the z-score rounds to 2
+    so hash comparison is stable at honest precision."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    ok = sd.isNotNull() & (sd > 0.001)
+    z = (F.col("value") - mu) / sd
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.when(ok, F.round(z, 2)).alias("zscore"),
+        F.coalesce(ok & (F.abs(z) > 2.0), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@query(
+    "a20_share_of_total",
+    """
+    WITH seg AS (
+      SELECT c.c_mktsegment, SUM(o.o_totalprice) AS seg_rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT c_mktsegment,
+           ROUND(seg_rev, 2) AS seg_rev,
+           ROUND(seg_rev / SUM(seg_rev) OVER (), 4) AS rev_share
+    FROM seg
+    """,
+)
+def a20_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): per-segment revenue and its
+    fraction of the grand total. The unpartitioned window runs over
+    the |segments|-row AGGREGATE, not the fact table — the only
+    single-partition pass is 5 rows (the p13 principle: global
+    operations happen after reduction). Broadcast dim join upstream;
+    one aggregate exchange."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("seg_rev"))
+    )
+    total = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        F.round("seg_rev", 2).alias("seg_rev"),
+        F.round(F.col("seg_rev") / F.sum("seg_rev").over(total), 4).alias(
+            "rev_share"
+        ),
+    )
+
+
+@query(
     "f15_array_sort_comparator",
     """
     WITH a AS (
@@ -5478,7 +5569,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pl10_record_linkage, pl11_incremental_lsh,
 # a19_percentile_sketch_audit, n9_nested_json_explode,
 # f14_map_functions, dd11_lsh_quality_eval, f15_array_sort_comparator,
-# t14_stopword_stem),
+# t14_stopword_stem, w11_moving_zscore, a20_share_of_total),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
