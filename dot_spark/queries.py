@@ -4805,6 +4805,115 @@ def a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd12_url_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://CDN' || CAST(doc_id % 7 AS VARCHAR)
+               || '.Example' || CAST(doc_id % 3 AS VARCHAR)
+               || '.org/d/' || CAST(doc_id % 5 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN '?utm_source=x&ref=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             rtrim(regexp_replace(lower(url), '[?#].*$', ''), '/') AS canon_url
+      FROM u)
+    SELECT canon_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM canon GROUP BY 1
+    """,
+)
+def dd12_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the pass a web-corpus pipeline runs BEFORE
+    fetching/ingesting content: canonicalize (lowercase, strip query
+    string + fragment, trailing slash) and keep one doc per canonical
+    URL. Messy variants are injected deterministically (case noise,
+    tracking params, fragments, trailing slashes). Canonicalization
+    is two codegen string ops; dedup is a groupBy on the canonical
+    key — the dd1 shape with a URL-specific normalizer."""
+    docs = load_table(spark, "documents", sf_dir)
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://CDN"), (k % 7).cast("string"),
+        F.lit(".Example"), (k % 3).cast("string"),
+        F.lit(".org/d/"), (k % 5).cast("string"),
+        F.when(k % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("?utm_source=x&ref="), k.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(url), r"[?#].*$", ""), r"/+$", ""
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+@query(
+    "t15_unigram_lm_score",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    terms AS (SELECT doc_id, UNNEST(toks) AS term FROM tk),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_toks,
+             SUM(ln(f.cnt / (SELECT n FROM tot))) AS logp
+      FROM terms t JOIN freq f ON t.term = f.term
+      GROUP BY 1)
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           ROUND(-logp / n_toks, 3) AS avg_neg_logp
+    FROM scored
+    """,
+)
+def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring (the KenLM-shaped
+    signal without a trained LM): token log-probabilities from the
+    corpus's own unigram distribution, averaged per doc as a
+    perplexity proxy — high avg negative log-prob = rare-token-heavy
+    (noisy) text. Scale shape: one explode feeds BOTH the frequency
+    table and the scoring pass (t9's shared-exchange pattern); the
+    |vocab| frequency table broadcasts back; the grand total is one
+    scalar. Rounded to 3 decimals (a per-doc mean of ~100 ln terms —
+    distributed summation order costs more ulps than a plain sum)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")), " "
+    )
+    terms = docs.select("doc_id", F.explode(toks).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    scored = (
+        terms.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.log(F.col("cnt") / F.col("n"))).alias("logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        F.round(-F.col("logp") / F.col("n_toks"), 3).alias("avg_neg_logp"),
+    )
+
+
+@query(
     "w11_moving_zscore",
     """
     WITH w AS (
@@ -5569,7 +5678,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pl10_record_linkage, pl11_incremental_lsh,
 # a19_percentile_sketch_audit, n9_nested_json_explode,
 # f14_map_functions, dd11_lsh_quality_eval, f15_array_sort_comparator,
-# t14_stopword_stem, w11_moving_zscore, a20_share_of_total),
+# t14_stopword_stem, w11_moving_zscore, a20_share_of_total,
+# dd12_url_dedup, t15_unigram_lm_score),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
