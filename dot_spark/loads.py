@@ -101,8 +101,19 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        """Read a table. ``merge_schema=True`` reconciles part files
+        written under EVOLVED schemas (a later append added columns):
+        the union schema is read, earlier files' missing columns come
+        back NULL — the additive-evolution contract a long-lived
+        ingest table needs. Off by default: schema merging lists and
+        footer-reads every file at planning time, a real cost on a
+        100 TB table, so it is an explicit opt-in for tables known to
+        have evolved."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path(table))
 
     # --- S7 dispositions ---------------------------------------------------
 

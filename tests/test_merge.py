@@ -158,3 +158,22 @@ def test_streaming_cdc_apply_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     state2 = {r["k"]: r["v"] for r in wh.read("t").collect()}
     assert state2 == {2: "b2", 4: "z"}
+
+
+def test_read_merge_schema_reconciles_evolved_appends(spark, tmp_path):
+    """Additive schema evolution: an append that ADDS a column must be
+    readable together with the older files (merge_schema=True reads
+    the union schema; pre-evolution rows surface NULL for the new
+    column). The default read stays cheap (no footer sweep) and may
+    see only the original columns."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(spark.createDataFrame([(1, "a")], "k bigint, v string"), "t", "truncate")
+    wh.write(
+        spark.createDataFrame([(2, "b", 9.5)], "k bigint, v string, score double"),
+        "t",
+        "append",
+    )
+    merged = wh.read("t", merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
