@@ -4805,6 +4805,68 @@ def a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j14_attribution_join",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id,
+             date_trunc('microseconds', ts) AS click_ts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id,
+             date_trunc('microseconds', ts) AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id,
+           CAST(COUNT(c.click_id) AS BIGINT) AS n_attributed_clicks,
+           MIN(c.click_ts) AS first_click_ts
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def j14_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded attribution join — the BATCH twin of
+    streaming/state.py's stream_stream_join (same semantics the
+    watermarked interval join enforces online): each purchase counts
+    the user's clicks in the trailing 10-minute window. Physical
+    shape: equi-join on user_id (one shuffle each side, both sides
+    pre-filtered at the scan) with the time bound as a post-join
+    filter — the time predicate bounds state online and join output
+    offline; the window is CLOSED on both edges, matching the
+    streaming operator's retention condition exactly. LEFT join keeps zero-click purchases (count 0), which an
+    inner streaming join drops; the parity test covers the inner
+    subset."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.p_user_id == clicks.user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr("INTERVAL 10 MINUTE")
+        ),
+        "left",
+    )
+    return joined.groupBy(
+        "purchase_id", F.col("p_user_id").alias("user_id")
+    ).agg(
+        F.count("click_id").alias("n_attributed_clicks"),
+        F.min("click_ts").alias("first_click_ts"),
+    )
+
+
+@query(
     "dd12_url_dedup",
     """
     WITH u AS (
@@ -5679,7 +5741,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a19_percentile_sketch_audit, n9_nested_json_explode,
 # f14_map_functions, dd11_lsh_quality_eval, f15_array_sort_comparator,
 # t14_stopword_stem, w11_moving_zscore, a20_share_of_total,
-# dd12_url_dedup, t15_unigram_lm_score),
+# dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5

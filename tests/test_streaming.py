@@ -734,3 +734,55 @@ def test_jsonl_corpus_stream_absorbs_drops(spark, tmp_path):
     want = sorted(tuple(r) for r in spark.read.schema(ddl).json(str(src)).collect())
     assert got == want and len(got) == 3
     assert got[0][1] == 'a " b'  # escaping round-trips
+
+
+def test_stream_stream_join_parity_with_batch_attribution(spark, tmp_path):
+    """The watermarked stream-stream join must produce exactly the
+    batch j14 attribution pairs (inner subset) over the same events —
+    including a pair at EXACTLY the 10-minute boundary (both are
+    closed-interval)."""
+    from dot_spark.streaming import stream_stream_join
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    c_dir, p_dir = tmp_path / "c", tmp_path / "p"
+    c_dir.mkdir(); p_dir.mkdir()
+    clicks = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "ts": [t0, t0 + pd.Timedelta("10 min"), t0 + pd.Timedelta("25 min"), t0],
+        "click_id": [1, 2, 3, 4],
+    })
+    buys = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [t0 + pd.Timedelta("10 min"), t0 + pd.Timedelta("26 min"),
+               t0 + pd.Timedelta("11 min")],
+        "purchase_id": [90, 91, 92],
+    })
+    write_parquet(clicks, c_dir / "b0.parquet")
+    write_parquet(buys, p_dir / "b0.parquet")
+
+    c_stream = (spark.readStream
+                .schema("user_id BIGINT, ts TIMESTAMP, click_id BIGINT")
+                .format("parquet").load(str(c_dir)))
+    p_stream = (spark.readStream
+                .schema("user_id BIGINT, ts TIMESTAMP, purchase_id BIGINT")
+                .format("parquet").load(str(p_dir)))
+    # left = purchases, right = clicks: right ts in [l_ts - 10m, l_ts]
+    q = start_memory(
+        stream_stream_join(p_stream, c_stream, within="10 minutes"),
+        "parity_attr", str(tmp_path / "cp"),
+    )
+    drive(q)
+    streamed = {(r.user_id, r.purchase_id, r.r_click_id)
+                for r in spark.table("parity_attr").collect()}
+
+    # batch twin with the same closed-interval rule
+    want = set()
+    for _, b in buys.iterrows():
+        for _, c in clicks.iterrows():
+            if (c.user_id == b.user_id
+                    and c.ts <= b.ts
+                    and c.ts >= b.ts - pd.Timedelta("10 min")):
+                want.add((int(b.user_id), int(b.purchase_id), int(c.click_id)))
+    assert streamed == want
+    # boundary pair present: click@t0 attributed to purchase@t0+10m
+    assert (1, 90, 1) in streamed
