@@ -437,3 +437,39 @@ def test_plan_shapes_match_committed_baseline(spark):
         if worse:
             regressions[name] = worse
     assert not regressions, regressions
+
+
+def test_dynamic_partition_pruning_on_warehouse_join(spark, sf_dir, tmp_path):
+    """Dynamic Partition Pruning: joining a hive-partitioned fact to
+    a FILTERED small dim must inject a dynamicpruning subquery into
+    the fact scan's partition filters — at 100 TB this is what turns
+    "join events to this month's dimension slice" into a read of only
+    the matching partition directories, decided at runtime from the
+    dim side. A plan without the marker scans every partition."""
+    from pyspark.sql import functions as F
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(ev, "events_by_day", partition_cols=["event_date"])
+    fact = wh.read("events_by_day")
+
+    dim = (
+        ev.select(F.col("event_date"))
+        .distinct()
+        .withColumn("bucket", F.crc32("event_date") % 4)
+        .filter(F.col("bucket") == 1)
+    )
+    j = fact.join(dim, "event_date")
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the join result is right: only rows whose date survives the
+    # dim filter
+    keep = {r["event_date"] for r in dim.collect()}
+    assert keep, "fixture produced an empty dim slice"
+    got = {str(r["event_date"]) for r in j.select("event_date").distinct().collect()}
+    assert got == {str(k) for k in keep}
