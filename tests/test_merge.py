@@ -177,3 +177,39 @@ def test_read_merge_schema_reconciles_evolved_appends(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "score"}
     rows = {r["k"]: r["score"] for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_all_sink_formats_round_trip_identically(spark, tmp_path):
+    """Format matrix: the SAME table written through every sink
+    (parquet, CSV checkpoint, JSONL, ORC) must read back value-
+    identical — one canonical row-set across four codecs, so a
+    format-specific type mangling (CSV string coercion, JSON number
+    widening, ORC decimal drift) can't hide."""
+    from pyspark.sql import functions as F
+
+    from dot_spark.loads import Warehouse
+    from dot_spark.sources.registry import load_table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = (
+        load_table(spark, "orders", "/root/testdata/sf0.001")
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price"))
+        .limit(500)
+    )
+    schema = "o_orderkey BIGINT, o_orderstatus STRING, price DOUBLE"
+
+    wh.write(src, "t_parquet", "truncate")
+    wh.write_csv(src, "t_csv")
+    wh.write_jsonl(src, "t_jsonl")
+    wh.write_orc(src, "t_orc")
+
+    def rows(df):
+        return sorted(
+            (r["o_orderkey"], r["o_orderstatus"], r["price"]) for r in df.collect()
+        )
+
+    want = rows(src)
+    assert rows(wh.read("t_parquet")) == want
+    assert rows(wh.read_csv("t_csv", schema)) == want
+    assert rows(wh.read_jsonl("t_jsonl", schema)) == want
+    assert rows(wh.read_orc("t_orc")) == want
