@@ -4975,6 +4975,115 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_oracle_sql() -> str:
+    """c4's oracle composes the registered t2/t7/t15 oracle SQL as
+    CTEs (the dd8/pl11 reuse pattern) and restates the ensemble rule
+    over their outputs."""
+    t2 = ORACLE["t2_quality_score"]
+    t7 = ORACLE["t7_repetition_ratio"]
+    t15 = ORACLE["t15_unigram_lm_score"]
+    return f"""
+    WITH q AS ({t2}),
+    r AS ({t7}),
+    l AS ({t15})
+    SELECT q.doc_id, q.quality, r.rep_2gram, l.avg_neg_logp,
+           q.quality >= 0.5 AND r.rep_2gram <= 0.6
+             AND l.avg_neg_logp <= 6.0 AS keep
+    FROM q JOIN r ON q.doc_id = r.doc_id
+           JOIN l ON q.doc_id = l.doc_id
+    """
+
+
+@query("c4_quality_ensemble", _c4_oracle_sql())
+def c4_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production quality ENSEMBLE (how C4/Gopher-style corpora
+    actually decide keeps): three independent signals — heuristic
+    quality (t2), n-gram repetition (t7), unigram-LM rarity (t15) —
+    joined per doc and thresholded together. Each signal keeps its
+    own scale shape (t2/t7 map-only, t15 one shared explode +
+    broadcast vocab); the 3-way join is on the doc key all three
+    already carry. The thresholds compare the ROUNDED published
+    signal values, so the verdict is engine-reproducible."""
+    from dot_spark.operators.text import quality_score, repetition_ratio
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    r = repetition_ratio(docs).select("doc_id", "rep_2gram")
+    lm = t15_unigram_lm_score(spark, sf_dir).select("doc_id", "avg_neg_logp")
+    out = q.join(r, "doc_id").join(lm, "doc_id")
+    return out.select(
+        "doc_id",
+        "quality",
+        "rep_2gram",
+        "avg_neg_logp",
+        (
+            (F.col("quality") >= 0.5)
+            & (F.col("rep_2gram") <= 0.6)
+            & (F.col("avg_neg_logp") <= 6.0)
+        ).alias("keep"),
+    )
+
+
+def _p17_oracle_sql() -> str:
+    """p17's oracle: the dd8 recursive closure assigns cluster ids
+    (singletons = self), then the p12 hash-byte split runs on the
+    CLUSTER id."""
+    dd2 = ORACLE["dd2_minhash_lsh_candidates"]
+    return f"""
+    WITH RECURSIVE cand AS ({dd2}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    closure AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN closure cl ON d.doc_id = cl.node),
+    h AS (
+      SELECT doc_id, cluster_id,
+             md5(CAST(cluster_id AS VARCHAR)) AS h
+      FROM assigned)
+    SELECT doc_id, cluster_id,
+           CASE WHEN ({_byte_sql('h', 0)}) < 13 THEN 'test'
+                WHEN ({_byte_sql('h', 0)}) < 26 THEN 'val'
+                ELSE 'train' END AS split
+    FROM h
+    """
+
+
+@query("p17_leakproof_split", _p17_oracle_sql())
+def p17_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware train/val/test split: the hash split (p12)
+    runs on the NEAR-DUP CLUSTER id, not the doc id — two near-
+    duplicate documents can never land on opposite sides of the
+    split, which is the leak a doc-keyed split silently allows (the
+    eval answer sitting in train as a near-copy). Cluster formation
+    is dd8's components over dd2's candidates; singleton docs are
+    their own cluster. Same determinism guarantees as p12
+    (re-runnable, partition-invariant, decidable per key + cluster
+    table)."""
+    from dot_spark.operators.sampling import train_val_test_split
+    from dot_spark.operators.textdedup import (
+        connected_components,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(docs, num_hashes=16, shingle_n=3))
+    )
+    cc = connected_components(pairs)
+    assigned = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id", F.coalesce(cc.label, docs.doc_id).alias("cluster_id")
+    )
+    return train_val_test_split(assigned, "cluster_id")
+
+
 @query(
     "w11_moving_zscore",
     """
@@ -5741,7 +5850,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a19_percentile_sketch_audit, n9_nested_json_explode,
 # f14_map_functions, dd11_lsh_quality_eval, f15_array_sort_comparator,
 # t14_stopword_stem, w11_moving_zscore, a20_share_of_total,
-# dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join),
+# dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
+# c4_quality_ensemble, p17_leakproof_split),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
