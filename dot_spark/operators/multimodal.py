@@ -645,3 +645,42 @@ def resize_images(
             )
 
     return media.mapInPandas(resize_batches, RESIZED_DDL)
+
+
+RMS_DDL = "media_id BIGINT, win_idx INT, n_samples INT, rms DOUBLE"
+
+
+def audio_rms(media: DataFrame, window: int = 100) -> DataFrame:
+    """Windowed RMS energy over REAL decoded PCM: WAV payloads parse
+    through the stdlib `wave` reader, int16 samples split into
+    fixed-size windows, each emitting its root-mean-square — the
+    silence-detection / loudness-normalization feature an audio
+    corpus pipeline computes before filtering. The mean-of-squares is
+    an integer sum divided once (exact in float64 at int16 scale), so
+    the rounded RMS is engine-reproducible.
+
+    Non-WAV payloads drop inside the pass (type-filtering stage, like
+    resize_images). mapInPandas + numpy per batch.
+    """
+    import io
+    import wave
+
+    def rms_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p or b"")
+                if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+                    continue
+                with wave.open(io.BytesIO(p), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for wi in range(0, len(samples), window):
+                    chunk = samples[wi : wi + window]
+                    rms = float(np.sqrt((chunk * chunk).sum() / len(chunk)))
+                    out.append((int(mid), wi // window, len(chunk), round(rms, 3)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "win_idx", "n_samples", "rms"]
+            )
+
+    return media.mapInPandas(rms_batches, RMS_DDL)

@@ -5707,6 +5707,44 @@ def n8_malformed_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm5_audio_rms",
+    """
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             doc_id % 500 + 100 AS n_frames,
+             doc_id % 256 AS seed
+      FROM documents WHERE doc_id % 3 = 1),
+    s AS (
+      SELECT media_id,
+             t.i AS i,
+             ((31 * t.i + seed) % 256) + 256 * ((31 * t.i + seed + 1) % 256)
+               AS raw
+      FROM a, UNNEST(generate_series(0, n_frames - 1)) AS t(i)),
+    v AS (
+      SELECT media_id, CAST(i // 100 AS INT) AS win_idx,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+      FROM s)
+    SELECT media_id, win_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           ROUND(sqrt(SUM(val * val) * 1.0 / COUNT(*)), 3) AS rms
+    FROM v GROUP BY 1, 2
+    """,
+)
+def mm5_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: WAV payloads decode through the
+    stdlib PCM reader and each 100-sample window emits its RMS energy
+    (the loudness/silence signal an audio corpus filters on). The
+    oracle regenerates every int16 sample from the synthesis formula
+    (lo = (31i+seed)%256, hi = (31i+seed+1)%256, two's-complement)
+    and recomputes the windowed RMS exactly — integer sum-of-squares
+    divided once, so float64 agrees bit-for-bit after rounding."""
+    from dot_spark.operators.multimodal import audio_rms, synthesize_real_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return audio_rms(synthesize_real_media(docs))
+
+
+@query(
     "ss6_label_centroids",
     """
     WITH ex AS (
@@ -5851,7 +5889,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # f14_map_functions, dd11_lsh_quality_eval, f15_array_sort_comparator,
 # t14_stopword_stem, w11_moving_zscore, a20_share_of_total,
 # dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
-# c4_quality_ensemble, p17_leakproof_split),
+# c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
