@@ -5706,6 +5706,50 @@ def n8_malformed_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t16_oracle_sql() -> str:
+    """t16's oracle: t3's prediction SQL joined back to the labeled
+    `lang` column, accuracy per true language."""
+    t3 = ORACLE["t3_language_id"]
+    return f"""
+    WITH pred AS ({t3})
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE p.lang_pred = d.lang) AS BIGINT)
+             AS n_correct,
+           ROUND(COUNT(*) FILTER (WHERE p.lang_pred = d.lang) * 1.0
+                 / COUNT(*), 4) AS accuracy
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1
+    """
+
+
+@query("t16_langid_accuracy", _t16_oracle_sql())
+def t16_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation against labeled ground truth — the audit
+    every heuristic filter needs before it gates a corpus: t3's
+    language prediction joined back to the fixture's `lang` label,
+    accuracy per true language. The same doc-keyed join + grouped
+    conditional-count shape works for any (prediction, label) pair;
+    ss5/dd11 are its retrieval-metric siblings."""
+    from dot_spark.operators.text import language_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    correct = F.sum(
+        (F.col("lang_pred") == F.col("lang")).cast("long")
+    ).alias("n_correct")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        correct,
+        F.round(
+            F.sum((F.col("lang_pred") == F.col("lang")).cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("accuracy"),
+    )
+
+
 @query(
     "mm5_audio_rms",
     """
@@ -5889,7 +5933,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # f14_map_functions, dd11_lsh_quality_eval, f15_array_sort_comparator,
 # t14_stopword_stem, w11_moving_zscore, a20_share_of_total,
 # dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
-# c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms),
+# c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms,
+# t16_langid_accuracy),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
