@@ -321,3 +321,65 @@ def topk_per_group(
         .filter(F.col(rank_col) <= k)
         .withColumn(rank_col, F.col(rank_col).cast("int"))
     )
+
+
+def tree_root_depth(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Flatten a forest: each node's ROOT ancestor and DEPTH, by
+    pointer DOUBLING — the directed-hierarchy counterpart of the
+    connected-components loop (org charts, bill-of-materials,
+    category trees; Spark has no recursive CTE, so this IS the
+    scalable traversal).
+
+    State per node: (ptr, dist) initialized to (parent, 1) — roots
+    (parent == node) start at (self, 0). Each round follows the
+    pointer THROUGH the pointed-to node's own pointer:
+    ptr <- ptr(ptr), dist <- dist + dist(ptr), which doubles the
+    hop distance covered — a depth-D forest converges in ceil(log2 D)
+    rounds, not D. Each round is ONE self-equi-join on the pointer
+    key plus a localCheckpoint (bounded lineage, dd8's contract);
+    the convergence probe ships one aggregate row per round.
+    """
+    init = nodes.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("ptr"),
+        F.when(F.col(parent_col) == F.col(node_col), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint()
+
+    def probe(df):
+        return df.agg(
+            F.count("*"),
+            F.sum(F.xxhash64("node", "ptr", "dist").cast("decimal(38,0)")),
+        ).first()
+
+    state = init
+    sig = probe(state)
+    for _ in range(max_iterations):
+        hop = state.select(
+            F.col("node").alias("__n"),
+            F.col("ptr").alias("__p"),
+            F.col("dist").alias("__d"),
+        )
+        state = (
+            state.join(hop, state["ptr"] == hop["__n"])
+            .select(
+                "node",
+                F.col("__p").alias("ptr"),
+                (F.col("dist") + F.col("__d")).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        new_sig = probe(state)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return state.select(
+        "node", F.col("ptr").alias("root"), F.col("dist").alias("depth")
+    )

@@ -4975,6 +4975,47 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j16_tree_flatten",
+    """
+    WITH RECURSIVE n AS (
+      SELECT c_custkey AS node,
+             CASE WHEN c_custkey < 10 THEN c_custkey
+                  ELSE c_custkey // 7 END AS parent
+      FROM customer),
+    walk(node, root, depth) AS (
+        SELECT node, node, 0 FROM n WHERE parent = node
+        UNION ALL
+        SELECT n.node, w.root, w.depth + 1
+        FROM n JOIN walk w ON n.parent = w.node
+        WHERE n.parent <> n.node
+    )
+    SELECT node, CAST(root AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth
+    FROM walk
+    """,
+)
+def j16_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening WITHOUT a recursive CTE (Spark has none):
+    every node's root ancestor and depth via pointer doubling — a
+    depth-D forest converges in ceil(log2 D) self-joins, each
+    lineage-truncated (the dd8 iterative contract, directed). The
+    fixture forest is derived from customer keys (parent = k // 7,
+    keys < 10 are roots, ~4 levels at sf0.01); the oracle walks the
+    same forest with DuckDB's genuine recursive CTE — two entirely
+    different traversal mechanisms must agree on every (root,
+    depth)."""
+    from dot_spark.operators.relational import tree_root_depth
+
+    cust = load_table(spark, "customer", sf_dir)
+    nodes = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") < 10, F.col("c_custkey"))
+        .otherwise(F.floor(F.col("c_custkey") / 7))
+        .alias("parent"),
+    )
+    return tree_root_depth(nodes)
+
+
 def _c4_oracle_sql() -> str:
     """c4's oracle composes the registered t2/t7/t15 oracle SQL as
     CTEs (the dd8/pl11 reuse pattern) and restates the ensemble rule
@@ -5934,7 +5975,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t14_stopword_stem, w11_moving_zscore, a20_share_of_total,
 # dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
 # c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms,
-# t16_langid_accuracy),
+# t16_langid_accuracy, j16_tree_flatten),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5

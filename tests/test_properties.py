@@ -766,3 +766,30 @@ def test_gapfill_matches_naive_model(spark, obs):
             else:
                 want[(k, t0 + dt.timedelta(hours=h))] = (False, last)
     assert got == want
+
+
+@given(
+    parents=st.lists(st.integers(0, 100), min_size=1, max_size=25),
+)
+@settings(**SETTINGS)
+def test_tree_root_depth_matches_python_walk(spark, parents):
+    """Pointer doubling must agree with a plain parent-walk on any
+    forest. Construction guarantees acyclicity: node i's parent is
+    drawn from [0, i] (clamped), parent == self means root."""
+    from dot_spark.operators.relational import tree_root_depth
+
+    par = [min(p, i) for i, p in enumerate(parents)]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(par)], "node bigint, parent bigint"
+    )
+    got = {r["node"]: (r["root"], r["depth"])
+           for r in tree_root_depth(df).collect()}
+
+    def walk(i):
+        d = 0
+        while par[i] != i:
+            i = par[i]
+            d += 1
+        return i, d
+
+    assert got == {i: walk(i) for i in range(len(par))}
