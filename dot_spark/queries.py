@@ -4975,6 +4975,46 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s16_oracle_sql() -> str:
+    """s16's oracle reads the SAME parquet with DuckDB's
+    filename=true. The path is resolved at oracle-build time from
+    $DOT_SPARK_GATE_SF_DIR (the ss3/t13 convention, defaulting to
+    the driver's gate scale), since the registered views carry no
+    file provenance."""
+    import os
+
+    gate_dir = os.environ.get(
+        "DOT_SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+    ).rstrip("/")
+    return f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+    FROM read_parquet('{gate_dir}/lineitem.parquet', filename=true)
+    GROUP BY 1
+    """
+
+
+@query("s16_file_lineage", _s16_oracle_sql())
+def s16_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance columns: every scan row tagged with its source
+    file via the hidden `_metadata` struct — the lineage surface an
+    audited ingest needs ("which drop did this record come from"),
+    free at scan time (no extra I/O; the reader already knows the
+    file). Aggregated per file so the oracle (DuckDB's
+    filename=true) can compare exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.regexp_extract(F.col("_metadata.file_name"), r"([^/]+)$", 1).alias(
+            "file_name"
+        ),
+        "l_orderkey",
+    )
+    return li.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_keys"),
+    )
+
+
 @query(
     "j16_tree_flatten",
     """
@@ -5975,7 +6015,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t14_stopword_stem, w11_moving_zscore, a20_share_of_total,
 # dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
 # c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms,
-# t16_langid_accuracy, j16_tree_flatten),
+# t16_langid_accuracy, j16_tree_flatten, s16_file_lineage),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
