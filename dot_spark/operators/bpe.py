@@ -62,13 +62,10 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the normalized corpus — the one pass that
     touches every document. Normalization matches the engine's
     canonical tokenizer (lower, collapse spaces, split on space)."""
+    from dot_spark.operators.textdedup import normalize_text
+
     toks = docs.select(
-        F.explode(
-            F.split(
-                F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")),
-                " ",
-            )
-        ).alias("word")
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
     )
     return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 

@@ -4953,9 +4953,9 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar. Rounded to 3 decimals (a per-doc mean of ~100 ln terms —
     distributed summation order costs more ulps than a plain sum)."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")), " "
-    )
+    from dot_spark.operators.textdedup import normalize_text
+
+    toks = F.split(normalize_text(F.col("text")), " ")
     terms = docs.select("doc_id", F.explode(toks).alias("term"))
     freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("n"))
@@ -5335,9 +5335,9 @@ def t14_stopword_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, zero UDF). Emits counts plus the first five stems as a
     signature."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " ")), " "
-    )
+    from dot_spark.operators.textdedup import normalize_text
+
+    toks = F.split(normalize_text(F.col("text")), " ")
     stems = F.transform(
         F.filter(toks, lambda t: ~t.isin(*_STOPWORDS)),
         lambda t: F.regexp_replace(t, "(ing|ed|es)$", ""),
