@@ -5878,7 +5878,9 @@ def mm5_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> {'i': i, 'v': embedding[i]})) AS s
       FROM embeddings)
     SELECT label, CAST(s.i - 1 AS INT) AS dim,
-           ROUND(AVG(CAST(s.v AS DOUBLE)), 4) AS centroid_val,
+           -- + 0 normalizes IEEE negative zero (DuckDB ROUND keeps
+           -- -0.0 where Spark emits 0.0; bit at sf0.001's small n)
+           ROUND(AVG(CAST(s.v AS DOUBLE)), 4) + 0 AS centroid_val,
            CAST(COUNT(*) AS BIGINT) AS n_members
     FROM ex GROUP BY 1, 2
     """,
