@@ -4975,6 +4975,54 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s17_bucketed_join",
+    """
+    SELECT o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           CAST(COUNT(l.l_linenumber) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def s17_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join end-to-end under the value gate: both
+    sides land hash-bucketed AND sorted on the join key, then join
+    and aggregate with ZERO exchanges (asserted here, not just in the
+    plan tests — a silent bucketing loss would still return right
+    answers through a shuffle, so the query itself refuses the
+    regression). This is the pay-once layout that amortizes every
+    downstream join/groupBy on the key at 100 TB. The oracle is the
+    plain declarative join — layout must never change results."""
+    from dot_spark.loads import Warehouse
+
+    wh = Warehouse(spark, _scratch("dot_spark_bk_"))
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    wh.write_bucketed(o, "orders_bk", ["o_orderkey"], num_buckets=8)
+    wh.write_bucketed(li, "lineitem_bk", ["o_orderkey"], num_buckets=8)
+    joined = (
+        wh.read_bucketed("orders_bk")
+        .hint("merge")
+        .join(wh.read_bucketed("lineitem_bk"), "o_orderkey")
+    )
+    out = joined.groupBy(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).agg(
+        F.count("l_linenumber").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join/groupBy regressed to a shuffle plan:\n" + plan
+        )
+    return out
+
+
 def _s16_oracle_sql() -> str:
     """s16's oracle reads the SAME parquet with DuckDB's
     filename=true. The path is resolved at oracle-build time from
@@ -6017,7 +6065,8 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t14_stopword_stem, w11_moving_zscore, a20_share_of_total,
 # dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
 # c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms,
-# t16_langid_accuracy, j16_tree_flatten, s16_file_lineage),
+# t16_langid_accuracy, j16_tree_flatten, s16_file_lineage,
+# s17_bucketed_join),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
