@@ -1777,6 +1777,145 @@ def dd2_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
 
 
+def _dd13_oracle_sql() -> str:
+    """dd13's oracle: dd2's signature/band SQL extended with the
+    exact shingle-set jaccard per candidate pair and the signature
+    agreement fraction — both sides exact rationals (k/16 and
+    inter/union), so the comparison has no float-order sensitivity."""
+    return """
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(1, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM tk),
+    ab AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 14) AS BIGINT)) AS av,
+             list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 15, 14) AS BIGINT)) AS bv
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               k -> list_min(list_transform(generate_series(1, len(av)),
+                      i -> av[i] + k * bv[i]))) AS sig
+      FROM ab),
+    bands AS (
+      SELECT doc_id, b.band_id,
+             md5(array_to_string(sig[b.band_id*4+1 : b.band_id*4+4], '|')) AS band_hash
+      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.id_a
+      JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY 1, 2),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(generate_series(1, 16),
+                 k -> sa.sig[k] = sb.sig[k])) / 16.0 AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b)
+    SELECT e.id_a, e.id_b,
+           ROUND(e.est, 4) AS jaccard_est,
+           ROUND(COALESCE(i.inter, 0) * 1.0
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0)), 4)
+             AS jaccard_exact,
+           ROUND(abs(e.est - COALESCE(i.inter, 0) * 1.0
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))), 4) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+    JOIN sizes sa ON e.id_a = sa.doc_id
+    JOIN sizes sb ON e.id_b = sb.doc_id
+    """
+
+
+@query("dd13_minhash_estimator_audit", _dd13_oracle_sql())
+def dd13_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash theory audit: per LSH candidate pair, the signature
+    agreement fraction (the unbiased Jaccard estimator,
+    E[agreement] = J) against the EXACT shingle-set Jaccard — the
+    measurement that tells you whether 16 hashes are enough before
+    the estimator drives dedup thresholds at scale. Both quantities
+    are exact rationals (k/16 and inter/union), so the comparison is
+    float-order-insensitive. The exact side computes only on mined
+    candidates (the dd10/pl6 verification shape), never all pairs."""
+    from dot_spark.operators.textdedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
+
+    sig_arr = F.array(*[F.col(f"h{k}") for k in range(16)])
+    sa = sig.select(F.col("doc_id").alias("id_a"), sig_arr.alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), sig_arr.alias("sig_b"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda b: b,
+                    )
+                )
+                / 16.0
+            ).alias("est"),
+        )
+    )
+
+    shing = shingle_rows(docs, n=3).select("doc_id", "shingle").distinct()
+    sizes = shing.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex_a = shing.select(F.col("doc_id").alias("id_a"), "shingle")
+    ex_b = shing.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    exact = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .withColumn(
+            "exact",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+    return exact.select(
+        "id_a",
+        "id_b",
+        F.round("est", 4).alias("jaccard_est"),
+        F.round("exact", 4).alias("jaccard_exact"),
+        F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+    )
+
+
 def _dd8_oracle_sql() -> str:
     """dd8's oracle: dd2's candidate-pair SQL wrapped in a recursive
     CTE computing min-reachable-id per node — the transitive closure
@@ -6066,7 +6205,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
 # c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms,
 # t16_langid_accuracy, j16_tree_flatten, s16_file_lineage,
-# s17_bucketed_join),
+# s17_bucketed_join, dd13_minhash_estimator_audit),
 # all of which pass the local
 # driver-gate replica at sf0.01 — have no official row yet; lead
 # the r8 window with them, then backfill oldest-first (the r5
