@@ -305,3 +305,38 @@ def test_resize_drops_non_image_rows(spark):
     )
     out = resize_images(synthesize_real_media(docs)).collect()
     assert [r["media_id"] for r in out] == [0]
+
+
+def test_audio_rms_windows_match_formula_including_tail(spark):
+    """Windowed RMS over a real decoded WAV: every full window and
+    the short TAIL window must match the synthesis formula exactly
+    (int16 two's complement, integer sum-of-squares / n)."""
+    import math
+
+    from dot_spark.operators.multimodal import audio_rms, synthesize_real_media
+
+    # doc_id 1 -> audio row: n_frames = 1 % 500 + 100 = 101 -> windows 100 + 1
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    out = {r["win_idx"]: r for r in audio_rms(synthesize_real_media(docs)).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_samples"] == 100 and out[1]["n_samples"] == 1
+
+    seed = 1
+    def sample(i):
+        v = (31 * i + seed) % 256 + 256 * ((31 * i + seed + 1) % 256)
+        return v - 65536 if v >= 32768 else v
+
+    for wi, lo, hi in ((0, 0, 100), (1, 100, 101)):
+        vals = [sample(i) for i in range(lo, hi)]
+        want = round(math.sqrt(sum(v * v for v in vals) / len(vals)), 3)
+        assert out[wi]["rms"] == want
+
+
+def test_audio_rms_drops_non_audio_rows(spark):
+    from dot_spark.operators.multimodal import audio_rms, synthesize_real_media
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "doc_id bigint, text string"
+    )
+    out = audio_rms(synthesize_real_media(docs)).collect()
+    assert {r["media_id"] for r in out} == {1}
