@@ -534,3 +534,22 @@ def test_semdedup_keep_rule_and_singletons(spark):
     assert len(kept) == 1
     least_central = min((1, 2, 3), key=lambda v: (out[v]["cos_to_centroid"], v))
     assert kept == [least_central]
+
+
+def test_bpe_training_is_partition_invariant(spark):
+    """BPE merges must not depend on physical partitioning: pair
+    counts are full aggregates and the argmax ordering is total, so
+    any repartitioning yields the identical merge table."""
+    from dot_spark.operators.bpe import bpe_merges, reference_bpe
+
+    texts = ["aa ab aa", "ab ab b", "aa b ab", "b aa ab aa"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    want = reference_bpe(texts, k=3)
+    for parts in (1, 7):
+        got = [
+            (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_merges(docs.repartition(parts), k=3).orderBy("rank").collect()
+        ]
+        assert got == want, parts
