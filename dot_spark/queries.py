@@ -6183,7 +6183,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regeneration, and every registered query is value-verified (the
 # full local gate run this round: 110/110 PASS, zero rows-only).
 #
-# ROUND-8 ROTATION PLAN: the 21 queries ADDED in r7 after the
+# ROUND-8 ROTATION PLAN: the 57 queries ADDED in r7 after the
 # window froze — the mid-round ten (dd9_chunk_dedup,
 # pl6_verified_dedup_pipeline, pl7_corpus_build_pipeline,
 # a12_cube_lattice, w7_moving_avg, n7_unpivot,
@@ -6207,9 +6207,11 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t16_langid_accuracy, j16_tree_flatten, s16_file_lineage,
 # s17_bucketed_join, dd13_minhash_estimator_audit),
 # all of which pass the local
-# driver-gate replica at sf0.01 — have no official row yet; lead
-# the r8 window with them, then backfill oldest-first (the r5
-# remainder j9/a9/a11/s11/pl4 first, then r6 rows).
+# driver-gate replica at sf0.01 (AND at sf0.001) — have no official
+# row yet. 57 exceeds the 50-query window: fill r8 ENTIRELY with the
+# first 50 of them in the order listed above; the remaining 7 lead
+# r9, followed by the r5-remainder backfill (j9/a9/a11/s11/pl4 first,
+# then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
