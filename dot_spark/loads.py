@@ -591,3 +591,29 @@ class ObjectStore:
             return os.path.getsize(path)
         finally:
             _sh.rmtree(tmp, ignore_errors=True)
+
+
+def write_observed(
+    wh: Warehouse,
+    df: DataFrame,
+    table: str,
+    disposition: str = "truncate",
+    null_check_cols: Sequence[str] = (),
+) -> dict:
+    """Load with FREE data-quality counters: an Observation rides the
+    write job, so row count and per-column null counts come back
+    without a second pass over the data — at 100 TB the difference
+    between "load then re-scan to audit" and "audit while loading".
+    Returns the metrics dict ({'n_rows': ..., 'nulls_<col>': ...});
+    the caller decides whether to fail the load on them (the
+    reference's load-audit slot, okta-sync row-count logging)."""
+    from pyspark.sql import Observation
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_check_cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+    obs = Observation(f"load_{table}")
+    wh.write(df.observe(obs, *aggs), table, disposition)
+    return obs.get

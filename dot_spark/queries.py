@@ -5115,6 +5115,38 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n10_variant_access",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) FILTER (
+             WHERE json_extract(props, '$.missing') IS NULL) AS BIGINT)
+             AS n_without_field
+    FROM events GROUP BY 1
+    """,
+)
+def n10_variant_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4's
+    open-format binary JSON — the schema-on-read column a modern
+    lakehouse stores telemetry in, shredded lazily instead of parsed
+    per query): parse_json once, then typed try_variant_get paths —
+    present fields extract with a type, absent paths yield NULL
+    instead of failing. Aggregates prove both paths. The oracle reads
+    the same JSON relationally (json_extract)."""
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.try_variant_get("v", "$.k", "bigint")).alias("sum_k"),
+        F.count(
+            F.when(F.try_variant_get("v", "$.missing", "string").isNull(), 1)
+        ).alias("n_without_field"),
+    )
+
+
+@query(
     "s17_bucketed_join",
     """
     SELECT o.o_orderkey,
@@ -6183,7 +6215,7 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regeneration, and every registered query is value-verified (the
 # full local gate run this round: 110/110 PASS, zero rows-only).
 #
-# ROUND-8 ROTATION PLAN: the 57 queries ADDED in r7 after the
+# ROUND-8 ROTATION PLAN: the 58 queries ADDED in r7 after the
 # window froze — the mid-round ten (dd9_chunk_dedup,
 # pl6_verified_dedup_pipeline, pl7_corpus_build_pipeline,
 # a12_cube_lattice, w7_moving_avg, n7_unpivot,
@@ -6205,10 +6237,10 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
 # c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms,
 # t16_langid_accuracy, j16_tree_flatten, s16_file_lineage,
-# s17_bucketed_join, dd13_minhash_estimator_audit),
+# s17_bucketed_join, dd13_minhash_estimator_audit, n10_variant_access),
 # all of which pass the local
 # driver-gate replica at sf0.01 (AND at sf0.001) — have no official
-# row yet. 57 exceeds the 50-query window: fill r8 ENTIRELY with the
+# row yet. 58 exceeds the 50-query window: fill r8 ENTIRELY with the
 # first 50 of them in the order listed above; the remaining 7 lead
 # r9, followed by the r5-remainder backfill (j9/a9/a11/s11/pl4 first,
 # then r6 rows).

@@ -213,3 +213,18 @@ def test_all_sink_formats_round_trip_identically(spark, tmp_path):
     assert rows(wh.read_csv("t_csv", schema)) == want
     assert rows(wh.read_jsonl("t_jsonl", schema)) == want
     assert rows(wh.read_orc("t_orc")) == want
+
+
+def test_write_observed_counts_during_the_load(spark, tmp_path):
+    """Observation metrics gathered DURING the write must equal
+    independently computed counts — no second scan needed for the
+    load audit."""
+    from dot_spark.loads import Warehouse, write_observed
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "k bigint, v string"
+    )
+    metrics = write_observed(wh, df, "t", null_check_cols=["v"])
+    assert metrics == {"n_rows": 4, "nulls_v": 2}
+    assert wh.read("t").count() == 4
