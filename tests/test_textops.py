@@ -553,3 +553,33 @@ def test_bpe_training_is_partition_invariant(spark):
             for r in bpe_merges(docs.repartition(parts), k=3).orderBy("rank").collect()
         ]
         assert got == want, parts
+
+
+def test_leakproof_split_never_straddles_neardup_pairs(spark):
+    """p17's contract on real data: every LSH candidate pair lands on
+    the SAME side of the train/val/test split (the leak a doc-keyed
+    split allows), and the split remains a total assignment of the
+    corpus."""
+    from dot_spark.queries import QUERIES
+    from dot_spark.operators.textdedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dot_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    split = {r["doc_id"]: r["split"]
+             for r in QUERIES["p17_leakproof_split"](spark, sf).collect()}
+    docs = load_table(spark, "documents", sf)
+    assert set(split) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    pairs = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(docs, num_hashes=16, shingle_n=3))
+    ).collect()
+    straddlers = [
+        (r["id_a"], r["id_b"])
+        for r in pairs
+        if split[r["id_a"]] != split[r["id_b"]]
+    ]
+    assert not straddlers, straddlers
