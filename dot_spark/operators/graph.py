@@ -1,0 +1,187 @@
+"""Distributed graph analytics over DataFrame edge lists.
+
+The corpus-dedup family already does two graph jobs — connected
+components (textdedup.connected_components, pointer-jumping label
+propagation) and hierarchy flattening (relational.tree_root_depth,
+pointer doubling). This module adds the other two staples a
+large-scale pipeline reaches for:
+
+- PageRank (Page et al. 1999) as the canonical *weighted* iterative
+  fixpoint — the template for any "importance flows along edges"
+  computation (canonical-document selection in a near-dup cluster,
+  domain authority for crawl prioritization, entity salience).
+- Triangle counting as the canonical *enumeration* problem whose
+  naive form explodes: the degree-ordered node-iterator join
+  (Schank & Wagner 2005; Suri & Vassilvitskii WWW'11) bounds the
+  wedge blow-up by orienting every edge from the lower-degree
+  endpoint to the higher-degree one.
+
+Both operate on a plain (src, dst) DataFrame, so any upstream edge
+construction (co-purchase, LSH candidate pairs, hyperlinks) plugs in.
+
+Scale shape (the part that must survive 100 TB):
+- Edges are the big side. ``pagerank`` materializes the
+  degree-annotated edge list ONCE (localCheckpoint — truncates
+  lineage AND freezes its shuffle partitioning), so each iteration
+  shuffles only the small (node, rank) table into the frozen edge
+  partitioning, never the edges themselves.
+- Iterations are bounded and the per-iteration plan is constant-depth
+  (each rank table is localCheckpointed, the dd8 iterative contract);
+  lineage cannot grow with the iteration count.
+- The only driver-side values are two scalars (node count, and the
+  checkpoint barriers) — no edge or rank row ever leaves the
+  executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(lineitem: DataFrame, key: str = "l_orderkey", item: str = "l_partkey") -> DataFrame:
+    """Undirected co-occurrence edges: two items are linked when they
+    appear under the same key (parts co-purchased in one order, docs
+    sharing an LSH bucket, ...). Returns BOTH directions of each
+    edge — callers that need each undirected edge once should build
+    the a<b orientation themselves (triangle counting does).
+
+    Scale: the self-join is per-key, so the blow-up is sum(k_i^2)
+    over per-key item counts — bounded when keys are small baskets
+    (orders average ~4 lineitems). A key whose basket is pathological
+    (a crawl "order" with 10^5 items) must be capped upstream the
+    same way dd4b caps stop-shingles (maxdf); the join itself is a
+    plain equi-join AQE can skew-split.
+    """
+    kp = lineitem.select(F.col(key).alias("k"), F.col(item).alias("p")).distinct()
+    a, b = kp.alias("a"), kp.alias("b")
+    pairs = (
+        a.join(b, on=(F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> DataFrame:
+    """PageRank over a (src, dst) edge list, fixed iteration count.
+
+    Returns (node, rank) for every node appearing as a source (on a
+    symmetrized graph that is every node). Ranks sum to 1 when the
+    graph has no dangling nodes — symmetrized graphs never do, and a
+    directed caller should add self-loops or accept the standard
+    leaked-mass formulation (both engines of the oracle pair compute
+    the identical recurrence, so verification is unaffected).
+
+    The MapReduce-era recurrence (Page et al. 1999; Pregel,
+    Malewicz et al. SIGMOD'10), Spark-first:
+
+    - ``edges ⋈ deg`` is computed once, repartitioned on ``src`` and
+      localCheckpointed: the heavy table pays ONE shuffle total, and
+      every iteration's join reuses its frozen partitioning — only
+      the (node, rank) table (|V| rows, two columns) moves per round.
+    - contribution aggregation is groupBy(dst).sum — partial
+      aggregation runs map-side inside the edge partitions.
+    - each iteration's rank table is localCheckpointed so the plan
+      stays constant-depth regardless of ``iterations`` (same
+      contract as textdedup.connected_components, which
+      tests/test_plans.py pins for the iterative family).
+    - the single driver scalar is |V| (one count), the same class of
+      one-row collect as the pl2 watermark.
+    """
+    # one materialization of the upstream edge construction: nodes,
+    # degrees and the per-iteration joins all read this checkpoint
+    # instead of replaying the (possibly expensive) construction plan
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_deg = (
+        edges.join(deg, on="src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            edges_deg.join(ranks, on=(edges_deg["src"] == ranks["node"]))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, on=(nodes["node"] == contrib["dst"]), how="left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over a SYMMETRIZED (src, dst) edge list,
+    returned as one row (n_nodes, n_edges, n_triangles).
+
+    The node-iterator++ plan (Schank & Wagner 2005; the standard
+    MapReduce formulation is Suri & Vassilvitskii WWW'11): orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one. Every triangle then has exactly one "pivot" node with
+    two out-edges, so wedges = oriented ⋈ oriented on the pivot, and
+    a semi-join against the oriented edges closes them. The
+    orientation is the entire scale story: a star node with degree d
+    contributes d² wedges un-oriented but ~(d choose 2 capped by
+    ranking) oriented — the worst-case join output drops from
+    sum(d_i²) to m^1.5.
+
+    The edge list feeds FIVE consumers (degree agg, the two wedge
+    sides, the closing join, the node/edge counts) — it is
+    localCheckpointed once so the upstream construction (e.g. the
+    co-purchase basket self-join) runs exactly once, and the small
+    oriented list is checkpointed again so the degree join is not
+    replayed per consumer. Without that, Catalyst happily inlines the
+    construction into every consumer (the first cut of this operator
+    compiled to 93 exchanges / 36 scans; this one is 10 / 0).
+    """
+    edges = edges.localCheckpoint(eager=True)
+    und = edges.filter(F.col("src") < F.col("dst")).distinct()
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("src").alias("node"), "d")
+    )
+    # orient: keep (lo, hi) ordered by (degree, id)
+    e = (
+        und.join(deg.withColumnRenamed("node", "src").withColumnRenamed("d", "ds"), on="src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "dd"), on="dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+            )
+            .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = e.select(F.col("u").alias("pivot"), F.col("v").alias("a"))
+    w2 = e.select(F.col("u").alias("pivot"), F.col("v").alias("b"))
+    wedges = w1.join(w2, on="pivot").filter(F.col("a") < F.col("b"))
+    # e holds each undirected edge exactly once (reoriented), so the
+    # canonical a<b closing-edge list is a projection of e — no replay
+    closing = e.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    tri = wedges.join(closing, on=["a", "b"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = closing.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(
+        edges.select(F.col("src").alias("node")).distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -6194,6 +6194,173 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g1_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """g1's oracle replays the identical PageRank recurrence with
+    CHAINED (non-recursive) CTEs — one per iteration, generated here
+    so the Spark loop and the SQL text can never drift on iteration
+    count or damping."""
+    ctes = []
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT nd.node,
+             (1 - {damping}) / (SELECT n FROM nn)
+               + {damping} * COALESCE(m.mass, 0) AS pr
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr / dg.out_deg) AS mass
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg dg ON e.src = dg.src
+        GROUP BY e.dst
+      ) m ON nd.node = m.node
+    )"""
+        )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH kp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM kp a JOIN kp b ON a.k = b.k AND a.p < b.p),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS out_deg
+            FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    {chain}
+    SELECT node, ROUND(pr * (SELECT n FROM nn), 6) AS scaled_rank
+    FROM r{iterations}
+    """
+
+
+@query("g1_pagerank", _g1_oracle_sql())
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts linked when one
+    order contains both) — the canonical weighted iterative fixpoint
+    (Page et al. 1999), the template for canonical-doc selection /
+    crawl-authority scoring in a training-data pipeline. Spark side:
+    the degree-annotated edge list pays ONE shuffle total
+    (repartition(src) + localCheckpoint), each of the 5 iterations
+    moves only the (node, rank) table and is lineage-truncated
+    (constant plan depth, the dd8 iterative contract). Oracle: the
+    identical recurrence as 5 generated chained CTEs in DuckDB — two
+    independent engines must agree on every node's rank to 1e-6
+    (published scaled by |V| so values sit near 1). Ranks sum to 1
+    (symmetrized graph, no dangling mass; property-tested in
+    tests/test_graph.py)."""
+    from dot_spark.operators.graph import copurchase_edges, pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li)
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    # pr is localCheckpointed — this count reads the materialized
+    # result, not a recompute (same one-scalar class as the pl2
+    # watermark).
+    n = pr.count()
+    return pr.select(
+        "node",
+        F.round(F.col("rank") * F.lit(float(n)), 6).alias("scaled_rank"),
+    )
+
+
+@query(
+    "g2_triangle_count",
+    """
+    WITH kp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM kp a JOIN kp b ON a.k = b.k AND a.p < b.p),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e1.dst = e2.src
+      JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    nd AS (
+      SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_nodes
+      FROM (SELECT src AS p FROM pairs UNION ALL SELECT dst AS p FROM pairs)),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+    SELECT n_nodes, n_edges, n_triangles FROM nd, ec, tri
+    """,
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count on the co-purchase graph via the
+    degree-ordered node-iterator join (Schank & Wagner 2005; Suri &
+    Vassilvitskii WWW'11): edges oriented low-(degree,id) →
+    high-(degree,id) so each triangle forms exactly one wedge at its
+    minimum pivot, bounding the wedge join at m^1.5 instead of
+    sum(deg²) — THE difference between feasible and not on a
+    power-law graph at scale. The oracle counts the same triangles
+    with a plain ordered 3-way self-join (a<b<c), a completely
+    different enumeration order that must land on the same count."""
+    from dot_spark.operators.graph import copurchase_edges, triangle_count
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return triangle_count(copurchase_edges(li))
+
+
+@query(
+    "j17_multihop_topk",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop chain join + global top-k (the TPC-H Q3 shape):
+    customer —custkey→ orders —orderkey→ lineitem, per-order revenue,
+    top 10. The scale-critical pieces: every filter sits on its own
+    table BEFORE its join (each reaches its parquet scan as a pushed
+    predicate — the segment filter drops ~4/5 of customers before any
+    shuffle), the aggregate is a partial-agg groupBy on the join key
+    the lineitem side already shuffled on, and the top-10 compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    rows — no global sort exchange; pinned in tests/test_graph.py).
+    Ordering ties are impossible to mis-rank: both engines order by
+    the ROUNDED revenue with l_orderkey as tiebreak."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(cust, ords["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), "l_orderkey").limit(10).select(
+        "l_orderkey", "revenue", "o_orderdate"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
 # 50 queries() entries. Rounds 1-3 proved (in turn) the relational
@@ -6237,13 +6404,14 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd12_url_dedup, t15_unigram_lm_score, j14_attribution_join,
 # c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms,
 # t16_langid_accuracy, j16_tree_flatten, s16_file_lineage,
-# s17_bucketed_join, dd13_minhash_estimator_audit, n10_variant_access),
-# all of which pass the local
-# driver-gate replica at sf0.01 (AND at sf0.001) — have no official
-# row yet. 58 exceeds the 50-query window: fill r8 ENTIRELY with the
-# first 50 of them in the order listed above; the remaining 7 lead
-# r9, followed by the r5-remainder backfill (j9/a9/a11/s11/pl4 first,
-# then r6 rows).
+# s17_bucketed_join, dd13_minhash_estimator_audit, n10_variant_access)
+# plus the graph-analytics family and the chain-join top-k added
+# after the closing tally (g1_pagerank, g2_triangle_count,
+# j17_multihop_topk) — all of which pass the local driver-gate
+# replica at sf0.01 — have no official row yet. 61 exceeds the
+# 50-query window: fill r8 ENTIRELY with the first 50 of them in the
+# order listed above; the remaining 11 lead r9, followed by the
+# r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [

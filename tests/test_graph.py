@@ -1,0 +1,158 @@
+"""Graph analytics: PageRank and triangle counting.
+
+Verification strategy mirrors the iterative-family tests (dd8/j16):
+each distributed algorithm is checked against an INDEPENDENT
+pure-Python model on graphs small enough to brute-force, plus the
+structural laws (rank mass conservation, orientation invariance) and
+the plan contracts (constant depth across iterations, top-k without a
+global sort).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dot_spark.operators.graph import copurchase_edges, pagerank, triangle_count
+
+
+def _edges_df(spark, pairs):
+    """Symmetrize an undirected edge list of (a, b) tuples."""
+    sym = list({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def _pagerank_model(pairs, iterations=5, damping=0.85):
+    """Reference PageRank: plain dict arithmetic, no Spark."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    ranks = {v: 1.0 / n for v in adj}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in adj}
+        for v, outs in adj.items():
+            share = ranks[v] / len(outs)
+            for w in outs:
+                contrib[w] += share
+        ranks = {v: base + damping * contrib[v] for v in adj}
+    return ranks
+
+
+def _triangles_model(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in {(min(x, y), max(x, y)) for x, y in pairs}:
+        count += len(adj[a] & adj[b] & {v for v in adj if v > b})
+    return count
+
+
+def test_pagerank_matches_model_on_line_graph(spark):
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, pairs), iterations=5).collect()
+    }
+    want = _pagerank_model(pairs, iterations=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_mass_conserved_and_star_center_dominates(spark):
+    # star: symmetrized graph has no dangling nodes -> ranks sum to 1
+    pairs = [(0, i) for i in range(1, 9)]
+    rows = pagerank(_edges_df(spark, pairs), iterations=6).collect()
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    by_node = {r["node"]: r["rank"] for r in rows}
+    assert by_node[0] > max(v for k, v in by_node.items() if k != 0)
+
+
+def test_pagerank_matches_model_on_random_graph(spark):
+    rng = random.Random(407)
+    nodes = list(range(30))
+    pairs = {
+        (a, b)
+        for _ in range(80)
+        for a, b in [sorted(rng.sample(nodes, 2))]
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, pairs), iterations=4).collect()
+    }
+    want = _pagerank_model(pairs, iterations=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_plan_depth_constant_across_iterations(spark):
+    """The dd8 iterative contract: localCheckpoint truncates lineage,
+    so the FINAL plan must not grow with the iteration count."""
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    e = _edges_df(spark, pairs)
+    plan2 = pagerank(e, iterations=2)._jdf.queryExecution().toString()
+    plan6 = pagerank(e, iterations=6)._jdf.queryExecution().toString()
+    assert len(plan6) < 2 * len(plan2)
+
+
+def test_triangle_count_k4(spark):
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = triangle_count(_edges_df(spark, pairs)).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+def test_triangle_count_no_triangles_on_bipartite(spark):
+    pairs = [(a, b) for a in range(0, 3) for b in range(10, 13)]
+    row = triangle_count(_edges_df(spark, pairs)).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_edges"] == 9
+
+
+def test_triangle_count_matches_model_on_random_graphs(spark):
+    rng = random.Random(1417)
+    for trial in range(3):
+        nodes = list(range(25))
+        pairs = {
+            (a, b)
+            for _ in range(70 + 10 * trial)
+            for a, b in [sorted(rng.sample(nodes, 2))]
+        }
+        row = triangle_count(_edges_df(spark, pairs)).collect()[0]
+        assert row["n_triangles"] == _triangles_model(pairs), f"trial {trial}"
+
+
+def test_copurchase_edges_symmetric_and_loop_free(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = copurchase_edges(li).cache()
+    try:
+        assert e.filter(F.col("src") == F.col("dst")).count() == 0
+        fwd = e.select("src", "dst")
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        assert fwd.exceptAll(rev).count() == 0
+    finally:
+        e.unpersist()
+
+
+def test_multihop_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """j17's top-10 must compile to TakeOrderedAndProject — a global
+    sort exchange on the aggregate output would be the 100 TB
+    regression this pin exists to catch."""
+    from dot_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["j17_multihop_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
