@@ -124,6 +124,40 @@ def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> Da
     return ranks
 
 
+def bfs_levels(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
+    """Single-source BFS levels (node, dist) for every node within
+    ``max_depth`` hops of ``source`` — the Pregel-style frontier
+    traversal (Malewicz et al. SIGMOD'10), the template for crawl
+    frontier expansion / neighborhood feature extraction.
+
+    Each round: frontier ⋈ edges (the frontier side shuffles into the
+    edge list's frozen partitioning), distinct, anti-join against the
+    visited set — so a node's recorded dist is its first (minimal)
+    reach, the BFS invariant. Frontier and visited are
+    localCheckpointed per round (constant plan depth); edges pay one
+    shuffle + one materialization total. Rounds are bounded by
+    ``max_depth``; each moves only frontier-sized data.
+    """
+    spark = edges.sparkSession
+    edges = edges.repartition("src").localCheckpoint(eager=True)
+    visited = spark.createDataFrame(
+        [(source, 0)], "node long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over a SYMMETRIZED (src, dst) edge list,
     returned as one row (n_nodes, n_edges, n_triangles).

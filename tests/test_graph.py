@@ -130,6 +130,53 @@ def test_triangle_count_matches_model_on_random_graphs(spark):
         assert row["n_triangles"] == _triangles_model(pairs), f"trial {trial}"
 
 
+def _bfs_model(pairs, source, max_depth):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {source: 0}
+    frontier = [source]
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_levels_line_graph(spark):
+    from dot_spark.operators.graph import bfs_levels
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_levels(_edges_df(spark, pairs), source=1, max_depth=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # node 5 is 4 hops out
+
+
+def test_bfs_levels_matches_model_on_random_graph(spark):
+    from dot_spark.operators.graph import bfs_levels
+
+    rng = random.Random(721)
+    nodes = list(range(40))
+    pairs = {
+        (a, b)
+        for _ in range(60)
+        for a, b in [sorted(rng.sample(nodes, 2))]
+    }
+    source = min(a for a, _ in pairs)
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_levels(_edges_df(spark, pairs), source=source, max_depth=3).collect()
+    }
+    assert got == _bfs_model(pairs, source, 3)
+
+
 def test_copurchase_edges_symmetric_and_loop_free(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     e = copurchase_edges(li).cache()

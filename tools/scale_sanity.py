@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from dot_spark import get_spark
+from dot_spark.operators.graph import copurchase_edges, pagerank, triangle_count
 from dot_spark.operators.similarity import decontaminate_embeddings, ivf_topk
 from dot_spark.operators.text import tfidf_top_terms
 from dot_spark.operators.textdedup import (
@@ -76,6 +77,28 @@ def upsampled_embeddings(spark, k: int):
     copies = [
         base.select(
             (F.col("vec_id") + F.lit(i * n)).alias("vec_id"), "embedding", "label"
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def upsampled_lineitem(spark, k: int):
+    """K disjoint copies of (orderkey, partkey): both key spaces are
+    offset per copy, so the co-purchase graph is K disjoint subgraphs
+    — edges and nodes grow linearly, components never bridge copies,
+    and the PageRank iteration count stays constant. Same honesty
+    argument as the suffixed-token document upsampling above."""
+    base = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_partkey")
+    mx = base.agg(F.max("l_orderkey"), F.max("l_partkey")).first()
+    o_off, p_off = mx[0] + 1, mx[1] + 1
+    copies = [
+        base.select(
+            (F.col("l_orderkey") + F.lit(i * o_off)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(i * p_off)).alias("l_partkey"),
         )
         for i in range(k)
     ]
@@ -172,6 +195,17 @@ def main() -> None:
         grid[("pl5_corpus_dedup", k)] = lambda docs=docs: dedup_corpus(
             docs
         ).select("doc_id")
+
+        # g1/g2: the graph family — co-purchase construction (basket
+        # self-join) + 5 PageRank iterations / the wedge join. Both
+        # checkpoint eagerly, so they enter as thunks like dd8.
+        li_k = upsampled_lineitem(spark, k)
+        grid[("g1_pagerank", k)] = lambda li=li_k: pagerank(
+            copurchase_edges(li), iterations=5
+        )
+        grid[("g2_triangle_count", k)] = lambda li=li_k: triangle_count(
+            copurchase_edges(li)
+        )
 
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
