@@ -104,6 +104,88 @@ def bpe_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame
     )
 
 
+def bpe_encode_counts(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply a trained merge table to the corpus and return per-doc
+    token accounting: (id, n_words, n_tokens) — the tokenize-and-count
+    pass that prices every mixture/budget decision downstream (token
+    budgets, per-source mixture weights, context packing).
+
+    Scale shape: the corpus is exploded to (doc, word) pairs ONCE and
+    aggregated per (doc, word) — word bodies deduplicate immediately.
+    The merge folds run over the DISTINCT-word table only (the same
+    sub-linear vocab table BPE training rounds use), as one chained
+    map-only projection (k folds collapse into one codegen stage —
+    no checkpoint needed, unlike training, because no per-round
+    aggregation intervenes). The sized vocab broadcasts back onto the
+    (doc, word) pairs, so document text never shuffles with its
+    token counts.
+    """
+    from dot_spark.operators.textdedup import normalize_text
+
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    vocab = words.select("word").distinct().select(
+        "word", F.expr("filter(split(word, ''), x -> x <> '')").alias("syms")
+    )
+    for left, right in merges:
+        vocab = vocab.select("word", _fuse_expr(left, right).alias("syms"))
+    sized = vocab.select("word", F.size("syms").alias("word_tokens"))
+    return (
+        words.join(F.broadcast(sized), on="word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("wcnt").alias("n_words"),
+            F.sum(F.col("wcnt") * F.col("word_tokens")).alias("n_tokens"),
+        )
+    )
+
+
+def trained_merge_pairs(docs: DataFrame, k: int = 4, text_col: str = "text") -> list[tuple[str, str]]:
+    """Train k merges and fetch the merge table to the driver as
+    (left, right) pairs in rank order. A tokenizer is a SMALL,
+    fixed-size artifact (k rows regardless of corpus size) — this is
+    the ss3-centroid class of driver fetch, not a row funnel; it
+    lives here (not in a query body) per the engine's collect
+    discipline (tests/test_plans.py::test_no_driver_collect…)."""
+    rows = bpe_merges(docs, k=k, text_col=text_col).orderBy("rank").collect()
+    return [(r["left_sym"], r["right_sym"]) for r in rows]
+
+
+def reference_encode(text: str, merges: list[tuple[str, str]], _cache: dict | None = None) -> tuple[int, int]:
+    """Independent pure-Python encode (n_words, n_tokens) for one
+    text under a merge table applied in rank order — the oracle/test
+    twin of bpe_encode_counts; shares NO code with the Spark fold."""
+    import re
+
+    words = re.sub(r" +", " ", (text or "").lower()).strip().split(" ")
+    cache = _cache if _cache is not None else {}
+    total = 0
+    for w in words:
+        if w not in cache:
+            syms = list(w)
+            for l, r in merges:
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            cache[w] = len(syms)
+        total += cache[w]
+    return len(words), total
+
+
 def reference_bpe(texts: list[str], k: int = 4) -> list[tuple[int, str, str, int]]:
     """Independent pure-Python BPE used by the oracle builder and the
     property tests — shares NO code with the Spark path."""

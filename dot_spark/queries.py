@@ -4585,6 +4585,82 @@ def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=4)
 
 
+def _t17_oracle_sql() -> str | None:
+    """t17's oracle via the t13 generated-literal mechanism: the whole
+    train-then-encode pass is deterministic, so the builder replays it
+    with the INDEPENDENT pure-Python BPE (reference_bpe for training,
+    reference_encode for application — no Spark code shared),
+    aggregates per source, and embeds the expected accounting as
+    literals. Any divergence in training, the greedy fuse, word
+    normalization, or the count rollup breaks the hash."""
+    import os
+
+    gate_dir = os.environ.get(
+        "DOT_SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+    ).rstrip("/")
+    try:
+        import duckdb
+
+        rows = duckdb.sql(
+            f"SELECT source, text FROM read_parquet('{gate_dir}/documents.parquet')"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    from dot_spark.operators.bpe import reference_bpe, reference_encode
+
+    merges = [(l, r) for _, l, r, _ in reference_bpe([t for _, t in rows], k=4)]
+    agg: dict[str, list[int]] = {}
+    cache: dict = {}
+    for source, text in rows:
+        n_words, n_tokens = reference_encode(text, merges, cache)
+        a = agg.setdefault(source, [0, 0, 0])
+        a[0] += 1
+        a[1] += n_words
+        a[2] += n_tokens
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"('{q(s)}', {a[0]}, {a[1]}, {a[2]})" for s, a in sorted(agg.items())
+    )
+    return f"""
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (VALUES {vals}) AS t(source, n_docs, n_words, n_tokens)
+    """
+
+
+@query("t17_bpe_encode", _t17_oracle_sql())
+def t17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale (the other half of t13):
+    train 4 BPE merges, encode every document, roll token counts up
+    per source — the accounting that prices mixture weights and token
+    budgets. The 4-row merge table is collected to the driver (a
+    tokenizer is a small artifact, same class as ss3's centroids);
+    encoding runs the merge folds over the DISTINCT-word vocab only
+    and broadcasts the sized vocab back onto the (doc, word) pairs —
+    document text never shuffles with its counts
+    (operators/bpe.py:bpe_encode_counts)."""
+    from dot_spark.operators.bpe import bpe_encode_counts, trained_merge_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = trained_merge_pairs(docs, k=4)
+    enc = bpe_encode_counts(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def _dd11_oracle_sql() -> str:
     """dd11's oracle: dd2's candidate SQL and dd4's exact-Jaccard SQL
     composed, with hit/recall/precision computed over the pair-set
@@ -6448,14 +6524,13 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c4_quality_ensemble, p17_leakproof_split, mm5_audio_rms,
 # t16_langid_accuracy, j16_tree_flatten, s16_file_lineage,
 # s17_bucketed_join, dd13_minhash_estimator_audit, n10_variant_access)
-# plus the graph-analytics family and the chain-join top-k added
-# after the closing tally (g1_pagerank, g2_triangle_count,
-# g3_bfs_levels, j17_multihop_topk) — all of which pass the local
-# driver-gate replica at sf0.01 — have no official row yet. 62
-# exceeds the 50-query window: fill r8 ENTIRELY with the first 50 of
-# them in the order listed above; the remaining 12 lead r9, followed
-# by the r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6
-# rows).
+# plus the additions after the closing tally (g1_pagerank,
+# g2_triangle_count, g3_bfs_levels, j17_multihop_topk,
+# t17_bpe_encode) — all of which pass the local driver-gate replica
+# at sf0.01 — have no official row yet. 63 exceeds the 50-query
+# window: fill r8 ENTIRELY with the first 50 of them in the order
+# listed above; the remaining 13 lead r9, followed by the
+# r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [

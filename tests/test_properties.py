@@ -582,6 +582,46 @@ def test_bpe_merges_match_reference_implementation(spark, texts, k):
 
 
 @given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([1, 3]),
+)
+@settings(**SETTINGS)
+def test_bpe_encode_counts_match_reference(spark, texts, k):
+    """Train-then-encode: the distributed encode (vocab-side merge
+    folds broadcast back onto (doc, word) pairs) must produce the
+    same per-doc token counts as the independent pure-Python encode,
+    on the same adversarial {a,b} corpora the training law uses."""
+    from dot_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_merges,
+        reference_bpe,
+        reference_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    merges = [(l, r) for _, l, r, _ in reference_bpe(texts, k=k)]
+    spark_merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(docs, k=k).orderBy("rank").collect()
+    ]
+    assert spark_merges == merges
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode_counts(docs, merges).collect()
+    }
+    want = {i: reference_encode(t, merges) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@given(
     target=st.dictionaries(st.integers(0, 6), st.integers(0, 50), max_size=6),
     batches=st.lists(
         st.lists(
