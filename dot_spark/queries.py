@@ -6270,6 +6270,94 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a21_cumulative_distinct",
+    """
+    WITH fs AS (
+      SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY 1, 2),
+    dn AS (
+      SELECT event_type, day, COUNT(*) AS new_users
+      FROM fs GROUP BY 1, 2)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM dn
+    """,
+)
+def a21_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day per event type — the
+    growth-curve query. The naive form (COUNT(DISTINCT user) OVER a
+    cumulative frame) is quadratic and unimplementable distributed;
+    the scale form is first-seen decomposition: MIN(day) per
+    (type, user) — one partial-agg shuffle on the fact table — then
+    new-user counts per (type, day) and a running sum over the
+    |types|x|days|-row AGGREGATE — the a20 rule: the window touches
+    only the tiny aggregate, never the fact table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily_new = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@query(
+    "a22_cohort_retention",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    coh AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM wk)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((week - cohort_week) // 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM coh
+    GROUP BY 1, 2
+    """,
+)
+def a22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted at each later active week offset — THE product-analytics
+    rollup. One distinct (user, week) exchange, the cohort week
+    derived by a per-user window on the SAME partitioning (no join
+    back to the fact table), then a partial-agg rollup. (user, week)
+    rows are already unique, so the per-cell count needs no
+    count-distinct Expand."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    wk = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    coh = wk.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    return coh.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def _g1_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """g1's oracle replays the identical PageRank recurrence with
     CHAINED (non-recursive) CTEs — one per iteration, generated here
@@ -6526,11 +6614,12 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s17_bucketed_join, dd13_minhash_estimator_audit, n10_variant_access)
 # plus the additions after the closing tally (g1_pagerank,
 # g2_triangle_count, g3_bfs_levels, j17_multihop_topk,
-# t17_bpe_encode) — all of which pass the local driver-gate replica
-# at sf0.01 — have no official row yet. 63 exceeds the 50-query
-# window: fill r8 ENTIRELY with the first 50 of them in the order
-# listed above; the remaining 13 lead r9, followed by the
-# r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
+# t17_bpe_encode, a21_cumulative_distinct, a22_cohort_retention) —
+# all of which pass the local driver-gate replica at sf0.01 — have
+# no official row yet. 65 exceeds the 50-query window: fill r8
+# ENTIRELY with the first 50 of them in the order listed above; the
+# remaining 15 lead r9, followed by the r5-remainder backfill
+# (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
