@@ -6271,6 +6271,71 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p18_mixture_resample",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len({_NORM_TOKS_SQL}) AS n_toks
+      FROM documents),
+    tot AS (
+      SELECT source, CAST(SUM(n_toks) AS BIGINT) AS total_toks
+      FROM toks GROUP BY 1),
+    rates AS (
+      SELECT source,
+             (SELECT MIN(total_toks) FROM tot) / total_toks AS keep_rate
+      FROM tot),
+    h AS (
+      SELECT t.source, t.n_toks, r.keep_rate,
+             md5(CAST(t.doc_id AS VARCHAR)) AS h
+      FROM toks t JOIN rates r USING (source))
+    SELECT source, ROUND(keep_rate, 6) AS keep_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept
+    FROM h
+    WHERE ({_byte_sql('h', 0)}) * 256 + ({_byte_sql('h', 1)})
+          < keep_rate * 65536
+    GROUP BY 1, 2
+    """,
+)
+def p18_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced mixture resampling: every source is
+    down-sampled to the SMALLEST source's token budget (keep_rate =
+    min_total / source_total), the static mixture-reweighting pass a
+    corpus build runs before training. Per-source totals are one
+    partial-agg shuffle; the min is a window over the |sources|-row
+    aggregate (the a20 rule); the tiny rate table broadcasts back and
+    the keep decision is the p14 deterministic 16-bit hash fraction —
+    a pure pushable filter, reproducible across runs, engines, and
+    partitionings. Output: realized per-source accounting (kept
+    token totals land within hash noise of the common budget)."""
+    from pyspark.sql import Window
+
+    from dot_spark.operators.sampling import weighted_hash_sample
+    from dot_spark.operators.textdedup import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_toks"),
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_toks").alias("total_toks"))
+    rates = totals.select(
+        "source",
+        (
+            F.min("total_toks").over(Window.partitionBy()) / F.col("total_toks")
+        ).alias("keep_rate"),
+    )
+    kept = weighted_hash_sample(
+        toks.join(F.broadcast(rates), on="source"), "doc_id", "keep_rate"
+    )
+    return kept.groupBy("source", F.round("keep_rate", 6).alias("keep_rate")).agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_toks").alias("n_tokens_kept"),
+    )
+
+
+@query(
     "a21_cumulative_distinct",
     """
     WITH fs AS (
@@ -6614,12 +6679,12 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s17_bucketed_join, dd13_minhash_estimator_audit, n10_variant_access)
 # plus the additions after the closing tally (g1_pagerank,
 # g2_triangle_count, g3_bfs_levels, j17_multihop_topk,
-# t17_bpe_encode, a21_cumulative_distinct, a22_cohort_retention) —
-# all of which pass the local driver-gate replica at sf0.01 — have
-# no official row yet. 65 exceeds the 50-query window: fill r8
-# ENTIRELY with the first 50 of them in the order listed above; the
-# remaining 15 lead r9, followed by the r5-remainder backfill
-# (j9/a9/a11/s11/pl4 first, then r6 rows).
+# t17_bpe_encode, a21_cumulative_distinct, a22_cohort_retention,
+# p18_mixture_resample) — all of which pass the local driver-gate
+# replica at sf0.01 — have no official row yet. 66 exceeds the
+# 50-query window: fill r8 ENTIRELY with the first 50 of them in the
+# order listed above; the remaining 16 lead r9, followed by the
+# r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
