@@ -473,3 +473,54 @@ def test_dynamic_partition_pruning_on_warehouse_join(spark, sf_dir, tmp_path):
     assert keep, "fixture produced an empty dim slice"
     got = {str(r["event_date"]) for r in j.select("event_date").distinct().collect()}
     assert got == {str(k) for k in keep}
+
+
+def test_runtime_bloom_filter_arms_in_the_big_join_regime(spark, sf_dir):
+    """Runtime bloom-filter semi-join pruning is ON in session.py but
+    (correctly) dormant at test scale: Spark injects it only when the
+    creation side is NOT broadcastable and the application side scan
+    is large — i.e. exactly the 100 TB big-join regime. This pin
+    simulates that regime (broadcast off, application-side threshold
+    0) and asserts the shuffle join between a filtered dim and a fact
+    table gets the bloom_filter_agg, so a future session-config or
+    Spark-upgrade regression that silently loses runtime filtering
+    fails here, not on a cluster."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        # untouched-session sanity: with stock thresholds it stays out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plan_default = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .count()
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "bloom_filter_agg" not in plan_default
