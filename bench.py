@@ -63,6 +63,13 @@ HEADLINE = [
     "st8_session_window",
     "a14_gapfill_locf",
     "p15_corpus_shuffle",
+    # round-7 continuation: the chain-join top-k, cohort retention,
+    # and the mixture resampler (graph family g1/g2 is tracked by
+    # tools/scale_sanity.py instead — their iterative/wedge cost is a
+    # scaling-curve question, not a suite-latency one)
+    "j17_multihop_topk",
+    "a22_cohort_retention",
+    "p18_mixture_resample",
 ]
 
 # Round-over-round comparison target: the NEWEST BENCH_r*.json in

@@ -65,3 +65,59 @@ def test_corpus_shuffle_partition_invariant(spark):
     a = {(r["doc_id"], r["pos"]) for r in corpus_shuffle(df, "doc_id").collect()}
     b = {(r["doc_id"], r["pos"]) for r in corpus_shuffle(df.repartition(17), "doc_id").collect()}
     assert a == b
+
+
+def test_mixture_resample_balances_source_token_budgets(spark):
+    """p18's law, checked against a pure-Python replay: the smallest
+    source survives whole (keep_rate 1.0), every kept set is the
+    deterministic hash-threshold set, and realized per-source token
+    totals land near the common (smallest-source) budget."""
+    import hashlib
+
+    rows = []
+    # three sources with 1x / 3x / 9x token mass (doc counts large
+    # enough that the deterministic hash noise concentrates: the
+    # realized-budget bound below is ~5 sigma at these sizes)
+    for s, (n_docs, words) in {"a": (150, 5), "b": (450, 5), "c": (450, 15)}.items():
+        for i in range(n_docs):
+            rows.append((len(rows), s, " ".join(["tok"] * words)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    from dot_spark.operators.sampling import weighted_hash_sample
+    from dot_spark.operators.textdedup import normalize_text
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_toks"),
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_toks").alias("total_toks"))
+    rates = totals.select(
+        "source",
+        (F.min("total_toks").over(Window.partitionBy()) / F.col("total_toks")).alias("keep_rate"),
+    )
+    kept = weighted_hash_sample(
+        toks.join(F.broadcast(rates), on="source"), "doc_id", "keep_rate"
+    )
+    got = {
+        (r["source"], r["doc_id"]) for r in kept.select("source", "doc_id").collect()
+    }
+
+    # python model: identical md5 16-bit fraction
+    tok_count = {did: len(t.split(" ")) for did, _, t in rows}
+    total = {}
+    for did, s, _ in rows:
+        total[s] = total.get(s, 0) + tok_count[did]
+    budget = min(total.values())
+    want = set()
+    for did, s, _ in rows:
+        frac = int(hashlib.md5(str(did).encode()).hexdigest()[:4], 16)
+        if frac < budget / total[s] * 65536:
+            want.add((s, did))
+    assert got == want
+    # smallest source kept whole
+    assert {d for s, d in got if s == "a"} == {d for d, s, _ in rows if s == "a"}
+    # realized budgets near the target (hash noise bounded)
+    for s in total:
+        realized = sum(tok_count[d] for src, d in got if src == s)
+        assert realized <= budget * 1.5 and realized >= budget * 0.5, (s, realized, budget)
