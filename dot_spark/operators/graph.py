@@ -77,11 +77,19 @@ def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> Da
     Malewicz et al. SIGMOD'10), Spark-first:
 
     - ``edges ⋈ deg`` is computed once, repartitioned on ``src`` and
-      localCheckpointed: the heavy table pays ONE shuffle total, and
-      every iteration's join reuses its frozen partitioning — only
-      the (node, rank) table (|V| rows, two columns) moves per round.
+      PERSISTED: the heavy table pays ONE shuffle total. persist (not
+      localCheckpoint) is load-bearing — an InMemoryTableScan carries
+      outputPartitioning into later plans, so every iteration's
+      contribution join reuses the cached partitioning and moves only
+      the (node, rank) table (|V| rows, two columns); a checkpointed
+      RDD scan loses the metadata and would re-shuffle the edges
+      every round in the non-broadcast (large-|V|) regime — verified
+      in the physical plan both ways.
     - contribution aggregation is groupBy(dst).sum — partial
-      aggregation runs map-side inside the edge partitions.
+      aggregation runs map-side inside the edge partitions. The rank
+      UPDATE (nodes left-join contrib) also re-uses cached
+      partitioning: nodes' distinct leaves it hash-partitioned on
+      node, contrib's agg leaves it partitioned on dst.
     - each iteration's rank table is localCheckpointed so the plan
       stays constant-depth regardless of ``iterations`` (same
       contract as textdedup.connected_components, which
@@ -93,34 +101,33 @@ def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> Da
     # degrees and the per-iteration joins all read this checkpoint
     # instead of replaying the (possibly expensive) construction plan
     edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    edges_deg = (
-        edges.join(deg, on="src")
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
+    edges_deg = edges.join(deg, on="src").repartition("src").persist()
+    edges_deg.count()  # materialize the cache before iterating
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    for _ in range(iterations):
-        contrib = (
-            edges_deg.join(ranks, on=(edges_deg["src"] == ranks["node"]))
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("mass"))
-        )
-        ranks = (
-            nodes.join(contrib, on=(nodes["node"] == contrib["dst"]), how="left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("rank"),
+    try:
+        for _ in range(iterations):
+            contrib = (
+                edges_deg.join(ranks, on=(edges_deg["src"] == ranks["node"]))
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("mass"))
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                nodes.join(contrib, on=(nodes["node"] == contrib["dst"]), how="left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # every iteration's output is checkpointed, so the caches are
+        # no longer reachable from the returned plan
+        edges_deg.unpersist()
+        nodes.unpersist()
     return ranks
 
 
@@ -131,7 +138,9 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
     frontier expansion / neighborhood feature extraction.
 
     Each round: frontier ⋈ edges (the frontier side shuffles into the
-    edge list's frozen partitioning), distinct, anti-join against the
+    edge list's CACHED partitioning — persist, not localCheckpoint,
+    because only an InMemoryTableScan carries outputPartitioning into
+    later plans; see pagerank), distinct, anti-join against the
     visited set — so a node's recorded dist is its first (minimal)
     reach, the BFS invariant. Frontier and visited are
     localCheckpointed per round (constant plan depth); edges pay one
@@ -139,22 +148,26 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
     ``max_depth``; each moves only frontier-sized data.
     """
     spark = edges.sparkSession
-    edges = edges.repartition("src").localCheckpoint(eager=True)
+    edges = edges.repartition("src").persist()
+    edges.count()  # materialize the cache before iterating
     visited = spark.createDataFrame(
         [(source, 0)], "node long, dist long"
     ).localCheckpoint(eager=True)
     frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), on="node", how="left_anti")
-            .withColumn("dist", F.lit(d).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    try:
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), on="node", how="left_anti")
+                .withColumn("dist", F.lit(d).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        edges.unpersist()
     return visited
 
 
