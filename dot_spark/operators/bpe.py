@@ -33,9 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# adjacent-pair struct: l = symbol i, r = symbol i+1
+# adjacent-pair struct: l = symbol i, r = symbol i+1. The slice
+# length is clamped at 0: an EMPTY symbol array (the '' word a NULL
+# or empty text normalizes to) would otherwise pass -1 and error
+# under ANSI slice semantics.
 _PAIRS_EXPR = (
-    "transform(slice(syms, 1, size(syms) - 1), "
+    "transform(slice(syms, 1, greatest(size(syms) - 1, 0)), "
     "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"
 )
 
@@ -61,11 +64,16 @@ def _fuse_expr(left: str, right: str) -> F.Column:
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the normalized corpus — the one pass that
     touches every document. Normalization matches the engine's
-    canonical tokenizer (lower, collapse spaces, split on space)."""
+    canonical tokenizer (lower, collapse spaces, split on space).
+    NULL text coalesces to '' (one empty word) so a NULL-bearing
+    corpus can never silently diverge from the pure-Python reference,
+    which counts None as one empty word."""
     from dot_spark.operators.textdedup import normalize_text
 
     toks = docs.select(
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+        F.explode(
+            F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("word")
     )
     return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
@@ -127,7 +135,12 @@ def bpe_encode_counts(
     words = (
         docs.select(
             F.col(id_col),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+            # NULL text -> '' -> one empty word (0 tokens), matching
+            # reference_encode's (text or "") — explode(NULL) would
+            # silently DROP the document from the accounting
+            F.explode(
+                F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+            ).alias("word"),
         )
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("wcnt"))

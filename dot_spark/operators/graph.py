@@ -21,10 +21,12 @@ construction (co-purchase, LSH candidate pairs, hyperlinks) plugs in.
 
 Scale shape (the part that must survive 100 TB):
 - Edges are the big side. ``pagerank`` materializes the
-  degree-annotated edge list ONCE (localCheckpoint — truncates
-  lineage AND freezes its shuffle partitioning), so each iteration
-  shuffles only the small (node, rank) table into the frozen edge
-  partitioning, never the edges themselves.
+  degree-annotated edge list ONCE, repartitioned on the join key and
+  PERSISTED (an InMemoryTableScan keeps outputPartitioning; a
+  localCheckpoint RDD scan loses it and would re-shuffle the edges
+  every round), so each iteration shuffles only the small
+  (node, rank) table into the cached edge partitioning, never the
+  edges themselves.
 - Iterations are bounded and the per-iteration plan is constant-depth
   (each rank table is localCheckpointed, the dd8 iterative contract);
   lineage cannot grow with the iteration count.
@@ -100,12 +102,17 @@ def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> Da
     # one materialization of the upstream edge construction: nodes,
     # degrees and the per-iteration joins all read this checkpoint
     # instead of replaying the (possibly expensive) construction plan
+    spark = edges.sparkSession
     edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     edges_deg = edges.join(deg, on="src").repartition("src").persist()
     edges_deg.count()  # materialize the cache before iterating
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        edges_deg.unpersist()
+        return spark.createDataFrame([], "node long, rank double")
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     try:

@@ -163,6 +163,45 @@ def hash_frac16(col):
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int")
 
 
+def mixture_resample(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced mixture resampling: every group is
+    down-sampled to the SMALLEST group's token budget (keep_rate =
+    min_total / group_total) — the static mixture-reweighting pass a
+    corpus build runs before training. Returns the kept rows with
+    (id, group, n_toks, keep_rate).
+
+    Scale shape: per-group totals are one partial-agg shuffle; the
+    min is a window over the |groups|-row aggregate (the a20 rule);
+    the tiny rate table broadcasts back; the keep decision is the
+    deterministic 16-bit hash fraction (weighted_hash_sample) — a
+    pure pushable filter, reproducible across runs, engines, and
+    partitionings."""
+    from pyspark.sql import Window
+
+    from dot_spark.operators.textdedup import normalize_text
+
+    toks = docs.select(
+        id_col,
+        group_col,
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("n_toks"),
+    )
+    totals = toks.groupBy(group_col).agg(F.sum("n_toks").alias("total_toks"))
+    rates = totals.select(
+        group_col,
+        (
+            F.min("total_toks").over(Window.partitionBy()) / F.col("total_toks")
+        ).alias("keep_rate"),
+    )
+    return weighted_hash_sample(
+        toks.join(F.broadcast(rates), on=group_col), id_col, "keep_rate"
+    )
+
+
 def weighted_hash_sample(df: DataFrame, key_col: str, weight_col) -> DataFrame:
     """Importance-weighted deterministic sampling: keep each row with
     probability `weight` (a column expression in [0, 1]) by comparing

@@ -4523,6 +4523,34 @@ def pl9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, "label", threshold=0.45)
 
 
+_BPE_ORACLE_CACHE: dict[str, tuple[list, list] | None] = {}
+
+
+def _gate_corpus_bpe(gate_dir: str):
+    """Shared, memoized fetch+train for the t13/t17 oracle builders:
+    ONE DuckDB read of the gate corpus and ONE pure-Python BPE
+    training pass per gate dir per process (both builders run at
+    import time via the decorator — unmemoized, every importing
+    process paid the O(corpus) training cost twice)."""
+    if gate_dir not in _BPE_ORACLE_CACHE:
+        try:
+            import duckdb
+
+            rows = duckdb.sql(
+                f"SELECT source, text FROM read_parquet('{gate_dir}/documents.parquet')"
+            ).fetchall()
+        except Exception:
+            rows = []
+        if not rows:
+            _BPE_ORACLE_CACHE[gate_dir] = None
+        else:
+            from dot_spark.operators.bpe import reference_bpe
+
+            merges = reference_bpe([t for _, t in rows], k=4)
+            _BPE_ORACLE_CACHE[gate_dir] = (rows, merges)
+    return _BPE_ORACLE_CACHE[gate_dir]
+
+
 def _t13_oracle_sql() -> str | None:
     """t13's oracle via the ss3/ss4 generated-literal mechanism: BPE
     training is deterministic (count desc, pair asc tie-break), so the
@@ -4538,22 +4566,10 @@ def _t13_oracle_sql() -> str | None:
     gate_dir = os.environ.get(
         "DOT_SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
     ).rstrip("/")
-    try:
-        import duckdb
-
-        texts = [
-            r[0]
-            for r in duckdb.sql(
-                f"SELECT text FROM read_parquet('{gate_dir}/documents.parquet')"
-            ).fetchall()
-        ]
-    except Exception:
+    cached = _gate_corpus_bpe(gate_dir)
+    if cached is None:
         return None
-    if not texts:
-        return None
-    from dot_spark.operators.bpe import reference_bpe
-
-    rows = reference_bpe(texts, k=4)
+    _, rows = cached
     if not rows:
         return None
 
@@ -4592,25 +4608,20 @@ def _t17_oracle_sql() -> str | None:
     reference_encode for application — no Spark code shared),
     aggregates per source, and embeds the expected accounting as
     literals. Any divergence in training, the greedy fuse, word
-    normalization, or the count rollup breaks the hash."""
+    normalization, or the count rollup breaks the hash. Shares the
+    memoized corpus fetch + training pass with _t13_oracle_sql."""
     import os
 
     gate_dir = os.environ.get(
         "DOT_SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
     ).rstrip("/")
-    try:
-        import duckdb
-
-        rows = duckdb.sql(
-            f"SELECT source, text FROM read_parquet('{gate_dir}/documents.parquet')"
-        ).fetchall()
-    except Exception:
+    cached = _gate_corpus_bpe(gate_dir)
+    if cached is None:
         return None
-    if not rows:
-        return None
-    from dot_spark.operators.bpe import reference_bpe, reference_encode
+    rows, trained = cached
+    from dot_spark.operators.bpe import reference_encode
 
-    merges = [(l, r) for _, l, r, _ in reference_bpe([t for _, t in rows], k=4)]
+    merges = [(l, r) for _, l, r, _ in trained]
     agg: dict[str, list[int]] = {}
     cache: dict = {}
     for source, text in rows:
@@ -6306,29 +6317,14 @@ def p18_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the a20 rule); the tiny rate table broadcasts back and
     the keep decision is the p14 deterministic 16-bit hash fraction —
     a pure pushable filter, reproducible across runs, engines, and
-    partitionings. Output: realized per-source accounting (kept
-    token totals land within hash noise of the common budget)."""
-    from pyspark.sql import Window
-
-    from dot_spark.operators.sampling import weighted_hash_sample
-    from dot_spark.operators.textdedup import normalize_text
+    partitionings (operators/sampling.py:mixture_resample, also the
+    surface the law property test exercises). Output: realized
+    per-source accounting (kept token totals land within hash noise
+    of the common budget)."""
+    from dot_spark.operators.sampling import mixture_resample
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_toks"),
-    )
-    totals = toks.groupBy("source").agg(F.sum("n_toks").alias("total_toks"))
-    rates = totals.select(
-        "source",
-        (
-            F.min("total_toks").over(Window.partitionBy()) / F.col("total_toks")
-        ).alias("keep_rate"),
-    )
-    kept = weighted_hash_sample(
-        toks.join(F.broadcast(rates), on="source"), "doc_id", "keep_rate"
-    )
+    kept = mixture_resample(docs)
     return kept.groupBy("source", F.round("keep_rate", 6).alias("keep_rate")).agg(
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_toks").alias("n_tokens_kept"),
@@ -6472,9 +6468,11 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Page et al. 1999), the template for canonical-doc selection /
     crawl-authority scoring in a training-data pipeline. Spark side:
     the degree-annotated edge list pays ONE shuffle total
-    (repartition(src) + localCheckpoint), each of the 5 iterations
-    moves only the (node, rank) table and is lineage-truncated
-    (constant plan depth, the dd8 iterative contract). Oracle: the
+    (repartition(src) + persist — the cached scan keeps its
+    outputPartitioning, so iterations join it in place), each of the
+    5 iterations moves only the (node, rank) table and is
+    lineage-truncated (constant plan depth, the dd8 iterative
+    contract). Oracle: the
     identical recurrence as 5 generated chained CTEs in DuckDB — two
     independent engines must agree on every node's rank to 1e-6
     (published scaled by |V| so values sit near 1). Ranks sum to 1

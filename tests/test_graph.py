@@ -203,3 +203,9 @@ def test_multihop_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    got = pagerank(_edges_df(spark, []), iterations=3)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["node", "rank"]

@@ -833,3 +833,33 @@ def test_tree_root_depth_matches_python_walk(spark, parents):
         return i, d
 
     assert got == {i: walk(i) for i in range(len(par))}
+
+
+def test_bpe_handles_null_text_like_the_reference(spark):
+    """A NULL text must count as one empty word (0 tokens) on BOTH
+    paths — explode(split(NULL)) would silently drop the document
+    from training frequencies and from the t17 accounting, a
+    divergence the clean fixture corpus cannot surface."""
+    from dot_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_merges,
+        reference_bpe,
+        reference_encode,
+    )
+
+    texts = ["ab ab a", None, "b ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got_merges = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(docs, k=2).orderBy("rank").collect()
+    ]
+    assert got_merges == reference_bpe(texts, k=2)
+    merges = [(l, r) for _, l, r, _ in got_merges]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode_counts(docs, merges).collect()
+    }
+    assert set(got) == {0, 1, 2}  # the NULL doc is present
+    assert got == {i: reference_encode(t, merges) for i, t in enumerate(texts)}

@@ -882,11 +882,12 @@ def test_stateful_restart_merges_window_state_across_instances(spark, tmp_path):
     assert [(r["w_start"], r["count"]) for r in mid.collect()] == [
         (t0.to_pydatetime(), 3)
     ]
-    # drop 2 (new instance): one MORE W2 row at 10:15 (>= watermark
-    # 10:18? no — within the recovered window but below watermark?
-    # 10:15 < 10:18 would be dropped; use 10:18, exactly at the
-    # recovered watermark, which Spark accepts) and a 10:35 row that
-    # advances the watermark past W2 so it finally emits.
+    # drop 2 (new instance): one MORE W2 row at 10:18 (any row whose
+    # WINDOW-END is above the recovered watermark 10:18 is absorbed —
+    # windowed aggregation evicts by window end, not row timestamp,
+    # so even a 10:15 row would merge into the open W2 state) and a
+    # 10:35 row that advances the watermark past W2 so it finally
+    # emits.
     write_parquet(
         pd.DataFrame(
             {

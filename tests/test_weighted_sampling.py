@@ -83,22 +83,9 @@ def test_mixture_resample_balances_source_token_budgets(spark):
             rows.append((len(rows), s, " ".join(["tok"] * words)))
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
 
-    from dot_spark.operators.sampling import weighted_hash_sample
-    from dot_spark.operators.textdedup import normalize_text
-    from pyspark.sql import Window
+    from dot_spark.operators.sampling import mixture_resample
 
-    toks = docs.select(
-        "doc_id", "source",
-        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_toks"),
-    )
-    totals = toks.groupBy("source").agg(F.sum("n_toks").alias("total_toks"))
-    rates = totals.select(
-        "source",
-        (F.min("total_toks").over(Window.partitionBy()) / F.col("total_toks")).alias("keep_rate"),
-    )
-    kept = weighted_hash_sample(
-        toks.join(F.broadcast(rates), on="source"), "doc_id", "keep_rate"
-    )
+    kept = mixture_resample(docs)
     got = {
         (r["source"], r["doc_id"]) for r in kept.select("source", "doc_id").collect()
     }
