@@ -6282,6 +6282,48 @@ def a15_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n11_xml_roundtrip",
+    """
+    SELECT c_custkey,
+           c_name || ' &<>"' AS xml_name,
+           c_mktsegment AS xml_segment,
+           ROUND(c_acctbal, 2) AS xml_bal
+    FROM customer
+    """,
+)
+def n11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest surface (the enterprise interchange format the
+    reference's ecosystem still carries): every customer row is
+    serialized to an XML document with to_xml — names deliberately
+    salted with the characters XML must entity-escape — then parsed
+    back with from_xml and the typed fields extracted. The oracle is
+    the IDENTITY over the base table: any escaping, parsing, or
+    type-coercion bug in either direction breaks the value hash.
+    Both directions are JVM codegen expressions — the row never
+    leaves the executor, no UDF."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(' &<>"')).alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    xml = cust.select(
+        F.to_xml(F.struct("c_custkey", "name", "segment", "bal")).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "c_custkey LONG, name STRING, segment STRING, bal DOUBLE"
+        ).alias("s")
+    )
+    return parsed.select(
+        F.col("s.c_custkey").alias("c_custkey"),
+        F.col("s.name").alias("xml_name"),
+        F.col("s.segment").alias("xml_segment"),
+        F.round("s.bal", 2).alias("xml_bal"),
+    )
+
+
+@query(
     "p18_mixture_resample",
     f"""
     WITH toks AS (
@@ -6678,11 +6720,12 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the additions after the closing tally (g1_pagerank,
 # g2_triangle_count, g3_bfs_levels, j17_multihop_topk,
 # t17_bpe_encode, a21_cumulative_distinct, a22_cohort_retention,
-# p18_mixture_resample) — all of which pass the local driver-gate
-# replica at sf0.01 — have no official row yet. 66 exceeds the
-# 50-query window: fill r8 ENTIRELY with the first 50 of them in the
-# order listed above; the remaining 16 lead r9, followed by the
-# r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
+# p18_mixture_resample, n11_xml_roundtrip) — all of which pass the
+# local driver-gate replica at sf0.01 — have no official row yet. 67
+# exceeds the 50-query window: fill r8 ENTIRELY with the first 50 of
+# them in the order listed above; the remaining 17 lead r9, followed
+# by the r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6
+# rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
