@@ -81,7 +81,13 @@ def test_queries_survive_bare_driver_session(tmp_path):
         # loops (t13, pl9), Arrow mapInPandas resize (mm4)
         "          'st8_session_window', 'a14_gapfill_locf',\n"
         "          'pl8_merge_upsert', 't13_bpe_merges',\n"
-        "          'pl9_semdedup', 'mm4_image_resize'):\n"
+        "          'pl9_semdedup', 'mm4_image_resize',\n"
+        # second continuation surfaces: iterative persist/checkpoint
+        # loop (g1), events ts dispatch through a window (a21),
+        # train-then-encode with the driver-side merge artifact (t17),
+        # XML codegen round-trip (n11)
+        "          'g1_pagerank', 'a21_cumulative_distinct',\n"
+        "          't17_bpe_encode', 'n11_xml_roundtrip'):\n"
         "    assert len(QUERIES[n](spark, '/root/testdata/sf0.001').collect()) >= 0, n\n"
         "print('BARE_SESSION_OK')\n"
     )
