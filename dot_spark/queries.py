@@ -6461,6 +6461,48 @@ def a22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
+@query(
+    "a23_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS anchor
+      FROM days),
+    s AS (SELECT user_id, anchor, COUNT(*) AS len FROM g GROUP BY 1, 2)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY 1
+    """,
+)
+def a23_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the gaps-and-
+    islands pattern (day minus its per-user row_number is constant
+    within a run of consecutive days, so each island gets one anchor
+    date). Two exchanges total: the distinct (user, day) projection,
+    then ONE per-user sort window whose partitioning both downstream
+    aggregations (island sizes, per-user max) reuse. No self-join,
+    no lag-cascade — the island anchor is a pure expression of the
+    row_number."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
 def _g1_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """g1's oracle replays the identical PageRank recurrence with
     CHAINED (non-recursive) CTEs — one per iteration, generated here
@@ -6720,12 +6762,12 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the additions after the closing tally (g1_pagerank,
 # g2_triangle_count, g3_bfs_levels, j17_multihop_topk,
 # t17_bpe_encode, a21_cumulative_distinct, a22_cohort_retention,
-# p18_mixture_resample, n11_xml_roundtrip) — all of which pass the
-# local driver-gate replica at sf0.01 — have no official row yet. 67
-# exceeds the 50-query window: fill r8 ENTIRELY with the first 50 of
-# them in the order listed above; the remaining 17 lead r9, followed
-# by the r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6
-# rows).
+# p18_mixture_resample, n11_xml_roundtrip, a23_activity_streaks) —
+# all of which pass the local driver-gate replica at sf0.01 — have
+# no official row yet. 68 exceeds the 50-query window: fill r8
+# ENTIRELY with the first 50 of them in the order listed above; the
+# remaining 18 lead r9, followed by the r5-remainder backfill
+# (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
