@@ -483,3 +483,117 @@ def semdedup(
         F.asc("cos_to_centroid"), F.asc(id_col)
     )
     return labeled.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein SIGIR'98): greedily pick the candidate maximizing
+    0.7*sim(query, cand) - 0.3*max(sim(cand, already-selected)) — the
+    retrieval pass that keeps a RAG context window from filling with
+    near-duplicates of one document.
+
+    Scale shape: relevance does the heavy lifting ONCE
+    (brute_force_topk — swap in ivf/lsh_topk upstream at scale); the
+    greedy loop then runs entirely on the per-query candidate pool
+    (Q*pool rows, Q*pool^2 pairwise sims), both localCheckpointed and
+    reused across the k rounds. Each round is an anti-join (drop the
+    selected), a max() penalty aggregation against the selected set,
+    and a per-query max_by argmax — pure codegen DataFrame ops, NO
+    UDF, and every float the argmax compares derives from
+    6-dp-rounded similarities so the greedy path is engine-portable
+    (the DuckDB oracle replays the identical rounds as chained CTEs).
+
+    Ties break on (score DESC, candidate id ASC) at every argmax.
+    Returns (query_id, sel_rank, corpus_id, mmr_score).
+    """
+    cand = brute_force_topk(
+        queries, corpus, k=pool,
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    ).select(query_id, corpus_id, "cos_sim").localCheckpoint(eager=True)
+
+    ce = cand.join(
+        corpus.select(corpus_id, corpus_vec), on=corpus_id
+    ).select(query_id, F.col(corpus_id), F.col(corpus_vec))
+    a = ce.select(
+        query_id,
+        F.col(corpus_id).alias("a_id"),
+        F.col(corpus_vec).alias("__va"),
+    )
+    b = ce.select(
+        query_id,
+        F.col(corpus_id).alias("b_id"),
+        F.col(corpus_vec).alias("__vb"),
+    )
+    pair = (
+        a.join(b, on=query_id)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            query_id,
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim_ab"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # round 1: penalty is 0 by definition -> argmax of relevance
+    pick = F.expr(
+        f"max_by(struct({corpus_id} AS sel_id, __m AS m), struct(__m, -{corpus_id}))"
+    )
+    selected = (
+        cand.withColumn("__m", F.lit(0.7) * F.col("cos_sim"))
+        .groupBy(query_id)
+        .agg(pick.alias("p"))
+        .select(
+            query_id,
+            F.lit(1).alias("sel_rank"),
+            F.col("p.sel_id").alias(corpus_id),
+            F.round("p.m", 6).alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        remaining = cand.join(
+            selected.select(query_id, corpus_id), on=[query_id, corpus_id], how="left_anti"
+        )
+        pen = (
+            pair.join(
+                selected.select(query_id, F.col(corpus_id).alias("b_id")),
+                on=[query_id, "b_id"],
+            )
+            .groupBy(query_id, "a_id")
+            .agg(F.max("sim_ab").alias("pen"))
+        )
+        scored = remaining.join(
+            pen,
+            on=(remaining[query_id] == pen[query_id])
+            & (remaining[corpus_id] == pen["a_id"]),
+        ).select(
+            remaining[query_id].alias(query_id),
+            remaining[corpus_id].alias(corpus_id),
+            (
+                F.lit(0.7) * F.col("cos_sim") - F.lit(0.3) * F.col("pen")
+            ).alias("__m"),
+        )
+        nxt = (
+            scored.groupBy(query_id)
+            .agg(pick.alias("p"))
+            .select(
+                query_id,
+                F.lit(r).alias("sel_rank"),
+                F.col("p.sel_id").alias(corpus_id),
+                F.round("p.m", 6).alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+    return selected

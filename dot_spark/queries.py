@@ -2388,6 +2388,93 @@ def ss4_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, emb, planes, k=10, hamming=2)
 
 
+_PAIR_COS_SQL = """
+  ROUND(
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+    6)
+"""
+
+
+def _ss7_oracle_sql(k: int = 5, pool: int = 20) -> str:
+    """ss7's oracle replays the identical greedy MMR rounds as
+    chained CTEs (the g1 mechanism): every similarity the argmax
+    compares is rounded to 6 dp first, so the greedy path — argmax of
+    0.7*relevance - 0.3*max-sim-to-selected with (score DESC, id)
+    tie-break — is engine-portable by construction."""
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f"""m{r} AS (
+      SELECT c.query_id, c.vec_id, c.cos_sim,
+             0.7 * c.cos_sim - 0.3 * MAX(p.sim_ab) AS m
+      FROM cand c
+      JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.vec_id
+      JOIN acc{r - 1} s ON s.query_id = p.query_id AND s.vec_id = p.b_id
+      WHERE NOT EXISTS (SELECT 1 FROM acc{r - 1} x
+                        WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.cos_sim),
+    sel{r} AS (
+      SELECT query_id, {r} AS sel_rank, vec_id, ROUND(m, 6) AS mmr_score
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY m DESC, vec_id) AS rn FROM m{r})
+      WHERE rn = 1),
+    acc{r} AS (SELECT * FROM acc{r - 1} UNION ALL SELECT * FROM sel{r})""")
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 5),
+    s0 AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM q CROSS JOIN embeddings e),
+    cand AS (
+      SELECT query_id, vec_id, cos_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn FROM s0)
+      WHERE rn <= {pool}),
+    ce AS (SELECT c.query_id, c.vec_id, e.embedding
+           FROM cand c JOIN embeddings e USING (vec_id)),
+    pair AS (
+      SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+             {_PAIR_COS_SQL} AS sim_ab
+      FROM ce a JOIN ce b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+    acc1 AS (
+      SELECT query_id, 1 AS sel_rank, vec_id, ROUND(0.7 * cos_sim, 6) AS mmr_score
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY 0.7 * cos_sim DESC, vec_id) AS rn
+            FROM cand)
+      WHERE rn = 1),
+    {chain}
+    SELECT query_id, CAST(sel_rank AS INT) AS sel_rank, vec_id, mmr_score
+    FROM acc{k}
+    """
+
+
+@query("ss7_mmr_topk", _ss7_oracle_sql())
+def ss7_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: greedy Maximal Marginal Relevance
+    (Carbonell & Goldstein SIGIR'98) over a brute-force candidate
+    pool — pick 5 of 20 maximizing 0.7*relevance minus 0.3*max
+    similarity to what's already picked, the pass that keeps a RAG
+    context from filling with near-duplicates of one document. The
+    greedy rounds are pure codegen DataFrame ops on the (tiny,
+    checkpointed) pool and pairwise-sim tables — no UDF — and every
+    compared float derives from 6-dp-rounded similarities, so the
+    DuckDB oracle can replay the identical rounds as chained CTEs
+    (operators/similarity.py:mmr_topk)."""
+    from dot_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return mmr_topk(q, emb, k=5, pool=20)
+
+
 # ---------------------------------------------------------------------------
 # Classification / routing (reference dbt-classify + dbt-webhook)
 # ---------------------------------------------------------------------------
@@ -6762,12 +6849,12 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the additions after the closing tally (g1_pagerank,
 # g2_triangle_count, g3_bfs_levels, j17_multihop_topk,
 # t17_bpe_encode, a21_cumulative_distinct, a22_cohort_retention,
-# p18_mixture_resample, n11_xml_roundtrip, a23_activity_streaks) —
-# all of which pass the local driver-gate replica at sf0.01 — have
-# no official row yet. 68 exceeds the 50-query window: fill r8
-# ENTIRELY with the first 50 of them in the order listed above; the
-# remaining 18 lead r9, followed by the r5-remainder backfill
-# (j9/a9/a11/s11/pl4 first, then r6 rows).
+# p18_mixture_resample, n11_xml_roundtrip, a23_activity_streaks,
+# ss7_mmr_topk) — all of which pass the local driver-gate replica at
+# sf0.01 — have no official row yet. 69 exceeds the 50-query window:
+# fill r8 ENTIRELY with the first 50 of them in the order listed
+# above; the remaining 19 lead r9, followed by the r5-remainder
+# backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [

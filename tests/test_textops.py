@@ -583,3 +583,51 @@ def test_leakproof_split_never_straddles_neardup_pairs(spark):
         if split[r["id_a"]] != split[r["id_b"]]
     ]
     assert not straddlers, straddlers
+
+
+def test_mmr_diversifies_against_a_duplicate_cluster(spark):
+    """Fixture (3D, numerically designed): the 4 most relevant corpus
+    vectors are near-clones of one direction; plain top-5 returns the
+    whole clone cluster, MMR must break out to the two diverse
+    vectors right after the first pick. Also pins rank-1 == brute
+    top-1 and determinism of the full ranked selection. (A 2D fixture
+    cannot test this: with query == clone direction every candidate's
+    similarity to the picked clone equals its relevance and MMR
+    degenerates to top-k.)"""
+    import math
+
+    from dot_spark.operators.similarity import brute_force_topk, mmr_topk
+
+    def unit(*v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    corpus = [
+        (0, unit(0.9, 0.436, 0.0)),
+        (1, unit(0.9, 0.436, 0.004)),
+        (2, unit(0.9, 0.436, -0.004)),
+        (3, unit(0.9, 0.430, 0.01)),    # the clone cluster 0-3
+        (4, unit(0.8, 0.0, 0.6)),       # diverse, still relevant
+        (5, unit(0.8, 0.0, -0.6)),
+        (6, unit(0.6, -0.64, 0.48)),
+        (7, unit(0.5, -0.5, -0.7)),
+        (8, unit(-0.2, 1.0, 0.0)),
+        (9, unit(-0.2, -1.0, 0.1)),
+    ]
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(100, unit(1.0, 0.0, 0.0))], "query_id long, query_vec array<float>"
+    )
+    top5 = {r["vec_id"] for r in brute_force_topk(q, emb, k=5).collect()}
+    assert top5 == {0, 1, 2, 3, 4}, top5  # 4/5 are clones
+    sel = mmr_topk(q, emb, k=5, pool=10).collect()
+    picked = [r["vec_id"] for r in sorted(sel, key=lambda r: r["sel_rank"])]
+    assert picked[0] == 3  # rank-1 is the brute top-1
+    assert set(picked[1:3]) == {4, 5}, picked  # diversity beats clones
+    assert len(set(picked)) == 5
+    # determinism: a second run selects the identical ranked list
+    sel2 = mmr_topk(q, emb, k=5, pool=10).collect()
+    key = lambda rows: sorted(
+        (r["sel_rank"], r["vec_id"], r["mmr_score"]) for r in rows
+    )
+    assert key(sel) == key(sel2)

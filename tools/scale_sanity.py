@@ -207,6 +207,15 @@ def main() -> None:
             copurchase_edges(li)
         )
 
+        # t17 encode core: fixed merge table (training is a separate
+        # driver-loop cost, already bounded by the vocab table) — the
+        # encode pass itself must scale linearly in the corpus
+        from dot_spark.operators.bpe import bpe_encode_counts
+
+        grid[("t17_bpe_encode_core", k)] = bpe_encode_counts(
+            docs, [("e", "t"), ("a", "n"), ("an", "d"), ("t", "h")]
+        )
+
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
         for cell, df in grid.items():
