@@ -6851,10 +6851,34 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t17_bpe_encode, a21_cumulative_distinct, a22_cohort_retention,
 # p18_mixture_resample, n11_xml_roundtrip, a23_activity_streaks,
 # ss7_mmr_topk) — all of which pass the local driver-gate replica at
-# sf0.01 — have no official row yet. 69 exceeds the 50-query window:
-# fill r8 ENTIRELY with the first 50 of them in the order listed
-# above; the remaining 19 lead r9, followed by the r5-remainder
-# backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
+# sf0.01 — have no official row yet. 69 exceeds the 50-query window.
+# READY-MADE r8 WINDOW (the first 50 never-gated in registration
+# order, computed against CORRECTNESS_r01-r06 + this round's window;
+# swap this list into _WINDOW_PRIORITY at the start of round 8):
+#   dd13_minhash_estimator_audit dd9_chunk_dedup ss7_mmr_topk
+#   pl6_verified_dedup_pipeline j13_interval_overlap_join
+#   p12_train_val_test_split p13_token_budget_sample t11_bigram_counts
+#   pl7_corpus_build_pipeline a12_cube_lattice w7_moving_avg n7_unpivot
+#   st8_session_window a14_gapfill_locf w9_scd2_history a13_pivot_wide
+#   w8_topk_per_group t12_domain_stats p14_weighted_sample
+#   p15_corpus_shuffle f11_higher_order_arrays ss5_recall_eval
+#   pl9_semdedup t13_bpe_merges t17_bpe_encode dd11_lsh_quality_eval
+#   pl11_incremental_lsh pl10_record_linkage w10_funnel_steps
+#   dd10_edit_distance_verify a18_winsorize j14_attribution_join
+#   dd12_url_dedup t15_unigram_lm_score n10_variant_access
+#   s17_bucketed_join s16_file_lineage j16_tree_flatten
+#   c4_quality_ensemble p17_leakproof_split w11_moving_zscore
+#   a20_share_of_total f15_array_sort_comparator t14_stopword_stem
+#   f14_map_functions n9_nested_json_explode a19_percentile_sketch_audit
+#   a17_global_topk f12_bitwise_aggs f13_calendar_arith
+# The remaining 19 lead r9 (s15_text_log_source p16_fixed_k_per_stratum
+# pl8_merge_upsert a16_grouping_sets n8_malformed_json_audit
+# t16_langid_accuracy mm5_audio_rms ss6_label_centroids mm4_image_resize
+# a15_approx_distinct_audit n11_xml_roundtrip p18_mixture_resample
+# a21_cumulative_distinct a22_cohort_retention a23_activity_streaks
+# g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk),
+# followed by the r5-remainder backfill (j9/a9/a11/s11/pl4 first, then
+# r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
