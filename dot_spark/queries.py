@@ -2388,6 +2388,45 @@ def ss4_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, emb, planes, k=10, hamming=2)
 
 
+@query(
+    "t18_novelty_score",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(1, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM tk),
+    dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    per AS (
+      SELECT s.doc_id, COUNT(*) AS n_shingles,
+             SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM sh s JOIN dfc d USING (shingle) GROUP BY 1)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_dup AS BIGINT) AS n_dup_shingles,
+           ROUND(1 - n_dup / n_shingles, 4) AS novelty
+    FROM per
+    """,
+)
+def t18_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (fraction of the doc's distinct
+    3-shingles found in no other document) — the duplication-pressure
+    ranking signal for curation, catching boilerplate-heavy docs no
+    single pair-mining pass flags. One zero-shuffle shingle sweep,
+    df counting on the 8-byte xxhash64 key (dd4b's inverted-index
+    trick), exchange reused for the join-back, partial-agg rollup
+    (operators/text.py:novelty_scores). The oracle recomputes df on
+    the raw shingle strings — a hash collision or sweep divergence
+    breaks the match."""
+    from dot_spark.operators.text import novelty_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return novelty_scores(docs, n=3)
+
+
 _PAIR_COS_SQL = """
   ROUND(
     list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -6871,14 +6910,14 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   a20_share_of_total f15_array_sort_comparator t14_stopword_stem
 #   f14_map_functions n9_nested_json_explode a19_percentile_sketch_audit
 #   a17_global_topk f12_bitwise_aggs f13_calendar_arith
-# The remaining 19 lead r9 (s15_text_log_source p16_fixed_k_per_stratum
+# The remaining 20 lead r9 (s15_text_log_source p16_fixed_k_per_stratum
 # pl8_merge_upsert a16_grouping_sets n8_malformed_json_audit
 # t16_langid_accuracy mm5_audio_rms ss6_label_centroids mm4_image_resize
 # a15_approx_distinct_audit n11_xml_roundtrip p18_mixture_resample
 # a21_cumulative_distinct a22_cohort_retention a23_activity_streaks
-# g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk),
-# followed by the r5-remainder backfill (j9/a9/a11/s11/pl4 first, then
-# r6 rows).
+# g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk
+# t18_novelty_score), followed by the r5-remainder backfill
+# (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
