@@ -2427,6 +2427,79 @@ def t18_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_scores(docs, n=3)
 
 
+@query(
+    "ss8_sq_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 5),
+    dims AS (
+      SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+      FROM (
+        SELECT UNNEST(range(1, len(embedding) + 1)) AS i,
+               UNNEST(embedding) AS x
+        FROM embeddings)
+      GROUP BY i),
+    rng AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+            FROM dims),
+    deq AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> CASE WHEN r.mxs[i] > r.mns[i]
+                    THEN r.mns[i]
+                         + ROUND((CAST(e.embedding[i] AS DOUBLE) - r.mns[i])
+                                 / (r.mxs[i] - r.mns[i]) * 255, 0)
+                           / 255 * (r.mxs[i] - r.mns[i])
+                    ELSE r.mns[i] END) AS dv
+      FROM embeddings e CROSS JOIN rng r),
+    ap AS (
+      SELECT q.query_id, d.vec_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(q.query_vec)),
+                 i -> CAST(q.query_vec[i] AS DOUBLE) * d.dv[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.query_vec)),
+                    i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, len(d.dv)),
+                    i -> d.dv[i] * d.dv[i])))),
+               6) AS approx_sim
+      FROM q CROSS JOIN deq d),
+    cand AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS rn
+            FROM ap)
+      WHERE rn <= 30),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    SELECT query_id, vec_id, cos_sim, rn AS "rank" FROM r WHERE rn <= 10
+    """,
+)
+def ss8_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact re-rank — the memory
+    play at 100 TB: scan-side vectors hold one byte per dimension,
+    the asymmetric approximate score (full-precision query vs
+    reconstructed corpus vector) cuts a 30-candidate pool, and only
+    pool*Q original vectors are touched for the exact top-10. The
+    final scores are exact cosine, so quantization error costs recall
+    only — never the precision of emitted values. The oracle is fully
+    self-contained SQL: it re-derives the per-dim min/max, replays
+    the round((x-mn)/(mx-mn)*255) reconstruction, and re-ranks — any
+    drift in training, reconstruction, pooling, or re-rank breaks the
+    hash (operators/similarity.py:sq_topk)."""
+    from dot_spark.operators.similarity import sq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq_topk(q, emb, k=10, pool=30)
+
+
 _PAIR_COS_SQL = """
   ROUND(
     list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -6916,8 +6989,8 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a15_approx_distinct_audit n11_xml_roundtrip p18_mixture_resample
 # a21_cumulative_distinct a22_cohort_retention a23_activity_streaks
 # g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk
-# t18_novelty_score), followed by the r5-remainder backfill
-# (j9/a9/a11/s11/pl4 first, then r6 rows).
+# t18_novelty_score ss8_sq_topk), followed by the r5-remainder
+# backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [

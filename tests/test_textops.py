@@ -631,3 +631,31 @@ def test_mmr_diversifies_against_a_duplicate_cluster(spark):
         (r["sel_rank"], r["vec_id"], r["mmr_score"]) for r in rows
     )
     assert key(sel) == key(sel2)
+
+
+def test_sq_topk_exact_scores_and_high_recall(spark, sf_dir):
+    """Scalar quantization may cost recall, never score precision:
+    every (query, id) ss8 returns must carry the IDENTICAL exact
+    cosine brute force computes for that pair, and with a 3x pool the
+    true top-10 should survive the cut almost entirely on real
+    embeddings (recall@10 >= 0.9 averaged over the 5 queries)."""
+    from dot_spark.operators.similarity import brute_force_topk, sq_topk
+    from dot_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in brute_force_topk(q, emb, k=10).collect()
+    }
+    got = sq_topk(q, emb, k=10, pool=30).collect()
+    hits = 0
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            hits += 1
+            assert r["cos_sim"] == brute[key], key  # exact, not approximate
+    assert hits / len(brute) >= 0.9, hits
