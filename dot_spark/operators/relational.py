@@ -383,3 +383,43 @@ def tree_root_depth(
     return state.select(
         "node", F.col("ptr").alias("root"), F.col("dist").alias("depth")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """CDC EXTRACTION between two table snapshots — the inverse of
+    the merge protocol (loads.Warehouse.merge_upsert applies a change
+    set; this derives one): full outer join on the key, classify each
+    key as inserted / deleted / updated, drop unchanged rows.
+
+    Scale shape: ONE co-partitioned shuffle per side (the equi-join
+    on the key), the row comparison is a map-side null-safe
+    column-equality conjunction (eqNullSafe — NULL == NULL must read
+    as unchanged, the classic diff bug), and unchanged keys — the
+    overwhelming majority between consecutive loads — are filtered
+    before anything else is computed. Emits (keys..., change_type).
+    """
+    non_keys = [c for c in old.columns if c not in keys]
+    assert non_keys == [c for c in new.columns if c not in keys], (
+        "snapshot_diff requires identical schemas"
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = None
+    for c in keys:
+        eq = F.col(f"o.{c}") == F.col(f"n.{c}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, on=cond, how="full_outer")
+    same = F.lit(True)
+    for c in non_keys:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    okey, nkey = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
+    change = (
+        F.when(okey.isNull(), F.lit("inserted"))
+        .when(nkey.isNull(), F.lit("deleted"))
+        .when(~same, F.lit("updated"))
+    )
+    out_keys = [F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c) for c in keys]
+    return (
+        joined.select(*out_keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -2389,6 +2389,73 @@ def ss4_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j18_snapshot_diff",
+    """
+    WITH snap_a AS (SELECT * FROM orders),
+    modded AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN ROUND(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    inserted AS (
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders) AS o_orderkey,
+             o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0),
+    snap_b AS (SELECT * FROM modded UNION ALL SELECT * FROM inserted),
+    d AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'inserted'
+                  WHEN b.o_orderkey IS NULL THEN 'deleted'
+                  WHEN NOT (a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+                        AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                        AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                        AND a.o_orderdate IS NOT DISTINCT FROM b.o_orderdate
+                        AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority)
+                  THEN 'updated' END AS change_type
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey)
+    SELECT o_orderkey, change_type FROM d WHERE change_type IS NOT NULL
+    """,
+)
+def j18_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACTION between table snapshots — the inverse of pl8's
+    merge apply: classify every key as inserted/deleted/updated via
+    ONE co-partitioned full outer join, null-safe column comparison
+    map-side, unchanged keys (the vast majority between consecutive
+    loads) dropped before anything else
+    (operators/relational.py:snapshot_diff). The snapshots are
+    deterministic derivations of orders (keys %97 deleted, %100
+    repriced, %101 re-keyed past max as inserts); the oracle rebuilds
+    both and diffs them with IS NOT DISTINCT FROM."""
+    from dot_spark.operators.relational import snapshot_diff
+
+    ords = load_table(spark, "orders", sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    old = ords.select(*cols)
+    modded = old.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    mx = old.agg(F.max("o_orderkey").alias("__mx"))
+    inserted = (
+        old.filter(F.col("o_orderkey") % 101 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("__mx")).alias("o_orderkey"),
+            *cols[1:],
+        )
+    )
+    new = modded.unionByName(inserted)
+    return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@query(
     "t18_novelty_score",
     """
     WITH tk AS (
@@ -6989,8 +7056,8 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a15_approx_distinct_audit n11_xml_roundtrip p18_mixture_resample
 # a21_cumulative_distinct a22_cohort_retention a23_activity_streaks
 # g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk
-# t18_novelty_score ss8_sq_topk), followed by the r5-remainder
-# backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
+# t18_novelty_score ss8_sq_topk j18_snapshot_diff), followed by the
+# r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [

@@ -228,3 +228,37 @@ def test_write_observed_counts_during_the_load(spark, tmp_path):
     metrics = write_observed(wh, df, "t", null_check_cols=["v"])
     assert metrics == {"n_rows": 4, "nulls_v": 2}
     assert wh.read("t").count() == 4
+
+
+def test_snapshot_diff_then_merge_reproduces_the_new_snapshot(spark, tmp_path):
+    """snapshot_diff and merge_upsert are inverses: extracting the
+    change set between two snapshots and APPLYING it through the
+    merge machinery must land exactly the new snapshot — the law that
+    makes snapshot-diff output a valid CDC feed."""
+    from dot_spark.loads import Warehouse
+    from dot_spark.operators.relational import snapshot_diff
+
+    old_rows = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)]
+    new_rows = [(1, "a", 10.0), (2, "B", 25.0), (4, "d", 40.0), (5, "e", 50.0)]
+    schema = "k long, s string, v double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    diff = snapshot_diff(old, new, keys=["k"])
+    got = {(r["k"], r["change_type"]) for r in diff.collect()}
+    assert got == {(2, "updated"), (3, "deleted"), (5, "inserted")}
+
+    # turn the diff into a merge change-set: new-side rows for
+    # upserts, key-only tombstones for deletes
+    upserts = diff.filter(F.col("change_type") != "deleted").join(
+        new, on="k"
+    ).select("k", "s", "v", F.lit(False).alias("is_delete"))
+    deletes = diff.filter(F.col("change_type") == "deleted").select(
+        "k", F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("double").alias("v"), F.lit(True).alias("is_delete"),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(old, "snap")
+    wh.merge_upsert(upserts.unionByName(deletes), "snap", ["k"], delete_col="is_delete")
+    got_rows = sorted(map(tuple, wh.read("snap").collect()))
+    assert got_rows == sorted(new_rows)
