@@ -2389,6 +2389,80 @@ def ss4_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w12_ewma_smooth",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+      FROM events WHERE event_type = 'click')
+    SELECT user_id, event_id,
+           ROUND(
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(xs)),
+                   j -> xs[j] * pow(0.5, len(xs) - j))),
+               (acc, x) -> acc + x)
+             * (1 - 0.5) / (1 - pow(0.5, len(xs))),
+             4) AS ewma
+    FROM w
+    """,
+)
+def w12_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over a bounded trailing
+    window (last 10 observations per user, decay 0.5, truncated-
+    normalized) — the smoothing pass monitoring/quality dashboards
+    run. The decay is deliberately binary-exact (1/2): every weight
+    multiply is then exact scaling, so the raw doubles are
+    bit-identical across engines and the exact value can never land
+    on a decimal half-boundary (decay 0.6 produced exact-half EWMA
+    values — terminating base-10 rationals — where Spark's
+    decimal-exact HALF_UP and DuckDB's multiply-then-round disagreed
+    on the float just below the boundary; measured, one row at
+    sf0.01). The recursive EWMA definition doesn't fit a distributed
+    window; the bounded form does: collect the trailing frame ONCE
+    per row (the same single per-key exchange every w-family op
+    pays), then the weighted fold is a pure codegen array expression
+    — no UDF, no second pass. The window order carries event_id as
+    tiebreak so frames are identical across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    xs = F.collect_list("value").over(w)
+    n = F.size(F.col("xs"))
+    weighted = F.aggregate(
+        F.zip_with(
+            F.col("xs"),
+            F.sequence(F.lit(1), n),
+            lambda x, j: x * F.pow(F.lit(0.5), (n - j).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ev.select("user_id", "event_id", F.col("value"), xs.alias("xs"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                weighted
+                * (F.lit(1.0) - F.lit(0.5))
+                / (F.lit(1.0) - F.pow(F.lit(0.5), n.cast("double"))),
+                4,
+            ).alias("ewma"),
+        )
+    )
+
+
+@query(
     "j18_snapshot_diff",
     """
     WITH snap_a AS (SELECT * FROM orders),
@@ -7056,8 +7130,9 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a15_approx_distinct_audit n11_xml_roundtrip p18_mixture_resample
 # a21_cumulative_distinct a22_cohort_retention a23_activity_streaks
 # g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk
-# t18_novelty_score ss8_sq_topk j18_snapshot_diff), followed by the
-# r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
+# t18_novelty_score ss8_sq_topk j18_snapshot_diff w12_ewma_smooth),
+# followed by the r5-remainder backfill (j9/a9/a11/s11/pl4 first,
+# then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
