@@ -402,23 +402,31 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     assert non_keys == [c for c in new.columns if c not in keys], (
         "snapshot_diff requires identical schemas"
     )
-    o = old.alias("o")
-    n = new.alias("n")
+    # presence is detected via marker columns, NOT key nullness: a
+    # data row whose key column is NULL would otherwise read as
+    # "absent" and be misclassified (and the key join itself is
+    # null-safe, so two NULL-keyed rows compare as the same key)
+    o = old.withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("n")
     cond = None
     for c in keys:
-        eq = F.col(f"o.{c}") == F.col(f"n.{c}")
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         cond = eq if cond is None else cond & eq
     joined = o.join(n, on=cond, how="full_outer")
     same = F.lit(True)
     for c in non_keys:
         same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-    okey, nkey = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
     change = (
-        F.when(okey.isNull(), F.lit("inserted"))
-        .when(nkey.isNull(), F.lit("deleted"))
+        F.when(F.col("o.__in_old").isNull(), F.lit("inserted"))
+        .when(F.col("n.__in_new").isNull(), F.lit("deleted"))
         .when(~same, F.lit("updated"))
     )
-    out_keys = [F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c) for c in keys]
+    out_keys = [
+        F.when(F.col("o.__in_old").isNotNull(), F.col(f"o.{c}"))
+        .otherwise(F.col(f"n.{c}"))
+        .alias(c)
+        for c in keys
+    ]
     return (
         joined.select(*out_keys, change.alias("change_type"))
         .filter(F.col("change_type").isNotNull())

@@ -497,9 +497,9 @@ def mmr_topk(
 ) -> DataFrame:
     """Diversified top-k via Maximal Marginal Relevance (Carbonell &
     Goldstein SIGIR'98): greedily pick the candidate maximizing
-    0.7*sim(query, cand) - 0.3*max(sim(cand, already-selected)) — the
-    retrieval pass that keeps a RAG context window from filling with
-    near-duplicates of one document.
+    (2*sim(query, cand) - max(sim(cand, already-selected))) / 3
+    (lambda = 2/3) — the retrieval pass that keeps a RAG context
+    window from filling with near-duplicates of one document.
 
     Scale shape: relevance does the heavy lifting ONCE
     (brute_force_topk — swap in ivf/lsh_topk upstream at scale); the
@@ -521,18 +521,26 @@ def mmr_topk(
         corpus_id=corpus_id, corpus_vec=corpus_vec,
     ).select(query_id, corpus_id, "cos_sim").localCheckpoint(eager=True)
 
-    ce = cand.join(
-        corpus.select(corpus_id, corpus_vec), on=corpus_id
-    ).select(query_id, F.col(corpus_id), F.col(corpus_vec))
+    ce = (
+        cand.join(corpus.select(corpus_id, corpus_vec), on=corpus_id)
+        .select(
+            query_id,
+            F.col(corpus_id),
+            F.col(corpus_vec),
+            norm(F.col(corpus_vec)).alias("__n"),
+        )
+    )
     a = ce.select(
         query_id,
         F.col(corpus_id).alias("a_id"),
         F.col(corpus_vec).alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = ce.select(
         query_id,
         F.col(corpus_id).alias("b_id"),
         F.col(corpus_vec).alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     pair = (
         a.join(b, on=query_id)
@@ -541,27 +549,45 @@ def mmr_topk(
             query_id,
             "a_id",
             "b_id",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim_ab"),
+            # norms precomputed once per vector, not per ordered pair
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("sim_ab"),
         )
         .localCheckpoint(eager=True)
     )
 
-    # round 1: penalty is 0 by definition -> argmax of relevance
-    pick = F.expr(
-        f"max_by(struct({corpus_id} AS sel_id, __m AS m), struct(__m, -{corpus_id}))"
+    # argmax per query = row_number over (__m DESC, id ASC): works for
+    # any orderable id type (no SQL-string interpolation of the id)
+    wpick = Window.partitionBy(query_id).orderBy(
+        F.col("__m").desc(), F.col(corpus_id).asc()
     )
-    selected = (
-        cand.withColumn("__m", F.lit(0.7) * F.col("cos_sim"))
-        .groupBy(query_id)
-        .agg(pick.alias("p"))
-        .select(
-            query_id,
-            F.lit(1).alias("sel_rank"),
-            F.col("p.sel_id").alias(corpus_id),
-            F.round("p.m", 6).alias("mmr_score"),
+
+    def _pick(scored, rank):
+        return (
+            scored.withColumn("__rn", F.row_number().over(wpick))
+            .filter(F.col("__rn") == 1)
+            .select(
+                query_id,
+                F.lit(rank).alias("sel_rank"),
+                corpus_id,
+                F.round("__m", 6).alias("mmr_score"),
+            )
         )
-        .localCheckpoint(eager=True)
-    )
+
+    # MMR weights are THIRDS — (2*sim - penalty) / 3, i.e. lambda=2/3
+    # — deliberately non-terminating in base 10: over 6-dp-rounded
+    # inputs the exact score is k/3 * 1e-6, which sits >= 1.6e-7 away
+    # from every 6-dp half-boundary, so the two engines' ROUNDs can
+    # never be split by a 1-ULP float difference (terminating weights
+    # like 0.7/0.3 produce exact-boundary scores — the w12 lesson).
+    selected = _pick(
+        cand.withColumn(
+            "__m", (F.lit(2.0) * F.col("cos_sim") - F.lit(0.0)) / F.lit(3.0)
+        ),
+        1,
+    ).localCheckpoint(eager=True)
     for r in range(2, k + 1):
         remaining = cand.join(
             selected.select(query_id, corpus_id), on=[query_id, corpus_id], how="left_anti"
@@ -573,29 +599,27 @@ def mmr_topk(
             )
             .groupBy(query_id, "a_id")
             .agg(F.max("sim_ab").alias("pen"))
+            # disambiguate before the join below — self-derived
+            # lineages make remaining[query_id] == pen[query_id]
+            # ambiguous to the analyzer
+            .select(
+                F.col(query_id).alias("__pq"),
+                F.col("a_id").alias("__pa"),
+                "pen",
+            )
         )
         scored = remaining.join(
             pen,
-            on=(remaining[query_id] == pen[query_id])
-            & (remaining[corpus_id] == pen["a_id"]),
+            on=(F.col(query_id) == F.col("__pq"))
+            & (F.col(corpus_id) == F.col("__pa")),
         ).select(
-            remaining[query_id].alias(query_id),
-            remaining[corpus_id].alias(corpus_id),
+            query_id,
+            corpus_id,
             (
-                F.lit(0.7) * F.col("cos_sim") - F.lit(0.3) * F.col("pen")
+                (F.lit(2.0) * F.col("cos_sim") - F.col("pen")) / F.lit(3.0)
             ).alias("__m"),
         )
-        nxt = (
-            scored.groupBy(query_id)
-            .agg(pick.alias("p"))
-            .select(
-                query_id,
-                F.lit(r).alias("sel_rank"),
-                F.col("p.sel_id").alias(corpus_id),
-                F.round("p.m", 6).alias("mmr_score"),
-            )
-        )
-        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+        selected = selected.unionByName(_pick(scored, r)).localCheckpoint(eager=True)
     return selected
 
 
@@ -667,15 +691,19 @@ def sq_topk(
     from dot_spark.operators.textdedup import spread_small_input
 
     mins, maxs = train_sq_minmax(corpus, corpus_vec)
-    c = spread_small_input(corpus).withColumn(
-        "__deq", _sq_dequant(F.col(corpus_vec), mins, maxs)
+    # reconstructed vector AND its norm computed once per corpus row,
+    # never per (query, row) pair (the brute_force_topk norm rule)
+    c = (
+        spread_small_input(corpus)
+        .withColumn("__deq", _sq_dequant(F.col(corpus_vec), mins, maxs))
+        .withColumn("__dn", norm(F.col("__deq")))
     )
     q = F.broadcast(queries.withColumn("__qn", norm(F.col(query_vec))))
     approx = q.crossJoin(c).withColumn(
         "approx_sim",
         F.round(
             dot(F.col(query_vec), F.col("__deq"))
-            / (F.col("__qn") * norm(F.col("__deq"))),
+            / (F.col("__qn") * F.col("__dn")),
             6,
         ),
     )
@@ -688,12 +716,15 @@ def sq_topk(
         .select(query_id, query_vec, "__qn", corpus_id)
     )
     exact = cand.join(
-        corpus.select(corpus_id, corpus_vec), on=corpus_id
+        corpus.select(
+            corpus_id, corpus_vec
+        ).withColumn("__cn", norm(F.col(corpus_vec))),
+        on=corpus_id,
     ).withColumn(
         "cos_sim",
         F.round(
             dot(F.col(query_vec), F.col(corpus_vec))
-            / (F.col("__qn") * norm(F.col(corpus_vec))),
+            / (F.col("__qn") * F.col("__cn")),
             6,
         ),
     )

@@ -324,45 +324,3 @@ def quality_filter(
     )
     return scored.withColumn("verdict", verdict)
 
-
-def novelty_scores(docs, n: int = 3, id_col: str = "doc_id", text_col: str = "text"):
-    """Per-document n-gram novelty: the fraction of a doc's distinct
-    shingles that appear in NO other document (df == 1) — the
-    duplication-pressure signal data curation ranks on (a doc whose
-    shingles are all corpus-repeats is boilerplate or a near-dup even
-    when no single pair-mining pass catches it).
-
-    Scale shape: one shingle sweep (textdedup.shingle_rows, zero
-    shuffle), per-doc distinct, then the document-frequency count
-    runs on xxhash64(shingle) — an 8-byte exchange key instead of the
-    shingle text (the dd4b inverted-index trick; a 64-bit collision
-    at corpus scale is ~n²/2⁶⁵ and would off-by-one a single df).
-    The df table joins back on the same key, so the exchange is
-    reused, and the final per-doc rollup is a partial agg.
-    """
-    from pyspark.sql import functions as F
-
-    from dot_spark.operators.textdedup import shingle_rows
-
-    sh = (
-        shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
-        .select(id_col, F.xxhash64("shingle").alias("sk"))
-        .distinct()
-    )
-    dfc = sh.groupBy("sk").agg(F.count(F.lit(1)).alias("df"))
-    per = (
-        sh.join(dfc, on="sk")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_shingles"),
-        )
-    )
-    return per.select(
-        id_col,
-        "n_shingles",
-        "n_dup_shingles",
-        F.round(
-            F.lit(1) - F.col("n_dup_shingles") / F.col("n_shingles"), 4
-        ).alias("novelty"),
-    )

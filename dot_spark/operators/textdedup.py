@@ -844,3 +844,49 @@ def lsh_candidate_pairs_incremental(
         )
         .distinct()
     )
+
+
+def novelty_scores(docs, n: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    shingles that appear in NO other document (df == 1) — the
+    duplication-pressure signal data curation ranks on (a doc whose
+    shingles are all corpus-repeats is boilerplate or a near-dup even
+    when no single pair-mining pass catches it). Lives here beside
+    shingle_rows because — unlike the text.py column-expression
+    family — it shuffles (df count + join-back).
+
+    Scale shape: one shingle sweep (zero shuffle), per-doc distinct,
+    then the document-frequency count runs on xxhash64(shingle) — an
+    8-byte exchange key instead of the shingle text (the dd4b
+    inverted-index trick; a 64-bit collision at corpus scale is
+    ~n²/2⁶⁵ and would off-by-one a single df). The df table joins
+    back on the same key (exchange reused) and the per-doc rollup is
+    a partial agg. NULL-shingle rows (a NULL text normalizes to a
+    NULL shingle, and xxhash64(NULL) is the seed — NOT null — so two
+    NULL docs would count each other as duplicates) are filtered: a
+    NULL-text doc has no shingles and no novelty row, matching the
+    oracle's UNNEST semantics.
+    """
+    sh = (
+        shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+        .filter(F.col("shingle").isNotNull())
+        .select(id_col, F.xxhash64("shingle").alias("sk"))
+        .distinct()
+    )
+    dfc = sh.groupBy("sk").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(dfc, on="sk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_shingles"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_shingles",
+        "n_dup_shingles",
+        F.round(
+            F.lit(1) - F.col("n_dup_shingles") / F.col("n_shingles"), 4
+        ).alias("novelty"),
+    )

@@ -2396,7 +2396,7 @@ def ss4_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              list(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
-      FROM events WHERE event_type = 'click')
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL)
     SELECT user_id, event_id,
            ROUND(
              list_reduce(
@@ -2428,8 +2428,11 @@ def w12_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak so frames are identical across engines."""
     from pyspark.sql import Window
 
+    # value IS NOT NULL on BOTH sides: Spark's collect_list silently
+    # skips NULLs while DuckDB's list() keeps them — a NULL value in
+    # any trailing frame would give the engines different frames
     ev = load_table(spark, "events", sf_dir).filter(
-        F.col("event_type") == "click"
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
     )
     w = (
         Window.partitionBy("user_id")
@@ -2559,10 +2562,10 @@ def t18_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pair-mining pass flags. One zero-shuffle shingle sweep,
     df counting on the 8-byte xxhash64 key (dd4b's inverted-index
     trick), exchange reused for the join-back, partial-agg rollup
-    (operators/text.py:novelty_scores). The oracle recomputes df on
+    (operators/textdedup.py:novelty_scores). The oracle recomputes df on
     the raw shingle strings — a hash collision or sweep divergence
     breaks the match."""
-    from dot_spark.operators.text import novelty_scores
+    from dot_spark.operators.textdedup import novelty_scores
 
     docs = load_table(spark, "documents", sf_dir)
     return novelty_scores(docs, n=3)
@@ -2656,14 +2659,16 @@ _PAIR_COS_SQL = """
 def _ss7_oracle_sql(k: int = 5, pool: int = 20) -> str:
     """ss7's oracle replays the identical greedy MMR rounds as
     chained CTEs (the g1 mechanism): every similarity the argmax
-    compares is rounded to 6 dp first, so the greedy path — argmax of
-    0.7*relevance - 0.3*max-sim-to-selected with (score DESC, id)
-    tie-break — is engine-portable by construction."""
+    compares is rounded to 6 dp first, and the MMR weights are THIRDS
+    ((2*relevance - penalty) / 3, lambda = 2/3) so the exact score
+    never lands on a 6-dp half-boundary (see mmr_topk) — the greedy
+    path with (score DESC, id) tie-break is engine-portable by
+    construction."""
     rounds = []
     for r in range(2, k + 1):
         rounds.append(f"""m{r} AS (
       SELECT c.query_id, c.vec_id, c.cos_sim,
-             0.7 * c.cos_sim - 0.3 * MAX(p.sim_ab) AS m
+             (2 * c.cos_sim - MAX(p.sim_ab)) / 3 AS m
       FROM cand c
       JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.vec_id
       JOIN acc{r - 1} s ON s.query_id = p.query_id AND s.vec_id = p.b_id
@@ -2696,9 +2701,10 @@ def _ss7_oracle_sql(k: int = 5, pool: int = 20) -> str:
       FROM ce a JOIN ce b
         ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
     acc1 AS (
-      SELECT query_id, 1 AS sel_rank, vec_id, ROUND(0.7 * cos_sim, 6) AS mmr_score
+      SELECT query_id, 1 AS sel_rank, vec_id,
+             ROUND((2 * cos_sim - 0) / 3, 6) AS mmr_score
       FROM (SELECT *, ROW_NUMBER() OVER (
-              PARTITION BY query_id ORDER BY 0.7 * cos_sim DESC, vec_id) AS rn
+              PARTITION BY query_id ORDER BY (2 * cos_sim - 0) / 3 DESC, vec_id) AS rn
             FROM cand)
       WHERE rn = 1),
     {chain}
@@ -2712,7 +2718,7 @@ def ss7_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: greedy Maximal Marginal Relevance
     (Carbonell & Goldstein SIGIR'98) over a brute-force candidate
     pool — pick 5 of 20 maximizing 0.7*relevance minus 0.3*max
-    similarity to what's already picked, the pass that keeps a RAG
+    similarity to what's already picked)/3, the pass that keeps a RAG
     context from filling with near-duplicates of one document. The
     greedy rounds are pure codegen DataFrame ops on the (tiny,
     checkpointed) pool and pairwise-sim tables — no UDF — and every
@@ -7103,8 +7109,10 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # g2_triangle_count, g3_bfs_levels, j17_multihop_topk,
 # t17_bpe_encode, a21_cumulative_distinct, a22_cohort_retention,
 # p18_mixture_resample, n11_xml_roundtrip, a23_activity_streaks,
-# ss7_mmr_topk) — all of which pass the local driver-gate replica at
-# sf0.01 — have no official row yet. 69 exceeds the 50-query window.
+# ss7_mmr_topk, t18_novelty_score, ss8_sq_topk, j18_snapshot_diff,
+# w12_ewma_smooth) — all of which pass the local driver-gate replica
+# at sf0.01 — have no official row yet. 73 exceeds the 50-query
+# window.
 # READY-MADE r8 WINDOW (the first 50 never-gated in registration
 # order, computed against CORRECTNESS_r01-r06 + this round's window;
 # swap this list into _WINDOW_PRIORITY at the start of round 8):
@@ -7124,7 +7132,7 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   a20_share_of_total f15_array_sort_comparator t14_stopword_stem
 #   f14_map_functions n9_nested_json_explode a19_percentile_sketch_audit
 #   a17_global_topk f12_bitwise_aggs f13_calendar_arith
-# The remaining 20 lead r9 (s15_text_log_source p16_fixed_k_per_stratum
+# The remaining 23 lead r9 (s15_text_log_source p16_fixed_k_per_stratum
 # pl8_merge_upsert a16_grouping_sets n8_malformed_json_audit
 # t16_langid_accuracy mm5_audio_rms ss6_label_centroids mm4_image_resize
 # a15_approx_distinct_audit n11_xml_roundtrip p18_mixture_resample

@@ -262,3 +262,24 @@ def test_snapshot_diff_then_merge_reproduces_the_new_snapshot(spark, tmp_path):
     wh.merge_upsert(upserts.unionByName(deletes), "snap", ["k"], delete_col="is_delete")
     got_rows = sorted(map(tuple, wh.read("snap").collect()))
     assert got_rows == sorted(new_rows)
+
+
+def test_snapshot_diff_null_keys_classified_correctly(spark):
+    """NULL-keyed rows are data, not absence: a NULL-key row present
+    only in old is 'deleted' (not 'inserted'), and a NULL-key row
+    identical in both snapshots is unchanged — presence must come
+    from marker columns, the key join from null-safe equality."""
+    from dot_spark.operators.relational import snapshot_diff
+
+    schema = "k string, v long"
+    old = spark.createDataFrame([(None, 1), ("a", 2)], schema)
+    new = spark.createDataFrame([("a", 2)], schema)
+    got = {(r["k"], r["change_type"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {(None, "deleted")}
+
+    both = spark.createDataFrame([(None, 1), ("a", 2)], schema)
+    assert snapshot_diff(both, both, ["k"]).count() == 0
+
+    upd = spark.createDataFrame([(None, 9), ("a", 2)], schema)
+    got2 = {(r["k"], r["change_type"]) for r in snapshot_diff(both, upd, ["k"]).collect()}
+    assert got2 == {(None, "updated")}

@@ -623,7 +623,10 @@ def test_mmr_diversifies_against_a_duplicate_cluster(spark):
     sel = mmr_topk(q, emb, k=5, pool=10).collect()
     picked = [r["vec_id"] for r in sorted(sel, key=lambda r: r["sel_rank"])]
     assert picked[0] == 3  # rank-1 is the brute top-1
-    assert set(picked[1:3]) == {4, 5}, picked  # diversity beats clones
+    # lambda=2/3: ranks 2-4 are the three diverse vectors, exactly as
+    # the independent pure-Python greedy model predicts
+    assert set(picked[1:4]) == {4, 5, 6}, picked
+    assert sum(1 for v in picked if v <= 3) <= 2, picked
     assert len(set(picked)) == 5
     # determinism: a second run selects the identical ranked list
     sel2 = mmr_topk(q, emb, k=5, pool=10).collect()
