@@ -4224,6 +4224,43 @@ def a11_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a24_mad_robust",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1)
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(m.med), 2) AS median_value,
+           ROUND(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def a24_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic outlier-contaminated metrics need (stddev is dragged by
+    the tail MAD ignores). Two grouped exact percentile passes over
+    the SAME event_type exchange with the |groups|-row median table
+    broadcast between them; at 100 TB both swap to approx_percentile
+    exactly as a11 documents. Both engines use the continuous
+    (interpolated) quantile, so values pin exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 2).alias("median_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
+            ).alias("mad"),
+        )
+    )
+
+
 def _pl7_oracle_sql() -> str:
     """pl7's composed oracle: the c3 verdict SQL picks the quality
     keeps, pl5's dedup skeleton (dd1 + dd2 + dd8) runs over them,
@@ -7138,9 +7175,9 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a15_approx_distinct_audit n11_xml_roundtrip p18_mixture_resample
 # a21_cumulative_distinct a22_cohort_retention a23_activity_streaks
 # g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk
-# t18_novelty_score ss8_sq_topk j18_snapshot_diff w12_ewma_smooth),
-# followed by the r5-remainder backfill (j9/a9/a11/s11/pl4 first,
-# then r6 rows).
+# t18_novelty_score ss8_sq_topk j18_snapshot_diff w12_ewma_smooth
+# a24_mad_robust — with it the count above becomes 74), followed by
+# the r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
