@@ -26,8 +26,10 @@ sync-date partitions for ST2 incremental reads).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import urllib.parse
 import uuid
 from collections.abc import Callable, Iterable, Sequence
 
@@ -135,6 +137,7 @@ class Warehouse:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(self.path(table))
+        self._record_partition_cols(table, partition_cols, df)
 
     # --- bucketed layout for co-located joins ------------------------------
 
@@ -255,11 +258,56 @@ class Warehouse:
         self.write(out, staging, "truncate", partition_cols=partition_cols)
         self.promote(staging, table)
 
+    _META_NAME = "_dot_spark_table.json"
+
+    def _record_partition_cols(
+        self, table: str, partition_cols: Sequence[str], df: DataFrame
+    ) -> None:
+        """Persist the table's partition spec (and schema DDL) in a
+        root-level `_`-prefixed metadata file — the warehouse's
+        stand-in for a table format's catalog entry. Layout inference
+        from `key=value` directories has AMNESIA: a partitioned table
+        emptied by CDC deletes (every partition dir removed) or
+        written empty forgets it was partitioned, and the next merge
+        would silently flatten it. Spark's parquet reader skips
+        `_`-prefixed files, so the marker is invisible to scans."""
+        meta = {
+            "partition_cols": list(partition_cols),
+            "schema_ddl": df.schema.simpleString()[7:-1]
+            if df.schema.fields
+            else "",
+        }
+        with open(os.path.join(self.path(table), self._META_NAME), "w") as f:
+            json.dump(meta, f)
+
+    def _table_meta(self, table: str) -> dict | None:
+        p = os.path.join(self.path(table), self._META_NAME)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def has_data_files(self, table: str) -> bool:
+        """True iff the table directory holds at least one data file
+        (metadata `_`/`.` files don't count) — an EMPTIED table (all
+        rows CDC-deleted) exists but has none, and reading it would
+        fail schema inference."""
+        for _, _, files in os.walk(self.path(table)):
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+
     def partition_cols_of(self, table: str) -> list[str]:
-        """Detect the hive partition columns of an on-disk table from
-        its `key=value` directory levels (outermost first). On a real
+        """Partition columns of a table: the recorded metadata when
+        present (survives an emptied table), else inferred from the
+        `key=value` directory levels (outermost first) — the fallback
+        for tables written outside Warehouse.write. On a real
         lakehouse this comes from the table format's metadata; the
-        local warehouse reads the layout itself."""
+        local warehouse keeps its own marker."""
+        meta = self._table_meta(table)
+        if meta is not None:
+            return list(meta["partition_cols"])
         cols: list[str] = []
         d = self.path(table)
         while True:
@@ -274,6 +322,30 @@ class Warehouse:
                 return cols
             cols.append(keys.pop())
             d = os.path.join(d, subdirs[0])
+
+    def _remove_partition_dir(
+        self, table: str, pcols: Sequence[str], vals: Sequence[str | None]
+    ) -> None:
+        """Remove one hive partition directory, matching on DECODED
+        values: Spark %-escapes special characters in `key=value`
+        path segments (and writes NULL as __HIVE_DEFAULT_PARTITION__),
+        so the on-disk name is matched by unquoting each candidate
+        rather than re-implementing the escaper."""
+        d = self.path(table)
+        for c, v in zip(pcols, vals):
+            want = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            step = None
+            for entry in os.listdir(d):
+                if "=" not in entry or not os.path.isdir(os.path.join(d, entry)):
+                    continue
+                k, raw = entry.split("=", 1)
+                if k == c and urllib.parse.unquote(raw) == want:
+                    step = os.path.join(d, entry)
+                    break
+            if step is None:  # already gone (or never existed: pure-insert batch)
+                return
+            d = step
+        shutil.rmtree(d, ignore_errors=True)
 
     def merge_upsert(
         self,
@@ -303,22 +375,65 @@ class Warehouse:
           insert.
         - Unpartitioned tables stage a full rewrite and promote
           atomically (readers never see a half-merged table).
+
+        Delete semantics: a NULL ``delete_col`` flag means NOT a
+        delete (the standard CDC convention — absent flag == change
+        row); the row upserts. Partition scoping derives from ALL
+        change rows, deletes included, so a partition whose batch
+        slice is delete-only is still rewritten; a partition EMPTIED
+        by deletes (zero surviving rows — dynamic overwrite cannot
+        replace a partition it writes no rows to) has its directory
+        removed explicitly.
         """
         key_cols = list(key_cols)
         if delete_col is not None:
-            upserts = updates.filter(~F.col(delete_col)).drop(delete_col)
-            touched = updates.select(*key_cols)
+            is_delete = F.coalesce(F.col(delete_col), F.lit(False))
+            upserts = updates.filter(~is_delete).drop(delete_col)
         else:
             upserts = updates
-            touched = updates.select(*key_cols)
+        touched = updates.select(*key_cols)
 
         pcols = self.partition_cols_of(table)
+        # an EMPTIED target (all rows previously CDC-deleted) has no
+        # readable data files: there is nothing to keep or delete, so
+        # the merge degenerates to writing the upserts
+        target_empty = not self.has_data_files(table)
         if pcols:
+            if target_empty:
+                (
+                    upserts.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*pcols)
+                    .parquet(self.path(table))
+                )
+                return
             target = self.read(table)
-            touched_parts = upserts.select(*pcols).distinct()
+            # scope from ALL change rows: a delete-only partition must
+            # still be read and rewritten or its deletes are lost
+            touched_parts = updates.select(*pcols).distinct()
             scoped = target.join(F.broadcast(touched_parts), pcols, "left_semi")
             kept = scoped.join(F.broadcast(touched), key_cols, "left_anti")
             merged = kept.unionByName(upserts)
+            emptied: set[tuple] = set()
+            if delete_col is not None:
+                # Partitions with zero surviving rows never appear in
+                # the dynamic-overwrite output, so their stale
+                # directories would resurrect the deleted rows. Both
+                # collects are bounded by the batch's DISTINCT
+                # partition values (CDC-batch-sized, never
+                # table-sized), and survivors must come from `merged`
+                # BEFORE the write — reading the table back afterward
+                # would see exactly the stale directories we're
+                # hunting. Cost: one extra pass over the scoped slice,
+                # paid only when deletes are possible.
+                as_str = [F.col(c).cast("string") for c in pcols]
+                survivors = {
+                    tuple(r) for r in merged.select(*as_str).distinct().collect()
+                }
+                emptied = {
+                    tuple(r)
+                    for r in touched_parts.select(*as_str).distinct().collect()
+                } - survivors
             # dynamic partition overwrite: only the partitions present
             # in `merged` are replaced; untouched directories survive
             (
@@ -327,10 +442,15 @@ class Warehouse:
                 .partitionBy(*pcols)
                 .parquet(self.path(table))
             )
+            for vals in emptied:
+                self._remove_partition_dir(table, pcols, vals)
         else:
-            target = self.read(table)
-            kept = target.join(F.broadcast(touched), key_cols, "left_anti")
-            merged = kept.unionByName(upserts)
+            if target_empty:
+                merged = upserts
+            else:
+                target = self.read(table)
+                kept = target.join(F.broadcast(touched), key_cols, "left_anti")
+                merged = kept.unionByName(upserts)
             staging = f"{table}.merge-{uuid.uuid4().hex[:8]}"
             self.write(merged, staging, "truncate")
             self.promote(staging, table)

@@ -390,14 +390,22 @@ def streaming_cdc_apply(
 
     The ORDER contract is per-batch, not global: changes for a key
     arriving in DIFFERENT drops apply in drop order (later batch
-    wins), which is the standard CDC log-shipping assumption.
+    wins), which is the standard CDC log-shipping assumption. Within
+    a batch the collapse orders by ``seq_col`` and THEN by every
+    remaining change column, a deterministic total order: two
+    changes sharing (key, seq) pick the same winner on every replay
+    (rows still tied are byte-identical, so the choice is
+    immaterial), preserving the replay-idempotence contract.
     """
     from dot_spark.operators.dedup import dedupe_keep_latest
     from dot_spark.streaming.ingress import stream_jsonl_corpus
 
     def apply_batch(batch: DataFrame, _id: int) -> None:
+        others = [
+            c for c in batch.columns if c != seq_col and c not in key_cols
+        ]
         collapsed = dedupe_keep_latest(
-            batch, list(key_cols), [seq_col]
+            batch, list(key_cols), [seq_col, *others]
         ).drop(seq_col)
         wh.merge_upsert(collapsed, table, list(key_cols), delete_col=delete_col)
 

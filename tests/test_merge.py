@@ -88,6 +88,72 @@ def test_merge_upsert_delete_wins_on_same_key(spark, tmp_path):
     assert wh.read("t").count() == 0
 
 
+def test_partitioned_merge_applies_delete_only_batches(spark, tmp_path):
+    """A CDC batch whose slice for some partition is DELETE-ONLY must
+    still rewrite that partition: partition scoping derives from all
+    change rows, not just the upserts (scoping from upserts silently
+    dropped the deletes — they addressed a partition that was never
+    read or rewritten)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    target = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0), ("2024-01-02", 3, 30.0)],
+        "day string, k bigint, v double",
+    )
+    wh.write(target, "t", "truncate", partition_cols=["day"])
+    cdc = spark.createDataFrame(
+        [("2024-01-01", 1, None, True)],  # delete only, no upsert anywhere
+        "day string, k bigint, v double, is_delete boolean",
+    )
+    wh.merge_upsert(cdc, "t", ["day", "k"], delete_col="is_delete")
+    rows = {(str(r["day"]), r["k"]): r["v"] for r in wh.read("t").collect()}
+    assert rows == {("2024-01-01", 2): 20.0, ("2024-01-02", 3): 30.0}
+
+
+def test_partitioned_merge_drops_partition_emptied_by_deletes(spark, tmp_path):
+    """Deleting EVERY row of a partition must remove the partition:
+    dynamic partition overwrite writes zero rows there (so cannot
+    replace it), and a surviving stale directory would resurrect the
+    deleted rows on the next read."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    target = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 3, 30.0)],
+        "day string, k bigint, v double",
+    )
+    wh.write(target, "t", "truncate", partition_cols=["day"])
+    cdc = spark.createDataFrame(
+        [("2024-01-01", 1, None, True)],
+        "day string, k bigint, v double, is_delete boolean",
+    )
+    wh.merge_upsert(cdc, "t", ["day", "k"], delete_col="is_delete")
+    rows = {(str(r["day"]), r["k"]): r["v"] for r in wh.read("t").collect()}
+    assert rows == {("2024-01-02", 3): 30.0}
+    assert not os.path.isdir(os.path.join(wh.path("t"), "day=2024-01-01"))
+    # idempotent under replay: re-applying the same batch is a no-op
+    wh.merge_upsert(cdc, "t", ["day", "k"], delete_col="is_delete")
+    rows2 = {(str(r["day"]), r["k"]): r["v"] for r in wh.read("t").collect()}
+    assert rows2 == rows
+
+
+def test_merge_upsert_null_delete_flag_is_an_upsert(spark, tmp_path):
+    """NULL delete flag means NOT a delete (the CDC convention:
+    absent flag == change row). Previously ~NULL filtered the row out
+    of the upserts while its key stayed in the touched set — the row
+    was silently deleted, the opposite of the convention."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"),
+        "t",
+        "truncate",
+    )
+    cdc = spark.createDataFrame(
+        [(1, 9.0, None), (3, 3.0, None)],  # NULL flags: update + insert
+        "k bigint, v double, is_delete boolean",
+    )
+    wh.merge_upsert(cdc, "t", ["k"], delete_col="is_delete")
+    rows = {r["k"]: r["v"] for r in wh.read("t").collect()}
+    assert rows == {1: 9.0, 2: 2.0, 3: 3.0}
+
+
 def test_merge_upsert_is_idempotent(spark, tmp_path):
     """Applying the SAME CDC batch twice must be a no-op the second
     time — the at-least-once delivery contract: a replayed batch

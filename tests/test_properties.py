@@ -674,6 +674,71 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, target, batche
 
 
 @given(
+    target=st.dictionaries(st.integers(0, 11), st.integers(0, 50), min_size=1, max_size=8),
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 11),         # key
+                st.integers(0, 50),         # value
+                st.booleans(),              # is_delete
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_partitioned_merge_matches_dict_model_under_partition_evolution(
+    spark, tmp_path_factory, target, batches
+):
+    """The dict-model law over a HIVE-PARTITIONED target whose
+    partition set EVOLVES across the CDC sequence: partition = k % 3
+    (stable per key — the CDC contract), inserts may land in
+    partitions the target never had (growth), a batch may delete a
+    partition's every row (shrink — including emptying the whole
+    table mid-sequence, after which later batches must still apply),
+    and at the end the on-disk partition directories must track the
+    surviving keys exactly: a stale directory would resurrect deleted
+    rows on the next read."""
+    import os
+
+    from dot_spark.loads import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    schema = "p bigint, k bigint, v bigint"
+    rows = [(k % 3, k, v) for k, v in target.items()]
+    wh.write(spark.createDataFrame(rows, schema), "t", "truncate", partition_cols=["p"])
+
+    model = dict(target)
+    for batch in batches:
+        collapsed = {}
+        for k, v, d in batch:                   # last change per key wins
+            collapsed[k] = (k, v, d)
+        cdc_rows = [(k % 3, k, v, d) for (k, v, d) in collapsed.values()]
+        cdc = spark.createDataFrame(
+            cdc_rows, "p bigint, k bigint, v bigint, is_delete boolean"
+        )
+        wh.merge_upsert(cdc, "t", ["k"], delete_col="is_delete")
+        for k, v, d in collapsed.values():
+            if d:
+                model.pop(k, None)
+            else:
+                model[k] = v
+
+    got = (
+        {r["k"]: r["v"] for r in wh.read("t").collect()}
+        if wh.has_data_files("t")
+        else {}
+    )
+    assert got == model
+    dirs = {e for e in os.listdir(wh.path("t")) if e.startswith("p=")}
+    assert dirs == {f"p={k % 3}" for k in model}
+
+
+@given(
     events=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 2)),
         min_size=1,
