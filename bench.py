@@ -70,6 +70,16 @@ HEADLINE = [
     "j17_multihop_topk",
     "a22_cohort_retention",
     "p18_mixture_resample",
+    # round-8: the iterative heavies join the headline (r7 verdict
+    # task 2). Plan pins catch SHAPE regressions, but a lost persist
+    # inside an iterative loop only surfaces as wall-time — so the
+    # loops themselves are bench-tracked: PageRank (g1, rank-table
+    # rounds), distributed BPE training (t13, merge rounds over the
+    # word vocab), and the SemDeDup composition (pl9, dd8 clusters ∘
+    # dd5b buckets).
+    "g1_pagerank",
+    "t13_bpe_merges",
+    "pl9_semdedup",
 ]
 
 # Round-over-round comparison target: the NEWEST BENCH_r*.json in

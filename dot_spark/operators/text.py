@@ -267,6 +267,142 @@ def tfidf_top_terms(
     )
 
 
+def bm25_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k terms per document by Okapi BM25 (Robertson et al.,
+    TREC-3) — the retrieval scorer TF-IDF approximates: term
+    frequency saturates (k1) and is normalized by document length
+    relative to the corpus average (b), so long documents can't win
+    on raw repetition. idf uses the non-negative smoothed form
+    ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape — same as tfidf_top_terms plus the length terms, at
+    no extra exchange: dl (doc token count) RIDES the explode as a
+    carried constant and joins the TF grouping key (constant per doc,
+    so group cardinality is unchanged — no second doc-keyed shuffle
+    to re-attach lengths); DF derives from the distinct (doc, term)
+    TF rows; (n_docs, avgdl) is ONE tiny aggregate cross-joined as a
+    broadcast literal. Ranking ties break on term asc over the
+    4-dp-ROUNDED score, so a distributed sum's last-ulp wiggle cannot
+    reorder the cut and the DuckDB oracle replays the identical
+    expression tree."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    terms = toked.select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    tf = terms.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toked.agg(
+        F.count_distinct(id_col).alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bm25",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl"))),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("bm25").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "bm25", "rank")
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocations scored by pointwise mutual information
+    (Church & Hanks, CL'90): pmi = ln(P(xy) / (P(x)P(y))) over
+    occurrence counts — the corpus-analysis pass that separates
+    'new york' (a unit) from 'of the' (chance co-occurrence of
+    frequent words). Computed as a sum of logs, ln(c_xy) +
+    2 ln(N_uni) - ln(N_bi) - ln(c_x) - ln(c_y): exact integer counts
+    feed each ln, the same expression tree the DuckDB oracle
+    evaluates, and products of counts can never overflow a long.
+
+    Scale shape: ONE token explode feeds the unigram counts and the
+    corpus total; the bigram sweep is shingle_rows' zero-shuffle
+    slice-explode; the |vocab|-row unigram table broadcasts back onto
+    the min-count-surviving bigrams (two broadcast hash joins, the
+    fact side never re-shuffles); both corpus totals are 1-row
+    broadcast literals."""
+    from dot_spark.operators.textdedup import shingle_rows
+
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
+    terms = df.select(F.explode(toks).alias("term"))
+    uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = terms.agg(F.count(F.lit(1)).alias("n_uni"))
+    bg = shingle_rows(df, id_col=id_col, text_col=text_col, n=2)
+    n_bi = bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    bc = (
+        bg.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .withColumn("__w", F.split("bigram", " "))
+        .filter(F.size("__w") == 2)
+        .select(
+            "bigram",
+            "c_xy",
+            F.col("__w")[0].alias("w1"),
+            F.col("__w")[1].alias("w2"),
+        )
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "__pmi",
+            F.round(
+                F.log("c_xy")
+                + 2 * F.log("n_uni")
+                - F.log("n_bi")
+                - F.log("c_x")
+                - F.log("c_y"),
+                4,
+            ),
+        )
+        .select(
+            "bigram",
+            "w1",
+            "w2",
+            "c_xy",
+            # normalize IEEE signed zero: a ~-1e-17 pre-round value
+            # rounds to -0.0, whose canonical repr differs from 0.0
+            # even though the values compare equal
+            F.when(F.col("__pmi") == 0, F.lit(0.0))
+            .otherwise(F.col("__pmi"))
+            .alias("pmi"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3068,6 +3068,81 @@ def st4_attribute_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st5_delayed_retry",
+    """
+    WITH s AS (
+      SELECT user_id % 200 AS job_id, event_id,
+             date_trunc('microseconds', ts) AS ts,
+             CASE WHEN event_type = 'error' THEN 'failure'
+                  ELSE 'success' END AS status,
+             CASE WHEN event_type = 'error' THEN
+                  CASE WHEN event_id % 7 = 0 THEN 'Auto-retry: ' ELSE '' END ||
+                  CASE WHEN COALESCE(value, 0) < 10 THEN 'timeout'
+                       ELSE 'quota' END
+             ELSE '' END AS cause
+      FROM events WHERE event_type IN ('error', 'purchase')),
+    rel AS (
+      SELECT * FROM s
+      WHERE status = 'success'
+         OR (status = 'failure' AND cause NOT LIKE 'Auto-retry:%')),
+    last_rel AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY job_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM rel)
+    SELECT job_id, 'retry' AS action, 'Auto-retry: ' || cause AS cause,
+           ts + INTERVAL 5 MINUTE AS retry_at
+    FROM last_rel WHERE rn = 1 AND status = 'failure'
+    """,
+)
+def st5_delayed_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 standalone (r7 verdict task 4): the delayed-retry
+    disposition over the event stream, previously official only via
+    pl3's composition. Events map to per-job status rows (error ->
+    failure with a synthesized cause, purchase -> success; every 7th
+    event's failure arrives ALREADY guard-prefixed to exercise the
+    loop guard), then delayed_retries_batch applies the ST5
+    transition table: a job retries iff its LAST relevant event is a
+    qualifying failure — a success supersedes
+    (docs/ARCHITECTURE.md:94,107), a guard-prefixed cause never
+    re-queues (dbt-classify/classifier.py:39-47) — emitting the
+    5-minute-delayed retry row (ARCHITECTURE.md:93,109). The oracle
+    is the same transition table in SQL. Equivalence of the batch
+    twin to the applyInPandasWithState timer machine is pinned in
+    tests/test_streaming.py.
+
+    Scale shape: the status projection pre-filters to
+    failures+successes (a sliver of the stream), then ONE keyed
+    window exchange; the retry emission is row-local.
+    """
+    from dot_spark.streaming.state import delayed_retries_batch
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    statuses = ev.select(
+        (F.col("user_id") % 200).alias("job_id"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", "failure")
+        .otherwise("success")
+        .alias("status"),
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(
+                F.when(F.col("event_id") % 7 == 0, F.lit("Auto-retry: ")).otherwise(
+                    F.lit("")
+                ),
+                F.when(F.coalesce(F.col("value"), F.lit(0)) < 10, F.lit("timeout"))
+                .otherwise(F.lit("quota")),
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("cause"),
+    )
+    return delayed_retries_batch(statuses)
+
+
+@query(
     "st7_drain_machine",
     """
     WITH s AS (
@@ -4100,6 +4175,84 @@ def t11_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 5)
     )
+
+
+@query(
+    "t19_bm25_topterms",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    terms AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM tk),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, AVG(len(toks)) AS avgdl
+              FROM tk),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             ROUND(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / avgdl)),
+             4) AS bm25
+      FROM tf t JOIN dfq USING (term) CROSS JOIN stats),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, bm25, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def t19_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by Okapi BM25 (k1=1.2, b=0.75) — the
+    saturating, length-normalized retrieval scorer TF-IDF (t9)
+    approximates. Doc length rides the explode as a carried constant
+    (no second doc-keyed shuffle); (n_docs, avgdl) is one broadcast
+    literal; the 4-dp-rounded score + term tiebreak make the rank cut
+    engine-portable."""
+    from dot_spark.operators.text import bm25_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_top_terms(docs, k=3)
+
+
+@query(
+    "t20_pmi_collocations",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    uni AS (SELECT UNNEST(toks) AS term FROM tk),
+    uc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+    bg AS (SELECT UNNEST(list_transform(
+             generate_series(1, greatest(1, len(toks) - 1)),
+             i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM tk),
+    nb AS (SELECT COUNT(*) AS n_bi FROM bg),
+    bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+           FROM bg GROUP BY 1 HAVING COUNT(*) >= 5),
+    sp AS (SELECT bigram, c_xy, string_split(bigram, ' ') AS w FROM bc),
+    p AS (SELECT bigram, c_xy, w[1] AS w1, w[2] AS w2 FROM sp WHERE len(w) = 2),
+    scored AS (
+      SELECT p.bigram, p.w1, p.w2, p.c_xy,
+             ROUND(ln(p.c_xy) + 2 * ln(n_uni) - ln(n_bi) - ln(u1.c) - ln(u2.c),
+                   4) AS pmi
+      FROM p JOIN uc u1 ON p.w1 = u1.term JOIN uc u2 ON p.w2 = u2.term
+      CROSS JOIN nu CROSS JOIN nb)
+    SELECT bigram, w1, w2, c_xy,
+           CASE WHEN pmi = 0 THEN 0.0 ELSE pmi END AS pmi
+    FROM scored
+    """,
+)
+def t20_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by pointwise mutual information (Church &
+    Hanks CL'90) with a min-count floor — separates true lexical
+    units from chance co-occurrence of frequent words. Sum-of-logs
+    over exact integer counts (overflow-free, engine-identical); one
+    token explode feeds unigram counts AND the corpus total; the
+    |vocab|-row unigram table broadcasts back onto the floor-
+    surviving bigrams."""
+    from dot_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pmi_collocations(docs, min_count=5)
 
 
 @query(
@@ -7151,8 +7304,8 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at sf0.01 — have no official row yet. 73 exceeds the 50-query
 # window.
 # READY-MADE r8 WINDOW (the first 50 never-gated in registration
-# order, computed against CORRECTNESS_r01-r06 + this round's window;
-# swap this list into _WINDOW_PRIORITY at the start of round 8):
+# order, computed against CORRECTNESS_r01-r06 + the r7 window;
+# SWAPPED INTO _WINDOW_PRIORITY at the start of round 8, as planned):
 #   dd13_minhash_estimator_audit dd9_chunk_dedup ss7_mmr_topk
 #   pl6_verified_dedup_pipeline j13_interval_overlap_join
 #   p12_train_val_test_split p13_token_budget_sample t11_bigram_counts
@@ -7176,38 +7329,37 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a21_cumulative_distinct a22_cohort_retention a23_activity_streaks
 # g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk
 # t18_novelty_score ss8_sq_topk j18_snapshot_diff w12_ewma_smooth
-# a24_mad_robust — with it the count above becomes 74), followed by
-# the r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
+# a24_mad_robust — with it the count above becomes 74; r8 added
+# st5_delayed_retry, t19_bm25_topterms, and t20_pmi_collocations,
+# which join the r9 leaders, making 27), followed by the
+# r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
 _WINDOW_PRIORITY = [
-    # (a) never-current: added/upgraded r6, first official gate now
-    "ss4_lsh_topk", "s13_jsonl_roundtrip", "s14_orc_roundtrip",
-    "dd8_dedup_clusters", "pl5_corpus_dedup_pipeline",
-    # (b) both upgraded this round to full oracles: f8 tamper-pattern,
-    #     ss3 replayed-training generated literals
-    "f8_hmac_sha256", "ss3_ivf_trained_topk",
-    # (c) backfill: newest official row is r05 (oldest-proven first)
-    "s1_scan_projection", "s2_paged_rest_scan", "s4_csv_parse",
-    "p1_schema_align", "p7_sentinel_null",
-    "j1_anti_join", "j5_parent_child_join",
-    "a1_group_having",
-    "w1_dedup_keep_latest", "w4_superseded_dedup",
-    "n2_explode_tokens", "n5_sticky_carry",
-    "st3_stream_corpus_dedup", "st4_attribute_fanout", "st7_drain_machine",
-    "pl1_okta_refresh", "pl3_event_retry_pipeline",
-    "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
-    "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
-    "dd5b_bucketed_neardup", "dd6_decontamination",
-    "dd7_embedding_decontamination",
-    "t1_token_stats", "t2_quality_score", "t7_repetition_ratio",
-    "t8_pii_scrub", "t9_tfidf_topterms", "t10_doc_chunking",
-    "c1_classify_runs", "c2_webhook_route", "c3_quality_filter",
-    "ss1_cosine_topk", "ss2_ivf_topk",
-    "mm1_decode_media", "mm2_media_features",
-    "p10_deterministic_sample", "p11_stratified_sample",
-    "w6_sessionize",
-    "j7_star_join_rollup", "j8_asof_join",
+    # ROUND-8 WINDOW: the first 50 never-officially-gated queries in
+    # registration order (the rotation plan committed in round 7 —
+    # see the block comment above; r7's window was 50/50 green, so
+    # every name here pays down the 74-query never-gated backlog).
+    # All 50 pass the local driver-gate replica (tools/oracle_check).
+    "dd13_minhash_estimator_audit", "dd9_chunk_dedup", "ss7_mmr_topk",
+    "pl6_verified_dedup_pipeline", "j13_interval_overlap_join",
+    "p12_train_val_test_split", "p13_token_budget_sample",
+    "t11_bigram_counts", "pl7_corpus_build_pipeline", "a12_cube_lattice",
+    "w7_moving_avg", "n7_unpivot",
+    "st8_session_window", "a14_gapfill_locf", "w9_scd2_history",
+    "a13_pivot_wide", "w8_topk_per_group", "t12_domain_stats",
+    "p14_weighted_sample", "p15_corpus_shuffle",
+    "f11_higher_order_arrays", "ss5_recall_eval",
+    "pl9_semdedup", "t13_bpe_merges", "t17_bpe_encode",
+    "dd11_lsh_quality_eval", "pl11_incremental_lsh", "pl10_record_linkage",
+    "w10_funnel_steps", "dd10_edit_distance_verify", "a18_winsorize",
+    "j14_attribution_join", "dd12_url_dedup", "t15_unigram_lm_score",
+    "n10_variant_access", "s17_bucketed_join", "s16_file_lineage",
+    "j16_tree_flatten", "c4_quality_ensemble", "p17_leakproof_split",
+    "w11_moving_zscore", "a20_share_of_total",
+    "f15_array_sort_comparator", "t14_stopword_stem", "f14_map_functions",
+    "n9_nested_json_explode", "a19_percentile_sketch_audit",
+    "a17_global_topk", "f12_bitwise_aggs", "f13_calendar_arith",
 ]
 
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)

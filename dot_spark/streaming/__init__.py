@@ -17,6 +17,7 @@ from dot_spark.streaming.ingress import (
 from dot_spark.streaming.fanout import fan_out, route_events
 from dot_spark.streaming.state import (
     delayed_retries,
+    delayed_retries_batch,
     drain_actions,
     stream_dedup,
     superseded_latest,
@@ -33,6 +34,7 @@ __all__ = [
     "fan_out",
     "route_events",
     "delayed_retries",
+    "delayed_retries_batch",
     "drain_actions",
     "stream_dedup",
     "superseded_latest",

@@ -24,7 +24,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -220,6 +220,52 @@ def delayed_retries(
         _RETRY_STATE,
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def delayed_retries_batch(
+    status_events: DataFrame,
+    key_col: str = "job_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    delay: str = "5 minutes",
+) -> DataFrame:
+    """Batch twin of the ST5 delayed-retry machine (`delayed_retries`
+    above), built from the SAME fold semantics as pure window
+    expressions — the oracle-checkable transition table
+    (docs/ARCHITECTURE.md:93,104; the data-encoded loop guard is
+    dbt-classify/classifier.py:39-47).
+
+    The streaming fold per job is: a QUALIFYING failure (cause not
+    already "Auto-retry: "-prefixed — the loop guard) sets the
+    pending retry; a success clears it; guard-prefixed failures are
+    no-ops. At quiescence a job retries iff its LAST relevant event
+    is a qualifying failure — so the batch form is keep-latest over
+    relevant rows, emitting (job, 'retry', guarded cause,
+    failure_ts + delay). Superseded jobs (success after the failure)
+    and guard-only jobs emit nothing, exactly as the timer machine's
+    state.remove() paths.
+
+    Scale shape: ONE keyed window exchange over the pre-filtered
+    relevant rows (failures+successes are a sliver of the event
+    stream); everything else is row-local expressions.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in (ts_col, *order_cols)]
+    )
+    qualifying = (F.col("status") == "failure") & ~F.col("cause").startswith(
+        "Auto-retry:"
+    )
+    return (
+        status_events.filter(qualifying | (F.col("status") == "success"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("status") == "failure"))
+        .select(
+            key_col,
+            F.lit("retry").alias("action"),
+            F.concat(F.lit("Auto-retry: "), F.col("cause")).alias("cause"),
+            (F.col(ts_col) + F.expr(f"INTERVAL {delay}")).alias("retry_at"),
+        )
     )
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -144,39 +146,54 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-7 rotation: the 7 queries with no current official row
-    (the five added/upgraded in r6 and never yet gated, plus f8 and
-    ss3 — both upgraded to full oracles) plus the oldest-proven
-    r5-row backfill — an accidental registration reorder silently
-    drops operators out of the official artifact."""
+    the round-8 rotation: the first 50 never-officially-gated queries
+    in registration order (the plan committed in round 7 at
+    queries.py's rotation comment) — an accidental registration
+    reorder silently drops operators out of the official artifact."""
     window = list(QUERIES)[:50]
     must_have = {
-        # never-current: first official gate this round
-        "ss4_lsh_topk", "s13_jsonl_roundtrip", "s14_orc_roundtrip",
-        "dd8_dedup_clusters", "pl5_corpus_dedup_pipeline",
-        "f8_hmac_sha256", "ss3_ivf_trained_topk",
-        # backfill: newest official row is r05
-        "s1_scan_projection", "s2_paged_rest_scan", "s4_csv_parse",
-        "p1_schema_align", "p7_sentinel_null",
-        "j1_anti_join", "j5_parent_child_join",
-        "a1_group_having",
-        "w1_dedup_keep_latest", "w4_superseded_dedup",
-        "n2_explode_tokens", "n5_sticky_carry",
-        "st3_stream_corpus_dedup", "st4_attribute_fanout",
-        "st7_drain_machine",
-        "pl1_okta_refresh", "pl3_event_retry_pipeline",
-        "dd1_exact_dedup", "dd2_minhash_lsh_candidates", "dd3_simhash",
-        "dd4b_ngram_jaccard_capped", "dd5_embedding_neardup",
-        "dd5b_bucketed_neardup", "dd6_decontamination",
-        "dd7_embedding_decontamination",
-        "t1_token_stats", "t2_quality_score", "t7_repetition_ratio",
-        "t8_pii_scrub", "t9_tfidf_topterms", "t10_doc_chunking",
-        "c1_classify_runs", "c2_webhook_route", "c3_quality_filter",
-        "ss1_cosine_topk", "ss2_ivf_topk",
-        "mm1_decode_media", "mm2_media_features",
-        "p10_deterministic_sample", "p11_stratified_sample",
-        "w6_sessionize",
-        "j7_star_join_rollup", "j8_asof_join",
+        "dd13_minhash_estimator_audit", "dd9_chunk_dedup", "ss7_mmr_topk",
+        "pl6_verified_dedup_pipeline", "j13_interval_overlap_join",
+        "p12_train_val_test_split", "p13_token_budget_sample",
+        "t11_bigram_counts", "pl7_corpus_build_pipeline",
+        "a12_cube_lattice", "w7_moving_avg", "n7_unpivot",
+        "st8_session_window", "a14_gapfill_locf", "w9_scd2_history",
+        "a13_pivot_wide", "w8_topk_per_group", "t12_domain_stats",
+        "p14_weighted_sample", "p15_corpus_shuffle",
+        "f11_higher_order_arrays", "ss5_recall_eval",
+        "pl9_semdedup", "t13_bpe_merges", "t17_bpe_encode",
+        "dd11_lsh_quality_eval", "pl11_incremental_lsh",
+        "pl10_record_linkage", "w10_funnel_steps",
+        "dd10_edit_distance_verify", "a18_winsorize",
+        "j14_attribution_join", "dd12_url_dedup", "t15_unigram_lm_score",
+        "n10_variant_access", "s17_bucketed_join", "s16_file_lineage",
+        "j16_tree_flatten", "c4_quality_ensemble", "p17_leakproof_split",
+        "w11_moving_zscore", "a20_share_of_total",
+        "f15_array_sort_comparator", "t14_stopword_stem",
+        "f14_map_functions", "n9_nested_json_explode",
+        "a19_percentile_sketch_audit", "a17_global_topk",
+        "f12_bitwise_aggs", "f13_calendar_arith",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50
+
+
+def test_survey_generated_inventory_matches_registry():
+    """SURVEY.md §2.12 (the generated registry inventory) must list
+    exactly the registered query names — a query added or removed
+    without rerunning tools/survey_inventory.py fails here. Line
+    numbers in the table may go stale between regenerations; names
+    may not."""
+    import re
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")) as f:
+        text = f.read()
+    begin = "<!-- BEGIN GENERATED REGISTRY INVENTORY"
+    assert begin in text, "SURVEY.md §2.12 missing — run tools/survey_inventory.py"
+    section = text.split(begin, 1)[1].split("<!-- END", 1)[0]
+    names_in_doc = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.M))
+    assert names_in_doc == set(QUERIES), (
+        "SURVEY.md §2.12 is stale — run: python tools/survey_inventory.py "
+        f"(doc-only: {sorted(names_in_doc - set(QUERIES))[:5]}, "
+        f"registry-only: {sorted(set(QUERIES) - names_in_doc)[:5]})"
+    )

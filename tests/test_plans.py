@@ -439,6 +439,54 @@ def test_plan_shapes_match_committed_baseline(spark):
     assert not regressions, regressions
 
 
+def test_plan_shapes_match_aqe_off_baseline(spark):
+    """Second baseline column (r7 verdict stretch 7): the default
+    net pins plans under the production session (AQE on), but a shape
+    that only AQE rescues — a static sort-merge join the runtime
+    demotes to broadcast — is one bad stats estimate away from
+    regressing in production. Compare AQE-OFF plans against the
+    committed plan_baseline_aqe_off.json. Cost decision, documented:
+    CI checks the bench HEADLINE queries (the suite's cost drivers —
+    iterative/eager queries EXECUTE at plan-build time, so a second
+    full-registry pass would nearly double this module's runtime);
+    the full registry runs under DOT_SPARK_FULL_PLAN_CHECK=1 and at
+    every baseline regeneration."""
+    import json
+    import os
+
+    from bench import HEADLINE
+    from tools.plan_baseline import SF_DIR, plan_counts
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "plan_baseline_aqe_off.json",
+    )
+    with open(path) as f:
+        baseline = json.load(f)
+
+    names = (
+        list(QUERIES)
+        if os.environ.get("DOT_SPARK_FULL_PLAN_CHECK")
+        else [n for n in HEADLINE if n in QUERIES]
+    )
+    regressions = {}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in names:
+            base = baseline.get(name)
+            if base is None:
+                regressions[name] = "missing — run tools/plan_baseline.py"
+                continue
+            now = plan_counts(QUERIES[name](spark, SF_DIR))
+            worse = {k: (base[k], now[k]) for k in now if now[k] > base[k]}
+            if worse:
+                regressions[name] = worse
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert not regressions, regressions
+
+
 def test_dynamic_partition_pruning_on_warehouse_join(spark, sf_dir, tmp_path):
     """Dynamic Partition Pruning: joining a hive-partitioned fact to
     a FILTERED small dim must inject a dynamicpruning subquery into

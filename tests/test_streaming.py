@@ -349,6 +349,49 @@ def test_delayed_retry_fires_after_delay_with_loop_guard(spark, tmp_path):
     ]
 
 
+def test_delayed_retries_batch_twin_matches_machine_semantics(spark, tmp_path):
+    """The batch twin (st5's oracle-checkable form) must land the
+    same decisions as the timer machine's fold: job 1's qualifying
+    failure retries with the guard-prefixed cause and a ts+delay
+    due time; job 2 is superseded by the later success; job 3's
+    guard-prefixed failure never re-queues (loop guard); job 4's
+    later guard failure is INVISIBLE to the fold, so the earlier
+    qualifying failure still retries; job 5 fails AFTER a success
+    (last relevant wins -> retry)."""
+    from datetime import datetime
+
+    from dot_spark.streaming.state import delayed_retries_batch
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, 1, t(0), "failure", "oom"),
+        (2, 2, t(0), "failure", "disk"),
+        (2, 3, t(1), "success", ""),
+        (3, 4, t(0), "failure", "Auto-retry: oom"),
+        (4, 5, t(0), "failure", "quota"),
+        (4, 6, t(1), "failure", "Auto-retry: quota"),
+        (5, 7, t(0), "success", ""),
+        (5, 8, t(1), "failure", "net"),
+    ]
+    df = spark.createDataFrame(
+        rows, "job_id bigint, event_id bigint, ts timestamp, status string, cause string"
+    )
+    got = sorted(
+        (r.job_id, r.action, r.cause, r.retry_at)
+        for r in delayed_retries_batch(df).collect()
+    )
+    assert got == [
+        (1, "retry", "Auto-retry: oom", t(5)),
+        (4, "retry", "Auto-retry: quota", t(5)),
+        (5, "retry", "Auto-retry: net", t(6)),
+    ]
+    # parity with the streaming machine's verdict on the SAME input
+    # (the machine's test above pins the timer/loop-guard behavior;
+    # here: the set of jobs the machine would retry at quiescence)
+    machine_expect = {1, 4, 5}
+    assert {j for j, *_ in got} == machine_expect
+
+
 def test_idempotent_batch_sink_survives_redelivery(spark, tmp_path):
     """ST3: at-least-once delivery with downstream idempotence. The
     stream writes each micro-batch through the per-batch-overwrite

@@ -49,19 +49,32 @@ def main() -> None:
     from dot_spark.queries import QUERIES
 
     spark = get_spark("plan_baseline")
-    out = {}
-    for name, fn in sorted(QUERIES.items()):
+    here = os.path.dirname(os.path.abspath(__file__))
+    # TWO baselines per query: the default session (AQE on — what
+    # production runs) and AQE OFF. The second catches shapes that
+    # only AQE rescues at runtime (a join that static planning leaves
+    # as sort-merge but AQE demotes to broadcast): a query whose
+    # AQE-off plan regresses is one bad runtime-stats estimate away
+    # from regressing in production.
+    for fname, aqe in (("plan_baseline.json", "true"),
+                       ("plan_baseline_aqe_off.json", "false")):
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        out = {}
         try:
-            out[name] = plan_counts(fn(spark, SF_DIR))
-        except Exception as e:  # pragma: no cover - diagnostic path
-            print(f"ERR {name}: {e}", file=sys.stderr)
-            raise
-        print(name, out[name])
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_baseline.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
-        f.write("\n")
-    print(f"wrote {path} ({len(out)} queries)")
+            for name, fn in sorted(QUERIES.items()):
+                try:
+                    out[name] = plan_counts(fn(spark, SF_DIR))
+                except Exception as e:  # pragma: no cover - diagnostic path
+                    print(f"ERR {name}: {e}", file=sys.stderr)
+                    raise
+                print(name, out[name])
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        path = os.path.join(here, fname)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {path} ({len(out)} queries)")
 
 
 if __name__ == "__main__":

@@ -216,6 +216,48 @@ def main() -> None:
             docs, [("e", "t"), ("a", "n"), ("an", "d"), ("t", "h")]
         )
 
+        # r8 additions (r7 verdict task 5): the newest iterative /
+        # composed families, pinned like the rest.
+        from dot_spark.operators.relational import snapshot_diff
+        from dot_spark.operators.similarity import mmr_topk, semdedup, sq_topk
+        from dot_spark.operators.textdedup import novelty_scores
+
+        # ss7: probe set FIXED, corpus scales K-fold — the relevance
+        # scan is the linear term; the greedy MMR rounds run on the
+        # fixed Q*pool candidate table (localCheckpointed, eager ->
+        # thunk), so rounds x pool cost must stay K-constant.
+        grid[("ss7_mmr_topk", k)] = lambda e=emb, p=probes: mmr_topk(
+            p, e, k=5, pool=20
+        )
+        # ss8: SQ training collects 2*dims scalars (eager -> thunk);
+        # the int8 approximate scan is the linear term, the exact
+        # re-rank touches only Q*pool full vectors.
+        grid[("ss8_sq_topk", k)] = lambda e=emb, p=probes: sq_topk(
+            p, e, k=10, pool=30
+        )
+        # pl9: the composed SemDeDup cell (dd5b bucket pairs -> dd8
+        # components -> centroid scoring), not just its stages —
+        # upsampled cells keep per-copy cluster structure so the
+        # component iteration count stays constant.
+        grid[("pl9_semdedup", k)] = lambda e=emb: semdedup(e)
+        # j18: snapshot diff old-vs-new where both sides scale K-fold
+        # (new = old with ~1/13 updated, ~1/17 deleted) — the
+        # full-outer null-safe key join must stay one linear exchange
+        # per side.
+        new_docs = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" upd"))
+            ).otherwise(F.col("text")),
+        )
+        grid[("j18_snapshot_diff", k)] = snapshot_diff(
+            docs, new_docs, keys=["doc_id"]
+        )
+        # t18: novelty scoring — shingle explode + first-occurrence
+        # window; linear in the corpus when the shingle key space
+        # grows with it (the suffixed-token upsampling guarantees it).
+        grid[("t18_novelty", k)] = novelty_scores(docs)
+
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
         for cell, df in grid.items():
