@@ -82,6 +82,16 @@ HEADLINE = [
     "pl9_semdedup",
 ]
 
+# Queries whose BUILDER executes the heavy work EAGERLY (iterative
+# loops checkpoint/collect during plan construction — the documented
+# iterative contract), so timing only the final sink write would
+# measure a cached-result scan, not the loops the headline exists to
+# track. For these the timed region wraps the builder call too; for
+# everything else the builder stays outside so plan-compilation
+# overhead never pollutes steady-state engine timings (and prior
+# rounds stay comparable).
+EAGER_BUILD = {"g1_pagerank", "t13_bpe_merges", "pl9_semdedup"}
+
 # Round-over-round comparison target: the NEWEST BENCH_r*.json in
 # the repo that carries parsed per-query timings (a crashed round —
 # e.g. r04, rc=1 — has none and is skipped). Auto-detecting rolls the
@@ -151,10 +161,16 @@ def main() -> None:
             if name in errors:
                 continue
             try:
-                df = QUERIES[name](spark, sf_dir)
-                t0 = time.time()
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
+                if name in EAGER_BUILD:
+                    t0 = time.time()
+                    df = QUERIES[name](spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
+                else:
+                    df = QUERIES[name](spark, sf_dir)
+                    t0 = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
             except Exception as exc:  # isolate: record and move on
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 best.pop(name, None)
