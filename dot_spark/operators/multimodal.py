@@ -684,3 +684,141 @@ def audio_rms(media: DataFrame, window: int = 100) -> DataFrame:
             )
 
     return media.mapInPandas(rms_batches, RMS_DDL)
+
+
+PHASH_DDL = "media_id BIGINT, phash STRING, b0 INT, b1 INT, b2 INT, b3 INT"
+
+
+def _png_pixels(data: bytes) -> np.ndarray:
+    """Decompress a gray8 PNG produced by _png_bytes into its (h, w)
+    pixel matrix. Only filter type 0 (None) rows are supported — the
+    synthesis encoder never emits another type, and anything else
+    here means the payload is corrupt, which must FAIL, not guess."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", data[pos + 8 : pos + 16])
+        elif ctype == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + length]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    if width is None or len(raw) != height * (width + 1):
+        raise ValueError("PNG pixel data does not match IHDR dims")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    if rows[:, 0].any():
+        raise ValueError("unsupported PNG row filter")
+    return rows[:, 1:]
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded PNG pixels:
+    partition the image into an 8x8 grid (pixel (x, y) belongs to
+    cell (y*8 // h, x*8 // w) — the one integer-exact block map both
+    this decoder and the SQL oracle share), and set bit ci*8+cj when
+    that cell's mean brightness exceeds the image mean. The
+    comparison is INTEGER cross-multiplication
+    (cell_sum * n_pixels > total_sum * cell_n), so no float mean can
+    dust a bit on either engine. Emitted as a 16-hex-digit string
+    plus four 16-bit band ints (bit p lives in band p // 16) — the
+    bands are the LSH bucketing key phash_neardup joins on, SimHash's
+    banding applied to image content.
+
+    Arrow-batched mapInPandas (stdlib zlib decode + one bincount per
+    image); at 100 TB the hash is computed ONCE at ingest and stored
+    as four ints — everything downstream is JVM-side."""
+    from pyspark.sql.types import StructType
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p or b"")
+                if p[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                px = _png_pixels(p)
+                h, w = px.shape
+                ci = (np.arange(h) * 8) // h
+                cj = (np.arange(w) * 8) // w
+                flat = (ci[:, None] * 8 + cj[None, :]).ravel()
+                sums = np.bincount(flat, weights=px.ravel(), minlength=64)
+                cnts = np.bincount(flat, minlength=64)
+                total_sum, total_n = int(px.sum(dtype=np.int64)), h * w
+                bits = [
+                    int(int(sums[p_]) * total_n > total_sum * int(cnts[p_]))
+                    for p_ in range(64)
+                ]
+                bands = [
+                    sum(bits[b * 16 + i] << i for i in range(16)) for b in range(4)
+                ]
+                out.append(
+                    (int(mid), "%04x%04x%04x%04x" % tuple(bands), *bands)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "phash", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.mapInPandas(phash_batches, StructType.fromDDL(PHASH_DDL))
+
+
+def phash_neardup(
+    hashes: DataFrame, max_hamming: int = 12
+) -> DataFrame:
+    """Near-duplicate image pairs from phash band buckets: two
+    images are CANDIDATES when any of their four 16-bit bands is
+    equal (the dd2/dd3 band-join recipe — candidate generation is an
+    equi-join on (band_idx, band_val), never all-pairs), and
+    near-dups when their full 64-bit Hamming distance is
+    <= max_hamming. Banding is part of the OPERATOR CONTRACT (the
+    oracle mirrors it): pairs differing in every band are not
+    reported even below the distance cap, exactly like SimHash dd3.
+
+    Everything past the hash is JVM codegen: explode 4 band rows per
+    image, self-join per bucket, bit_count(xor) per band summed.
+    At 100 TB the bucket join shuffles 4 rows of 3 ints per image;
+    skewed buckets (e.g. the all-dark band 0) cap out exactly like
+    dd4b's stop-shingles would — drop buckets whose df explodes."""
+    bands = hashes.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "band_val"),
+    )
+    left = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("b0").alias("a0"),
+        F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"),
+        F.col("b3").alias("a3"),
+        "band_idx",
+        "band_val",
+    )
+    right = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"),
+        F.col("b3").alias("c3"),
+        "band_idx",
+        "band_val",
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"int(a{i}) ^ int(c{i})")) for i in range(4)
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -736,3 +736,222 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def _fold_dot(a, b) -> float:
+    """Strict left-to-right float64 dot product — the ONE summation
+    order shared by every PQ artifact consumer (the training replay,
+    the encode UDF's per-dimension accumulation loop, and the SQL
+    oracle's sequential list_sum), so a centroid norm computed here
+    is bit-identical wherever it is recomputed."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def pq_kmeans(
+    x: np.ndarray, n_codes: int, iters: int = 8, seed: int = 7
+) -> list[list[float]]:
+    """Plain (L2) Lloyd k-means, float64 numpy, seeded init — the PQ
+    per-subspace trainer. Like spherical_kmeans this is the ONE
+    definition shared by the Spark training path (train_pq_codebooks)
+    and the generated SQL oracle (queries._ss9_oracle_sql replays it
+    on the same sample read via DuckDB): identical rows in identical
+    order produce bit-identical codebooks. Subvectors are NOT unit
+    vectors, so PQ trains in raw L2 space (Jegou et al., TPAMI 2011),
+    not on the sphere."""
+    x = np.asarray(x, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.tolist()
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample: int = 1024,
+    iters: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into
+    `m` contiguous subvectors and run seeded L2 k-means per subspace
+    on a deterministic sample (the `sample` smallest ids — the
+    train_ivf_centroids recipe). Returns m x n_codes x (dim/m)
+    nested lists: m*n_codes*(dim/m) doubles total regardless of
+    corpus size — the ss3-centroid class of driver artifact, shipped
+    to executors as literals."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    dsub = x.shape[1] // m
+    return [
+        pq_kmeans(x[:, j * dsub : (j + 1) * dsub], n_codes, iters=iters, seed=seed)
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    out_col: str = "__codes",
+) -> DataFrame:
+    """Attach the m-byte PQ code array: per subspace, the L2-nearest
+    codebook entry (argmin of -2*x.c + |c|^2; |x|^2 is constant per
+    row and cannot change the argmin).
+
+    Arrow-vectorized Pandas UDF, one batch = m small matrix ops (the
+    assign_cells shape). Engine-portability: the dot accumulates
+    per-DIMENSION left-to-right (acc += x_i*c_i), the exact order the
+    SQL oracle's sequential list_sum uses, and |c|^2 is precomputed
+    once by _fold_dot in the same order — so near-tie argmins cannot
+    flip between engines on summation-order float dust. Ties proper
+    break to the LOWEST code on both sides (numpy argmin takes the
+    first minimum; the oracle orders score ASC, code ASC)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    cnorm2 = [np.array([_fold_dot(c, c) for c in b], dtype=np.float64) for b in books]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch (empty partition)
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            acc = np.zeros((len(x), len(books[j])), dtype=np.float64)
+            for i in range(dsub):
+                acc = acc + xs[:, i : i + 1] * books[j][:, i][None, :]
+            out[:, j] = (-2.0 * acc + cnorm2[j]).argmin(axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _codes(F.col(vec_col)))
+
+
+def pq_reconstruct(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Decode an m-length PQ code array back to the concatenated
+    centroid vector — a pure codegen expression over the literal
+    codebooks (index-aware transform + flatten), no Python."""
+    cb = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in cent]) for cent in book])
+            for book in codebooks
+        ]
+    )
+    return F.flatten(
+        F.transform(
+            codes,
+            lambda c, i: F.element_at(F.element_at(cb, (i + 1).cast("int")), c + 1),
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    pool: int = 30,
+    sample: int = 1024,
+    seed: int = 7,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantized top-k with exact re-rank — the ANN memory
+    play beyond ss8's scalar quantizer: the scan side holds m CODE
+    BYTES per vector (64-dim float32 = 256 B -> 8 B at m=8, a 32x
+    compression vs ss8's 4x), the asymmetric approximate score
+    (full-precision query vs codebook-reconstructed corpus vector)
+    selects a candidate pool, and only pool*Q original vectors are
+    touched for the exact re-rank. Same contract as sq_topk:
+    quantization costs recall only — final scores are exact cosine
+    over the original vectors (test-pinned recall@10).
+
+    Scale shape: train on a bounded sample (driver artifact =
+    m*n_codes*(dim/m) doubles); encode is one Arrow-batched matmul
+    pass that rides the corpus scan partitioning; reconstruction is
+    a codegen literal lookup (at real scale the codes table is the
+    stored index and reconstruction happens at scan time from 8-byte
+    rows — the memory win); the pool cut is one per-query window;
+    the re-rank join touches pool*Q rows. No corpus shuffle before
+    the pool cut.
+
+    At 100 TB you would persist (corpus_id, codes) as the index
+    table and skip re-encoding per query batch; the per-query-batch
+    flow here IS that read path.
+    """
+    from dot_spark.operators.textdedup import spread_small_input
+
+    codebooks = train_pq_codebooks(
+        corpus,
+        m=m,
+        n_codes=n_codes,
+        sample=sample,
+        seed=seed,
+        id_col=corpus_id,
+        vec_col=corpus_vec,
+    )
+    # reconstructed vector AND its norm computed once per corpus row,
+    # never per (query, row) pair (the brute_force_topk norm rule)
+    c = (
+        pq_encode(spread_small_input(corpus), codebooks, corpus_vec)
+        .withColumn("__rec", pq_reconstruct(F.col("__codes"), codebooks))
+        .withColumn("__dn", norm(F.col("__rec")))
+        .select(corpus_id, "__rec", "__dn")
+    )
+    q = F.broadcast(queries.withColumn("__qn", norm(F.col(query_vec))))
+    approx = q.crossJoin(c).withColumn(
+        "approx_sim",
+        F.round(
+            dot(F.col(query_vec), F.col("__rec")) / (F.col("__qn") * F.col("__dn")),
+            6,
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_sim").desc(), F.col(corpus_id).asc()
+    )
+    cand = (
+        approx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= pool)
+        .select(query_id, query_vec, "__qn", corpus_id)
+    )
+    exact = cand.join(
+        corpus.select(corpus_id, corpus_vec).withColumn(
+            "__cn", norm(F.col(corpus_vec))
+        ),
+        on=corpus_id,
+    ).withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col(query_vec), F.col(corpus_vec))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

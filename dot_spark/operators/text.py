@@ -403,6 +403,72 @@ def pmi_collocations(
     )
 
 
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Syllable-free readability indices per document: Automated
+    Readability Index (Senter & Smith 1967) and Coleman-Liau (1975)
+    — the two standard grade-level scores computable from character
+    counts alone (Flesch needs syllables, which need a dictionary).
+    The corpus-quality pass that flags degenerate documents (walls of
+    unpunctuated text score absurdly high; character soup scores
+    negative) before training ingest.
+
+    Definitions (mirrored exactly by the SQL oracle):
+    - letters  = [A-Za-z] character count
+    - words    = whitespace tokens of the space-collapsed text
+    - sentences = maximal runs of [.!?] (min 1, so fragments count
+      as one sentence rather than dividing by zero)
+    - ARI = 4.71*(letters/words) + 0.5*(words/sentences) - 21.43
+    - CLI = 0.0588*L - 0.296*S - 15.8, with L/S = letters/sentences
+      per 100 words
+
+    Rounding: 4 dp via explicit floor(x*1e4 + 0.5)/1e4 over the IEEE
+    double — NOT engine-native round(). The formula's decimal
+    constants (4.71, 21.43, …) are not binary-exact, so scores can
+    land on decimal half-boundaries where Spark's BigDecimal HALF_UP
+    and DuckDB's rounding disagree on the float just below the
+    boundary (measured: ari 28.35375 at sf0.01, the w12 class). The
+    scaled-floor form is a pure double expression both engines
+    evaluate bit-identically given the same operation order.
+
+    Scale shape: pure row-local column expressions — zero shuffle,
+    zero Python; rides whatever scan partitioning the corpus has."""
+    letters = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    words = F.greatest(
+        F.lit(1),
+        F.size(F.split(F.trim(F.regexp_replace(F.col(text_col), " +", " ")), " ")),
+    )
+    sentences = F.greatest(
+        F.lit(1), F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)"))
+    )
+    ari_raw = (
+        4.71 * F.col("n_letters") / F.col("n_words")
+        + 0.5 * F.col("n_words") / F.col("n_sentences")
+        - 21.43
+    )
+    cli_raw = (
+        0.0588 * (100.0 * F.col("n_letters") / F.col("n_words"))
+        - 0.296 * (100.0 * F.col("n_sentences") / F.col("n_words"))
+        - 15.8
+    )
+    return df.select(
+        F.col(id_col),
+        letters.cast("long").alias("n_letters"),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+    ).select(
+        id_col,
+        "n_letters",
+        "n_words",
+        "n_sentences",
+        (F.floor(ari_raw * 10000.0 + 0.5) / 10000.0).alias("ari"),
+        (F.floor(cli_raw * 10000.0 + 0.5) / 10000.0).alias("cli"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

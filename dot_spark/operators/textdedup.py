@@ -890,3 +890,87 @@ def novelty_scores(docs, n: int = 3, id_col: str = "doc_id", text_col: str = "te
             F.lit(1) - F.col("n_dup_shingles") / F.col("n_shingles"), 4
         ).alias("novelty"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    window: int = 25,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — their
+    suffix-array ExactSubstr pass, re-expressed as a distributed
+    fingerprint index): find every maximal character span that is
+    part of some `window`-char substring occurring in >= `min_docs`
+    DISTINCT documents, and report it as (doc_id, span_start,
+    span_end_excl, span_len, n_windows). Character positions are
+    1-based (substring() convention in both engines).
+
+    Shape: every start position contributes one xxhash64 fingerprint
+    of its window — computed INSIDE codegen (transform over
+    sequence + substring + xxhash64, zero Python) so the explode
+    emits 8-byte hashes, never the 25-char grams (the dd4 inverted-
+    index discipline: bodies never shuffle). Cross-doc duplicated
+    fingerprints come from one groupBy(fp) with a distinct-doc
+    count; window positions that hit the duplicated set merge into
+    maximal spans with the gaps-and-islands running-max window
+    (overlapping or ADJACENT windows fuse: a new span opens only
+    when pos > max(prev pos + window)). The per-doc window chain
+    partitions by doc — bounded state, no global sort.
+
+    At 100 TB: the fp index is the same scale object as dd4b's
+    shingle index — cap pathological fingerprints (boilerplate
+    headers shared by millions of docs) with a max-df stop list
+    before the semi-join, exactly like dd4b's stop-shingles; the
+    span merge stays per-doc-linear. A 64-bit fp collision needs
+    ~2^32 distinct windows per false merge (negligible at gate
+    scale; at 100 TB widen to 128-bit via two seeds)."""
+    from pyspark.sql import Window as W
+
+    docs = df.filter(F.length(text_col) >= window).select(id_col, text_col)
+    wins = docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {window} + 1), "
+                f"i -> xxhash64(substring({text_col}, i, {window})))"
+            )
+        ).alias("idx", "fp"),
+    ).select(id_col, (F.col("idx") + 1).alias("pos"), "fp")
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("fp")
+    )
+    hits = wins.join(dup_fps, "fp", "left_semi").select(id_col, "pos")
+    w_doc = W.partitionBy(id_col).orderBy("pos")
+    marked = hits.withColumn(
+        "__pme",
+        F.max(F.col("pos") + window).over(
+            w_doc.rowsBetween(W.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "__new",
+        (F.col("__pme").isNull() | (F.col("pos") > F.col("__pme"))).cast("int"),
+    )
+    islands = marked.withColumn(
+        "__sidx", F.sum("__new").over(w_doc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "__sidx")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end_excl"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end_excl",
+            (F.col("span_end_excl") - F.col("span_start")).alias("span_len"),
+            "n_windows",
+        )
+    )

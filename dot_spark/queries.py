@@ -2644,6 +2644,135 @@ def ss8_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(q, emb, k=10, pool=30)
 
 
+def _ss9_oracle_sql() -> str | None:
+    """ss9's full SQL oracle via generated literals — the
+    _ss3_oracle_sql mechanism applied to PQ codebooks: training is
+    deterministic (sample = the 1024 smallest vec_ids in sorted
+    order; per-subspace L2 k-means is seeded float64 numpy), so the
+    builder replays it on the SAME sample read via DuckDB through the
+    SAME shared routine (similarity.pq_kmeans) and embeds the
+    m*n_codes centroids — plus their _fold_dot norms, the exact
+    doubles the engine's encode UDF uses — as a VALUES table. The SQL
+    then re-derives everything downstream of training: per-subspace
+    code assignment (argmin of -2*x.c + |c|^2, score ASC / code ASC
+    — numpy argmin takes the first minimum), codebook reconstruction
+    (ordered list aggregation + flatten), the 30-candidate asymmetric
+    pool, and the exact cosine re-rank.
+
+    SCOPE: same as ss3 — the literals are one corpus's training
+    output, so the build reads $DOT_SPARK_GATE_SF_DIR (default the
+    driver's gate scale, sf0.01); tools/oracle_check.py exports the
+    var for local runs at other scales. Returns None (rows-only
+    fallback) when the table is not on disk."""
+    import os
+
+    import numpy as np
+
+    from dot_spark.operators.similarity import _fold_dot, pq_kmeans
+
+    gate_dir = os.environ.get(
+        "DOT_SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+    ).rstrip("/")
+    try:
+        import duckdb
+
+        sample = duckdb.sql(
+            "SELECT embedding FROM "
+            f"read_parquet('{gate_dir}/embeddings.parquet') "
+            "ORDER BY vec_id LIMIT 1024"
+        ).fetchall()
+    except Exception:
+        return None
+    if not sample:
+        return None
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    m, n_codes = 16, 64
+    dsub = x.shape[1] // m
+    rows = []
+    for j in range(m):
+        book = pq_kmeans(x[:, j * dsub : (j + 1) * dsub], n_codes, seed=7)
+        for code, cent in enumerate(book):
+            cn2 = _fold_dot(cent, cent)
+            rows.append(
+                f"({j}, {code}, [{', '.join(repr(v) for v in cent)}], {cn2!r})"
+            )
+    cb_rows = ", ".join(rows)
+    return f"""
+    WITH cb AS (SELECT m, code, CAST(c AS DOUBLE[]) AS c, CAST(cn2 AS DOUBLE) AS cn2
+                FROM (VALUES {cb_rows}) AS t(m, code, c, cn2)),
+    scores AS (
+      SELECT e.vec_id, cb.m, cb.code,
+             -2 * list_sum(list_transform(generate_series(1, {dsub}),
+                   i -> CAST(e.embedding[cb.m * {dsub} + i] AS DOUBLE) * cb.c[i]))
+               + cb.cn2 AS score
+      FROM embeddings e CROSS JOIN cb),
+    assigned AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, m ORDER BY score ASC, code ASC) AS arn
+        FROM scores)
+      WHERE arn = 1),
+    rec AS (
+      SELECT a.vec_id, flatten(list(cb.c ORDER BY a.m)) AS rv
+      FROM assigned a JOIN cb ON cb.m = a.m AND cb.code = a.code
+      GROUP BY a.vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec
+          FROM embeddings WHERE vec_id < 5),
+    ap AS (
+      SELECT q.query_id, d.vec_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(q.query_vec)),
+                 i -> CAST(q.query_vec[i] AS DOUBLE) * d.rv[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.query_vec)),
+                    i -> CAST(q.query_vec[i] AS DOUBLE) * CAST(q.query_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, len(d.rv)),
+                    i -> d.rv[i] * d.rv[i])))),
+               6) AS approx_sim
+      FROM q CROSS JOIN rec d),
+    cand AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY approx_sim DESC, vec_id) AS rn
+            FROM ap)
+      WHERE rn <= 30),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM cand c
+      JOIN q ON q.query_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+          FROM scored)
+    SELECT query_id, vec_id, cos_sim, rn AS "rank" FROM r WHERE rn <= 10
+    """
+
+
+@query("ss9_pq_topk", _ss9_oracle_sql())
+def ss9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-10 with exact re-rank — the 21x
+    memory play past ss8's 4x scalar quantizer: 64-dim float32
+    vectors become 16 6-bit codes (m=16 subspaces x 64 centroids,
+    12 packed bytes; parameters chosen by a measured recall sweep —
+    m=8 x 16 codes cut recall@10 to 0.54 on this corpus, m=16 x 64
+    holds 0.92+ at the same 30-candidate pool),
+    trained on a deterministic sample via per-subspace seeded L2
+    k-means, encoded in one Arrow-batched pass, scored asymmetrically
+    against the codebook reconstruction, then exact-cosine re-ranked
+    over the 30-candidate pool (Jegou/Douze/Schmid, TPAMI 2011 —
+    IVFADC's ADC half; ss3's trained IVF is the coarse half). Fully
+    oracle-checked at the gate scale: the replayed deterministic
+    training embeds as codebook literals (see _ss9_oracle_sql);
+    recall-vs-brute-force and codebook determinism are test-pinned in
+    tests/test_textops.py."""
+    from dot_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(q, emb, m=16, n_codes=64, k=10, pool=30, sample=1024, seed=7)
+
+
 _PAIR_COS_SQL = """
   ROUND(
     list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -4256,6 +4385,45 @@ def t20_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t21_readability",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  AS BIGINT) AS n_letters,
+             CAST(greatest(1, len(string_split(
+                  trim(regexp_replace(text, ' +', ' ', 'g')), ' ')))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences
+      FROM documents)
+    SELECT doc_id, n_letters, n_words, n_sentences,
+           FLOOR((4.71e0 * n_letters / n_words
+                  + 0.5e0 * n_words / n_sentences - 21.43e0)
+                 * 10000e0 + 0.5e0) / 10000e0 AS ari,
+           FLOOR((0.0588e0 * (100e0 * n_letters / n_words)
+                  - 0.296e0 * (100e0 * n_sentences / n_words) - 15.8e0)
+                 * 10000e0 + 0.5e0) / 10000e0 AS cli
+    FROM m
+    """,
+)
+def t21_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARI + Coleman-Liau readability per doc — the syllable-free
+    grade-level scores (quality signal t2 doesn't carry: punctuation
+    STRUCTURE, not just ratios). Pure row-local expressions, zero
+    shuffle; both engines evaluate the identical closed form over
+    integer counts as IEEE doubles (e0 literals keep DuckDB out of
+    DECIMAL arithmetic) and round 4 dp via the same scaled-floor
+    expression — engine-native round() disagrees on the decimal
+    half-boundaries these non-binary-exact constants can produce
+    (see readability_scores)."""
+    from dot_spark.operators.text import readability_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return readability_scores(docs)
+
+
+@query(
     "w6_sessionize",
     """
     WITH e AS (
@@ -4411,6 +4579,195 @@ def a24_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
             ).alias("mad"),
         )
+    )
+
+
+@query(
+    "a25_table_profile",
+    """
+    WITH ev AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+                       user_id, event_type, value, props
+                FROM events)
+    SELECT 'event_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+           ROUND((COUNT(*) - COUNT(event_id)) * 1.0 / COUNT(*), 4) AS null_rate,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM ev
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+           ROUND((COUNT(*) - COUNT(ts)) * 1.0 / COUNT(*), 4),
+           CAST(COUNT(DISTINCT ts) AS BIGINT) FROM ev
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           ROUND((COUNT(*) - COUNT(user_id)) * 1.0 / COUNT(*), 4),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+           ROUND((COUNT(*) - COUNT(event_type)) * 1.0 / COUNT(*), 4),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM ev
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(value) AS BIGINT),
+           ROUND((COUNT(*) - COUNT(value)) * 1.0 / COUNT(*), 4),
+           CAST(COUNT(DISTINCT value) AS BIGINT) FROM ev
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(props) AS BIGINT),
+           ROUND((COUNT(*) - COUNT(props)) * 1.0 / COUNT(*), 4),
+           CAST(COUNT(DISTINCT props) AS BIGINT) FROM ev
+    """,
+)
+def a25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (completeness + cardinality) — the
+    pre-ingest data-quality report a pipeline runs on every new drop
+    (the Deequ/profiling pattern): one row per column with null count,
+    null rate, and exact distinct count.
+
+    Scale shape: ONE aggregate over ONE scan — all per-column metrics
+    are partial-aggregated map-side in the same pass, and the tall
+    (column, metrics) layout is a stack() over the single RESULT row
+    (6 literal rows), never over the data. The exact multi-column
+    count_distinct plans an Expand (xN data duplication inside the
+    partial agg); at 100 TB swap each to approx_count_distinct — same
+    single-pass plan with HLL sketches and NO Expand — gated by the
+    a15 accuracy audit, exactly as a11 documents its percentile swap.
+    The exact form is the oracle-checkable gold standard."""
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    stack_args = ", ".join(f"'{c}', __null_{c}, __nd_{c}" for c in cols)
+    return (
+        ev.agg(*aggs)
+        .select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS (column_name, n_null, n_distinct)"
+            ),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_null",
+            F.round(F.col("n_null") / F.col("n_rows"), 4).alias("null_rate"),
+            "n_distinct",
+        )
+    )
+
+
+@query(
+    "a26_frequent_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING COUNT(*) >= 2),
+    pr AS (SELECT i.l_orderkey, i.l_partkey
+           FROM items i JOIN freq USING (l_partkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def a26_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item-pair mining (market-basket / A-priori first
+    round): part pairs co-occurring in >= minsup orders. The
+    association pass behind 'frequently bought together' and feature
+    co-occurrence audits.
+
+    Scale shape: the A-priori prune runs FIRST — only parts frequent
+    enough on their own (anti-monotonicity: a frequent pair implies
+    both members frequent) survive into the self-join, a result-
+    neutral filter the oracle mirrors. The pair generation is an
+    equi-join on the order key (one keyed exchange; both sides are
+    the same pruned projection), with per-order fan-out bounded by
+    the order's line count (C(7,2) max in this schema — baskets are
+    small by construction, the property that makes pair-counting
+    tractable at any corpus size). The |parts|-bounded frequent-item
+    list broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__n_orders"))
+        .filter(F.col("__n_orders") >= 2)
+        .select("l_partkey")
+    )
+    pruned = items.join(F.broadcast(freq), "l_partkey", "left_semi")
+    a = pruned.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = pruned.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@query(
+    "a27_event_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events),
+    t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+          FROM ordered WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_transitions,
+           ROUND(n_transitions * 1.0 /
+                 SUM(n_transitions) OVER (PARTITION BY from_type), 4) AS prob
+    FROM t
+    """,
+)
+def a27_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities of event_type
+    A -> B steps — the behavioral-model fit behind funnel design
+    (w10 checks ONE ordained path; this measures ALL empirical
+    paths).
+
+    Scale shape: one keyed window exchange (user_id; ts+event_id
+    total order makes lead() deterministic), then the transition agg
+    partial-aggregates map-side onto a |types|^2-bounded key space;
+    the row normalization windows over that tiny matrix, not the
+    events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wr = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wr), 4
+        ).alias("prob"),
     )
 
 
@@ -7248,6 +7605,345 @@ def j17_multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rev.orderBy(F.col("revenue").desc(), "l_orderkey").limit(10).select(
         "l_orderkey", "revenue", "o_orderdate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: content-level media dedup (mm6/mm7), exact
+# substring-span dedup (dd14), and corpus/CI analytics (t22, a28)
+# ---------------------------------------------------------------------------
+
+_PHASH_CELLS_SQL = """
+    img AS (
+      SELECT doc_id AS media_id, doc_id % 48 + 16 AS w,
+             doc_id % 32 + 16 AS h, doc_id % 256 AS seed
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT media_id,
+             (x.i * 7 + y.i * 13 + seed) % 256 AS v,
+             ((y.i * 8) // h) * 8 + ((x.i * 8) // w) AS p
+      FROM img,
+           UNNEST(generate_series(0, h - 1)) AS y(i),
+           UNNEST(generate_series(0, w - 1)) AS x(i)),
+    cells AS (
+      SELECT media_id, p, SUM(v) AS cs, COUNT(*) AS cn
+      FROM px GROUP BY 1, 2),
+    tot AS (
+      SELECT media_id, SUM(cs) AS ts, SUM(cn) AS tn
+      FROM cells GROUP BY 1),
+    bits AS (
+      SELECT c.media_id, c.p,
+             CASE WHEN c.cs * t.tn > t.ts * c.cn THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (media_id)),
+    bands AS (
+      SELECT media_id, p // 16 AS b,
+             CAST(SUM(bit * (1 << (p % 16))) AS INT) AS bv
+      FROM bits GROUP BY 1, 2),
+    wide AS (
+      SELECT media_id,
+             MAX(CASE WHEN b = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN b = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN b = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN b = 3 THEN bv END) AS b3
+      FROM bands GROUP BY 1)
+"""
+
+
+@query(
+    "mm6_image_phash",
+    f"""
+    WITH {_PHASH_CELLS_SQL}
+    SELECT media_id, printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS phash,
+           b0, b1, b2, b3
+    FROM wide
+    """,
+)
+def mm6_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing over REAL decoded pixels: synthesize
+    genuine PNG payloads for the image rows, decode them (stdlib
+    zlib, filter-byte strip — a corrupt payload FAILS, no header
+    trust), and compute the 64-bit average-hash from the decoded
+    matrix. The bit rule is integer cross-multiplication per 8x8
+    grid cell, so the oracle — which replays the synthesis pixel
+    field closed-form and aggregates the identical cell sums in SQL
+    — must reproduce every bit exactly, not approximately.
+
+    The four 16-bit band columns are the join currency: mm7 buckets
+    on them for near-dup candidate generation. At 100 TB the hash is
+    an ingest-time artifact (one decode pass, 8 bytes kept); every
+    downstream comparison is integer-only JVM work."""
+    from dot_spark.operators.multimodal import image_phash, synthesize_real_media
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
+    return image_phash(synthesize_real_media(docs))
+
+
+@query(
+    "mm7_phash_neardup",
+    f"""
+    WITH {_PHASH_CELLS_SQL},
+    cand AS (
+      SELECT a.media_id AS id_a, c.media_id AS id_b
+      FROM bands a
+      JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.media_id < c.media_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+                + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+                  AS INT) AS hamming
+      FROM cand
+      JOIN wide wa ON wa.media_id = id_a
+      JOIN wide wb ON wb.media_id = id_b)
+    SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 12
+    """,
+)
+def mm7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection — the dd-family recipe applied
+    to decoded pixel content instead of text: mm6's phash bands are
+    the LSH buckets (any equal 16-bit band makes a candidate pair —
+    banding is part of the operator contract, mirrored by the
+    oracle), then the full 64-bit Hamming distance filters at <= 12.
+    Candidate generation is an equi-join on (band_idx, band_val) —
+    4 rows of 3 ints per image, NEVER an all-pairs pixel or hash
+    comparison; the verify arithmetic is xor + bit_count codegen.
+
+    This is how a multimodal training pipeline dedups screenshots /
+    re-encoded crops at corpus scale: decode once at ingest (mm6),
+    then a pure-integer band join whose shuffle volume is 4 small
+    rows per image regardless of resolution. The decode-once
+    contract is enforced PHYSICALLY: the hash table materializes to
+    scratch parquet first (self-joining the lazy pipeline would
+    execute the Python decode on BOTH build and probe sides —
+    measured, no ReusedExchange rescues a broadcast build), so the
+    returned plan reads 8-byte hash rows twice and runs zero
+    Python — exactly the stored-ingest-artifact shape mm6
+    documents."""
+    from dot_spark.operators.multimodal import (
+        image_phash,
+        phash_neardup,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
+    hash_dir = _scratch("dot_spark_phash_") + "/hashes"
+    image_phash(synthesize_real_media(docs)).write.parquet(hash_dir)
+    return phash_neardup(spark.read.parquet(hash_dir), max_hamming=12)
+
+
+@query(
+    "dd14_substring_spans",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 25),
+    win AS (
+      SELECT doc_id, i.i AS pos, substr(text, i.i, 25) AS gram
+      FROM d, UNNEST(generate_series(1, length(text) - 24)) AS i(i)),
+    dup AS (
+      SELECT gram FROM win GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (gram)),
+    lagd AS (
+      SELECT doc_id, pos,
+             MAX(pos + 25) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM hits),
+    marked AS (
+      SELECT *, CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS isnew
+      FROM lagd),
+    sess AS (
+      SELECT *, SUM(isnew) OVER (
+        PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM marked)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 25 AS BIGINT) AS span_end_excl,
+           CAST(MAX(pos) + 25 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM sess GROUP BY doc_id, sidx
+    """,
+)
+def dd14_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. ACL'22 ExactSubstr,
+    distributed): maximal character spans covered by 25-char windows
+    that recur in >= 2 distinct documents. dd1 drops exact-duplicate
+    DOCUMENTS, dd9 exact-duplicate CHUNKS; this finds duplicated
+    REGIONS at character granularity — the pass that catches license
+    boilerplate and templated headers stitched into otherwise-unique
+    documents.
+
+    Engine side fingerprints each window with xxhash64 INSIDE
+    codegen so only 8-byte hashes explode and shuffle (the dd4
+    inverted-index discipline); the oracle groups on the literal
+    grams — ground truth the fingerprint path must reproduce unless
+    a 64-bit collision lands (negligible: ~n^2/2^65). Span merge is
+    the gaps-and-islands running-max window, per-doc linear."""
+    from dot_spark.operators.textdedup import duplicated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    spans = duplicated_spans(docs, window=25, min_docs=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end_excl").cast("long").alias("span_end_excl"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+_WILSON_LO_SQL = (
+    "((CAST(n_conv AS DOUBLE) / n_users + 1.96e0 * 1.96e0 / (2e0 * n_users))"
+    " - 1.96e0 * sqrt((CAST(n_conv AS DOUBLE) / n_users"
+    " * (1e0 - CAST(n_conv AS DOUBLE) / n_users)"
+    " + 1.96e0 * 1.96e0 / (4e0 * n_users * n_users)) / n_users))"
+    " / (1e0 + 1.96e0 * 1.96e0 / n_users)"
+)
+_WILSON_HI_SQL = _WILSON_LO_SQL.replace(
+    "- 1.96e0 * sqrt", "+ 1.96e0 * sqrt"
+)
+
+
+@query(
+    "a28_wilson_ci",
+    f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY arm)
+    SELECT arm, n_users, n_conv,
+           FLOOR(CAST(n_conv AS DOUBLE) / n_users * 1000000e0 + 0.5e0)
+             / 1000000e0 AS rate,
+           FLOOR(({_WILSON_LO_SQL}) * 1000000e0 + 0.5e0) / 1000000e0 AS ci_lo,
+           FLOOR(({_WILSON_HI_SQL}) * 1000000e0 + 0.5e0) / 1000000e0 AS ci_hi
+    FROM a
+    """,
+)
+def a28_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion rates with Wilson 95% score intervals — the
+    experiment-readout query (Wilson 1927; the interval that stays
+    inside [0,1] and behaves at small n, unlike the Wald interval).
+    Arms are user_id parity; conversion = the user fired >= 1
+    purchase event.
+
+    Float discipline: the interval formula is evaluated via the SAME
+    expression string on both engines (F.expr here, verbatim in the
+    oracle), so every +, *, / and the correctly-rounded IEEE sqrt
+    execute in the identical order on the identical (n_conv,
+    n_users) integers — bit-identical doubles, then the scaled-floor
+    6 dp round (engine-native round() half-boundary class, see w12).
+    Shape: one per-user partial agg (map-side combined), then a
+    2-row arm agg — the per-user exchange is the only shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    return a.select(
+        "arm",
+        "n_users",
+        "n_conv",
+        F.expr(
+            "FLOOR(CAST(n_conv AS DOUBLE) / n_users * 1000000e0 + 0.5e0)"
+            " / 1000000e0"
+        ).alias("rate"),
+        F.expr(f"FLOOR(({_WILSON_LO_SQL}) * 1000000e0 + 0.5e0) / 1000000e0").alias(
+            "ci_lo"
+        ),
+        F.expr(f"FLOOR(({_WILSON_HI_SQL}) * 1000000e0 + 0.5e0) / 1000000e0").alias(
+            "ci_hi"
+        ),
+    )
+
+
+@query(
+    "t22_zipf_audit",
+    f"""
+    WITH tk AS (
+      SELECT UNNEST({_NORM_TOKS_SQL}) AS tok FROM documents),
+    cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tk WHERE tok <> '' GROUP BY tok),
+    rk AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM cnt),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(freq AS DOUBLE)) AS ly
+      FROM rk),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+      FROM pts),
+    t AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens FROM cnt)
+    SELECT CAST(n AS BIGINT) AS n_types, t.n_tokens,
+           FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * 10000e0 + 0.5e0) / 10000e0 AS zipf_slope,
+           FLOOR(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                 * 10000e0 + 0.5e0) / 10000e0 AS zipf_intercept
+    FROM s, t
+    """,
+)
+def t22_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: least-squares slope of
+    ln(freq) ~ ln(rank) over the corpus vocabulary — the classic
+    corpus-health fingerprint (natural text tracks slope ~ -1;
+    templated or synthetic corpora bow away from it). One explode to
+    token counts (map-side combined), ranks over the |vocab|-bounded
+    count table, and a closed-form slope from the five OLS sums —
+    no iterative fitting, no ML library.
+
+    Engine parity: slope comes from the same closed form evaluated
+    over the same |vocab| points; both engines' float SUMs can
+    differ in final ulps (summation order), absorbed by the 4 dp
+    scaled-floor round. Scale: the only data-sized exchange is the
+    token count; everything after is vocab-sized (the t15/t9
+    shape)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    from pyspark.sql import Window as W
+
+    rk = cnt.select(
+        "tok",
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), F.col("tok")))
+        .alias("rnk"),
+    )
+    pts = rk.select(
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    t = cnt.agg(F.sum("freq").cast("long").alias("n_tokens"))
+    return s.crossJoin(t).select(
+        F.col("n").cast("long").alias("n_types"),
+        "n_tokens",
+        F.expr(
+            "FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+            " * 10000e0 + 0.5e0) / 10000e0"
+        ).alias("zipf_slope"),
+        F.expr(
+            "FLOOR(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)"
+            " * 10000e0 + 0.5e0) / 10000e0"
+        ).alias("zipf_intercept"),
     )
 
 

@@ -340,3 +340,70 @@ def test_audio_rms_drops_non_audio_rows(spark):
     )
     out = audio_rms(synthesize_real_media(docs)).collect()
     assert {r["media_id"] for r in out} == {1}
+
+
+def test_image_phash_matches_closed_form_pixel_truth(spark, sf_dir):
+    """The aHash must be derivable from the SYNTHESIS closed form
+    (pixel(x,y) = (x*7 + y*13 + seed) % 256) — i.e. the decode +
+    hash path recovers exactly what was encoded, bit for bit, via
+    an independent numpy replay of the grid rule."""
+    import numpy as np
+
+    from dot_spark.operators.multimodal import image_phash, synthesize_real_media
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 60)
+    )
+    got = {
+        r["media_id"]: (r["phash"], r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in image_phash(synthesize_real_media(docs)).collect()
+    }
+    assert got, "no image rows"
+    for mid, (phash, *bands) in got.items():
+        w, h, seed = mid % 48 + 16, mid % 32 + 16, mid % 256
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        px = (x * 7 + y * 13 + seed) % 256
+        ci = (np.arange(h) * 8) // h
+        cj = (np.arange(w) * 8) // w
+        flat = (ci[:, None] * 8 + cj[None, :]).ravel()
+        sums = np.bincount(flat, weights=px.ravel(), minlength=64)
+        cnts = np.bincount(flat, minlength=64)
+        ts, tn = int(px.sum()), w * h
+        bits = [int(int(sums[p]) * tn > ts * int(cnts[p])) for p in range(64)]
+        exp_bands = [
+            sum(bits[b * 16 + i] << i for i in range(16)) for b in range(4)
+        ]
+        assert bands == exp_bands, mid
+        assert phash == "%04x%04x%04x%04x" % tuple(exp_bands), mid
+
+
+def test_phash_neardup_matches_bruteforce_band_semantics(spark, sf_dir):
+    """Every reported pair must (a) share at least one 16-bit band
+    (the candidate contract) and (b) sit at the exact Hamming
+    distance a brute-force xor over the collected hashes computes;
+    and NO qualifying pair may be missing."""
+    from dot_spark.operators.multimodal import (
+        image_phash,
+        phash_neardup,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
+    hashes = image_phash(synthesize_real_media(docs)).cache()
+    hs = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in hashes.collect()}
+    expected = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ba, bb = hs[a], hs[b]
+            if not any(ba[k] == bb[k] for k in range(4)):
+                continue
+            ham = sum(bin(ba[k] ^ bb[k]).count("1") for k in range(4))
+            if ham <= 12:
+                expected[(a, b)] = ham
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup(hashes, max_hamming=12).collect()
+    }
+    hashes.unpersist()
+    assert got == expected

@@ -30,7 +30,9 @@ from dot_spark.queries import QUERIES
 # per Arrow batch — the documented vectorized-Pandas-UDF pattern).
 PYTHON_OK = {"mm1_decode_media", "mm2_media_features", "mm3_frame_sampling",
              "mm4_image_resize", "mm5_audio_rms",
-             "f8_hmac_sha256", "ss3_ivf_trained_topk", "ss4_lsh_topk"}
+             "mm6_image_phash", "mm7_phash_neardup",
+             "f8_hmac_sha256", "ss3_ivf_trained_topk", "ss4_lsh_topk",
+             "ss9_pq_topk"}
 
 PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                  "MapInPandas", "PythonMapInArrow")

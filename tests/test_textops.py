@@ -662,3 +662,98 @@ def test_sq_topk_exact_scores_and_high_recall(spark, sf_dir):
             hits += 1
             assert r["cos_sim"] == brute[key], key  # exact, not approximate
     assert hits / len(brute) >= 0.9, hits
+
+
+def test_pq_topk_exact_scores_recall_and_codebook_determinism(spark, sf_dir):
+    """Product quantization may cost recall, never score precision:
+    every (query, id) ss9 returns must carry the IDENTICAL exact
+    cosine brute force computes for that pair; with a 3x pool the
+    true top-10 should mostly survive the 8-byte-code cut (recall@10
+    >= 0.9 over the 5 queries; m=16 x 64-centroid codebooks — the
+    measured knee where 21x-compressed codes stop costing recall on
+    this corpus). Training
+    must be bit-deterministic: two runs over the same corpus produce
+    identical codebooks (the property the generated-literal oracle
+    depends on)."""
+    from dot_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from dot_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb1 = train_pq_codebooks(emb, m=16, n_codes=64, sample=1024, seed=7)
+    cb2 = train_pq_codebooks(emb, m=16, n_codes=64, sample=1024, seed=7)
+    assert cb1 == cb2  # bit-identical, not approximately equal
+    assert len(cb1) == 16 and all(len(b) <= 64 for b in cb1)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in brute_force_topk(q, emb, k=10).collect()
+    }
+    got = pq_topk(q, emb, m=16, n_codes=64, k=10, pool=30).collect()
+    hits = 0
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            hits += 1
+            assert r["cos_sim"] == brute[key], key  # exact, not approximate
+    assert hits / len(brute) >= 0.9, hits
+
+
+def test_duplicated_spans_merges_overlaps_and_respects_cross_doc_rule(spark):
+    """Constructed corpus: docs 1 and 2 share a 40-char region
+    (overlapping 25-char windows must fuse into ONE maximal span
+    covering the whole region in each doc); doc 3 repeats a window
+    only WITHIN itself (min_docs=2 distinct docs — must not
+    report); doc 4 shares nothing."""
+    from dot_spark.operators.textdedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog!"  # 44 chars
+    # flank the shared region with DIFFERENT characters in each doc,
+    # else the flanks themselves extend the true maximal shared span
+    rows = [
+        (1, "AAAA;" + shared + ";unique tail one here"),
+        (2, "something else leads in:" + shared + ":zz"),
+        (3, "x" * 30 + "y" * 30 + "x" * 30),
+        (4, "completely different text with no repeats at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end_excl"]): (
+            r["span_len"],
+            r["n_windows"],
+        )
+        for r in duplicated_spans(df, window=25, min_docs=2).collect()
+    }
+    # doc 1: shared starts at pos 6 (1-based), 44 chars -> windows at
+    # 6..25 fuse into [6, 50); doc 2: starts at 25 -> [25, 69)
+    assert (1, 6, 50) in got, got
+    assert (2, 25, 69) in got, got
+    assert got[(1, 6, 50)] == (44, 20)
+    assert all(doc not in (3, 4) for doc, _, _ in got), got
+
+
+def test_duplicated_spans_adjacent_windows_fuse(spark):
+    """Two duplicated windows exactly adjacent (second starts at
+    prev_end_excl) must fuse: pos > prev_max_end is the ONLY span
+    breaker."""
+    from dot_spark.operators.textdedup import duplicated_spans
+
+    a = "0123456789" * 5  # 50 chars: every 25-window duplicated across docs
+    df = spark.createDataFrame(
+        [(1, a + "padpadpadpad"), (2, "zzz " + a + " qqq")],
+        "doc_id INT, text STRING",
+    )
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end_excl"])
+        for r in duplicated_spans(df, window=25, min_docs=2).collect()
+        if r["doc_id"] == 1
+    ]
+    assert len(got) == 1, got
+    assert got[0][1] == 1 and got[0][2] >= 50, got
