@@ -239,3 +239,63 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def link_prediction(
+    edges: DataFrame, top_k: int = 100, min_common: int = 1
+) -> DataFrame:
+    """Common-neighbor link prediction over a SYMMETRIZED (src, dst)
+    edge list (Liben-Nowell & Kleinberg CIKM'03): for every UNLINKED
+    pair (a, b) sharing >= min_common neighbors, emit the
+    common-neighbor count and the Jaccard coefficient
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, keeping the global top_k by
+    (common desc, jaccard desc, a, b) — a fully deterministic order.
+
+    Plan: wedges through each pivot w (w→a ⋈ w→b, a < b) — one
+    equi-join on the pivot — aggregated to pair counts; existing
+    edges leave via anti-join; degrees broadcast back. The edge list
+    feeds four consumers (two wedge sides, degrees, the anti-join),
+    so it is localCheckpointed once (the triangle_count lesson:
+    without the barrier Catalyst replays the upstream edge
+    construction per consumer).
+
+    Scale: wedge volume is sum(deg_w^2) — the caller bounds it by
+    pruning hub nodes / weighting edges BEFORE this operator (the
+    g4 query keeps co-purchase edges with support >= 2, the dd4b
+    stop-key discipline); top-k compiles to TakeOrderedAndProject
+    (per-partition bounded heaps, no global sort)."""
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("w"), F.col("dst").alias("b"))
+    cn = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    linked = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    cand = cn.join(linked, ["a", "b"], "left_anti")
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("deg_b"))
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "FLOOR(CAST(n_common AS DOUBLE) / (deg_a + deg_b - n_common)"
+                " * 10000e0 + 0.5e0) / 10000e0"
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_common").desc(), F.col("jaccard").desc(), "a", "b"
+    ).limit(top_k)

@@ -7947,6 +7947,168 @@ def t22_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g4_link_prediction",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pw AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    ed AS (SELECT src, dst FROM pw UNION ALL SELECT dst, src FROM pw),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+    cn AS (
+      SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY 1, 2),
+    unl AS (
+      SELECT cn.* FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM pw
+                        WHERE pw.src = cn.a AND pw.dst = cn.b)),
+    sc AS (
+      SELECT a, b, n_common, da.d AS deg_a, db.d AS deg_b,
+             FLOOR(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common)
+                   * 10000e0 + 0.5e0) / 10000e0 AS jaccard
+      FROM unl JOIN deg da ON da.src = unl.a JOIN deg db ON db.src = unl.b)
+    SELECT a, b, n_common, deg_a, deg_b, jaccard
+    FROM sc ORDER BY n_common DESC, jaccard DESC, a, b LIMIT 100
+    """,
+)
+def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph (Liben-Nowell &
+    Kleinberg CIKM'03): the top unlinked part pairs by common-
+    neighbor count and Jaccard coefficient — the
+    "customers who bought X also bought Y" candidate generator, and
+    the fourth member of the graph family (g1 importance, g2
+    closure, g3 reachability, g4 prediction).
+
+    The input graph is support-pruned FIRST (co-purchase edges
+    appearing in >= 2 orders — the dd4b stop-key discipline applied
+    to graph construction): random single co-occurrences are noise
+    for prediction AND the wedge join's sum(deg^2) blow-up control.
+    Top-k compiles to TakeOrderedAndProject over the scored pairs."""
+    from dot_spark.operators.graph import link_prediction
+
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    pw = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("wgt"))
+        .filter(F.col("wgt") >= 2)
+        .select("src", "dst")
+    )
+    edges = pw.union(pw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return link_prediction(edges, top_k=100, min_common=1)
+
+
+_CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5({tok} || '#' || CAST({j} AS VARCHAR)), 1, 14)"
+    " AS BIGINT) % 256"
+)
+
+
+@query(
+    "a29_countmin_audit",
+    f"""
+    WITH tk AS (SELECT UNNEST({_NORM_TOKS_SQL}) AS tok FROM documents),
+    tok AS (SELECT tok FROM tk WHERE tok <> ''),
+    br AS (SELECT tok, j.j AS j,
+                  {_CMS_BUCKET_SQL.format(tok="tok", j="j.j")} AS bucket
+           FROM tok, UNNEST(generate_series(0, 3)) AS j(j)),
+    sk AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+           FROM br GROUP BY 1, 2),
+    ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact
+           FROM tok GROUP BY tok),
+    vb AS (SELECT e.tok, e.exact, j.j AS j,
+                  {_CMS_BUCKET_SQL.format(tok="e.tok", j="j.j")} AS bucket
+           FROM ex e, UNNEST(generate_series(0, 3)) AS j(j)),
+    est AS (SELECT vb.tok, vb.exact, MIN(sk.c) AS est
+            FROM vb JOIN sk ON sk.j = vb.j AND sk.bucket = vb.bucket
+            GROUP BY 1, 2),
+    n AS (SELECT CAST(SUM(exact) AS BIGINT) AS total FROM ex)
+    SELECT tok, exact, est, est - exact AS overcount,
+           (est - exact) * 256 <= 2 * n.total AS within_bound
+    FROM est, n
+    ORDER BY exact DESC, tok LIMIT 20
+    """,
+)
+def a29_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with a built-in accuracy
+    audit (Cormode & Muthukrishnan 2005) — the a15/a19 audit pattern
+    applied to a sketch BUILT INSIDE THE ENGINE, not a library call:
+    d=4 hash rows x w=256 buckets of token counts (the md5-prefix
+    hash family both engines evaluate identically), point estimates
+    as the min over rows, checked against exact counts for the 20
+    heaviest tokens with the standard 2N/w Markov bound as the
+    verdict (integer cross-multiplied — no float).
+
+    Scale story: the sketch is a 1,024-row table produced by one
+    map-side-combined aggregation over the token stream — THE
+    replacement for exact vocabulary counting when the vocab doesn't
+    fit (URL/user-agent/n-gram cardinalities at 100 TB); estimates
+    are a broadcast join against the tiny sketch. The audit query is
+    how a pipeline qualifies sketch parameters on a sample tier
+    before trusting them fleet-wide (dd13's estimator-audit
+    discipline)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+
+    def bucket(tok_col, j: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat(tok_col, F.lit(f"#{j}"))), 1, 14), 16, 10)
+            .cast("long")
+            % 256
+        )
+
+    rows4 = toks.select(
+        "tok",
+        F.posexplode(F.array(*[bucket(F.col("tok"), j) for j in range(4)])).alias(
+            "j", "bucket"
+        ),
+    )
+    sk = rows4.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ex = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    vb = ex.select(
+        "tok",
+        "exact",
+        F.posexplode(F.array(*[bucket(F.col("tok"), j) for j in range(4)])).alias(
+            "j", "bucket"
+        ),
+    )
+    est = (
+        vb.join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("tok", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    n = ex.agg(F.sum("exact").cast("long").alias("total"))
+    return (
+        est.crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+            ((F.col("est") - F.col("exact")) * 256 <= 2 * F.col("total")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy(F.col("exact").desc(), "tok")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
 # 50 queries() entries. Rounds 1-3 proved (in turn) the relational

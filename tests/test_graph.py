@@ -209,3 +209,55 @@ def test_pagerank_empty_graph_returns_empty(spark):
     got = pagerank(_edges_df(spark, []), iterations=3)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["node", "rank"]
+
+
+def test_link_prediction_matches_bruteforce_on_random_graph(spark):
+    """Exhaustive check on a seeded random graph: every (unlinked
+    pair, common-neighbor count, Jaccard) must equal a networkx-free
+    brute-force adjacency computation, and no linked pair may
+    appear."""
+    import itertools
+    import random
+
+    from dot_spark.operators.graph import link_prediction
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    und = {
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.15
+    }
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src BIGINT, dst BIGINT")
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["deg_a"], r["deg_b"], r["jaccard"])
+        for r in link_prediction(edges, top_k=10_000, min_common=1).collect()
+    }
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = {}
+    for a, b in itertools.combinations(nodes, 2):
+        if (a, b) in und:
+            continue
+        cn = len(adj[a] & adj[b])
+        if cn >= 1:
+            import math
+
+            j = math.floor(cn / (len(adj[a]) + len(adj[b]) - cn) * 10000 + 0.5) / 10000
+            exp[(a, b)] = (cn, len(adj[a]), len(adj[b]), j)
+    assert got == exp
+
+
+def test_link_prediction_topk_order_is_deterministic(spark):
+    """top_k must cut on the documented (n_common desc, jaccard
+    desc, a, b) order — re-running yields the identical pair set."""
+    from dot_spark.operators.graph import link_prediction
+
+    edges_rows = [(a, b) for a in range(8) for b in range(8) if a != b and (a + b) % 3]
+    edges = spark.createDataFrame(edges_rows, "src BIGINT, dst BIGINT")
+    r1 = [(r["a"], r["b"]) for r in link_prediction(edges, top_k=5).collect()]
+    r2 = [(r["a"], r["b"]) for r in link_prediction(edges, top_k=5).collect()]
+    assert r1 == r2 and len(r1) == 5

@@ -77,3 +77,32 @@ def test_theta_sketch_distinct_estimate(spark, sf_dir):
     ).collect()[0].e
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) <= max(3, 0.05 * exact)
+
+
+def test_countmin_audit_overestimates_only_and_nails_heavy_hitters(spark, sf_dir):
+    """Count-min law: the sketch NEVER underestimates (est >= exact
+    for every audited token), and the audit's verdict column must
+    agree with the 2N/w bound recomputed from the emitted
+    columns."""
+    from dot_spark.queries import QUERIES
+
+    rows = QUERIES["a29_countmin_audit"](spark, str(sf_dir)).collect()
+    assert rows, "audit returned nothing"
+    # recompute N from the corpus for the bound check
+    from dot_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", str(sf_dir))
+    n = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .count()
+    )
+    for r in rows:
+        assert r["est"] >= r["exact"], r
+        assert r["overcount"] == r["est"] - r["exact"], r
+        assert r["within_bound"] == (r["overcount"] * 256 <= 2 * n), r
