@@ -232,3 +232,58 @@ def corpus_shuffle(df: DataFrame, key_col: str, out_col: str = "pos") -> DataFra
         key_col=key_col,
     )
     return numbered.withColumnRenamed("cum_weight", out_col).drop("__one")
+
+
+def pack_sequences(
+    df: DataFrame,
+    window: int = 2048,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training-data loaders (the concat-and-
+    chop scheme every GPT-style pipeline uses): documents are laid
+    out in a stable md5-shuffled order as ONE virtual token stream,
+    and the stream is chopped into fixed ``window``-sized contexts.
+    Each doc's placement is pure arithmetic on its EXCLUSIVE running
+    prefix: start_pos, first_bin, offset_in_bin, last_bin (docs may
+    straddle bins — that is the point of packing; padding waste is
+    zero by construction).
+
+    Scale shape: the token_budget_sample prefix sum verbatim — 256
+    md5-byte buckets, a single-partition window over the 256 bucket
+    TOTALS only, broadcast of each bucket's preceding total, and a
+    bucket-parallel within-bucket running sum. No global sort, no
+    single-partition data window; the oracle states the same layout
+    as one global-order cumsum, which is fine single-node and
+    exactly the plan Spark must avoid."""
+    from pyspark.sql import Window
+
+    hexed = df.withColumn("__hx", F.md5(F.col(key_col).cast("string")))
+    bucketed = hexed.withColumn("__b", hash_byte(key_col))
+    totals = bucketed.groupBy("__b").agg(F.sum(weight_col).alias("__bt"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.withColumn(
+        "__before", F.coalesce(F.sum("__bt").over(wb), F.lit(0))
+    ).select("__b", "__before")
+    ww = Window.partitionBy("__b").orderBy("__hx", key_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        bucketed.join(F.broadcast(prefix), "__b")
+        .withColumn(
+            "__start",
+            (F.col("__before") + F.sum(weight_col).over(ww) - F.col(weight_col)).cast(
+                "long"
+            ),
+        )
+    )
+    return cum.select(
+        key_col,
+        F.col(weight_col).cast("long").alias("n_tokens"),
+        F.col("__start").alias("start_pos"),
+        F.floor(F.col("__start") / window).alias("first_bin"),
+        (F.col("__start") % window).alias("offset_in_bin"),
+        F.floor((F.col("__start") + F.col(weight_col) - 1) / window).alias(
+            "last_bin"
+        ),
+    )

@@ -8109,6 +8109,46 @@ def a29_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p19_sequence_packing",
+    """
+    WITH d AS (SELECT doc_id, n_chars,
+                      md5(CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents),
+    c AS (SELECT doc_id, n_chars,
+                 COALESCE(SUM(n_chars) OVER (
+                   ORDER BY hx, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_pos
+          FROM d)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(start_pos // 2048 AS BIGINT) AS first_bin,
+           CAST(start_pos % 2048 AS BIGINT) AS offset_in_bin,
+           CAST((start_pos + n_chars - 1) // 2048 AS BIGINT) AS last_bin
+    FROM c
+    """,
+)
+def p19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chop): place every document in a
+    stable md5-shuffled virtual token stream and chop 2048-unit
+    context windows — each doc gets its stream start, first/last
+    bin, and in-bin offset. This is the data-loader layout step
+    between sampling (p13 budgets, p18 mixtures) and training; zero
+    padding waste by construction, and deterministic so any worker
+    can recompute any bin's contents independently.
+
+    Engine side runs the p13/p15 distributed prefix sum (256
+    md5-byte buckets, single-partition window over 256 bucket totals
+    ONLY, bucket-parallel within-bucket cumsum); the oracle states
+    the identical layout as one global-order cumsum — fine on a
+    single node, exactly the funnel the engine plan avoids."""
+    from dot_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    return pack_sequences(docs, window=2048)
+
+
 # ---------------------------------------------------------------------------
 # Registration order: the driver's CORRECTNESS gate checks the FIRST
 # 50 queries() entries. Rounds 1-3 proved (in turn) the relational

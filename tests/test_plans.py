@@ -574,3 +574,13 @@ def test_runtime_bloom_filter_arms_in_the_big_join_regime(spark, sf_dir):
         .toString()
     )
     assert "bloom_filter_agg" not in plan_default
+
+
+def test_pack_sequences_avoids_global_sort_window(spark, sf_dir):
+    """p19 must reuse the p13 distributed prefix-sum shape: row-level
+    window partitioned by the 256 hash buckets, SinglePartition
+    exchange only for the bucket-totals window."""
+    plan = _plan(QUERIES["p19_sequence_packing"](spark, sf_dir))
+    assert "hashpartitioning(__b" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan

@@ -108,3 +108,35 @@ def test_mixture_resample_balances_source_token_budgets(spark):
     for s in total:
         realized = sum(tok_count[d] for src, d in got if src == s)
         assert realized <= budget * 1.5 and realized >= budget * 0.5, (s, realized, budget)
+
+
+def test_pack_sequences_is_gapless_complete_and_partition_invariant(spark):
+    """Packing laws: (1) the virtual stream is gapless — sorting by
+    start_pos, each doc starts exactly where the previous ended and
+    the total stream length is sum(weights); (2) bin arithmetic is
+    consistent (offset < window, last_bin = floor((start+w-1)/W));
+    (3) the layout is identical under any input partitioning — the
+    reproducibility contract that lets any worker rebuild any bin."""
+    from dot_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, n_chars BIGINT")
+    out = sorted(
+        (
+            (r["start_pos"], r["doc_id"], r["n_tokens"], r["first_bin"],
+             r["offset_in_bin"], r["last_bin"])
+            for r in pack_sequences(df, window=512).collect()
+        )
+    )
+    pos = 0
+    for start, _doc, w, fb, off, lb in out:
+        assert start == pos, (start, pos)
+        assert fb == start // 512 and off == start % 512
+        assert lb == (start + w - 1) // 512
+        pos = start + w
+    assert pos == sum(w for _, w in rows)
+    again = sorted(
+        (r["start_pos"], r["doc_id"])
+        for r in pack_sequences(df.repartition(13), window=512).collect()
+    )
+    assert again == [(s, d) for s, d, *_ in out]

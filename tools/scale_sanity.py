@@ -258,6 +258,58 @@ def main() -> None:
         # grows with it (the suffixed-token upsampling guarantees it).
         grid[("t18_novelty", k)] = novelty_scores(docs)
 
+        # r8 session additions: the round's new heavy families.
+        from dot_spark.operators.graph import link_prediction
+        from dot_spark.operators.multimodal import (
+            image_phash,
+            synthesize_real_media,
+        )
+        from dot_spark.operators.similarity import pq_topk
+        from dot_spark.operators.textdedup import duplicated_spans
+
+        # dd14: window-fingerprint explode + inverted index + span
+        # merge. Suffixed tokens keep the window space disjoint per
+        # copy, so dup-fp group sizes stay constant and the whole
+        # path must scale with the explode (linear).
+        grid[("dd14_substring_spans", k)] = duplicated_spans(docs)
+        # mm6: the decode+hash ingest pass — per-image Python cost,
+        # images scale K-fold (offset ids change the synthesized
+        # dims/seed mix but not the per-image work).
+        grid[("mm6_image_phash", k)] = image_phash(
+            synthesize_real_media(docs.filter(F.col("doc_id") % 3 == 0))
+        )
+        # g4: support-pruned co-purchase graph (disjoint per copy) ->
+        # wedge join; support pruning caps bucket sizes so wedge
+        # volume grows with edges, not quadratically. Checkpoints
+        # eagerly -> thunk.
+        def _g4_cell(li):
+            items = li.select("l_orderkey", "l_partkey").distinct()
+            a = items.select(
+                F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("src")
+            )
+            b = items.select(
+                F.col("l_orderkey").alias("kk"), F.col("l_partkey").alias("dst")
+            )
+            pw = (
+                a.join(b, "kk")
+                .filter(F.col("src") < F.col("dst"))
+                .groupBy("src", "dst")
+                .agg(F.count(F.lit(1)).alias("wgt"))
+                .filter(F.col("wgt") >= 2)
+                .select("src", "dst")
+            )
+            edges = pw.union(
+                pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            return link_prediction(edges, top_k=100)
+
+        grid[("g4_link_prediction", k)] = lambda li=li_k: _g4_cell(li)
+        # ss9: PQ training collects a FIXED 1024-row sample (eager ->
+        # thunk); the encode + asymmetric scan is the linear term.
+        grid[("ss9_pq_topk", k)] = lambda e=emb, p=probes: pq_topk(
+            p, e, m=16, n_codes=64, k=10, pool=30
+        )
+
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
         for cell, df in grid.items():
