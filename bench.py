@@ -49,6 +49,10 @@ HEADLINE = [
     "dd6_decontamination",
     # chunk-granularity (passage) dedup — the newest dedup pass
     "dd9_chunk_dedup",
+    # character-granularity substring-span dedup (round 8): the
+    # window-fingerprint explode is the highest-volume dedup stage —
+    # a lost spread/partial-agg shows up here first
+    "dd14_substring_spans",
     "t2_quality_score",
     "t4_fingerprint",
     "t9_tfidf_topterms",

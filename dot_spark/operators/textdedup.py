@@ -929,7 +929,9 @@ def duplicated_spans(
     scale; at 100 TB widen to 128-bit via two seeds)."""
     from pyspark.sql import Window as W
 
-    docs = df.filter(F.length(text_col) >= window).select(id_col, text_col)
+    docs = spread_small_input(
+        df.filter(F.length(text_col) >= window).select(id_col, text_col)
+    )
     wins = docs.select(
         id_col,
         F.posexplode(
@@ -939,12 +941,24 @@ def duplicated_spans(
             )
         ).alias("idx", "fp"),
     ).select(id_col, (F.col("idx") + 1).alias("pos"), "fp")
-    dup_fps = (
-        wins.groupBy("fp")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("fp")
-    )
+    if min_docs == 2:
+        # the common cross-doc test needs no distinct count at all:
+        # ">= 2 distinct docs" == "min doc != max doc" — plain
+        # min/max partial aggs, no Expand duplication of the window
+        # stream (measured 1.7x on the full path at sf0.1)
+        dup_fps = (
+            wins.groupBy("fp")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .filter(F.col("__lo") != F.col("__hi"))
+            .select("fp")
+        )
+    else:
+        dup_fps = (
+            wins.groupBy("fp")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("fp")
+        )
     hits = wins.join(dup_fps, "fp", "left_semi").select(id_col, "pos")
     w_doc = W.partitionBy(id_col).orderBy("pos")
     marked = hits.withColumn(
