@@ -8233,6 +8233,27 @@ def p19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
+# READY-MADE r9 WINDOW (recomputed at the end of round 8 against
+# CORRECTNESS_r01-r07 + the r8 window below; regenerate with the
+# never-gated scan in NOTES_r08 if r8's official gate diverges from
+# its window): after the 50 names below land, exactly 40 registered
+# queries still lack an official row — the r7-era leaders
+#   st5_delayed_retry t19_bm25_topterms t20_pmi_collocations
+#   w12_ewma_smooth j18_snapshot_diff t18_novelty_score ss8_sq_topk
+#   s15_text_log_source p16_fixed_k_per_stratum pl8_merge_upsert
+#   a16_grouping_sets n8_malformed_json_audit t16_langid_accuracy
+#   mm5_audio_rms ss6_label_centroids mm4_image_resize
+#   a15_approx_distinct_audit n11_xml_roundtrip p18_mixture_resample
+#   a21_cumulative_distinct a22_cohort_retention a23_activity_streaks
+#   g1_pagerank g2_triangle_count g3_bfs_levels j17_multihop_topk
+#   a24_mad_robust
+# plus the round-8 additions
+#   ss9_pq_topk t21_readability a25_table_profile a26_frequent_pairs
+#   a27_event_transitions mm6_image_phash mm7_phash_neardup
+#   dd14_substring_spans a28_wilson_ci t22_zipf_audit
+#   g4_link_prediction a29_countmin_audit p19_sequence_packing
+# — 40 names, so the r9 window is all of them + the 10 stalest
+# official rows (r5-era: j9/a9/a11/s11/pl4 first) as backfill.
 _WINDOW_PRIORITY = [
     # ROUND-8 WINDOW: the first 50 never-officially-gated queries in
     # registration order (the rotation plan committed in round 7 —
