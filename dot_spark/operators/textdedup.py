@@ -988,3 +988,66 @@ def duplicated_spans(
             "n_windows",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_maxdf: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A,B) = |A∩B| / |A| (Broder
+    1997's 'containment', the companion measure to resemblance):
+    detects when one document's shingle set sits inside another's —
+    quote inclusion, article-with-appended-boilerplate, subset
+    scrapes — which symmetric Jaccard misses whenever the container
+    is much larger than the contained doc (J small, C(A,B) ~ 1).
+
+    Same inverted-index machinery as ngram_jaccard_pairs (one
+    distinct-shingle explode, df>=2 prune reusing the exchange,
+    optional stop-shingle cap, AQE-managed self-join), but each
+    unordered co-shingled pair emits up to TWO directed rows
+    ((contained, container) per direction clearing the threshold).
+    The directed expansion happens AFTER the pair aggregation — 2
+    rows per pair, never 2x the index."""
+    sh, sizes = _distinct_shingle_hashes(df, id_col, text_col, n)
+    freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_sh"))
+    keep = F.col("df_sh") >= 2
+    if shingle_maxdf is not None:
+        keep = keep & (F.col("df_sh") <= shingle_maxdf)
+    shared = sh.join(freq.filter(keep).select("sh_h"), "sh_h", "left_semi")
+    a = shared.select(F.col("sh_h"), F.col(id_col).alias("id_a"))
+    b = shared.select(F.col("sh_h"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "sh_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = inter.join(sa, "id_a").join(sb, "id_b")
+    # both directions from ONE pair row via a 2-element explode — a
+    # fwd/rev UNION would re-execute the whole index pipeline twice
+    # (measured: 42 exchanges vs 22 in the plan)
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.col("inter"),
+                    F.round(F.col("inter") / F.col("n_a"), 4).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.col("inter"),
+                    F.round(F.col("inter") / F.col("n_b"), 4).alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return directed.filter(F.col("containment") >= threshold)

@@ -8233,6 +8233,236 @@ def p19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5-remainder backfill (j9/a9/a11/s11/pl4 first, then r6 rows).
 # ---------------------------------------------------------------------------
 
+@query(
+    "dd15_containment",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(
+               generate_series(1, greatest(1, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      FROM tk),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) BETWEEN 2 AND 40),
+    ix AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (SELECT shingle FROM kept)
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id
+              JOIN sizes sb ON ix.id_b = sb.doc_id),
+    dir AS (
+      SELECT id_a AS contained_id, id_b AS container_id, inter,
+             ROUND(inter / n_a, 4) AS containment FROM pairs
+      UNION ALL
+      SELECT id_b, id_a, inter, ROUND(inter / n_b, 4) FROM pairs)
+    SELECT contained_id, container_id, inter, containment
+    FROM dir WHERE containment >= 0.5
+    """,
+)
+def dd15_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |A∩B|/|A| (Broder
+    1997) — catches quote inclusion and boilerplate-wrapped subset
+    scrapes that symmetric Jaccard (dd4) misses when the container
+    dwarfs the contained doc. Same inverted-index scale shape as
+    dd4b (stop-shingle cap 40, df>=2 prune, hash-keyed index); each
+    unordered pair expands to at most two DIRECTED verdict rows
+    after aggregation."""
+    from dot_spark.operators.textdedup import containment_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return containment_pairs(docs, n=3, threshold=0.5, shingle_maxdf=40)
+
+
+@query(
+    "a30_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) >= 10 AS k_anonymous
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def a30_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier: every QI equivalence class with its size and a
+    k>=10 verdict — the re-identification risk report a governance
+    pipeline runs before releasing a derived dataset (Sweeney 2002).
+    One map-side-combined aggregation onto a |QI-classes|-bounded
+    key space; the verdict threshold is policy, the class sizes are
+    the data product."""
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        (F.col("group_size") >= 10).alias("k_anonymous"),
+    )
+
+
+@query(
+    "a31_expectations_audit",
+    """
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_cust,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      FROM orders),
+    r AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphan
+          FROM orders
+          WHERE NOT EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey)),
+    l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+                 CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS oor
+          FROM lineitem)
+    SELECT 'o_orderkey_unique' AS rule, n AS n_checked,
+           dup_keys AS n_violations, dup_keys = 0 AS passed FROM o
+    UNION ALL
+    SELECT 'o_custkey_complete', n, null_cust, null_cust = 0 FROM o
+    UNION ALL
+    SELECT 'o_orderstatus_domain', n, bad_status, bad_status = 0 FROM o
+    UNION ALL
+    SELECT 'o_custkey_referential', o.n, r.orphan, r.orphan = 0 FROM o, r
+    UNION ALL
+    SELECT 'l_discount_range', n_l, oor, oor = 0 FROM l
+    """,
+)
+def a31_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations pattern as an engine query): uniqueness,
+    completeness, accepted-values, referential integrity, and range
+    rules each report (n_checked, n_violations, passed). The
+    ingestion gate a pipeline runs on every drop BEFORE promoting it
+    (pl1's disposition machinery consumes exactly this kind of
+    verdict).
+
+    Shape: the three orders rules share ONE map-side-combined
+    aggregate pass (the distinct-key rule plans its Expand only over
+    o_orderkey); referential integrity is a broadcast anti-join
+    against the customer keys (the dimension side is the small one —
+    at 100 TB the fact side never shuffles); the lineitem range rule
+    is its own single-pass aggregate. NULL keys count as orphans on
+    both engines (NOT EXISTS + anti-join agree on that — the NOT IN
+    trap is documented here because it would NOT)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    li = load_table(spark, "lineitem", sf_dir)
+    o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_keys"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum(
+            (
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P")
+            ).cast("long")
+        ).alias("bad_status"),
+    )
+    orphan = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan"))
+    )
+    l = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+        ).alias("oor"),
+    )
+    def rule(name, n, viol):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            n.alias("n_checked"),
+            viol.alias("n_violations"),
+            (viol == 0).alias("passed"),
+        )
+
+    wide = o.crossJoin(orphan).crossJoin(l)
+    rules = wide.select(
+        F.explode(
+            F.array(
+                rule("o_orderkey_unique", F.col("n"), F.col("dup_keys")),
+                rule("o_custkey_complete", F.col("n"), F.col("null_cust")),
+                rule("o_orderstatus_domain", F.col("n"), F.col("bad_status")),
+                rule("o_custkey_referential", F.col("n"), F.col("orphan")),
+                rule("l_discount_range", F.col("n_l"), F.col("oor")),
+            )
+        ).alias("r")
+    )
+    return rules.select("r.rule", "r.n_checked", "r.n_violations", "r.passed")
+
+
+@query(
+    "w13_ohlc_resample",
+    """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type, value, ts, event_id
+      FROM events),
+    rn AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY hr, event_type
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY hr, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e)
+    SELECT hr, event_type,
+           MIN(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MIN(CASE WHEN rl = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM rn GROUP BY 1, 2
+    """,
+)
+def w13_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the candlestick/downsample aggregate): per
+    (hour, event_type) bucket, the first/highest/lowest/last value
+    with (ts, event_id) as the deterministic total order — the
+    hypertable downsample that turns a raw event stream into a
+    bounded time-series table (a9's rollup keeps sums; this keeps
+    ENDPOINTS, which sums cannot reconstruct).
+
+    Engine side uses min_by/max_by over the (ts, event_id) struct —
+    ONE map-side-combinable aggregate pass, no window, no second
+    exchange (open/high/low/close/count all partial-aggregate);
+    the oracle states first/last as row-number picks over the same
+    total order. All emitted values are STORED doubles (no float
+    arithmetic), so no rounding discipline is needed."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    return e.groupBy("hr", "event_type").agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 # READY-MADE r9 WINDOW (recomputed at the end of round 8 against
 # CORRECTNESS_r01-r07 + the r8 window below; regenerate with the
 # never-gated scan in NOTES_r08 if r8's official gate diverges from

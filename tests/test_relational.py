@@ -154,3 +154,26 @@ def test_asof_join_right_columns_with_odd_names(spark):
     right = spark.createDataFrame([(1, 10, 5.0)], ["k", "ts", "sync timestamp"])
     row = asof_join(left, right, on="k").collect()[0]
     assert row.asof_ts == 10 and row["asof_sync timestamp"] == 5.0
+
+
+def test_expectations_audit_null_custkey_counts_as_orphan(spark, sf_dir):
+    """The referential rule must treat NULL foreign keys as orphans
+    (anti-join semantics) — the NOT IN trap would silently report
+    zero violations the moment one NULL key appears."""
+    from pyspark.sql import functions as F
+
+    from dot_spark.sources.registry import load_table
+
+    orders = load_table(spark, "orders", sf_dir).limit(50).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orphan = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).count()
+    n_null = orders.filter(F.col("o_custkey").isNull()).count()
+    assert n_null > 0
+    assert orphan >= n_null

@@ -757,3 +757,48 @@ def test_duplicated_spans_adjacent_windows_fuse(spark):
     ]
     assert len(got) == 1, got
     assert got[0][1] == 1 and got[0][2] >= 50, got
+
+
+def test_containment_detects_subset_doc_asymmetrically(spark):
+    """A short doc whose every shingle appears in a long container
+    must score containment ~1.0 in the (contained -> container)
+    direction while the reverse direction scores low — the asymmetry
+    that distinguishes containment from Jaccard."""
+    from dot_spark.operators.textdedup import containment_pairs
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, core), (2, core + " " + filler)], "doc_id INT, text STRING"
+    )
+    rows = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.0).collect()
+    }
+    # doc 1 has 6 shingles, all shared except the boundary ones that
+    # cross into the filler: containment(1 in 2) must be high...
+    assert rows[(1, 2)] >= 0.99, rows
+    # ...and the reverse low (container has dozens of unshared
+    # shingles)
+    assert rows[(2, 1)] <= 0.2, rows
+
+
+def test_containment_threshold_and_direction_consistency(spark, sf_dir):
+    """Registry-level law: every emitted row clears the threshold and
+    the directed pair's (inter, containment) must be consistent with
+    the symmetric intersection — containment = inter / |contained
+    doc's shingle set| recomputed from the operator's own inputs."""
+    from dot_spark.operators.textdedup import (
+        _distinct_shingle_hashes,
+        containment_pairs,
+    )
+    from dot_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    got = containment_pairs(docs, n=3, threshold=0.5, shingle_maxdf=40).collect()
+    assert all(r["containment"] >= 0.5 for r in got)
+    _, sizes = _distinct_shingle_hashes(docs, "doc_id", "text", 3)
+    nsh = {r["doc_id"]: r["n_sh"] for r in sizes.collect()}
+    for r in got:
+        expect = round(r["inter"] / nsh[r["contained_id"]], 4)
+        assert abs(r["containment"] - expect) < 1e-9, r
