@@ -8463,6 +8463,93 @@ def w13_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pl12_oracle_sql() -> str:
+    """pl12's oracle composes the t2 (quality) and t3 (language-id)
+    oracle fragments — the pl6/pl7 composition mechanism — so the
+    dataset card is checked against the SAME per-doc signal
+    definitions the standalone queries are checked against."""
+    t2 = ORACLE["t2_quality_score"]
+    t3 = ORACLE["t3_language_id"]
+    return f"""
+    WITH q AS ({t2}),
+    p AS ({t3}),
+    base AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_toks,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h
+      FROM documents)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(b.n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT b.h) AS BIGINT) AS n_unique,
+           FLOOR((1e0 - COUNT(DISTINCT b.h) * 1e0 / COUNT(*))
+                 * 10000e0 + 0.5e0) / 10000e0 AS dup_rate,
+           FLOOR(AVG(q.quality) * 10000e0 + 0.5e0) / 10000e0 AS avg_quality,
+           FLOOR(SUM(CASE WHEN p.lang_pred = b.lang THEN 1 ELSE 0 END)
+                 * 1e0 / COUNT(*) * 10000e0 + 0.5e0) / 10000e0
+             AS langid_agreement
+    FROM base b
+    JOIN q ON q.doc_id = b.doc_id
+    JOIN p ON p.doc_id = b.doc_id
+    GROUP BY b.source
+    """
+
+
+@query("pl12_dataset_card", _pl12_oracle_sql())
+def pl12_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-source datasheet a training corpus
+    ships with (Gebru et al., "Datasheets for Datasets", CACM 2021)
+    — document/character/token counts, exact-dup rate (the dd1
+    hash), mean heuristic quality (t2), and declared-vs-detected
+    language agreement (t3), one row per source. This is the
+    composition consumers read FIRST; every column is a signal the
+    engine also exposes standalone, and the oracle composes those
+    queries' own oracle fragments so the card can never drift from
+    the signals it summarizes.
+
+    Shape: the three per-doc signal branches are narrow column
+    pipelines over one scan each, equi-joined on doc_id and
+    aggregated onto a |sources|-bounded key space (map-side
+    combined; the dup-rate's COUNT(DISTINCT md5) is the only Expand
+    and it rides the same exchange). Float discipline: ratios of
+    exact integers round via scaled-floor; avg_quality averages
+    4 dp-rounded per-doc scores (both engines sum the same values —
+    order-dust absorbed by the 4 dp scaled-floor, the t22 class)."""
+    from dot_spark.operators.text import language_id, quality_score
+    from dot_spark.operators.textdedup import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5(normalize_text("text")).alias("h"),
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    p = language_id(docs).select("doc_id", "lang_pred")
+    joined = base.join(q, "doc_id").join(p, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.count_distinct("h").cast("long").alias("n_unique"),
+        F.expr(
+            "FLOOR((1e0 - COUNT(DISTINCT h) * 1e0 / COUNT(*))"
+            " * 10000e0 + 0.5e0) / 10000e0"
+        ).alias("dup_rate"),
+        F.expr("FLOOR(AVG(quality) * 10000e0 + 0.5e0) / 10000e0").alias(
+            "avg_quality"
+        ),
+        F.expr(
+            "FLOOR(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)"
+            " * 1e0 / COUNT(*) * 10000e0 + 0.5e0) / 10000e0"
+        ).alias("langid_agreement"),
+    )
+
+
 # READY-MADE r9 WINDOW (recomputed at the end of round 8 against
 # CORRECTNESS_r01-r07 + the r8 window below; regenerate with the
 # never-gated scan in NOTES_r08 if r8's official gate diverges from
