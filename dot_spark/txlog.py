@@ -192,3 +192,53 @@ class TxTable:
         for v in vs[: max(0, len(vs) - retain_last)]:
             os.unlink(self._manifest_path(v))
         return removed
+
+
+def exactly_once_sink(table: TxTable):
+    """foreachBatch sink with TRANSACTIONAL exactly-once semantics:
+    each micro-batch commits through the table's log with its batch
+    id recorded in the manifest, and a replayed batch (engine
+    recovery re-delivers the last in-flight batch id — Spark's
+    at-least-once foreachBatch contract) is detected by scanning the
+    retained manifests and SKIPPED before any data is staged.
+
+    Versus Warehouse.idempotent_batch_sink (overwrite-own-directory
+    idempotence): this one gives downstream readers SNAPSHOT
+    isolation — a reader never sees batch N+1's files without batch
+    N's, because visibility is one atomic manifest claim, not the
+    eventual state of a directory tree. The cost is the commit log
+    itself; the benefit is the lakehouse contract (concurrent
+    writers, time travel, vacuum) on a streaming table.
+
+    Crash windows: die before the claim -> staged files invisible
+    (vacuum reclaims); die after the claim -> replay sees the batch
+    id in the log and skips. Either way the table holds each batch's
+    rows exactly once."""
+
+    def committed_batch_ids() -> set:
+        ids = set()
+        for v in table.versions():
+            b = table.manifest(v).get("batch_id")
+            if b is not None:
+                ids.add(b)
+        return ids
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids():
+            return
+        new_files = table._stage(batch_df)
+        while True:
+            v = table.latest_version()
+            # re-check under the race: another attempt of the SAME
+            # batch (speculative re-trigger) may have won a claim
+            # while this one staged
+            if batch_id in committed_batch_ids():
+                return
+            files = table.manifest(v)["files"] if v else []
+            if table._try_claim(
+                v + 1,
+                {"op": "append", "batch_id": batch_id, "files": files + new_files},
+            ):
+                return
+
+    return sink

@@ -100,3 +100,49 @@ def test_staged_but_uncommitted_files_are_invisible(spark, tmp_path):
     assert t.read().count() == 10
     assert t.vacuum(retain_last=1) >= 1  # vacuum reclaims the orphan
     assert t.read().count() == 10
+
+
+def test_exactly_once_sink_under_stream_and_replay(spark, tmp_path):
+    """The transactional foreachBatch sink: a real stream commits one
+    manifest per micro-batch; re-invoking the sink with an already-
+    committed batch id (at-least-once redelivery, including a
+    DIFFERENT partial payload for the same id) must change nothing —
+    the log, not the payload, decides."""
+    import pandas as pd
+
+    from dot_spark.txlog import TxTable, exactly_once_sink
+    from tests.test_streaming import drive, write_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = pd.DataFrame({"job_id": [1, 2, 3], "status": ["ok", "ok", "err"]})
+    write_parquet(pdf, src / "b0.parquet")
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    sink = exactly_once_sink(t)
+    stream = (
+        spark.readStream.schema("job_id BIGINT, status STRING")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    drive(q)
+    assert t.read().count() == 3
+    v_after_stream = t.latest_version()
+
+    # redeliver batch 0 verbatim, then as a partial payload: no-op both
+    sink(spark.createDataFrame(pdf), 0)
+    sink(spark.createDataFrame(pdf.head(1)), 0)
+    assert t.latest_version() == v_after_stream
+    assert t.read().count() == 3
+
+    # a NEW batch id commits exactly once
+    sink(spark.createDataFrame(pdf.head(2)), 1)
+    assert t.latest_version() == v_after_stream + 1
+    assert t.read().count() == 5
+    # manifest carries the batch provenance
+    assert t.manifest(t.latest_version())["batch_id"] == 1
