@@ -8136,7 +8136,12 @@ def p19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin, and in-bin offset. This is the data-loader layout step
     between sampling (p13 budgets, p18 mixtures) and training; zero
     padding waste by construction, and deterministic so any worker
-    can recompute any bin's contents independently.
+    can recompute any bin's contents independently. t6 is this
+    family's PER-GROUP member (contiguous packing within each
+    language via one keyed window); p19 is the corpus-GLOBAL layout,
+    which a keyed window cannot give — a global order needs the
+    bucketed prefix sum, and emits the straddle info (first/last
+    bin, offset) a loader slicing fixed windows needs.
 
     Engine side runs the p13/p15 distributed prefix sum (256
     md5-byte buckets, single-partition window over 256 bucket totals
