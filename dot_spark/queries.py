@@ -8611,6 +8611,48 @@ def s18_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(t.read(version=2), "v2").unionByName(agg(t.read(), "latest"))
 
 
+@query(
+    "w14_range_frame",
+    """
+    SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def w14_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per event, the same user's
+    event count and value sum over the TRAILING WALL-CLOCK HOUR —
+    not the trailing N rows. ROWS frames (w7's moving average) are
+    the wrong tool whenever event spacing is irregular: a burst puts
+    100 events in the hour, a lull puts 1, and only a RANGE frame
+    keyed on the timestamp itself expresses "the last hour". Peer
+    rows (equal ts) are in-frame on both engines — the SQL-standard
+    semantics, which is also what makes the result deterministic
+    without an event_id tiebreak.
+
+    Shape: one keyed window exchange (user_id); inside each
+    partition the frame is a sliding two-pointer over the sorted
+    run — O(n) per partition, state bounded by the hour's width.
+    This is the batch twin of a streaming sliding-window aggregate
+    (st1's window(ts, '1 hour') buckets TUMBLE; this frame SLIDES
+    per event)."""
+    ev = load_table(spark, "events", sf_dir)
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(f"CAST(COUNT(*) {frame} AS BIGINT)").alias("n_1h"),
+        F.expr(f"ROUND(SUM(value) {frame}, 2)").alias("sum_1h"),
+    )
+
+
 # READY-MADE r9 WINDOW (recomputed at the end of round 8 against
 # CORRECTNESS_r01-r07 + the r8 window below; regenerate with the
 # never-gated scan in NOTES_r08 if r8's official gate diverges from

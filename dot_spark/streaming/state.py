@@ -417,6 +417,7 @@ def stream_stream_join(
     right_ts: str = "ts",
     within: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream inner join: left events matched to
     right events for the same key with right_ts in
@@ -451,7 +452,14 @@ def stream_stream_join(
         & (r["r_ts"] <= l["l_ts"])
         & (r["r_ts"] >= F.expr(f"l_ts - INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    # leftOuter: unmatched left rows are held in state until the
+    # watermark proves no future right row can land inside their
+    # window, THEN emit with null right columns — the state-eviction
+    # semantics that make outer results correct on an unbounded
+    # stream (they cannot emit eagerly; a match may still arrive).
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
+    return l.join(r, cond, how).select(
         l["__k"].alias(key_col), "l_ts", "r_ts",
         *l_res,
         *[f"r_{c}" for c in r_res],

@@ -947,3 +947,63 @@ def test_stateful_restart_merges_window_state_across_instances(spark, tmp_path):
     # W2's count = 2 rows from before the restart + 1 after = 3
     assert got[(t0 + pd.Timedelta("10 min")).to_pydatetime()] == 3
     assert got[t0.to_pydatetime()] == 3
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: a left row with no right match
+    inside its window must emit with NULL right columns — but only
+    after the watermark proves no future right row can still land in
+    the window (outer results cannot emit eagerly). Driven as two
+    micro-batches: batch 1 carries the data, batch 2 a far-future
+    row that advances the watermark past every batch-1 window."""
+    from dot_spark.streaming import stream_stream_join
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+    write_parquet(
+        pd.DataFrame({
+            "user_id": [1, 2],
+            "ts": [t0 + pd.Timedelta("5 min"), t0 + pd.Timedelta("6 min")],
+            "click_id": [101, 102],
+        }),
+        clicks_dir / "b0.parquet",
+    )
+    # only user 1 purchased inside the window
+    write_parquet(
+        pd.DataFrame({"user_id": [1], "ts": [t0], "purchase_id": [900]}),
+        buys_dir / "b0.parquet",
+    )
+    clicks = (spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, click_id BIGINT")
+              .format("parquet").load(str(clicks_dir)))
+    buys = (spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, purchase_id BIGINT")
+            .format("parquet").load(str(buys_dir)))
+    q = start_memory(
+        stream_stream_join(clicks, buys, within="10 minutes", how="leftOuter"),
+        "attributed_outer", str(tmp_path / "cp"),
+    )
+    q.processAllAvailable()
+    # batch 1 emitted only the INNER match — the unmatched click is
+    # still in state, because a qualifying purchase could still come
+    inner_only = [(r.user_id, r.click_id, r.r_purchase_id)
+                  for r in spark.table("attributed_outer").collect()]
+    assert inner_only == [(1, 101, 900)]
+    # advance event time far past every batch-1 window on BOTH sides
+    # (the join watermark is the min of the two input watermarks)
+    far = t0 + pd.Timedelta("3 hours")
+    write_parquet(
+        pd.DataFrame({"user_id": [99], "ts": [far], "click_id": [999]}),
+        clicks_dir / "b1.parquet",
+    )
+    write_parquet(
+        pd.DataFrame({"user_id": [98], "ts": [far], "purchase_id": [998]}),
+        buys_dir / "b1.parquet",
+    )
+    q.processAllAvailable()
+    # one more empty-ish trigger lets the new watermark evict + emit
+    q.processAllAvailable()
+    drive(q)
+    got = {(r.user_id, r.click_id, r.r_purchase_id)
+           for r in spark.table("attributed_outer").collect()}
+    assert (2, 102, None) in got, got  # the outer row, nulls on the right
+    assert (1, 101, 900) in got
