@@ -84,6 +84,9 @@ HEADLINE = [
     "g1_pagerank",
     "t13_bpe_merges",
     "pl9_semdedup",
+    # multimodal ingest pass (round 8): the decode+hash Python stage
+    # is the family's scale cost — track it
+    "mm6_image_phash",
 ]
 
 # Queries whose BUILDER executes the heavy work EAGERLY (iterative

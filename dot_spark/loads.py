@@ -37,6 +37,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _all_null_safe_eq(
+    left: DataFrame, right: DataFrame, cols: Sequence[str]
+) -> Column:
+    """AND of ``left[c] <=> right[c]`` — the join condition for key
+    and partition tuples where NULL is a legitimate VALUE (hive's
+    default partition, nullable CDC keys). A name-list equi-join
+    drops NULL==NULL matches and silently mis-scopes them."""
+    cond = left[cols[0]].eqNullSafe(right[cols[0]])
+    for c in cols[1:]:
+        cond = cond & left[c].eqNullSafe(right[c])
+    return cond
+
+
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16) -> Column:
     """Morton (Z-curve) key over numeric columns as ONE codegen
     expression: each column min/max-scales to a ``bits``-wide
@@ -111,7 +124,16 @@ class Warehouse:
         ingest table needs. Off by default: schema merging lists and
         footer-reads every file at planning time, a real cost on a
         100 TB table, so it is an explicit opt-in for tables known to
-        have evolved."""
+        have evolved.
+
+        An EMPTIED table (every row CDC-deleted, zero data files —
+        parquet schema inference has nothing to read) comes back as
+        an empty DataFrame with the schema recorded at write time:
+        the reason the metadata marker stores schema_ddl at all."""
+        if self.exists(table) and not self.has_data_files(table):
+            meta = self._table_meta(table)
+            if meta and meta.get("schema_ddl"):
+                return self.spark.createDataFrame([], meta["schema_ddl"])
         r = self.spark.read
         if merge_schema:
             r = r.option("mergeSchema", "true")
@@ -133,11 +155,27 @@ class Warehouse:
         if disposition == "empty" and self.exists(table):
             raise ValueError(f"table {table} exists (WRITE_EMPTY)")
         mode = "overwrite" if disposition in ("truncate", "empty") else "append"
+        # APPEND must honor the table's existing partition spec: a
+        # caller omitting partition_cols (harmless pre-metadata, when
+        # layout was inferred from key=value dirs) would otherwise
+        # both write FLAT files into a hive-layout root and clobber
+        # the recorded spec with [] — the amnesia the marker exists
+        # to prevent. Truncate/empty replace the table, so the
+        # caller's spec wins there.
+        effective = list(partition_cols)
+        if disposition == "append" and self.exists(table):
+            recorded = self.partition_cols_of(table)
+            if not effective:
+                effective = recorded
+            elif recorded and effective != recorded:
+                raise ValueError(
+                    f"append partition_cols {effective} != table spec {recorded}"
+                )
         writer = df.write.mode(mode)
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
+        if effective:
+            writer = writer.partitionBy(*effective)
         writer.parquet(self.path(table))
-        self._record_partition_cols(table, partition_cols, df)
+        self._record_partition_cols(table, effective, df)
 
     # --- bucketed layout for co-located joins ------------------------------
 
@@ -409,10 +447,18 @@ class Warehouse:
                 return
             target = self.read(table)
             # scope from ALL change rows: a delete-only partition must
-            # still be read and rewritten or its deletes are lost
+            # still be read and rewritten or its deletes are lost.
+            # Both joins are NULL-SAFE (<=>): a NULL partition value
+            # is a legitimate hive partition (__HIVE_DEFAULT_PARTITION__),
+            # and a plain equi-semi-join would never scope it — its
+            # survivors would then be invisible to the rewrite while
+            # the emptied-partition sweep (which DOES treat NULL as a
+            # value) removed the whole directory: silent data loss.
             touched_parts = updates.select(*pcols).distinct()
-            scoped = target.join(F.broadcast(touched_parts), pcols, "left_semi")
-            kept = scoped.join(F.broadcast(touched), key_cols, "left_anti")
+            p_cond = _all_null_safe_eq(target, touched_parts, pcols)
+            scoped = target.join(F.broadcast(touched_parts), p_cond, "left_semi")
+            k_cond = _all_null_safe_eq(scoped, touched, key_cols)
+            kept = scoped.join(F.broadcast(touched), k_cond, "left_anti")
             merged = kept.unionByName(upserts)
             emptied: set[tuple] = set()
             if delete_col is not None:
@@ -449,7 +495,11 @@ class Warehouse:
                 merged = upserts
             else:
                 target = self.read(table)
-                kept = target.join(F.broadcast(touched), key_cols, "left_anti")
+                kept = target.join(
+                    F.broadcast(touched),
+                    _all_null_safe_eq(target, touched, key_cols),
+                    "left_anti",
+                )
                 merged = kept.unionByName(upserts)
             staging = f"{table}.merge-{uuid.uuid4().hex[:8]}"
             self.write(merged, staging, "truncate")

@@ -113,11 +113,13 @@ def _png_bytes(width: int, height: int, seed: int) -> bytes:
     )
 
 
-def _decode_png(data: bytes) -> dict:
-    """REAL PNG decode: walk the chunk stream, read dims from IHDR,
-    decompress the IDAT pixel data. n_bytes = decoded pixel bytes
-    (filter bytes stripped), so a truncated/corrupt payload fails
-    here rather than passing on header trust."""
+def _png_walk(data: bytes) -> tuple[int, int, bytes]:
+    """Shared PNG container walk: signature check, IHDR dims, IDAT
+    concat, IEND stop. ONE copy of the chunk-stream parsing for both
+    the metadata decoder and the pixel decoder, so a bounds fix can
+    never land in one and miss the other. Returns (width, height,
+    decompressed rows incl. per-row filter bytes); raises on a
+    non-PNG or dims/pixel-length mismatch."""
     import struct
     import zlib
 
@@ -127,20 +129,28 @@ def _decode_png(data: bytes) -> dict:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
-            width, height = struct.unpack(">II", body[:8])
+            width, height = struct.unpack(">II", data[pos + 8 : pos + 16])
         elif ctype == b"IDAT":
-            idat += body
+            idat += data[pos + 8 : pos + 8 + length]
         elif ctype == b"IEND":
             break
         pos += 12 + length
     raw = zlib.decompress(idat)
     if width is None or len(raw) != height * (width + 1):
         raise ValueError("PNG pixel data does not match IHDR dims")
+    return int(width), int(height), raw
+
+
+def _decode_png(data: bytes) -> dict:
+    """REAL PNG decode: walk the chunk stream, read dims from IHDR,
+    decompress the IDAT pixel data. n_bytes = decoded pixel bytes
+    (filter bytes stripped), so a truncated/corrupt payload fails
+    here rather than passing on header trust."""
+    width, height, raw = _png_walk(data)
     return {
-        "width": int(width),
-        "height": int(height),
+        "width": width,
+        "height": height,
         "sample_rate": None,
         "n_bytes": len(raw) - height,  # pixels only, per-row filter byte stripped
     }
@@ -691,28 +701,11 @@ PHASH_DDL = "media_id BIGINT, phash STRING, b0 INT, b1 INT, b2 INT, b3 INT"
 
 def _png_pixels(data: bytes) -> np.ndarray:
     """Decompress a gray8 PNG produced by _png_bytes into its (h, w)
-    pixel matrix. Only filter type 0 (None) rows are supported — the
-    synthesis encoder never emits another type, and anything else
-    here means the payload is corrupt, which must FAIL, not guess."""
-    import struct
-    import zlib
-
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos, width, height, idat = 8, None, None, b""
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        if ctype == b"IHDR":
-            width, height = struct.unpack(">II", data[pos + 8 : pos + 16])
-        elif ctype == b"IDAT":
-            idat += data[pos + 8 : pos + 8 + length]
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    raw = zlib.decompress(idat)
-    if width is None or len(raw) != height * (width + 1):
-        raise ValueError("PNG pixel data does not match IHDR dims")
+    pixel matrix, via the shared _png_walk. Only filter type 0
+    (None) rows are supported — the synthesis encoder never emits
+    another type, and anything else here means the payload is
+    corrupt, which must FAIL, not guess."""
+    width, height, raw = _png_walk(data)
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
     if rows[:, 0].any():
         raise ValueError("unsupported PNG row filter")

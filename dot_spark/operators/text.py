@@ -303,9 +303,18 @@ def bm25_top_terms(
     )
     tf = terms.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = toked.agg(
-        F.count_distinct(id_col).alias("n_docs"),
-        F.avg(F.size("__toks")).alias("avgdl"),
+    # (n_docs, avgdl) derives from the TF table's per-doc groups, not
+    # a second corpus scan: every doc yields >= 1 TF row (split of ""
+    # is [""], size >= 1), so the group count IS the doc count and
+    # first(dl) the doc's length — and the TF exchange is reused, so
+    # the corpus text is read and tokenized exactly once
+    stats = (
+        tf.groupBy(id_col)
+        .agg(F.first("dl").alias("__dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("__dl").alias("avgdl"),
+        )
     )
     scored = (
         tf.join(F.broadcast(docfreq), "term")
@@ -343,24 +352,28 @@ def pmi_collocations(
     feed each ln, the same expression tree the DuckDB oracle
     evaluates, and products of counts can never overflow a long.
 
-    Scale shape: ONE token explode feeds the unigram counts and the
-    corpus total; the bigram sweep is shingle_rows' zero-shuffle
-    slice-explode; the |vocab|-row unigram table broadcasts back onto
-    the min-count-surviving bigrams (two broadcast hash joins, the
-    fact side never re-shuffles); both corpus totals are 1-row
-    broadcast literals."""
+    Scale shape: ONE token explode feeds the unigram counts and ONE
+    bigram sweep (shingle_rows' zero-shuffle slice-explode) feeds the
+    bigram counts; BOTH corpus totals derive from the count tables
+    (sum of counts == row count, exactly, in integers) so neither
+    total replays its corpus-sized explode — the totals are
+    vocab-sized aggregations of already-aggregated rows. The
+    |vocab|-row unigram table broadcasts back onto the min-count-
+    surviving bigrams (two broadcast hash joins, the fact side never
+    re-shuffles); both totals are 1-row broadcast literals."""
     from dot_spark.operators.textdedup import shingle_rows
 
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
     terms = df.select(F.explode(toks).alias("term"))
     uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    n_uni = terms.agg(F.count(F.lit(1)).alias("n_uni"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
     bg = shingle_rows(df, id_col=id_col, text_col=text_col, n=2)
-    n_bi = bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    bc_all = bg.groupBy(F.col("shingle").alias("bigram")).agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    n_bi = bc_all.agg(F.sum("c_xy").alias("n_bi"))
     bc = (
-        bg.groupBy(F.col("shingle").alias("bigram"))
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= min_count)
+        bc_all.filter(F.col("c_xy") >= min_count)
         .withColumn("__w", F.split("bigram", " "))
         .filter(F.size("__w") == 2)
         .select(

@@ -178,8 +178,14 @@ def _make_retry_fn(delay_ms: int):
             if not len(pdf):
                 continue
             status = pdf["status"].astype(str)
-            cause = pdf["cause"].astype(str)
-            qual_fail = (status == "failure") & ~cause.str.startswith("Auto-retry")
+            # NULL cause: still a failure (qualifies; the stored
+            # cause becomes 'unknown'); the loop guard matches the
+            # EXACT emitted marker prefix 'Auto-retry:' — a cause
+            # that merely starts with 'Auto-retry' (e.g.
+            # 'Auto-retryable: disk') is a real failure, not our
+            # marker. Both rules mirrored by delayed_retries_batch.
+            cause = pdf["cause"].fillna("unknown").astype(str)
+            qual_fail = (status == "failure") & ~cause.str.startswith("Auto-retry:")
             relevant = qual_fail | (status == "success")
             if relevant.any():
                 i = np.flatnonzero(relevant.to_numpy())[-1]
@@ -253,8 +259,10 @@ def delayed_retries_batch(
     w = Window.partitionBy(key_col).orderBy(
         *[F.col(c).desc() for c in (ts_col, *order_cols)]
     )
-    qualifying = (F.col("status") == "failure") & ~F.col("cause").startswith(
-        "Auto-retry:"
+    # NULL-cause failures qualify (coalesce the guard test to False),
+    # mirroring the streaming fold's fillna('unknown')
+    qualifying = (F.col("status") == "failure") & ~F.coalesce(
+        F.col("cause").startswith("Auto-retry:"), F.lit(False)
     )
     return (
         status_events.filter(qualifying | (F.col("status") == "success"))
@@ -263,7 +271,9 @@ def delayed_retries_batch(
         .select(
             key_col,
             F.lit("retry").alias("action"),
-            F.concat(F.lit("Auto-retry: "), F.col("cause")).alias("cause"),
+            F.concat(
+                F.lit("Auto-retry: "), F.coalesce(F.col("cause"), F.lit("unknown"))
+            ).alias("cause"),
             (F.col(ts_col) + F.expr(f"INTERVAL {delay}")).alias("retry_at"),
         )
     )

@@ -168,19 +168,33 @@ class TxTable:
 
     # --- maintenance -------------------------------------------------------
 
-    def vacuum(self, retain_last: int = 1) -> int:
+    def vacuum(self, retain_last: int = 1, grace_seconds: float = 3600.0) -> int:
         """Delete data files not referenced by the last
         ``retain_last`` manifests (older manifests are dropped too —
         time travel narrows to the retained window). Returns the
-        number of files removed."""
+        number of files removed.
+
+        ``grace_seconds`` is the concurrent-writer guard: a staged
+        directory younger than the grace window is SKIPPED even if
+        unreferenced, because it may belong to an in-flight writer
+        that staged but has not yet claimed — deleting it would let
+        the claim succeed over vanished files, corrupting the table.
+        This is exactly Delta/Iceberg's retention-interval rule
+        (their default is hours, for in-flight writers AND readers);
+        pass 0 only when no writer can be live (tests, offline GC)."""
+        import time
+
         vs = self.versions()
         keep_vs = vs[-retain_last:] if vs else []
         referenced: set[str] = set()
         for v in keep_vs:
             referenced.update(self.manifest(v)["files"])
         removed = 0
+        now = time.time()
         for d in list(os.listdir(self.data_dir)):
             full = os.path.join(self.data_dir, d)
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue  # possibly an in-flight writer's stage
             parts = [
                 os.path.join(full, n)
                 for n in os.listdir(full)
@@ -215,13 +229,22 @@ def exactly_once_sink(table: TxTable):
     id in the log and skips. Either way the table holds each batch's
     rows exactly once."""
 
+    # incremental manifest scan: only versions NEWER than the highest
+    # already-scanned one are read per call — O(new commits), not
+    # O(log length), so a long-lived stream's commit latency stays
+    # flat instead of degrading quadratically with batch count
+    seen_ids: set = set()
+    scanned_to = [0]
+
     def committed_batch_ids() -> set:
-        ids = set()
         for v in table.versions():
+            if v <= scanned_to[0]:
+                continue
             b = table.manifest(v).get("batch_id")
             if b is not None:
-                ids.add(b)
-        return ids
+                seen_ids.add(b)
+            scanned_to[0] = v
+        return seen_ids
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed_batch_ids():

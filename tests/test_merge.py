@@ -349,3 +349,39 @@ def test_snapshot_diff_null_keys_classified_correctly(spark):
     upd = spark.createDataFrame([(None, 9), ("a", 2)], schema)
     got2 = {(r["k"], r["change_type"]) for r in snapshot_diff(both, upd, ["k"]).collect()}
     assert got2 == {(None, "updated")}
+
+
+def test_partitioned_merge_null_partition_scopes_and_survives(spark, tmp_path):
+    """The NULL partition (__HIVE_DEFAULT_PARTITION__) is a
+    legitimate hive partition and must be scoped NULL-SAFELY: a
+    partial delete inside it removes exactly the deleted key — the
+    other NULL-partition rows survive. (A plain equi-semi-join never
+    matches NULL, so the survivors were invisible to the rewrite
+    while the emptied-partition sweep deleted the whole directory:
+    silent data loss.)"""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    target = spark.createDataFrame(
+        [(None, 1, 10.0), (None, 2, 20.0), ("2024-01-01", 3, 30.0)],
+        "day string, k bigint, v double",
+    )
+    wh.write(target, "t", "truncate", partition_cols=["day"])
+    cdc = spark.createDataFrame(
+        [(None, 1, None, True)], "day string, k bigint, v double, is_delete boolean"
+    )
+    wh.merge_upsert(cdc, "t", ["day", "k"], delete_col="is_delete")
+    rows = {
+        (None if r["day"] is None else str(r["day"]), r["k"]): r["v"]
+        for r in wh.read("t").collect()
+    }
+    assert rows == {(None, 2): 20.0, ("2024-01-01", 3): 30.0}
+
+    # and a delete emptying the NULL partition removes its directory
+    cdc2 = spark.createDataFrame(
+        [(None, 2, None, True)], "day string, k bigint, v double, is_delete boolean"
+    )
+    wh.merge_upsert(cdc2, "t", ["day", "k"], delete_col="is_delete")
+    rows2 = {(str(r["day"]), r["k"]): r["v"] for r in wh.read("t").collect()}
+    assert rows2 == {("2024-01-01", 3): 30.0}
+    assert not os.path.isdir(
+        os.path.join(wh.path("t"), "day=__HIVE_DEFAULT_PARTITION__")
+    )

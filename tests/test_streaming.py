@@ -1007,3 +1007,60 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
            for r in spark.table("attributed_outer").collect()}
     assert (2, 102, None) in got, got  # the outer row, nulls on the right
     assert (1, 101, 900) in got
+
+
+def test_delayed_retry_twins_agree_on_null_and_lookalike_causes(spark, tmp_path):
+    """The edge inputs where the twins used to diverge: a failure
+    with NULL cause is STILL a qualifying failure (retries with
+    cause 'Auto-retry: unknown'), and a cause that merely starts
+    with 'Auto-retry' without the colon marker ('Auto-retryable:
+    disk') is a real failure, not the loop guard. Batch and
+    streaming must return the same verdicts."""
+    import time
+
+    from dot_spark.streaming.state import delayed_retries_batch
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "job_id": [1, 2, 3],
+            "status": ["failure", "failure", "failure"],
+            "cause": [None, "Auto-retryable: disk", "Auto-retry: oom"],
+            "ts": [t0, t0, t0],
+            "event_id": [1, 2, 3],
+        }
+    )
+    batch = {
+        r.job_id: r.cause
+        for r in delayed_retries_batch(spark.createDataFrame(pdf)).collect()
+    }
+    assert batch == {
+        1: "Auto-retry: unknown",
+        2: "Auto-retry: Auto-retryable: disk",
+    }  # job 3 is the guard: no retry
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_parquet(pdf[["job_id", "status", "cause"]], src / "b0.parquet")
+    stream = (
+        spark.readStream.schema("job_id BIGINT, status STRING, cause STRING")
+        .format("parquet")
+        .load(str(src))
+    )
+    q = start_memory(
+        delayed_retries(stream, delay_ms=700), "retry_twins", str(tmp_path / "cp")
+    )
+    deadline = time.time() + 60
+    rows = []
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(q.exception())
+        rows = spark.table("retry_twins").collect()
+        if len(rows) >= 2:
+            break
+        time.sleep(0.5)
+    time.sleep(1.5)
+    rows = spark.table("retry_twins").collect()
+    q.stop()
+    streamed = {r.job_id: r.cause for r in rows}
+    assert streamed == batch

@@ -83,7 +83,9 @@ def test_vacuum_drops_unreferenced_files_keeps_latest_readable(spark, tmp_path):
     t.append(_df(spark, 0, 10, "a"))
     t.append(_df(spark, 10, 20, "b"))
     t.overwrite(_df(spark, 50, 55, "c"))
-    removed = t.vacuum(retain_last=1)
+    # default grace protects fresh (possibly in-flight) stages
+    assert t.vacuum(retain_last=1) == 0
+    removed = t.vacuum(retain_last=1, grace_seconds=0)
     assert removed >= 2  # both append stages became unreferenced
     assert sorted(r.id for r in t.read().collect()) == list(range(50, 55))
     # time travel outside the retained window is gone
@@ -98,7 +100,11 @@ def test_staged_but_uncommitted_files_are_invisible(spark, tmp_path):
     t.append(_df(spark, 0, 10, "a"))
     t._stage(_df(spark, 90, 99, "ghost"))  # crash before commit
     assert t.read().count() == 10
-    assert t.vacuum(retain_last=1) >= 1  # vacuum reclaims the orphan
+    # within the grace window the orphan is indistinguishable from an
+    # in-flight writer's stage — vacuum must NOT touch it
+    assert t.vacuum(retain_last=1) == 0
+    # offline GC (grace 0) reclaims it
+    assert t.vacuum(retain_last=1, grace_seconds=0) >= 1
     assert t.read().count() == 10
 
 
