@@ -8672,8 +8672,11 @@ def w14_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   a27_event_transitions mm6_image_phash mm7_phash_neardup
 #   dd14_substring_spans a28_wilson_ci t22_zipf_audit
 #   g4_link_prediction a29_countmin_audit p19_sequence_packing
-# — 40 names, so the r9 window is all of them + the 10 stalest
-# official rows (r5-era: j9/a9/a11/s11/pl4 first) as backfill.
+#   dd15_containment a30_k_anonymity a31_expectations_audit
+#   w13_ohlc_resample pl12_dataset_card s18_txlog_snapshot
+#   w14_range_frame
+# — 47 names, so the r9 window is all of them + the 3 stalest
+# official rows (r5-era: j9/a9/a11 first) as backfill.
 _WINDOW_PRIORITY = [
     # ROUND-8 WINDOW: the first 50 never-officially-gated queries in
     # registration order (the rotation plan committed in round 7 —
