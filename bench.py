@@ -87,6 +87,11 @@ HEADLINE = [
     # multimodal ingest pass (round 8): the decode+hash Python stage
     # is the family's scale cost — track it
     "mm6_image_phash",
+    # storage-layout rewrite (round 8): the 256-bucket distributed
+    # prefix rank over the Morton key is the clustering rewrite's
+    # whole cost — a lost bucket spread would funnel it to one task
+    # and only wall-time would notice
+    "p20_zorder_layout",
 ]
 
 # Queries whose BUILDER executes the heavy work EAGERLY (iterative

@@ -431,3 +431,172 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
         joined.select(*out_keys, change.alias("change_type"))
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 18, k: int = 3
+) -> DataFrame:
+    """Distributed Bloom-filter build: each distinct key sets ``k``
+    bits of an ``m_bits``-bit filter; the filter is materialized as
+    at most ``m_bits/64`` (word_idx, word) rows via a bit_or partial
+    aggregate — a few KB however large the key set, so it broadcasts
+    even when the key table itself cannot. Hash family: xxhash64
+    over (key, seed) for seed 0..k-1.
+
+    This is the explicit, auditable form of the runtime shuffle
+    pruning engines inject automatically (Spark's
+    spark.sql.optimizer.runtime.bloomFilter.*): at 100 TB a
+    selective dim-side predicate prunes the FACT side's shuffle
+    input before the exchange, which is where a shuffle join's cost
+    lives. Size ``m_bits`` at ~10 bits per expected distinct key
+    for ~1% false positives; false positives only cost unpruned
+    rows, never correctness (the downstream join stays exact)."""
+    bits = (
+        keys.select(key_col)
+        .distinct()
+        .select(
+            F.explode(F.array(*[F.lit(s) for s in range(k)])).alias("__s"),
+            F.col(key_col),
+        )
+        .select(
+            F.pmod(
+                F.xxhash64(F.col(key_col), F.col("__s")), F.lit(m_bits)
+            ).alias("__bit")
+        )
+        .select(
+            F.shiftright(F.col("__bit"), 6).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
+            ).alias("__mask"),
+        )
+    )
+    return bits.groupBy("word_idx").agg(F.bit_or("__mask").alias("word"))
+
+
+def bloom_filter_array(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 18, k: int = 3
+) -> list[int]:
+    """Densify bloom_build's words into a length-``m_bits/64`` long
+    array. The collect is bounded by the PARAMETER (32 KB at the
+    default), never by the key count — the same bounded-artifact
+    contract as the ANN training sample — and is how engines ship
+    runtime bloom filters too: as a literal inside the filter
+    expression, not as a join side."""
+    words = [0] * (m_bits // 64)
+    for r in bloom_build(keys, key_col, m_bits, k).collect():
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_prune(
+    probe: DataFrame,
+    key_col: str,
+    words: list[int],
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Drop probe rows whose key is definitely NOT in the Bloom
+    filter (same m_bits/k as the build). The word array rides along
+    as ONE ArrayType literal and each of the ``k`` probes is pure
+    codegen (xxhash64 → element_at → bit_get), so the prune is a
+    map-side filter that leaves the probe's partitioning untouched
+    and runs BEFORE any exchange the downstream join needs — at
+    100 TB that is the whole point: the fact side's non-matching
+    rows never enter the shuffle. Survivors are a superset of the
+    true matches (false-positive rate set by m_bits/k), so follow
+    with the exact join; false positives cost I/O, never
+    correctness."""
+    arr = F.lit(words)
+    cond = None
+    for s in range(k):
+        bit = F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(m_bits))
+        word = F.element_at(arr, (F.shiftright(bit, 6) + 1).cast("int"))
+        hit = (
+            F.call_function("bit_get", word, F.pmod(bit, F.lit(64)).cast("int"))
+            == 1
+        )
+        cond = hit if cond is None else cond & hit
+    return probe.filter(cond)
+
+
+def skyline(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Pareto frontier (skyline): the rows no other row dominates,
+    where q dominates p iff q.minimize <= p.minimize AND
+    q.maximize >= p.maximize with at least one strict. Returns one
+    row per frontier CELL (minimize, maximize) with the member count
+    and a representative min id — duplicates of a frontier cell are
+    all on the frontier (no strict edge between them).
+
+    Scale shape — never the O(n²) nested loop and never a global
+    per-row sort: rows collapse to distinct (min,max) CELLS with one
+    partial-aggregated shuffle; cells collapse to one max per
+    distinct minimize-value; the running "best maximize among
+    strictly cheaper values" is a distributed prefix-cummax over 256
+    range buckets (bucket totals on one tiny partition, within-bucket
+    windows bucket-parallel — the sampling prefix-sum shape). A cell
+    is on the frontier iff it is its price-level's best AND beats
+    every strictly-cheaper level's best. The per-row table is
+    touched exactly once."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(minimize_col, maximize_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(id_col).alias("min_id"),
+    )
+    levels = cells.groupBy(minimize_col).agg(
+        F.max(maximize_col).alias("__best_here")
+    )
+    ext = levels.agg(
+        F.min(minimize_col).cast("double").alias("__lo"),
+        F.max(minimize_col).cast("double").alias("__hi"),
+    )
+    bucketed = levels.crossJoin(F.broadcast(ext)).withColumn(
+        "__b",
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col(minimize_col) - F.col("__lo"))
+                * 256.0
+                / (F.col("__hi") - F.col("__lo") + 1e-9)
+            ),
+        ).cast("int"),
+    )
+    btot = bucketed.groupBy("__b").agg(F.max("__best_here").alias("__bbest"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = btot.withColumn("__before_b", F.max("__bbest").over(wb)).select(
+        "__b", "__before_b"
+    )
+    ww = (
+        Window.partitionBy("__b")
+        .orderBy(minimize_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = (
+        bucketed.join(F.broadcast(bprev), "__b")
+        .withColumn(
+            "__best_cheaper",
+            # greatest() skips NULLs (first level in bucket / first
+            # bucket), returning NULL only when both sides are —
+            # exactly "no strictly cheaper level exists".
+            F.greatest(
+                F.max("__best_here").over(ww), F.col("__before_b")
+            ),
+        )
+        .select(minimize_col, "__best_here", "__best_cheaper")
+    )
+    return (
+        cells.join(lv, minimize_col)
+        .filter(
+            (F.col(maximize_col) == F.col("__best_here"))
+            & (
+                F.col("__best_cheaper").isNull()
+                | (F.col("__best_cheaper") < F.col(maximize_col))
+            )
+        )
+        .select(minimize_col, maximize_col, "n_members", "min_id")
+    )

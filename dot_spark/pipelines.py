@@ -418,3 +418,49 @@ def streaming_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mv_partials(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Mergeable partial state of the standard per-key rollup MV:
+    count / sum / min / max — every one an associative-commutative
+    monoid, so partials computed over ANY slicing of the input merge
+    to the full-recompute answer. avg is NOT stored (not mergeable);
+    it derives from sum/count at read time."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("mv_n"),
+        F.sum(value_col).alias("mv_sum"),
+        F.min(ts_col).alias("mv_min_ts"),
+        F.max(ts_col).alias("mv_max_ts"),
+    )
+
+
+def mv_merge(*partials: DataFrame) -> DataFrame:
+    """Merge partial MV states (base ∪ deltas) into one: counts and
+    sums add, min/max fold. This is incremental materialized-view
+    maintenance for insert-only deltas: the 100 TB base is aggregated
+    ONCE, then each arriving delta costs only delta-sized work plus a
+    merge over MV-sized (per-key, not per-row) state. The merge
+    shuffles MV rows on the group key — the same exchange the delta
+    partial-agg already produced, so AQE coalesces to delta-scale
+    work. Deletes/updates need retractable aggregates (count/sum
+    subtract fine; min/max do not) — that variant keeps a per-key
+    top-k heap instead; out of scope here and documented.
+
+    Law (pinned by pl13's oracle and test_pipelines): for any
+    partition of the input rows, mv_merge(mv_partials(slice_i)...)
+    == mv_partials(whole)."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    keys = [c for c in out.columns if not c.startswith("mv_")]
+    return out.groupBy(*keys).agg(
+        F.sum("mv_n").cast("long").alias("mv_n"),
+        F.sum("mv_sum").alias("mv_sum"),
+        F.min("mv_min_ts").alias("mv_min_ts"),
+        F.max("mv_max_ts").alias("mv_max_ts"),
+    )

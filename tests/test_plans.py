@@ -584,3 +584,31 @@ def test_pack_sequences_avoids_global_sort_window(spark, sf_dir):
     assert "hashpartitioning(__b" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_j19_bloom_filters_before_the_shuffle(spark, sf_dir):
+    """j19's contract: the bloom probe must be a plain Filter that is
+    a DESCENDANT of the fact side's shuffle exchange (pruning happens
+    map-side, before rows enter the wire), and the exact join stays
+    the pinned sort-merge — no broadcast rescue, because the query
+    models the dim side being broadcast-infeasible."""
+    plan = _plan(QUERIES["j19_bloom_prejoin"](spark, sf_dir))
+    lines = plan.splitlines()
+    filt = next(i for i, l in enumerate(lines) if "bit_get" in l)
+    exch = next(
+        i for i, l in enumerate(lines) if "Exchange hashpartitioning(l_orderkey" in l
+    )
+    # tree printing puts children after parents: the bloom filter
+    # line must come below its exchange
+    assert filt > exch, plan[:2000]
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p20_zorder_rank_avoids_global_sort_window(spark, sf_dir):
+    """p20's distributed z-rank must keep the prefix-sum shape: the
+    row-level row_number window partitioned by the 256 z-buckets,
+    SinglePartition reserved for the bucket totals."""
+    plan = _plan(QUERIES["p20_zorder_layout"](spark, sf_dir))
+    assert "hashpartitioning(__b" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan

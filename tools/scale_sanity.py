@@ -87,18 +87,26 @@ def upsampled_embeddings(spark, k: int):
 
 
 def upsampled_lineitem(spark, k: int):
-    """K disjoint copies of (orderkey, partkey): both key spaces are
-    offset per copy, so the co-purchase graph is K disjoint subgraphs
-    — edges and nodes grow linearly, components never bridge copies,
-    and the PageRank iteration count stays constant. Same honesty
-    argument as the suffixed-token document upsampling above."""
-    base = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_partkey")
-    mx = base.agg(F.max("l_orderkey"), F.max("l_partkey")).first()
-    o_off, p_off = mx[0] + 1, mx[1] + 1
+    """K disjoint copies of (orderkey, partkey, suppkey): all key
+    spaces are offset per copy, so the co-purchase graph is K
+    disjoint subgraphs — edges and nodes grow linearly, components
+    never bridge copies, and the PageRank iteration count stays
+    constant. Same honesty argument as the suffixed-token document
+    upsampling above. The suppkey ride-along feeds the layout (p20)
+    and skyline (a33) cells: per-copy offsets keep their distinct
+    (dim, dim) cell spaces disjoint, so cells grow linearly too."""
+    base = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    mx = base.agg(
+        F.max("l_orderkey"), F.max("l_partkey"), F.max("l_suppkey")
+    ).first()
+    o_off, p_off, s_off = mx[0] + 1, mx[1] + 1, mx[2] + 1
     copies = [
         base.select(
             (F.col("l_orderkey") + F.lit(i * o_off)).alias("l_orderkey"),
             (F.col("l_partkey") + F.lit(i * p_off)).alias("l_partkey"),
+            (F.col("l_suppkey") + F.lit(i * s_off)).alias("l_suppkey"),
         )
         for i in range(k)
     ]
@@ -308,6 +316,48 @@ def main() -> None:
         # thunk); the encode + asymmetric scan is the linear term.
         grid[("ss9_pq_topk", k)] = lambda e=emb, p=probes: pq_topk(
             p, e, m=16, n_codes=64, k=10, pool=30
+        )
+
+        # r8 session-4 additions: storage layout + skyline.
+        from dot_spark.operators.layout import (
+            chunked_layout,
+            quantize,
+            zorder_key,
+        )
+        from dot_spark.operators.relational import skyline
+
+        # p20: the clustering rewrite's distributed rank — Morton key
+        # over quantized (partkey, suppkey), 256-bucket prefix rank.
+        # The row table must be touched once and the within-bucket
+        # windows must stay bucket-parallel (a funnel to one task is
+        # THE failure mode this cell exists to catch). The extent
+        # collect is eager -> thunk.
+        def _p20_cell(li):
+            mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+            z = (
+                li.withColumn(
+                    "za", quantize(F.col("l_partkey"), F.lit(mx[0]))
+                )
+                .withColumn("zb", quantize(F.col("l_suppkey"), F.lit(mx[1])))
+                .withColumn(
+                    "zval",
+                    zorder_key(F.col("za"), F.col("zb")).cast("long"),
+                )
+            )
+            return chunked_layout(
+                z,
+                "zval",
+                ["l_orderkey", "l_partkey"],
+                bucket=F.shiftright(F.col("zval"), 8),
+            )
+
+        grid[("p20_zorder_layout", k)] = lambda li=li_k: _p20_cell(li)
+        # a33: skyline — distinct (min,max) cells grow linearly (the
+        # per-copy key offsets keep cell spaces disjoint); the
+        # per-row table is touched once, the frontier resolution runs
+        # on cell/level-sized tables only.
+        grid[("a33_skyline", k)] = skyline(
+            li_k, "l_partkey", "l_suppkey", "l_orderkey"
         )
 
     best: dict[tuple[str, int], float] = {}
