@@ -53,6 +53,11 @@ HEADLINE = [
     # window-fingerprint explode is the highest-volume dedup stage —
     # a lost spread/partial-agg shows up here first
     "dd14_substring_spans",
+    # content-defined chunking (round 8): boundary hashing is an
+    # O(tokens x window) codegen pass and first-occurrence runs as a
+    # window min inside the single chunk-hash exchange — a regression
+    # to the join-back shape (2 scans) shows up here as wall time
+    "dd16_cdc_chunks",
     "t2_quality_score",
     "t4_fingerprint",
     "t9_tfidf_topterms",

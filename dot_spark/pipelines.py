@@ -464,3 +464,82 @@ def mv_merge(*partials: DataFrame) -> DataFrame:
         F.min("mv_min_ts").alias("mv_min_ts"),
         F.max("mv_max_ts").alias("mv_max_ts"),
     )
+
+
+def streaming_mv_maintain(
+    spark,
+    drops_dir: str,
+    mv_table,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    ts_col: str,
+    schema: str,
+    max_files_per_trigger: int | None = 1,
+):
+    """Continuous incremental materialized-view maintenance — the
+    streaming twin of pl13: stream JSONL event drops, per micro-batch
+    aggregate the BATCH to mergeable partials (mv_partials) and
+    commit mv_merge(current MV, delta) as a new TxTable version whose
+    manifest records the batch id. Returns the StreamingQuery.
+
+    Exactly-once without double counting: MV merge is NOT naturally
+    idempotent (replaying an applied batch would add its counts
+    again — unlike the CDC merge, whose key rewrite self-heals), so
+    the at-least-once foreachBatch contract needs the transactional
+    skip: a replayed batch id is found in the retained manifests and
+    dropped BEFORE any work, and the version claim + batch-id record
+    are one atomic manifest link (the txlog.exactly_once_sink
+    protocol, here with overwrite-the-state semantics instead of
+    append). Readers get snapshot isolation on the MV: every version
+    is a complete, consistent rollup.
+
+    Scale shape: per batch the work is one delta-sized partial agg
+    plus an MV-row-sized (per-key, never per-row) merge and rewrite —
+    the 100 TB base is never re-aggregated. The MV rewrite-per-batch
+    is right-sized BECAUSE the MV is an aggregate; maintaining a
+    per-row view this way would be a table copy per batch, and wants
+    the CDC merge path instead."""
+    from dot_spark.streaming.ingress import stream_jsonl_corpus
+
+    seen_ids: set = set()
+    scanned_to = [0]
+
+    def committed_batch_ids() -> set:
+        for v in mv_table.versions():
+            if v <= scanned_to[0]:
+                continue
+            b = mv_table.manifest(v).get("mv_batch_id")
+            if b is not None:
+                seen_ids.add(b)
+            scanned_to[0] = v
+        return seen_ids
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids():
+            return
+        delta = mv_partials(batch, keys, value_col, ts_col)
+        while True:
+            v = mv_table.latest_version()
+            merged = (
+                mv_merge(mv_table.read(v), delta) if v else mv_merge(delta)
+            )
+            files = mv_table._stage(merged)
+            if batch_id in committed_batch_ids():
+                return  # a replay twin won while this attempt staged
+            if mv_table._try_claim(
+                v + 1,
+                {"op": "overwrite", "files": files, "mv_batch_id": batch_id},
+            ):
+                return
+            # lost the claim: latest advanced — re-merge against it
+
+    stream = stream_jsonl_corpus(
+        spark, drops_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

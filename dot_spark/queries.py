@@ -9076,10 +9076,138 @@ def a33_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd16_cdc_chunks",
+    """
+    WITH d AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+               FROM documents WHERE length(trim(text)) > 0),
+    b AS (SELECT doc_id, i
+          FROM d, UNNEST(generate_series(4, len(t) - 1)) AS g(i)
+          WHERE CAST('0x' || substr(md5(array_to_string(t[i-3:i], ' ')), 1, 14) AS BIGINT) % 8 = 0),
+    e AS (SELECT doc_id, i AS e FROM b UNION ALL SELECT doc_id, len(t) FROM d),
+    ck AS (SELECT doc_id, e,
+                  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) AS idx
+           FROM e),
+    ch AS (SELECT ck.doc_id, ck.idx, e - s + 1 AS n_toks,
+                  md5(array_to_string(d.t[s:e], ' ')) AS h
+           FROM ck JOIN d ON ck.doc_id = d.doc_id),
+    fo AS (SELECT h, MIN(doc_id * 1000000 + idx) AS fkey FROM ch GROUP BY h)
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN doc_id * 1000000 + idx <> fkey THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN doc_id * 1000000 + idx <> fkey THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS dup_chunk_ratio,
+           ROUND(SUM(CASE WHEN doc_id * 1000000 + idx <> fkey THEN n_toks ELSE 0 END) * 1.0
+                 / SUM(n_toks), 4) AS dup_token_ratio
+    FROM ch JOIN fo USING (h)
+    GROUP BY ch.doc_id
+    """,
+)
+def dd16_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (FastCDC/rsync at token
+    granularity): cut every document where the md5 prefix of the
+    trailing 4-token gram hits 0 mod 8 (expected chunk ~8 tokens),
+    first-occurrence-dedup the chunks, and report per-doc duplicate
+    chunk/token fractions. Unlike dd9's fixed windows, a boundary
+    depends only on local content, so chunking RE-SYNCHRONIZES after
+    an insertion and the unchanged tail still dedups — the property
+    that makes variable-size chunking the storage-dedup standard
+    (test-pinned by the realignment law in tests/test_textdedup.py).
+    Boundary + chunk assembly are pure codegen array lambdas; chunk
+    bodies are dropped before the only exchange (16-byte md5 keys);
+    the oracle replays the exact cut positions because the boundary
+    hash is an md5 prefix both engines compute identically."""
+    from dot_spark.operators.textdedup import cdc_chunks
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cdc_chunks(docs)
+
+
+@query(
+    "pl14_streaming_mv",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS mv_n,
+           ROUND(SUM(value), 2) AS sum_value,
+           MIN(date_trunc('microseconds', ts)) AS min_ts,
+           MAX(date_trunc('microseconds', ts)) AS max_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pl14_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pl13: the per-user rollup MV maintained
+    CONTINUOUSLY. Events ship as three JSONL drops; each micro-batch
+    (maxFilesPerTrigger=1, so the incremental path really runs three
+    merges) aggregates only its delta and commits
+    mv_merge(current, delta) as a new transactional version with the
+    batch id in the manifest — replay-skip makes the non-idempotent
+    merge exactly-once (pipelines.streaming_mv_maintain). The oracle
+    is the full recompute over all events: the gate IS the law
+    "stream-of-merges == one-shot aggregate". Timestamps ride the
+    JSONL as epoch micros (lossless round-trip; JSON timestamp
+    serialization is not precision-stable)."""
+    from dot_spark.loads import Warehouse
+    from dot_spark.pipelines import streaming_mv_maintain
+    from dot_spark.txlog import TxTable
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    root = _scratch("dot_spark_mv_")
+    wh = Warehouse(spark, root)
+    for part in range(3):
+        # one part file per drop, so drop == micro-batch under
+        # maxFilesPerTrigger=1 (the gate's drops are KB-sized; a real
+        # ingest keeps multi-part drops and batches whole drops)
+        wh.write_jsonl(
+            ev.filter(F.col("event_id") % 3 == part).coalesce(1),
+            f"drops/drop_{part}",
+            compression=None,
+        )
+    # flatten the three drop dirs into one stream directory
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    stream_dir = _os.path.join(root, "stream_in")
+    _os.makedirs(stream_dir, exist_ok=True)
+    for i, f in enumerate(
+        sorted(_glob.glob(_os.path.join(root, "drops/drop_*/part-*.json*")))
+    ):
+        _shutil.copy(f, _os.path.join(stream_dir, f"{i:04d}.jsonl"))
+
+    mv_table = TxTable(spark, _os.path.join(root, "mv_tx"))
+    q = streaming_mv_maintain(
+        spark,
+        stream_dir,
+        mv_table,
+        _os.path.join(root, "cp"),
+        keys=["user_id"],
+        value_col="value",
+        ts_col="ts_us",
+        schema="event_id BIGINT, user_id BIGINT, value DOUBLE, ts_us BIGINT",
+    )
+    q.awaitTermination()
+    mv = mv_table.read()
+    return mv.select(
+        "user_id",
+        "mv_n",
+        F.round("mv_sum", 2).alias("sum_value"),
+        F.timestamp_micros("mv_min_ts").alias("min_ts"),
+        F.timestamp_micros("mv_max_ts").alias("max_ts"),
+    )
+
+
 # READY-MADE r9 WINDOW (recomputed at the end of round 8 against
 # CORRECTNESS_r01-r07 + the r8 window below; regenerate with the
 # never-gated scan in NOTES_r08 if r8's official gate diverges from
-# its window): after the 50 names below land, exactly 53 registered
+# its window): after the 50 names below land, exactly 55 registered
 # queries still lack an official row — the r7-era leaders
 #   st5_delayed_retry t19_bm25_topterms t20_pmi_collocations
 #   w12_ewma_smooth j18_snapshot_diff t18_novelty_score ss8_sq_topk
@@ -9101,9 +9229,11 @@ def a33_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the session-4 additions
 #   p20_zorder_layout s19_zorder_skipping j19_bloom_prejoin
 #   pl13_incremental_mv a32_linreg_trend a33_skyline
-# — 53 names, so the r9 window is the first 50 in the order above
-# (r7-era leaders first — they are stalest) and the last 3
-# session-4 names (pl13/a32/a33) carry to r10's backfill slot.
+#   dd16_cdc_chunks pl14_streaming_mv
+# — 55 names, so the r9 window is the first 50 in the order above
+# (r7-era leaders first — they are stalest) and the last 5
+# session-4 names (a32/a33/dd16/pl14 + pl13) carry to r10's
+# backfill slot.
 _WINDOW_PRIORITY = [
     # ROUND-8 WINDOW: the first 50 never-officially-gated queries in
     # registration order (the rotation plan committed in round 7 —

@@ -202,3 +202,71 @@ def test_verified_pairs_agree_with_exact_jaccard(spark):
     for pair, scores in got.items():
         assert scores == exact[pair], pair
     assert got[(1, 2)][1] == 1.0
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The content-defined property dd16 exists for: after a
+    single-token PREPEND, chunk boundaries re-synchronize at the
+    first content-defined cut, so every chunk after it is
+    hash-identical to the original's — fixed-size chunking (dd9)
+    would shift every chunk. Verified on the raw chunk streams of
+    the two variants (doc vs token-prepended doc)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dot_spark.operators.textdedup import cdc_chunks
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    body = " ".join(rng.choice(words) for _ in range(400))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "inserted " + body)], "doc_id INT, text STRING"
+    )
+
+    out = {
+        r.doc_id: r
+        for r in cdc_chunks(docs, window=4, divisor=8).collect()
+    }
+    # doc 2 shares every post-resync chunk with doc 1: its duplicate
+    # token fraction must be large (>= half the doc), while doc 1 (the
+    # first occurrence at a lower doc_id) owns the shared chunks.
+    assert out[2].n_dup_chunks > 0
+    assert out[2].dup_token_ratio >= 0.5, out[2]
+    # both variants chunked the SAME 400-token tail: total chunk
+    # token accounting matches the token counts exactly
+    toks1 = len(body.split())
+    n_toks = {
+        r.doc_id: r.total
+        for r in cdc_chunks(docs, window=4, divisor=8)
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(F.split(F.col("text"), " ")).alias("total"),
+            ),
+            "doc_id",
+        )
+        .collect()
+    }
+    assert n_toks[1] == toks1 and n_toks[2] == toks1 + 1
+
+
+def test_cdc_chunks_exact_dup_fully_flagged(spark):
+    """An exact duplicate document is 100% duplicate chunks (same
+    boundaries, same hashes); a unique doc is 0%."""
+    from dot_spark.operators.textdedup import cdc_chunks
+
+    # body cycles with period 13 (> window+divisor) but doc 12's
+    # tokens are position-unique — intra-doc chunk repeats are REAL
+    # duplicates dd16 must flag (periodic boilerplate), so the
+    # zero-dup control needs genuinely unrepeated content
+    body = " ".join(f"w{i}" for i in range(120))
+    other = " ".join(f"q{i}" for i in range(90))
+    docs = spark.createDataFrame(
+        [(10, body), (11, body), (12, other)], "doc_id INT, text STRING"
+    )
+    out = {r.doc_id: r for r in cdc_chunks(docs).collect()}
+    assert out[10].dup_chunk_ratio == 0.0  # first occurrence wins
+    assert out[11].dup_chunk_ratio == 1.0
+    assert out[11].dup_token_ratio == 1.0
+    assert out[12].dup_chunk_ratio == 0.0

@@ -462,3 +462,84 @@ def test_object_store_list_hides_inflight_and_allows_dotdot_prefix(tmp_path):
         store.put_bytes("../escape", b"x")
     with _pytest.raises(ValueError):
         store.put_bytes("a/../../escape", b"x")
+
+
+def test_streaming_mv_replay_skip_and_merge_law(spark, tmp_path):
+    """The MV foreachBatch sink must (a) equal the one-shot aggregate
+    after a sequence of per-batch merges and (b) SKIP a replayed
+    batch id — mv_merge double-counts on replay, so exactly-once is
+    the manifest-recorded batch id, not natural idempotence."""
+    import json
+    import os
+
+    from dot_spark.pipelines import mv_merge, mv_partials, streaming_mv_maintain
+    from dot_spark.txlog import TxTable
+
+    ddl = "event_id BIGINT, user_id BIGINT, value DOUBLE, ts_us BIGINT"
+    rows = [(i, i % 3, float(i), 1000 + i) for i in range(30)]
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    for part in range(3):
+        with open(drops / f"d{part}.jsonl", "w") as fh:
+            for e, u, v, t in rows[part * 10 : (part + 1) * 10]:
+                fh.write(
+                    json.dumps(
+                        {"event_id": e, "user_id": u, "value": v, "ts_us": t}
+                    )
+                    + "\n"
+                )
+
+    mv_table = TxTable(spark, str(tmp_path / "mv_tx"))
+    q = streaming_mv_maintain(
+        spark,
+        str(drops),
+        mv_table,
+        str(tmp_path / "cp"),
+        keys=["user_id"],
+        value_col="value",
+        ts_col="ts_us",
+        schema=ddl,
+    )
+    q.awaitTermination()
+    assert mv_table.latest_version() == 3  # one merge per drop
+
+    whole = spark.createDataFrame(rows, ddl)
+    expect = {
+        r.user_id: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+        for r in mv_partials(whole, ["user_id"], "value", "ts_us").collect()
+    }
+    got = {
+        r.user_id: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+        for r in mv_table.read().collect()
+    }
+    assert got == expect
+
+    # replay skip: re-running the stream with a FRESH checkpoint
+    # re-delivers batch ids 0..2; every one must be found in the
+    # manifests and skipped — state unchanged, no new version
+    q2 = streaming_mv_maintain(
+        spark,
+        str(drops),
+        mv_table,
+        str(tmp_path / "cp2"),
+        keys=["user_id"],
+        value_col="value",
+        ts_col="ts_us",
+        schema=ddl,
+    )
+    q2.awaitTermination()
+    assert mv_table.latest_version() == 3
+    got2 = {
+        r.user_id: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+        for r in mv_table.read().collect()
+    }
+    assert got2 == expect
+
+    # and the merge law directly: any slicing == the whole
+    s1 = mv_partials(whole.filter("event_id < 7"), ["user_id"], "value", "ts_us")
+    s2 = mv_partials(whole.filter("event_id >= 7"), ["user_id"], "value", "ts_us")
+    law = {
+        r.user_id: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+        for r in mv_merge(s1, s2).collect()
+    }
+    assert law == expect

@@ -280,6 +280,12 @@ def main() -> None:
         # copy, so dup-fp group sizes stay constant and the whole
         # path must scale with the explode (linear).
         grid[("dd14_substring_spans", k)] = duplicated_spans(docs)
+        # dd16: content-defined chunking — boundary hashing is the
+        # linear term (O(tokens x window) codegen); chunk-hash groups
+        # stay per-copy under the suffixed upsampling.
+        from dot_spark.operators.textdedup import cdc_chunks
+
+        grid[("dd16_cdc_chunks", k)] = cdc_chunks(docs)
         # mm6: the decode+hash ingest pass — per-image Python cost,
         # images scale K-fold (offset ids change the synthesized
         # dims/seed mix but not the per-image work).
