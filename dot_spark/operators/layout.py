@@ -123,7 +123,10 @@ def ranked_by(
     # Morton/quantize chain into the filter — measured 5x wall on the
     # probe side (scale_sanity alpha 1.48 -> 0.18 from this one-word
     # change). A left join generates no probe-side key filter, so the
-    # scan stays one clean codegen pass.
+    # scan stays one clean codegen pass. Same 256-bucket prefix shape
+    # as sampling.token_budget_sample / sampling.pack_sequences and
+    # relational.skyline (cummax variant) — keep the join rule in
+    # sync across all four.
     return (
         bucketed.join(F.broadcast(prefix), "__b", "left")
         .withColumn(

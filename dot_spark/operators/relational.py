@@ -506,7 +506,11 @@ def bloom_prune(
     true matches (false-positive rate set by m_bits/k), so follow
     with the exact join; false positives cost I/O, never
     correctness."""
-    arr = F.lit(words)
+    # explicit array<bigint>: lit() infers array<int> when every word
+    # happens to fit in 32 bits (tiny/empty build side), and bit_get
+    # positions 32-63 on an int raise under ANSI — the cast makes the
+    # probe shape independent of the build side's values
+    arr = F.lit(words).cast("array<bigint>")
     cond = None
     for s in range(k):
         bit = F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(m_bits))
@@ -541,9 +545,21 @@ def skyline(
     windows bucket-parallel — the sampling prefix-sum shape). A cell
     is on the frontier iff it is its price-level's best AND beats
     every strictly-cheaper level's best. The per-row table is
-    touched exactly once."""
+    touched exactly once.
+
+    NULL dimensions are excluded up front: SQL dominance (the NOT
+    EXISTS oracle form) makes a NULL-dim row incomparable — it never
+    dominates and is never dominated — which is rarely the wanted
+    frontier, and letting NULLs through here would be worse than
+    either semantics (floor(NULL) skips out of least() and lands the
+    row in the top bucket, where its __best_here wrongly dominates
+    real levels). Callers wanting incomparable rows reported append
+    them separately."""
     from pyspark.sql import Window
 
+    df = df.filter(
+        F.col(minimize_col).isNotNull() & F.col(maximize_col).isNotNull()
+    )
     cells = df.groupBy(minimize_col, maximize_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min(id_col).alias("min_id"),

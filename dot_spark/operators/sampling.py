@@ -108,10 +108,20 @@ def token_budget_sample(
     ww = Window.partitionBy("__b").orderBy("__hx", key_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # LEFT join back (not inner): an inner join on the derived __b
+    # pushes isnotnull(__b) below the projection, where Catalyst
+    # substitutes the key's expression chain into the filter — benign
+    # here (one extra md5/row) but 5x on a deep chain, measured on
+    # layout.ranked_by (the Morton key). The same 256-bucket prefix
+    # shape lives in pack_sequences below, layout.ranked_by, and
+    # relational.skyline (cummax variant) — keep the join rule in
+    # sync across all four.
     out = (
-        bucketed.join(F.broadcast(prefix), "__b")
+        bucketed.join(F.broadcast(prefix), "__b", "left")
         .withColumn(
-            "cum_weight", F.col("__before") + F.sum(weight_col).over(ww)
+            "cum_weight",
+            F.coalesce(F.col("__before"), F.lit(0))
+            + F.sum(weight_col).over(ww),
         )
         .filter(F.col("cum_weight") <= budget)
     )
@@ -268,13 +278,17 @@ def pack_sequences(
     ww = Window.partitionBy("__b").orderBy("__hx", key_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # left join on the derived key — see the rule note in
+    # token_budget_sample above (same shape, same reason)
     cum = (
-        bucketed.join(F.broadcast(prefix), "__b")
+        bucketed.join(F.broadcast(prefix), "__b", "left")
         .withColumn(
             "__start",
-            (F.col("__before") + F.sum(weight_col).over(ww) - F.col(weight_col)).cast(
-                "long"
-            ),
+            (
+                F.coalesce(F.col("__before"), F.lit(0))
+                + F.sum(weight_col).over(ww)
+                - F.col(weight_col)
+            ).cast("long"),
         )
     )
     return cum.select(

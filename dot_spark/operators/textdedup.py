@@ -1144,22 +1144,37 @@ def cdc_chunks(
         F.col("__c.h").alias("chunk_hash"),
         F.col("__c.n_toks").alias("n_toks"),
     )
-    # first occurrence via a window min over the hash partition, not
+    # first occurrence via window mins over the hash partition, not
     # a groupBy + join-back: same one exchange on chunk_hash, but the
     # explode runs ONCE (the join shape re-scans the corpus for each
-    # side — measured 2 scans / 5 exchanges vs 1 scan / 3)
+    # side — measured 2 scans / 5 exchanges vs 1 scan / 3). Two
+    # stacked windows on the SAME partitioning (min doc, then min idx
+    # within that doc) instead of an arithmetic doc*K+idx encoding:
+    # the encoding collides for docs with > K chunks and overflows
+    # int ids under ANSI — ordering on the real columns has neither
+    # failure mode, and both engines state it identically.
     from pyspark.sql import Window as W
 
     wfirst = W.partitionBy("chunk_hash")
-    marked = chunks.withColumn(
-        "__dup",
-        (F.col(id_col) * 1000000 + F.col("chunk_idx"))
-        != F.min(F.col(id_col) * 1000000 + F.col("chunk_idx")).over(wfirst),
+    marked = (
+        chunks.withColumn("__fdoc", F.min(id_col).over(wfirst))
+        .withColumn(
+            "__fidx",
+            F.min(
+                F.when(F.col(id_col) == F.col("__fdoc"), F.col("chunk_idx"))
+            ).over(wfirst),
+        )
+        .withColumn(
+            "__dup",
+            (F.col(id_col) != F.col("__fdoc"))
+            | (F.col("chunk_idx") != F.col("__fidx")),
+        )
     )
     return (
         marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
             F.sum(F.col("__dup").cast("long")).cast("long").alias("n_dup_chunks"),
             F.round(
                 F.sum(F.col("__dup").cast("long")) / F.count(F.lit(1)), 4

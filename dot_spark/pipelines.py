@@ -439,7 +439,7 @@ def mv_partials(
     )
 
 
-def mv_merge(*partials: DataFrame) -> DataFrame:
+def mv_merge(*partials: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Merge partial MV states (base ∪ deltas) into one: counts and
     sums add, min/max fold. This is incremental materialized-view
     maintenance for insert-only deltas: the 100 TB base is aggregated
@@ -457,7 +457,11 @@ def mv_merge(*partials: DataFrame) -> DataFrame:
     out = partials[0]
     for p in partials[1:]:
         out = out.unionByName(p)
-    keys = [c for c in out.columns if not c.startswith("mv_")]
+    # keys should be passed explicitly (every caller has them); the
+    # name-prefix inference is a convenience fallback that silently
+    # drops a grouping column whose NAME starts with mv_
+    if keys is None:
+        keys = [c for c in out.columns if not c.startswith("mv_")]
     return out.groupBy(*keys).agg(
         F.sum("mv_n").cast("long").alias("mv_n"),
         F.sum("mv_sum").alias("mv_sum"),
@@ -501,19 +505,9 @@ def streaming_mv_maintain(
     per-row view this way would be a table copy per batch, and wants
     the CDC merge path instead."""
     from dot_spark.streaming.ingress import stream_jsonl_corpus
+    from dot_spark.txlog import committed_ids_scanner
 
-    seen_ids: set = set()
-    scanned_to = [0]
-
-    def committed_batch_ids() -> set:
-        for v in mv_table.versions():
-            if v <= scanned_to[0]:
-                continue
-            b = mv_table.manifest(v).get("mv_batch_id")
-            if b is not None:
-                seen_ids.add(b)
-            scanned_to[0] = v
-        return seen_ids
+    committed_batch_ids = committed_ids_scanner(mv_table, key="mv_batch_id")
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch_id in committed_batch_ids():
@@ -522,7 +516,9 @@ def streaming_mv_maintain(
         while True:
             v = mv_table.latest_version()
             merged = (
-                mv_merge(mv_table.read(v), delta) if v else mv_merge(delta)
+                mv_merge(mv_table.read(v), delta, keys=keys)
+                if v
+                else mv_merge(delta, keys=keys)
             )
             files = mv_table._stage(merged)
             if batch_id in committed_batch_ids():

@@ -8956,6 +8956,7 @@ def pl13_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         mv_partials(base, ["user_id"], "value", "ts"),
         mv_partials(d1, ["user_id"], "value", "ts"),
         mv_partials(d2, ["user_id"], "value", "ts"),
+        keys=["user_id"],
     )
     return mv.select(
         "user_id",
@@ -9093,17 +9094,24 @@ def a33_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch AS (SELECT ck.doc_id, ck.idx, e - s + 1 AS n_toks,
                   md5(array_to_string(d.t[s:e], ' ')) AS h
            FROM ck JOIN d ON ck.doc_id = d.doc_id),
-    fo AS (SELECT h, MIN(doc_id * 1000000 + idx) AS fkey FROM ch GROUP BY h)
-    SELECT ch.doc_id,
+    fd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS fdoc FROM ch),
+    fm AS (SELECT *,
+                  MIN(CASE WHEN doc_id = fdoc THEN idx END)
+                    OVER (PARTITION BY h) AS fidx
+           FROM fd),
+    mk AS (SELECT doc_id, n_toks,
+                  (doc_id <> fdoc OR idx <> fidx) AS dup
+           FROM fm)
+    SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           CAST(SUM(CASE WHEN doc_id * 1000000 + idx <> fkey THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dup_chunks,
-           ROUND(SUM(CASE WHEN doc_id * 1000000 + idx <> fkey THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 4) AS dup_chunk_ratio,
-           ROUND(SUM(CASE WHEN doc_id * 1000000 + idx <> fkey THEN n_toks ELSE 0 END) * 1.0
-                 / SUM(n_toks), 4) AS dup_token_ratio
-    FROM ch JOIN fo USING (h)
-    GROUP BY ch.doc_id
+           CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_chunk_ratio,
+           ROUND(SUM(CASE WHEN dup THEN n_toks ELSE 0 END) * 1.0 / SUM(n_toks), 4)
+             AS dup_token_ratio
+    FROM mk
+    GROUP BY doc_id
     """,
 )
 def dd16_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9264,6 +9272,38 @@ _WINDOW_PRIORITY = [
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 _missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
 assert not _missing, f"window names not registered: {_missing}"
+
+# The r9 rotation, MACHINE-READABLE (the block comment above is the
+# rationale): next round, swap this list into _WINDOW_PRIORITY.
+# Asserted against the registry now so a typo cannot survive to r9.
+_R9_WINDOW = [
+    # r7-era leaders (stalest, 27)
+    "st5_delayed_retry", "t19_bm25_topterms", "t20_pmi_collocations",
+    "w12_ewma_smooth", "j18_snapshot_diff", "t18_novelty_score",
+    "ss8_sq_topk", "s15_text_log_source", "p16_fixed_k_per_stratum",
+    "pl8_merge_upsert", "a16_grouping_sets", "n8_malformed_json_audit",
+    "t16_langid_accuracy", "mm5_audio_rms", "ss6_label_centroids",
+    "mm4_image_resize", "a15_approx_distinct_audit", "n11_xml_roundtrip",
+    "p18_mixture_resample", "a21_cumulative_distinct",
+    "a22_cohort_retention", "a23_activity_streaks", "g1_pagerank",
+    "g2_triangle_count", "g3_bfs_levels", "j17_multihop_topk",
+    "a24_mad_robust",
+    # round-8 mid-round additions (20)
+    "ss9_pq_topk", "t21_readability", "a25_table_profile",
+    "a26_frequent_pairs", "a27_event_transitions", "mm6_image_phash",
+    "mm7_phash_neardup", "dd14_substring_spans", "a28_wilson_ci",
+    "t22_zipf_audit", "g4_link_prediction", "a29_countmin_audit",
+    "p19_sequence_packing", "dd15_containment", "a30_k_anonymity",
+    "a31_expectations_audit", "w13_ohlc_resample", "pl12_dataset_card",
+    "s18_txlog_snapshot", "w14_range_frame",
+    # session-4 additions (first 3 of 8; pl13/a32/a33/dd16/pl14
+    # carry to r10)
+    "p20_zorder_layout", "s19_zorder_skipping", "j19_bloom_prejoin",
+]
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+_r9_missing = [n for n in _R9_WINDOW if n not in QUERIES]
+assert not _r9_missing, f"r9 window names not registered: {_r9_missing}"
+assert not set(_R9_WINDOW) & set(_WINDOW_PRIORITY), "r9 overlaps r8"
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},

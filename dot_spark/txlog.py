@@ -208,6 +208,34 @@ class TxTable:
         return removed
 
 
+def committed_ids_scanner(table: TxTable, key: str = "batch_id"):
+    """The replay-skip primitive shared by every exactly-once
+    foreachBatch sink over a TxTable (append sink below, MV
+    maintenance in pipelines.streaming_mv_maintain): returns a
+    closure yielding the set of ``key`` values recorded in committed
+    manifests. Incremental: only versions NEWER than the highest
+    already-scanned one are read per call — O(new commits), not
+    O(log length), so a long-lived stream's commit latency stays
+    flat instead of degrading quadratically with batch count.
+    One shared implementation so a fix to the scan (this round:
+    the vacuum-race and retry-twin findings) cannot drift between
+    sinks."""
+    seen_ids: set = set()
+    scanned_to = [0]
+
+    def committed() -> set:
+        for v in table.versions():
+            if v <= scanned_to[0]:
+                continue
+            b = table.manifest(v).get(key)
+            if b is not None:
+                seen_ids.add(b)
+            scanned_to[0] = v
+        return seen_ids
+
+    return committed
+
+
 def exactly_once_sink(table: TxTable):
     """foreachBatch sink with TRANSACTIONAL exactly-once semantics:
     each micro-batch commits through the table's log with its batch
@@ -229,22 +257,7 @@ def exactly_once_sink(table: TxTable):
     id in the log and skips. Either way the table holds each batch's
     rows exactly once."""
 
-    # incremental manifest scan: only versions NEWER than the highest
-    # already-scanned one are read per call — O(new commits), not
-    # O(log length), so a long-lived stream's commit latency stays
-    # flat instead of degrading quadratically with batch count
-    seen_ids: set = set()
-    scanned_to = [0]
-
-    def committed_batch_ids() -> set:
-        for v in table.versions():
-            if v <= scanned_to[0]:
-                continue
-            b = table.manifest(v).get("batch_id")
-            if b is not None:
-                seen_ids.add(b)
-            scanned_to[0] = v
-        return seen_ids
+    committed_batch_ids = committed_ids_scanner(table)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed_batch_ids():

@@ -213,8 +213,6 @@ def test_cdc_chunks_realign_after_insertion(spark):
     the two variants (doc vs token-prepended doc)."""
     import random
 
-    from pyspark.sql import functions as F
-
     from dot_spark.operators.textdedup import cdc_chunks
 
     rng = random.Random(7)
@@ -233,22 +231,12 @@ def test_cdc_chunks_realign_after_insertion(spark):
     # first occurrence at a lower doc_id) owns the shared chunks.
     assert out[2].n_dup_chunks > 0
     assert out[2].dup_token_ratio >= 0.5, out[2]
-    # both variants chunked the SAME 400-token tail: total chunk
-    # token accounting matches the token counts exactly
+    # chunk token accounting: the chunks partition the doc, so the
+    # summed chunk lengths (the operator's n_toks output) must equal
+    # each doc's token count exactly — an off-by-one in the slice
+    # arithmetic would break this
     toks1 = len(body.split())
-    n_toks = {
-        r.doc_id: r.total
-        for r in cdc_chunks(docs, window=4, divisor=8)
-        .join(
-            docs.select(
-                "doc_id",
-                F.size(F.split(F.col("text"), " ")).alias("total"),
-            ),
-            "doc_id",
-        )
-        .collect()
-    }
-    assert n_toks[1] == toks1 and n_toks[2] == toks1 + 1
+    assert out[1].n_toks == toks1 and out[2].n_toks == toks1 + 1
 
 
 def test_cdc_chunks_exact_dup_fully_flagged(spark):
