@@ -265,3 +265,44 @@ def test_mv_merge_empty_delta_is_identity(spark, sf_dir):
     merged = {r.user_id: r.mv_n for r in mv_merge(base, empty).collect()}
     want = {r.user_id: r.mv_n for r in base.collect()}
     assert merged == want
+
+
+def test_bloom_prune_executes_with_tiny_and_empty_build(spark):
+    """Regression pin for the array<int> literal inference: a build
+    side whose words all fit in 32 bits (here: EMPTY — all-zero
+    words) must still EXECUTE the probe (bit_get positions 32-63 on
+    an int raise under ANSI; the operator casts to array<bigint>).
+    An empty filter prunes everything — no false negatives to have."""
+    empty = spark.createDataFrame([], "k BIGINT")
+    words = bloom_filter_array(empty, "k", m_bits=1 << 12, k=3)
+    probe = spark.range(100).withColumnRenamed("id", "k")
+    assert bloom_prune(probe, "k", words, m_bits=1 << 12, k=3).count() == 0
+    # one-key build: survivors must include that key, and the probe
+    # must actually run end-to-end
+    one = spark.createDataFrame([(42,)], "k BIGINT")
+    words1 = bloom_filter_array(one, "k", m_bits=1 << 12, k=3)
+    kept = {
+        r.k for r in bloom_prune(probe, "k", words1, m_bits=1 << 12, k=3).collect()
+    }
+    assert 42 in kept
+
+
+def test_skyline_null_dims_are_excluded(spark):
+    """Regression pin for the NULL-dimension fix: a NULL-dim row must
+    neither appear on the frontier nor knock a real frontier cell off
+    it (pre-fix, floor(NULL) skipped out of least() into the top
+    bucket and its __best_here dominated real levels there)."""
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, 5),     # dominated by (2,)
+            (2, 10.0, 40),    # frontier: best size at min price
+            (3, 90.0, 50),    # frontier: top price, biggest size
+            (4, None, 99),    # NULL minimize, huge maximize
+            (5, 95.0, None),  # NULL maximize
+        ],
+        "id INT, price DOUBLE, size INT",
+    )
+    got = {
+        (r.price, r.size) for r in skyline(df, "price", "size", "id").collect()
+    }
+    assert got == {(10.0, 40), (90.0, 50)}
