@@ -807,6 +807,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str,
     out_col: str = "__codes",
+    with_reconstruction: bool = False,
 ) -> DataFrame:
     """Attach the m-byte PQ code array: per subspace, the L2-nearest
     codebook entry (argmin of -2*x.c + |c|^2; |x|^2 is constant per
@@ -819,7 +820,20 @@ def pq_encode(
     once by _fold_dot in the same order — so near-tie argmins cannot
     flip between engines on summation-order float dust. Ties proper
     break to the LOWEST code on both sides (numpy argmin takes the
-    first minimum; the oracle orders score ASC, code ASC)."""
+    first minimum; the oracle orders score ASC, code ASC).
+
+    ``with_reconstruction=True`` also emits ``__rec`` (the decoded
+    centroid concat, the exact doubles of the codebook) and ``__dn``
+    (its norm, accumulated per-dimension left-to-right — the oracle's
+    list_sum order) FROM THE SAME Arrow batch. This is load-bearing
+    for wall time, not a convenience: decoding via a codegen literal
+    lookup (pq_reconstruct) plants a ~4k-literal expression tree that
+    norm() then references twice (zip_with doubles it), and Spark
+    evaluates the resulting giant tree interpreted — measured 4 s for
+    a 2,000-row decode vs milliseconds in the batch that already
+    holds the codes. Same class as layout.ranked_by's derived-key
+    lesson: deep derived expression trees must be materialized at a
+    barrier, and the Arrow stage IS the barrier."""
     from pyspark.sql.functions import pandas_udf
 
     books = [np.array(b, dtype=np.float64) for b in codebooks]
@@ -827,11 +841,7 @@ def pq_encode(
     m = len(books)
     dsub = books[0].shape[1]
 
-    @pandas_udf("array<int>")
-    def _codes(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:  # empty Arrow batch (empty partition)
-            return pd.Series([], dtype=object)
-        x = np.stack(vecs.to_numpy()).astype(np.float64)
+    def _assign(x: np.ndarray) -> np.ndarray:
         out = np.empty((len(x), m), dtype=np.int32)
         for j in range(m):
             xs = x[:, j * dsub : (j + 1) * dsub]
@@ -839,9 +849,45 @@ def pq_encode(
             for i in range(dsub):
                 acc = acc + xs[:, i : i + 1] * books[j][:, i][None, :]
             out[:, j] = (-2.0 * acc + cnorm2[j]).argmin(axis=1)
-        return pd.Series(list(out))
+        return out
 
-    return df.withColumn(out_col, _codes(F.col(vec_col)))
+    if not with_reconstruction:
+
+        @pandas_udf("array<int>")
+        def _codes(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:  # empty Arrow batch (empty partition)
+                return pd.Series([], dtype=object)
+            x = np.stack(vecs.to_numpy()).astype(np.float64)
+            return pd.Series(list(_assign(x)))
+
+        return df.withColumn(out_col, _codes(F.col(vec_col)))
+
+    @pandas_udf("struct<codes:array<int>, rec:array<double>, dn:double>")
+    def _full(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"codes": [], "rec": [], "dn": []})
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = _assign(x)
+        rec = np.concatenate(
+            [books[j][codes[:, j]] for j in range(m)], axis=1
+        )
+        # per-dimension left-to-right accumulation == the HOF fold ==
+        # the oracle's list_sum order (bit-stable near-tie pool cuts)
+        acc = np.zeros(len(x), dtype=np.float64)
+        for i in range(rec.shape[1]):
+            acc = acc + rec[:, i] * rec[:, i]
+        dn = np.sqrt(acc)
+        return pd.DataFrame(
+            {"codes": list(codes), "rec": list(rec), "dn": dn}
+        )
+
+    staged = df.withColumn("__pq", _full(F.col(vec_col)))
+    return (
+        staged.withColumn(out_col, F.col("__pq.codes"))
+        .withColumn("__rec", F.col("__pq.rec"))
+        .withColumn("__dn", F.col("__pq.dn"))
+        .drop("__pq")
+    )
 
 
 def pq_reconstruct(codes: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -911,13 +957,16 @@ def pq_topk(
         vec_col=corpus_vec,
     )
     # reconstructed vector AND its norm computed once per corpus row,
-    # never per (query, row) pair (the brute_force_topk norm rule)
-    c = (
-        pq_encode(spread_small_input(corpus), codebooks, corpus_vec)
-        .withColumn("__rec", pq_reconstruct(F.col("__codes"), codebooks))
-        .withColumn("__dn", norm(F.col("__rec")))
-        .select(corpus_id, "__rec", "__dn")
-    )
+    # never per (query, row) pair (the brute_force_topk norm rule) —
+    # and inside the SAME Arrow batch as the code assignment: the
+    # codegen-literal decode path is 100x slower here (see the
+    # with_reconstruction note on pq_encode)
+    c = pq_encode(
+        spread_small_input(corpus),
+        codebooks,
+        corpus_vec,
+        with_reconstruction=True,
+    ).select(corpus_id, "__rec", "__dn")
     q = F.broadcast(queries.withColumn("__qn", norm(F.col(query_vec))))
     approx = q.crossJoin(c).withColumn(
         "approx_sim",
