@@ -9212,10 +9212,175 @@ def pl14_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pl15_incremental_zorder",
+    f"""
+    WITH {_Z_BASE_SQL},
+    z AS (
+      SELECT l_orderkey, l_linenumber, a16, b16,
+             CAST({_Z_SQL} AS BIGINT) AS zval
+      FROM q),
+    zb AS (SELECT * FROM z WHERE l_orderkey % 5 <> 0),
+    zd AS (SELECT * FROM z WHERE l_orderkey % 5 = 0),
+    cf AS (SELECT a16, b16,
+                  CAST(FLOOR(CAST(ROW_NUMBER() OVER (ORDER BY zval, l_orderkey, l_linenumber) - 1
+                       AS DOUBLE) / 2048) AS BIGINT) AS cid
+           FROM z),
+    cb AS (SELECT a16, b16,
+                  CAST(FLOOR(CAST(ROW_NUMBER() OVER (ORDER BY zval, l_orderkey, l_linenumber) - 1
+                       AS DOUBLE) / 2048) AS BIGINT) AS cid
+           FROM zb),
+    cd AS (SELECT a16, b16,
+                  CAST(FLOOR(CAST(ROW_NUMBER() OVER (ORDER BY zval, l_orderkey, l_linenumber) - 1
+                       AS DOUBLE) / 2048) AS BIGINT) AS cid
+           FROM zd),
+    ca AS (SELECT a16, b16,
+                  CAST(FLOOR(CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                       AS DOUBLE) / 2048) AS BIGINT) AS cid
+           FROM zd),
+    stats AS (
+      SELECT 'full_rewrite' AS layout, cid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(a16) AS min_a16, MAX(a16) AS max_a16,
+             MIN(b16) AS min_b16, MAX(b16) AS max_b16
+      FROM cf GROUP BY cid
+      UNION ALL
+      SELECT 'incremental', cid, CAST(COUNT(*) AS BIGINT),
+             MIN(a16), MAX(a16), MIN(b16), MAX(b16)
+      FROM cb GROUP BY cid
+      UNION ALL
+      SELECT 'incremental', cid, CAST(COUNT(*) AS BIGINT),
+             MIN(a16), MAX(a16), MIN(b16), MAX(b16)
+      FROM cd GROUP BY cid
+      UNION ALL
+      SELECT 'append_unsorted', cid, CAST(COUNT(*) AS BIGINT),
+             MIN(a16), MAX(a16), MIN(b16), MAX(b16)
+      FROM cb GROUP BY cid
+      UNION ALL
+      SELECT 'append_unsorted', cid, CAST(COUNT(*) AS BIGINT),
+             MIN(a16), MAX(a16), MIN(b16), MAX(b16)
+      FROM ca GROUP BY cid),
+    ext AS (SELECT MAX(a16) AS maxa, MAX(b16) AS maxb FROM z),
+    boxes AS (
+      SELECT CAST(1 AS BIGINT) AS box_id,
+             CAST(FLOOR(CAST(maxa * 40 AS DOUBLE) / 100.0) AS BIGINT) AS lo_a,
+             CAST(FLOOR(CAST(maxa * 45 AS DOUBLE) / 100.0) AS BIGINT) AS hi_a,
+             CAST(0 AS BIGINT) AS lo_b, maxb AS hi_b
+      FROM ext
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), maxa,
+             CAST(FLOOR(CAST(maxb * 40 AS DOUBLE) / 100.0) AS BIGINT),
+             CAST(FLOOR(CAST(maxb * 45 AS DOUBLE) / 100.0) AS BIGINT)
+      FROM ext
+      UNION ALL
+      SELECT CAST(3 AS BIGINT),
+             CAST(FLOOR(CAST(maxa * 20 AS DOUBLE) / 100.0) AS BIGINT),
+             CAST(FLOOR(CAST(maxa * 30 AS DOUBLE) / 100.0) AS BIGINT),
+             CAST(FLOOR(CAST(maxb * 60 AS DOUBLE) / 100.0) AS BIGINT),
+             CAST(FLOOR(CAST(maxb * 70 AS DOUBLE) / 100.0) AS BIGINT)
+      FROM ext)
+    SELECT layout, box_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           CAST(SUM(CASE WHEN skip THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           ROUND(SUM(CASE WHEN skip THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+             AS skip_pct
+    FROM (
+      SELECT s.layout, b.box_id, s.n_rows,
+             (s.max_a16 < b.lo_a OR s.min_a16 > b.hi_a
+              OR s.max_b16 < b.lo_b OR s.min_b16 > b.hi_b) AS skip
+      FROM stats s CROSS JOIN boxes b)
+    GROUP BY layout, box_id
+    """,
+)
+def pl15_incremental_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental z-order maintenance — the lakehouse OPTIMIZE
+    trade, measured: a BASE slice is already z-clustered; a DELTA
+    slice arrives. Three end states are audited with the s19 skip
+    machinery: (a) full_rewrite — recluster everything (best
+    skipping, costs a base-sized rewrite); (b) incremental —
+    z-cluster ONLY the delta into its own chunks next to the
+    untouched base chunks (delta-sized work); (c) append_unsorted —
+    the do-nothing baseline (delta chunked in arrival order). The
+    output quantifies what the skip-rate audit (s19) buys under each
+    maintenance policy: incremental keeps nearly the full-rewrite
+    skip rate on every box while touching only delta-sized data —
+    the reason Delta/Iceberg OPTIMIZE can run incrementally — and
+    the unsorted-append delta chunks skip ~nothing, which is the
+    cost of deferring maintenance. Completes the incremental-
+    maintenance family: MV (pl13/pl14), LSH index (pl11), CDC merge
+    (pl8), and now storage layout. Quantization extents are the
+    GLOBAL table stats (both slices share them — how a production
+    rewrite planner works); all layouts reuse the one z-expression
+    pass; every ranking is the 256-bucket distributed prefix, never
+    a single-task sort."""
+    z, maxa, maxb = _zorder_rows(spark, sf_dir)
+    tb = ["l_orderkey", "l_linenumber"]
+    zbucket = F.shiftright(F.col("zval"), 8)
+    base = z.filter(F.col("l_orderkey") % 5 != 0)
+    delta = z.filter(F.col("l_orderkey") % 5 == 0)
+    dims = ["a16", "b16"]
+
+    full = chunk_minmax(
+        chunked_layout(z, "zval", tb, bucket=zbucket, rows_per_chunk=2048),
+        dims,
+        "full_rewrite",
+    )
+    base_z = chunk_minmax(
+        chunked_layout(base, "zval", tb, bucket=zbucket, rows_per_chunk=2048),
+        dims,
+        "incremental",
+    )
+    delta_z = chunk_minmax(
+        chunked_layout(delta, "zval", tb, bucket=zbucket, rows_per_chunk=2048),
+        dims,
+        "incremental",
+    )
+    # arrival order: rank on l_orderkey (monotone bucket = its high
+    # bits), tiebreak l_linenumber — the order appended files land in
+    base_keep = chunk_minmax(
+        chunked_layout(base, "zval", tb, bucket=zbucket, rows_per_chunk=2048),
+        dims,
+        "append_unsorted",
+    )
+    delta_arrival = chunk_minmax(
+        chunked_layout(
+            delta,
+            "l_orderkey",
+            ["l_linenumber"],
+            bucket=F.shiftright(F.col("l_orderkey"), 8),
+            rows_per_chunk=2048,
+        ),
+        dims,
+        "append_unsorted",
+    )
+    stats = (
+        full.unionByName(base_z)
+        .unionByName(delta_z)
+        .unionByName(base_keep)
+        .unionByName(delta_arrival)
+    )
+
+    import math
+
+    def _pct(mx, n):
+        return math.floor(mx * n / 100.0)
+
+    boxes = spark.createDataFrame(
+        [
+            (1, _pct(maxa, 40), _pct(maxa, 45), 0, maxb),
+            (2, 0, maxa, _pct(maxb, 40), _pct(maxb, 45)),
+            (3, _pct(maxa, 20), _pct(maxa, 30), _pct(maxb, 60), _pct(maxb, 70)),
+        ],
+        "box_id bigint, lo_a bigint, hi_a bigint, lo_b bigint, hi_b bigint",
+    )
+    return skipping_audit(stats, boxes, "a16", "b16")
+
+
 # READY-MADE r9 WINDOW (recomputed at the end of round 8 against
 # CORRECTNESS_r01-r07 + the r8 window below; regenerate with the
 # never-gated scan in NOTES_r08 if r8's official gate diverges from
-# its window): after the 50 names below land, exactly 55 registered
+# its window): after the 50 names below land, exactly 56 registered
 # queries still lack an official row — the r7-era leaders
 #   st5_delayed_retry t19_bm25_topterms t20_pmi_collocations
 #   w12_ewma_smooth j18_snapshot_diff t18_novelty_score ss8_sq_topk
@@ -9237,11 +9402,11 @@ def pl14_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the session-4 additions
 #   p20_zorder_layout s19_zorder_skipping j19_bloom_prejoin
 #   pl13_incremental_mv a32_linreg_trend a33_skyline
-#   dd16_cdc_chunks pl14_streaming_mv
-# — 55 names, so the r9 window is the first 50 in the order above
-# (r7-era leaders first — they are stalest) and the last 5
-# session-4 names (a32/a33/dd16/pl14 + pl13) carry to r10's
-# backfill slot.
+#   dd16_cdc_chunks pl14_streaming_mv pl15_incremental_zorder
+# — 56 names, so the r9 window is the first 50 in the order above
+# (r7-era leaders first — they are stalest; the _R9_WINDOW constant
+# below is the machine-readable list) and the last 6 session-4
+# names (pl13/a32/a33/dd16/pl14/pl15) carry to r10's backfill slot.
 _WINDOW_PRIORITY = [
     # ROUND-8 WINDOW: the first 50 never-officially-gated queries in
     # registration order (the rotation plan committed in round 7 —

@@ -89,7 +89,13 @@ def test_queries_survive_bare_driver_session(tmp_path):
         # train-then-encode with the driver-side merge artifact (t17),
         # XML codegen round-trip (n11)
         "          'g1_pagerank', 'a21_cumulative_distinct',\n"
-        "          't17_bpe_encode', 'n11_xml_roundtrip'):\n"
+        "          't17_bpe_encode', 'n11_xml_roundtrip',\n"
+        # session-4 surfaces: foreachBatch + TxTable commit loop +
+        # JSONL drops + epoch-micros round-trip (pl14), eager extent
+        # collect + bucketed rank windows (p20), chunk-boundary array
+        # HOF chain (dd16)
+        "          'pl14_streaming_mv', 'p20_zorder_layout',\n"
+        "          'dd16_cdc_chunks'):\n"
         "    assert len(QUERIES[n](spark, '/root/testdata/sf0.001').collect()) >= 0, n\n"
         "print('BARE_SESSION_OK')\n"
     )

@@ -928,3 +928,48 @@ def test_bpe_handles_null_text_like_the_reference(spark):
     }
     assert set(got) == {0, 1, 2}  # the NULL doc is present
     assert got == {i: reference_encode(t, merges) for i, t in enumerate(texts)}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # group key (collisions forced)
+            st.integers(-100, 100),     # value
+            st.integers(0, 50),         # ts
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    cuts=st.lists(st.integers(0, 23), max_size=3),
+)
+@settings(**SETTINGS)
+def test_mv_merge_law_under_random_slicings(spark, rows, cuts):
+    """The incremental-MV maintenance law (pl13/pl14): for ANY
+    partition of the input rows into slices — including empty slices
+    from duplicate/boundary cut points — merging the per-slice
+    partials equals the one-shot aggregate of the whole. This is the
+    algebraic fact that makes per-batch maintenance correct no matter
+    how the stream happens to batch the data."""
+    from dot_spark.pipelines import mv_merge, mv_partials
+
+    ddl = "k INT, v INT, ts INT"
+    bounds = sorted({0, len(rows), *[min(c, len(rows)) for c in cuts]})
+    slices = [
+        rows[a:b] for a, b in zip(bounds, bounds[1:])
+    ] or [rows]
+    parts = [
+        mv_partials(spark.createDataFrame(s, ddl), ["k"], "v", "ts")
+        for s in slices
+        if s  # empty createDataFrame needs no coverage here; the
+        # empty-delta identity is pinned in test_layout
+    ]
+    whole = mv_partials(spark.createDataFrame(rows, ddl), ["k"], "v", "ts")
+    got = {
+        r.k: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+        for r in mv_merge(*parts, keys=["k"]).collect()
+    }
+    want = {
+        r.k: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+        for r in whole.collect()
+    }
+    assert got == want
