@@ -9213,6 +9213,54 @@ def pl14_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w15_drawdown",
+    """
+    WITH pk AS (
+      SELECT user_id, value,
+             MAX(value) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM events WHERE value > 0),
+    dd AS (SELECT user_id, ROUND((peak - value) / peak, 6) AS drawdown FROM pk)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(drawdown), 6) AS max_drawdown,
+           ROUND(AVG(drawdown), 6) AS avg_drawdown
+    FROM dd
+    GROUP BY user_id
+    """,
+)
+def w15_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per user: the cumulative max of value in
+    event order (running peak), the relative drop from that peak at
+    each event, and the per-user max/mean drawdown — the standard
+    degradation/regression monitor (portfolio drawdown, throughput
+    regression from the high-water mark). One keyed exchange: the
+    running cummax is a per-user ROWS UNBOUNDED PRECEDING frame and
+    the rollup reuses the same partitioning; (ts, event_id) ordering
+    makes ties deterministic, and the ratio is rounded at 6 dp on
+    both engines. Zero-value events are excluded up front (a zero
+    peak has no well-defined relative drop)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value") > 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = ev.withColumn("__peak", F.max("value").over(w)).withColumn(
+        "__dd", F.round((F.col("__peak") - F.col("value")) / F.col("__peak"), 6)
+    )
+    return dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max("__dd"), 6).alias("max_drawdown"),
+        F.round(F.avg("__dd"), 6).alias("avg_drawdown"),
+    )
+
+
+@query(
     "pl15_incremental_zorder",
     f"""
     WITH {_Z_BASE_SQL},
@@ -9380,7 +9428,7 @@ def pl15_incremental_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # READY-MADE r9 WINDOW (recomputed at the end of round 8 against
 # CORRECTNESS_r01-r07 + the r8 window below; regenerate with the
 # never-gated scan in NOTES_r08 if r8's official gate diverges from
-# its window): after the 50 names below land, exactly 56 registered
+# its window): after the 50 names below land, exactly 57 registered
 # queries still lack an official row — the r7-era leaders
 #   st5_delayed_retry t19_bm25_topterms t20_pmi_collocations
 #   w12_ewma_smooth j18_snapshot_diff t18_novelty_score ss8_sq_topk
@@ -9403,10 +9451,12 @@ def pl15_incremental_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   p20_zorder_layout s19_zorder_skipping j19_bloom_prejoin
 #   pl13_incremental_mv a32_linreg_trend a33_skyline
 #   dd16_cdc_chunks pl14_streaming_mv pl15_incremental_zorder
-# — 56 names, so the r9 window is the first 50 in the order above
+#   w15_drawdown
+# — 57 names, so the r9 window is the first 50 in the order above
 # (r7-era leaders first — they are stalest; the _R9_WINDOW constant
-# below is the machine-readable list) and the last 6 session-4
-# names (pl13/a32/a33/dd16/pl14/pl15) carry to r10's backfill slot.
+# below is the machine-readable list) and the last 7 session-4
+# names (pl13/a32/a33/dd16/pl14/pl15/w15) carry to r10's backfill
+# slot.
 _WINDOW_PRIORITY = [
     # ROUND-8 WINDOW: the first 50 never-officially-gated queries in
     # registration order (the rotation plan committed in round 7 —
