@@ -321,3 +321,58 @@ def link_prediction(
     return scored.orderBy(
         F.col("n_common").desc(), F.col("jaccard").desc(), "a", "b"
     ).limit(top_k)
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection): every
+    node starts labeled with itself; each round a node adopts the
+    most frequent label among its NEIGHBORS, ties broken to the
+    smallest label (Raghavan et al., Phys. Rev. E 2007 — the
+    deterministic synchronous variant). Runs a FIXED ``rounds``
+    count: sync LPA is not guaranteed to converge (bipartite
+    structures oscillate), so the operator's contract is "the label
+    state after R deterministic rounds" — the same recurrence the
+    oracle replays as chained CTEs, and what a production run pins
+    for reproducibility (async/randomized LPA trades determinism for
+    convergence). Returns (node, label).
+
+    Scale shape (the pagerank discipline): the symmetrized edge list
+    pays ONE shuffle (repartition by dst) and is persisted —
+    InMemoryTableScan keeps outputPartitioning, so every round's
+    gather joins against cached partitioning and moves only the
+    (node, label) table. Per round: one |V|-row label shuffle into
+    the edge cache, a partial-agg (node, label) count, and a
+    per-node arg-max window on the count table (bounded by sum of
+    degrees, not |V|x|V|). Rounds are localCheckpointed — constant
+    plan depth."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    edges = edges.repartition("dst").persist()
+    edges.count()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    try:
+        for _ in range(rounds):
+            gathered = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .select(F.col("src").alias("node"), "label")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            labels = (
+                gathered.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges.unpersist()
+    return labels

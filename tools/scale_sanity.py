@@ -318,6 +318,15 @@ def main() -> None:
             return link_prediction(edges, top_k=100)
 
         grid[("g4_link_prediction", k)] = lambda li=li_k: _g4_cell(li)
+        # g5: sync LPA — disjoint per-copy subgraphs keep community
+        # structure and round count constant; per-round work (label
+        # table + degree-bounded counts) must scale with edges.
+        # Checkpoints eagerly -> thunk.
+        from dot_spark.operators.graph import label_propagation
+
+        grid[("g5_label_propagation", k)] = lambda li=li_k: label_propagation(
+            copurchase_edges(li), rounds=4
+        )
         # ss9: PQ training collects a FIXED 1024-row sample (eager ->
         # thunk); the encode + asymmetric scan is the linear term.
         grid[("ss9_pq_topk", k)] = lambda e=emb, p=probes: pq_topk(
