@@ -261,3 +261,39 @@ def test_link_prediction_topk_order_is_deterministic(spark):
     r1 = [(r["a"], r["b"]) for r in link_prediction(edges, top_k=5).collect()]
     r2 = [(r["a"], r["b"]) for r in link_prediction(edges, top_k=5).collect()]
     assert r1 == r2 and len(r1) == 5
+
+
+def test_label_propagation_separates_disjoint_cliques(spark):
+    """Two disjoint cliques converge to two communities, each labeled
+    by its minimum node (deterministic tie-break); a bridge-less
+    graph can never merge them."""
+    from dot_spark.operators.graph import label_propagation
+
+    def clique(nodes):
+        return [
+            (a, b) for a in nodes for b in nodes if a != b
+        ]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3]) + clique([10, 11, 12, 13]), "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(edges, rounds=4).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_fixed_rounds_deterministic(spark):
+    """Same graph, same rounds -> identical labels on every run (the
+    reproducibility contract the fixed-round sync variant exists
+    for), including on an oscillation-prone even cycle."""
+    from dot_spark.operators.graph import label_propagation
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    edges = spark.createDataFrame(
+        cyc + [(b, a) for a, b in cyc], "src long, dst long"
+    )
+    runs = [
+        tuple(sorted((r.node, r.label) for r in label_propagation(edges, rounds=4).collect()))
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
