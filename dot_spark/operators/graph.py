@@ -350,8 +350,12 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     spark = edges.sparkSession
     edges = edges.repartition("dst").persist()
     edges.count()
+    # nodes = src UNION dst: on a directed edge list a pure-sink node
+    # must still start self-labeled (and vote through its in-edges) —
+    # src-only init would silently drop it from the output
     labels = (
         edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
@@ -367,10 +371,21 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
                 .groupBy("node", "label")
                 .agg(F.count(F.lit(1)).alias("__c"))
             )
-            labels = (
+            voted = (
                 gathered.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .select("node", "label")
+                .select("node", F.col("label").alias("__new"))
+            )
+            # a node with no out-edges (directed input) receives no
+            # votes this round — it KEEPS its label instead of
+            # vanishing from the state (symmetrized graphs never hit
+            # this: every node votes and is voted for)
+            labels = (
+                labels.join(voted, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+                )
                 .localCheckpoint(eager=True)
             )
     finally:

@@ -892,8 +892,18 @@ def pq_encode(
 
 def pq_reconstruct(codes: Column, codebooks: list[list[list[float]]]) -> Column:
     """Decode an m-length PQ code array back to the concatenated
-    centroid vector — a pure codegen expression over the literal
-    codebooks (index-aware transform + flatten), no Python."""
+    centroid vector as a pure expression over the literal codebooks
+    (index-aware transform + flatten).
+
+    KEPT AS THE DOCUMENTED ANTI-PATTERN, not the hot path: the
+    literal codebook is a ~4k-node expression tree, any norm over
+    the result references it twice (zip_with doubles the tree), and
+    Spark evaluates the blown-up tree interpreted — measured ~2 ms/
+    row (4 s for a 2,000-row decode) vs milliseconds via
+    pq_encode(with_reconstruction=True), which decodes inside the
+    Arrow batch that already holds the codes. Use this form only for
+    one-off decodes of a handful of rows where adding a Python stage
+    is not worth it."""
     cb = F.array(
         *[
             F.array(*[F.array(*[F.lit(float(v)) for v in cent]) for cent in book])
@@ -933,13 +943,14 @@ def pq_topk(
     over the original vectors (test-pinned recall@10).
 
     Scale shape: train on a bounded sample (driver artifact =
-    m*n_codes*(dim/m) doubles); encode is one Arrow-batched matmul
-    pass that rides the corpus scan partitioning; reconstruction is
-    a codegen literal lookup (at real scale the codes table is the
-    stored index and reconstruction happens at scan time from 8-byte
-    rows — the memory win); the pool cut is one per-query window;
-    the re-rank join touches pool*Q rows. No corpus shuffle before
-    the pool cut.
+    m*n_codes*(dim/m) doubles); encode AND reconstruction AND the
+    reconstructed norm are ONE Arrow-batched pass that rides the
+    corpus scan partitioning (the codegen-literal decode alternative
+    is ~100x slower — see pq_reconstruct); at real scale the codes
+    table is the stored index and this pass is the scan-time decode
+    of 8-byte rows — the memory win. The pool cut is one per-query
+    window; the re-rank join touches pool*Q rows. No corpus shuffle
+    before the pool cut.
 
     At 100 TB you would persist (corpus_id, codes) as the index
     table and skip re-encoding per query batch; the per-query-batch

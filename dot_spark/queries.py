@@ -9439,29 +9439,37 @@ def pl15_incremental_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims,
         "full_rewrite",
     )
+    # the untouched-base chunk stats are IDENTICAL under both
+    # maintenance policies, and a plain relabeled second reference
+    # would RE-EXECUTE the whole rank subtree (scan + prefix window —
+    # verified in plan counts); the stats table is chunk-count-sized
+    # (2 numbers per dim per 2048 rows), so materializing it once is
+    # the bounded-artifact pattern, not a data cache
     base_z = chunk_minmax(
         chunked_layout(base, "zval", tb, bucket=zbucket, rows_per_chunk=2048),
         dims,
         "incremental",
-    )
+    ).localCheckpoint(eager=True)
     delta_z = chunk_minmax(
         chunked_layout(delta, "zval", tb, bucket=zbucket, rows_per_chunk=2048),
         dims,
         "incremental",
     )
-    # arrival order: rank on l_orderkey (monotone bucket = its high
-    # bits), tiebreak l_linenumber — the order appended files land in
-    base_keep = chunk_minmax(
-        chunked_layout(base, "zval", tb, bucket=zbucket, rows_per_chunk=2048),
-        dims,
-        "append_unsorted",
-    )
+    base_keep = base_z.withColumn("layout", F.lit("append_unsorted"))
+    # arrival order: rank on l_orderkey, tiebreak l_linenumber — the
+    # order appended files land in. The bucket must stay 0..255 at
+    # ANY scale (ranked_by's contract: the prefix window is a single
+    # task over bucket TOTALS), so quantize by the delta's max key —
+    # one more 2-number eager extent, the _zorder_rows pattern —
+    # rather than shiftright, whose bucket count grows with the key
+    # space.
+    max_ok = delta.agg(F.max("l_orderkey")).first()[0]
     delta_arrival = chunk_minmax(
         chunked_layout(
             delta,
             "l_orderkey",
             ["l_linenumber"],
-            bucket=F.shiftright(F.col("l_orderkey"), 8),
+            bucket=quantize(F.col("l_orderkey"), F.lit(max_ok)),
             rows_per_chunk=2048,
         ),
         dims,

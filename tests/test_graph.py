@@ -297,3 +297,18 @@ def test_label_propagation_fixed_rounds_deterministic(spark):
         for _ in range(2)
     ]
     assert runs[0] == runs[1]
+
+
+def test_label_propagation_directed_input_keeps_all_nodes(spark):
+    """On a DIRECTED edge list every node must appear in the output:
+    sink-only nodes start self-labeled, and nodes receiving no votes
+    in a round keep their label instead of vanishing (pre-fix, src-
+    only init dropped pure sinks and the argmax dropped unvoted
+    nodes)."""
+    from dot_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (2, 4)], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
+    assert set(got) == {1, 2, 3, 4}

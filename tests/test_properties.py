@@ -945,23 +945,23 @@ def test_bpe_handles_null_text_like_the_reference(spark):
 @settings(**SETTINGS)
 def test_mv_merge_law_under_random_slicings(spark, rows, cuts):
     """The incremental-MV maintenance law (pl13/pl14): for ANY
-    partition of the input rows into slices — including empty slices
-    from duplicate/boundary cut points — merging the per-slice
-    partials equals the one-shot aggregate of the whole. This is the
-    algebraic fact that makes per-batch maintenance correct no matter
-    how the stream happens to batch the data."""
+    partition of the input rows into slices — an EMPTY slice is
+    always interleaved too (a stream delivers empty micro-batches) —
+    merging the per-slice partials equals the one-shot aggregate of
+    the whole. This is the algebraic fact that makes per-batch
+    maintenance correct no matter how the stream happens to batch
+    the data."""
     from dot_spark.pipelines import mv_merge, mv_partials
 
     ddl = "k INT, v INT, ts INT"
     bounds = sorted({0, len(rows), *[min(c, len(rows)) for c in cuts]})
-    slices = [
-        rows[a:b] for a, b in zip(bounds, bounds[1:])
-    ] or [rows]
+    # consecutive distinct bounds make every slice non-empty, so an
+    # explicit empty slice goes in the middle of the merge
+    slices = [rows[a:b] for a, b in zip(bounds, bounds[1:])] or [rows]
+    slices.insert(len(slices) // 2, [])
     parts = [
         mv_partials(spark.createDataFrame(s, ddl), ["k"], "v", "ts")
         for s in slices
-        if s  # empty createDataFrame needs no coverage here; the
-        # empty-delta identity is pinned in test_layout
     ]
     whole = mv_partials(spark.createDataFrame(rows, ddl), ["k"], "v", "ts")
     got = {
