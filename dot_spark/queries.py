@@ -9525,17 +9525,15 @@ def pl15_incremental_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pl13_incremental_mv a32_linreg_trend a33_skyline
 #   dd16_cdc_chunks pl14_streaming_mv pl15_incremental_zorder
 #   w15_drawdown g5_label_propagation
-# — 58 names, so the r9 window is the first 50 in the order above
-# (r7-era leaders first — they are stalest; the _R9_WINDOW constant
-# below is the machine-readable list) and the last 8 session-4
-# names (pl13/a32/a33/dd16/pl14/pl15/w15/g5) carry to r10's
-# backfill slot.
-_WINDOW_PRIORITY = [
-    # ROUND-8 WINDOW: the first 50 never-officially-gated queries in
-    # registration order (the rotation plan committed in round 7 —
-    # see the block comment above; r7's window was 50/50 green, so
-    # every name here pays down the 74-query never-gated backlog).
-    # All 50 pass the local driver-gate replica (tools/oracle_check).
+# — 58 names, so the r9 window (now ACTIVE in _WINDOW_PRIORITY below)
+# is the first 50 in the order above (r7-era leaders first — they are
+# stalest) and the last 8 session-4 names
+# (pl13/a32/a33/dd16/pl14/pl15/w15/g5) carry to r10's backfill slot
+# (the machine-readable _R10_WINDOW constant at the bottom).
+_R8_WINDOW = [
+    # ROUND-8 WINDOW (historical — CORRECTNESS_r08 is 50/50 green on
+    # exactly this list; kept as a constant so the r9 no-overlap
+    # assertion below stays machine-checked).
     "dd13_minhash_estimator_audit", "dd9_chunk_dedup", "ss7_mmr_topk",
     "pl6_verified_dedup_pipeline", "j13_interval_overlap_join",
     "p12_train_val_test_split", "p13_token_budget_sample",
@@ -9557,14 +9555,13 @@ _WINDOW_PRIORITY = [
     "a17_global_topk", "f12_bitwise_aggs", "f13_calendar_arith",
 ]
 
-assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
-_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
-assert not _missing, f"window names not registered: {_missing}"
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 
-# The r9 rotation, MACHINE-READABLE (the block comment above is the
-# rationale): next round, swap this list into _WINDOW_PRIORITY.
-# Asserted against the registry now so a typo cannot survive to r9.
-_R9_WINDOW = [
+# ROUND-9 WINDOW (active): swapped in at the start of round 9 per the
+# committed rotation plan — these are the 50 stalest never-officially-
+# gated names (r7-era leaders first, then round-8 additions, then the
+# first 3 session-4 names). All 50 passed the r8 judge's full gate.
+_WINDOW_PRIORITY = [
     # r7-era leaders (stalest, 27)
     "st5_delayed_retry", "t19_bm25_topterms", "t20_pmi_collocations",
     "w12_ewma_smooth", "j18_snapshot_diff", "t18_novelty_score",
@@ -9588,10 +9585,26 @@ _R9_WINDOW = [
     # carry to r10)
     "p20_zorder_layout", "s19_zorder_skipping", "j19_bloom_prejoin",
 ]
-assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
-_r9_missing = [n for n in _R9_WINDOW if n not in QUERIES]
-assert not _r9_missing, f"r9 window names not registered: {_r9_missing}"
-assert not set(_R9_WINDOW) & set(_WINDOW_PRIORITY), "r9 overlaps r8"
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+assert not _missing, f"window names not registered: {_missing}"
+assert not set(_WINDOW_PRIORITY) & set(_R8_WINDOW), "r9 overlaps r8"
+
+# The r10 rotation, MACHINE-READABLE: after the r9 window lands, the
+# 8 session-4 leftovers below are the only registered queries without
+# an official CORRECTNESS row. Next round, put these first in
+# _WINDOW_PRIORITY and fill the remaining 42 slots with (a) queries
+# added during round 9 and (b) the stalest previously-gated names for
+# re-verification. Asserted against the registry now so a typo cannot
+# survive to r10.
+_R10_WINDOW = [
+    "pl13_incremental_mv", "a32_linreg_trend", "a33_skyline",
+    "dd16_cdc_chunks", "pl14_streaming_mv", "pl15_incremental_zorder",
+    "w15_drawdown", "g5_label_propagation",
+]
+_r10_missing = [n for n in _R10_WINDOW if n not in QUERIES]
+assert not _r10_missing, f"r10 window names not registered: {_r10_missing}"
+assert not set(_R10_WINDOW) & set(_WINDOW_PRIORITY), "r10 overlaps r9"
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},
