@@ -163,11 +163,16 @@ class Warehouse:
         # to prevent. Truncate/empty replace the table, so the
         # caller's spec wins there.
         effective = list(partition_cols)
-        if disposition == "append" and self.exists(table):
+        appending = disposition == "append" and self.exists(table)
+        if appending:
             recorded = self.partition_cols_of(table)
             if not effective:
                 effective = recorded
-            elif recorded and effective != recorded:
+            elif effective != recorded:
+                # BOTH directions are the same corruption class: hive
+                # key=value dirs appended into a flat-file root (recorded
+                # []) is just as mixed-layout as the reverse, and letting
+                # it through would also clobber the recorded spec below.
                 raise ValueError(
                     f"append partition_cols {effective} != table spec {recorded}"
                 )
@@ -175,7 +180,9 @@ class Warehouse:
         if effective:
             writer = writer.partitionBy(*effective)
         writer.parquet(self.path(table))
-        self._record_partition_cols(table, effective, df)
+        self._record_partition_cols(
+            table, effective, df, merge_schema_with_recorded=appending
+        )
 
     # --- bucketed layout for co-located joins ------------------------------
 
@@ -299,7 +306,11 @@ class Warehouse:
     _META_NAME = "_dot_spark_table.json"
 
     def _record_partition_cols(
-        self, table: str, partition_cols: Sequence[str], df: DataFrame
+        self,
+        table: str,
+        partition_cols: Sequence[str],
+        df: DataFrame,
+        merge_schema_with_recorded: bool = False,
     ) -> None:
         """Persist the table's partition spec (and schema DDL) in a
         root-level `_`-prefixed metadata file — the warehouse's
@@ -308,15 +319,43 @@ class Warehouse:
         emptied by CDC deletes (every partition dir removed) or
         written empty forgets it was partitioned, and the next merge
         would silently flatten it. Spark's parquet reader skips
-        `_`-prefixed files, so the marker is invisible to scans."""
+        `_`-prefixed files, so the marker is invisible to scans.
+
+        On APPEND (``merge_schema_with_recorded``) the recorded DDL
+        becomes the UNION of the old record and the batch's schema —
+        an append with a narrower or additively-evolved schema (the
+        mergeSchema read contract) must not shrink the table's
+        recorded schema to the last batch's, or an emptied-table
+        read() would come back missing columns. Type conflicts keep
+        the first-recorded type (additive evolution only, matching
+        what mergeSchema reads tolerate)."""
+        ddl = df.schema.simpleString()[7:-1] if df.schema.fields else ""
+        if merge_schema_with_recorded:
+            prior = self._table_meta(table)
+            if prior and prior.get("schema_ddl"):
+                ddl = self._merge_ddl(prior["schema_ddl"], df)
         meta = {
             "partition_cols": list(partition_cols),
-            "schema_ddl": df.schema.simpleString()[7:-1]
-            if df.schema.fields
-            else "",
+            "schema_ddl": ddl,
         }
         with open(os.path.join(self.path(table), self._META_NAME), "w") as f:
             json.dump(meta, f)
+
+    def _merge_ddl(self, recorded_ddl: str, df: DataFrame) -> str:
+        """Union a recorded schema DDL with an incoming batch schema:
+        recorded fields keep their position and type; fields the batch
+        adds are appended — the schema the mergeSchema reader would
+        see, recorded so the empty-table fallback reflects the TABLE,
+        not the last batch."""
+        from pyspark.sql.types import StructType
+
+        recorded = self.spark.createDataFrame([], recorded_ddl).schema
+        have = {f.name for f in recorded.fields}
+        fields = list(recorded.fields) + [
+            f for f in df.schema.fields if f.name not in have
+        ]
+        merged = StructType(fields).simpleString()
+        return merged[7:-1]
 
     def _table_meta(self, table: str) -> dict | None:
         p = os.path.join(self.path(table), self._META_NAME)

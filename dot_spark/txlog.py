@@ -168,11 +168,33 @@ class TxTable:
 
     # --- maintenance -------------------------------------------------------
 
+    # manifest keys that record an idempotence token (exactly-once
+    # sinks, streaming MV maintenance). vacuum must carry these
+    # forward when it drops the recording manifest, or a crash-
+    # recovery redelivery after vacuum would double-append.
+    _ID_KEYS = ("batch_id", "mv_batch_id")
+    _IDS_NAME = "_committed_ids.json"
+
+    def _ids_path(self) -> str:
+        return os.path.join(self.log_dir, self._IDS_NAME)
+
+    def retired_ids(self) -> dict[str, list]:
+        """Idempotence tokens whose recording manifests were vacuumed
+        away, carried forward in a sidecar so replay-skip survives log
+        truncation. ``{key: [ids...]}``; empty if never vacuumed."""
+        try:
+            with open(self._ids_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
     def vacuum(self, retain_last: int = 1, grace_seconds: float = 3600.0) -> int:
         """Delete data files not referenced by the last
         ``retain_last`` manifests (older manifests are dropped too —
         time travel narrows to the retained window). Returns the
-        number of files removed.
+        number of data files removed (directories holding only
+        metadata leftovers are reclaimed too, but contribute 0 to the
+        count).
 
         ``grace_seconds`` is the concurrent-writer guard: a staged
         directory younger than the grace window is SKIPPED even if
@@ -181,14 +203,48 @@ class TxTable:
         the claim succeed over vanished files, corrupting the table.
         This is exactly Delta/Iceberg's retention-interval rule
         (their default is hours, for in-flight writers AND readers);
-        pass 0 only when no writer can be live (tests, offline GC)."""
+        pass 0 only when no writer can be live (tests, offline GC).
+
+        Before a manifest is dropped, any idempotence tokens it
+        records (batch_id / mv_batch_id) are folded into the
+        ``_committed_ids.json`` sidecar (atomic tmp+rename), so an
+        exactly-once sink's replay-skip still sees them — vacuum can
+        no longer open a double-append window against a stream whose
+        checkpoint might redeliver an old batch. Vacuum itself is
+        single-maintenance-process (like Delta's OPTIMIZE/VACUUM);
+        concurrent COMMITS are safe, concurrent vacuums are not."""
         import time
 
+        retain_last = max(1, retain_last)
         vs = self.versions()
         keep_vs = vs[-retain_last:] if vs else []
+        drop_vs = vs[: max(0, len(vs) - retain_last)]
         referenced: set[str] = set()
         for v in keep_vs:
             referenced.update(self.manifest(v)["files"])
+        # fold dropped manifests' id tokens into the sidecar BEFORE
+        # any unlink: crash between rename and unlink leaves a
+        # duplicate record (harmless — sets), never a lost one
+        carried = self.retired_ids()
+        folded = False
+        for v in drop_vs:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # a previous vacuum died mid-unlink
+            for k in self._ID_KEYS:
+                if m.get(k) is not None:
+                    ids = carried.setdefault(k, [])
+                    if m[k] not in ids:
+                        ids.append(m[k])
+                        folded = True
+        if folded:
+            fd, tmp = tempfile.mkstemp(prefix=".ids_", dir=self.log_dir)
+            with os.fdopen(fd, "w") as f:
+                json.dump(carried, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._ids_path())
         removed = 0
         now = time.time()
         for d in list(os.listdir(self.data_dir)):
@@ -200,11 +256,16 @@ class TxTable:
                 for n in os.listdir(full)
                 if n.endswith(".parquet")
             ]
-            if parts and not any(p in referenced for p in parts):
+            if not any(p in referenced for p in parts):
+                # zero-part dirs (aborted executor write left only
+                # _SUCCESS/metadata) are garbage too once grace-expired
                 shutil.rmtree(full, ignore_errors=True)
                 removed += len(parts)
-        for v in vs[: max(0, len(vs) - retain_last)]:
-            os.unlink(self._manifest_path(v))
+        for v in drop_vs:
+            try:
+                os.unlink(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
         return removed
 
 
@@ -219,15 +280,25 @@ def committed_ids_scanner(table: TxTable, key: str = "batch_id"):
     flat instead of degrading quadratically with batch count.
     One shared implementation so a fix to the scan (this round:
     the vacuum-race and retry-twin findings) cannot drift between
-    sinks."""
+    sinks.
+
+    Vacuum-safe: ids whose recording manifest was vacuumed away are
+    recovered from the table's ``_committed_ids.json`` sidecar (the
+    fold-forward vacuum writes), and a manifest unlinked between
+    ``versions()`` and the read (concurrent vacuum) is skipped, not
+    fatal — its id is either already scanned or in the sidecar."""
     seen_ids: set = set()
     scanned_to = [0]
 
     def committed() -> set:
+        seen_ids.update(table.retired_ids().get(key, ()))
         for v in table.versions():
             if v <= scanned_to[0]:
                 continue
-            b = table.manifest(v).get(key)
+            try:
+                b = table.manifest(v).get(key)
+            except FileNotFoundError:
+                b = None  # vacuumed under us; sidecar carries its id
             if b is not None:
                 seen_ids.add(b)
             scanned_to[0] = v

@@ -385,3 +385,57 @@ def test_partitioned_merge_null_partition_scopes_and_survives(spark, tmp_path):
     assert not os.path.isdir(
         os.path.join(wh.path("t"), "day=__HIVE_DEFAULT_PARTITION__")
     )
+
+
+def test_append_partitioned_into_unpartitioned_table_raises(spark, tmp_path):
+    """The partition-spec guard fires in BOTH directions: appending
+    hive key=value dirs into a recorded-UNPARTITIONED (flat-file)
+    table is the same mixed-layout corruption as the reverse, and
+    letting it through would also clobber the recorded spec."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "k bigint, day string")
+    wh.write(df, "t", "truncate")  # recorded spec: []
+    with pytest.raises(ValueError, match="partition_cols"):
+        wh.write(df, "t", "append", partition_cols=["day"])
+    # spec and layout are untouched by the failed attempt
+    assert wh.partition_cols_of("t") == []
+    assert not any(
+        e.startswith("day=") for e in os.listdir(wh.path("t"))
+    )
+    # and the reverse direction still raises too
+    wh.write(df, "p", "truncate", partition_cols=["day"])
+    with pytest.raises(ValueError, match="partition_cols"):
+        wh.write(df, "p", "append", partition_cols=["k"])
+
+
+def test_append_records_union_schema_not_last_batch(spark, tmp_path):
+    """The recorded schema_ddl (the emptied-table read fallback) must
+    be the UNION across appends, not the last batch's: a narrower
+    append must not shrink it, an evolved append extends it."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(
+        spark.createDataFrame([(1, "a", 9.5)], "k bigint, v string, score double"),
+        "t",
+        "truncate",
+    )
+    # narrower append: recorded schema keeps score
+    wh.write(spark.createDataFrame([(2, "b")], "k bigint, v string"), "t", "append")
+    ddl = wh._table_meta("t")["schema_ddl"]
+    assert "score" in ddl and "k" in ddl and "v" in ddl
+    # evolved append: recorded schema gains the new column
+    wh.write(
+        spark.createDataFrame(
+            [(3, "c", "x")], "k bigint, v string, extra string"
+        ),
+        "t",
+        "append",
+    )
+    ddl2 = wh._table_meta("t")["schema_ddl"]
+    for c in ("k", "v", "score", "extra"):
+        assert c in ddl2, ddl2
+    # the fallback path actually parses: an empty DF from that DDL
+    # carries all four columns
+    empty = spark.createDataFrame([], ddl2)
+    assert set(empty.columns) == {"k", "v", "score", "extra"}

@@ -152,3 +152,76 @@ def test_exactly_once_sink_under_stream_and_replay(spark, tmp_path):
     assert t.read().count() == 5
     # manifest carries the batch provenance
     assert t.manifest(t.latest_version())["batch_id"] == 1
+
+
+def test_vacuum_carries_batch_ids_forward_for_replay_skip(spark, tmp_path):
+    """Vacuum must not open a double-append window: dropping the
+    manifest that RECORDS a batch id folds the id into the
+    _committed_ids.json sidecar, so a fresh sink (crash recovery —
+    new process, new scanner closure) redelivering that batch still
+    skips it."""
+    import pandas as pd
+
+    from dot_spark.txlog import exactly_once_sink
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    sink = exactly_once_sink(t)
+    pdf = pd.DataFrame({"k": [1, 2]})
+    sink(spark.createDataFrame(pdf), 0)
+    sink(spark.createDataFrame(pdf), 1)
+    sink(spark.createDataFrame(pdf), 2)
+    # vacuum truncates the log to the latest manifest only — the
+    # manifests recording batch 0 and 1 are gone...
+    t.vacuum(retain_last=1, grace_seconds=0)
+    assert t.versions() == [3]
+    # ...but their ids survive in the sidecar
+    assert sorted(t.retired_ids()["batch_id"]) == [0, 1]
+    # a FRESH sink (recovery restarts the process) replaying batch 0
+    # is still a no-op
+    fresh = exactly_once_sink(t)
+    v = t.latest_version()
+    fresh(spark.createDataFrame(pdf), 0)
+    fresh(spark.createDataFrame(pdf), 1)
+    assert t.latest_version() == v
+    assert t.read().count() == 6
+    # a second vacuum keeps the carried ids (no forgetting)
+    t.append(spark.createDataFrame(pdf))
+    t.vacuum(retain_last=1, grace_seconds=0)
+    assert sorted(t.retired_ids()["batch_id"]) == [0, 1, 2]
+
+
+def test_vacuum_reclaims_zero_data_stage_dirs(spark, tmp_path):
+    """An aborted executor write can leave a stage dir holding only
+    _SUCCESS/metadata files; once grace-expired and unreferenced it
+    is garbage and must be reclaimed, not leak forever."""
+    import os
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(_df(spark, 0, 5, "a"))
+    ghost = os.path.join(t.data_dir, "deadbeefcafe")
+    os.makedirs(ghost)
+    open(os.path.join(ghost, "_SUCCESS"), "w").close()
+    # grace window protects it (could be an in-flight writer)
+    t.vacuum(retain_last=1)
+    assert os.path.isdir(ghost)
+    # offline GC reclaims it even though it holds zero parquet parts
+    t.vacuum(retain_last=1, grace_seconds=0)
+    assert not os.path.isdir(ghost)
+    assert t.read().count() == 5  # referenced data untouched
+
+
+def test_scanner_tolerates_concurrently_vacuumed_manifest(spark, tmp_path):
+    """A manifest unlinked between versions() and manifest() (vacuum
+    racing the scanner) is skipped, not fatal — its id, if any, is in
+    the sidecar."""
+    import os
+
+    from dot_spark.txlog import committed_ids_scanner
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(_df(spark, 0, 5, "a"))
+    t.append(_df(spark, 5, 9, "b"))
+    # simulate the race: v1 vanishes after versions() would list it
+    os.unlink(t._manifest_path(1))
+    committed = committed_ids_scanner(t)
+    assert committed() == set()  # no ids anywhere; and no crash
