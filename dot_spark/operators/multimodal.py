@@ -54,7 +54,10 @@ DECODED_DDL = (
 FEATURE_DIM = 16
 FEATURES_DDL = f"media_id BIGINT, kind STRING, feature ARRAY<FLOAT>"
 
-FRAMES_DDL = "media_id BIGINT, frame_idx INT, frame_payload BINARY"
+FRAMES_DDL = (
+    "media_id BIGINT, frame_idx INT, ts_ms INT, codec STRING, "
+    "n_px INT, sum_px BIGINT, frame_sig STRING"
+)
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -225,37 +228,29 @@ def _avi_bytes(
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def _decode_avi(data: bytes) -> dict:
-    """REAL AVI parse: walk the RIFF chunk tree, read dims + frame
-    count from avih, read the DECLARED codec from the hdrl stream
-    header (strh fccHandler, cross-checked against strf
-    biCompression), then iterate the movi list's frame chunks.
+def _avi_walk(data: bytes) -> dict:
+    """Shared AVI container walk (ONE copy for the metadata decoder
+    AND the frame sampler, so a bounds fix can never land in one and
+    miss the other): verify the RIFF/'AVI ' signature, walk the chunk
+    tree, and return header fields + the movi frame chunk bodies.
 
     Codec dispatch is container-declared, not sniffed: a valid
     uncompressed DIB frame whose first pixel bytes happen to be
     0xFF 0xD8 must NOT be routed into the JPEG parser (it would
     raise, or trip the mixed-codec check, on valid input). Frame
     magic is only the fallback for containers lacking any stream
-    header. Per-codec checks:
-    - DIB frames: every frame must carry exactly width*height*3
-      pixel bytes — a truncated payload fails here rather than
-      passing on header trust. n_bytes = total pixel bytes present.
-    - MJPEG frames: parse each frame's JPEG codestream (_parse_jpeg:
-      SOI/EOI framing + SOF dims/components) and check the per-frame
-      SOF dims against the avih header. n_bytes = the decoded pixel
-      size the codestream declares (w*h*components per frame) —
-      entropy reconstruction itself is a real codec's job.
-    The returned "codec" records which path ran ("dib" | "mjpeg")."""
+    header."""
     import struct
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
-    width = height = declared_frames = None
+    width = height = declared_frames = usec_per_frame = None
     handler = compression = None
     frames: list[bytes] = []
 
     def walk(buf: bytes) -> None:
-        nonlocal width, height, declared_frames, handler, compression
+        nonlocal width, height, declared_frames, usec_per_frame
+        nonlocal handler, compression
         pos = 0
         while pos + 8 <= len(buf):
             fourcc = buf[pos : pos + 4]
@@ -265,6 +260,7 @@ def _decode_avi(data: bytes) -> dict:
                 walk(body[4:])  # skip the list-type fourcc
             elif fourcc == b"avih":
                 fields = struct.unpack("<14I", body[:56])
+                usec_per_frame = fields[0]
                 declared_frames, width, height = fields[4], fields[8], fields[9]
             elif fourcc == b"strh" and body[:4] == b"vids":
                 handler = body[4:8]  # fccHandler
@@ -290,6 +286,29 @@ def _decode_avi(data: bytes) -> dict:
         codec = "mjpeg"  # headerless container: frame-magic fallback
     else:
         codec = "dib"
+    return {
+        "width": int(width),
+        "height": int(height),
+        "usec_per_frame": int(usec_per_frame or 0),
+        "codec": codec,
+        "frames": frames,
+    }
+
+
+def _decode_avi(data: bytes) -> dict:
+    """REAL AVI parse via the shared _avi_walk, then per-codec checks:
+    - DIB frames: every frame must carry exactly width*height*3
+      pixel bytes — a truncated payload fails here rather than
+      passing on header trust. n_bytes = total pixel bytes present.
+    - MJPEG frames: parse each frame's JPEG codestream (_parse_jpeg:
+      SOI/EOI framing + SOF dims/components) and check the per-frame
+      SOF dims against the avih header. n_bytes = the decoded pixel
+      size the codestream declares (w*h*components per frame).
+    The returned "codec" records which path ran ("dib" | "mjpeg")."""
+    info = _avi_walk(data)
+    width, height = info["width"], info["height"]
+    frames, codec = info["frames"], info["codec"]
+    declared_frames = len(frames)
 
     if codec == "mjpeg":
         jpeg_dims: set[tuple[int, int]] = set()
@@ -399,6 +418,106 @@ def _parse_jpeg(data: bytes) -> dict:
         # mode this parser exists to reject
         raise ValueError("JPEG truncated before SOS (no scan data)")
     return dims
+
+
+def _jpeg_decode_gray(data: bytes) -> np.ndarray:
+    """REAL (restricted) baseline-JPEG decode to the (h, w) grayscale
+    pixel grid: marker walk, DQT/SOF/DHT/SOS parse, canonical-Huffman
+    entropy decode of the DC coefficients, dequantize, IDCT of a
+    DC-only block (= flat 8x8), assemble MCUs, crop. The restriction
+    is honest and checked: any AC coefficient raises (a DC-only
+    stream is what _jpeg_bytes emits and what flat-field MJPEG is;
+    general AC reconstruction is a real codec's job). Everything
+    here — Huffman tables, bit reader, byte destuffing, JPEG extend
+    rule, dequantization — is the actual spec machinery, so the
+    returned pixels are decoded content, not header echo."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtab: dict[int, bytes] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    entropy = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (8-bit precision only)
+            qtab[body[0] & 0x0F] = body[1:65]
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack(">HH", body[1:5])
+            if body[5] != 1:
+                raise ValueError("multi-component JPEG unsupported (gray only)")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xC4:  # DHT: canonical code assignment
+            tclass, tid = body[0] >> 4, body[0] & 0x0F
+            counts = body[1:17]
+            syms = body[17 : 17 + sum(counts)]
+            table: dict[tuple[int, int], int] = {}
+            code, si = 0, 0
+            for bitlen in range(1, 17):
+                for _ in range(counts[bitlen - 1]):
+                    table[(bitlen, code)] = syms[si]
+                    code += 1
+                    si += 1
+                code <<= 1
+            huff[(tclass, tid)] = table
+        elif marker == 0xDA:  # SOS: entropy follows until EOI
+            if data[-2:] != b"\xff\xd9":
+                raise ValueError("JPEG missing EOI")
+            entropy = data[pos + 2 + length : -2].replace(b"\xff\x00", b"\xff")
+            break
+        pos += 2 + length
+    if w is None or entropy is None or (0, 0) not in huff or (1, 0) not in huff:
+        raise ValueError("JPEG missing SOF/SOS/DHT")
+    q0 = qtab.get(0, bytes([1] * 64))[0]
+
+    bitpos = 0
+    nbits = len(entropy) * 8
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        if bitpos >= nbits:
+            raise ValueError("JPEG entropy stream truncated")
+        b = (entropy[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        code, bitlen = 0, 0
+        while bitlen < 17:
+            code = (code << 1) | read_bit()
+            bitlen += 1
+            if (bitlen, code) in table:
+                return table[(bitlen, code)]
+        raise ValueError("invalid Huffman code")
+
+    mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
+    dc_table, ac_table = huff[(0, 0)], huff[(1, 0)]
+    dc = 0
+    out = np.empty((mcus_y * 8, mcus_x * 8), dtype=np.uint8)
+    for m in range(mcus_x * mcus_y):
+        cat = read_symbol(dc_table)
+        if cat:
+            v = 0
+            for _ in range(cat):
+                v = (v << 1) | read_bit()
+            # JPEG extend: top bit 0 means negative branch
+            diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+            dc += diff
+        sym = read_symbol(ac_table)
+        if sym != 0x00:  # anything but EOB
+            raise ValueError("AC coefficients present (DC-only decoder)")
+        # DC-only IDCT: flat block at round(dc*q/8) + 128
+        val = min(255, max(0, round(dc * q0 / 8) + 128))
+        my, mx = divmod(m, mcus_x)
+        out[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = val
+    return out[:h, :w]
 
 
 def _wav_bytes(sample_rate: int, n_frames: int, seed: int) -> bytes:
@@ -573,25 +692,62 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling STUB for video payloads: emits one fake frame
-    per `every_ms` of meta.duration_ms (1->N fan-out, the UDTF shape
-    of a real pyav frame sampler). Frame payloads are keyed digests
-    of (payload, frame_idx) — deterministic, schema-correct."""
+    """REAL frame sampling over video payloads: one decoded frame per
+    `every_ms` of timeline (1->N fan-out, the UDTF shape of a pyav
+    frame sampler). The container is walked for real (_avi_walk), the
+    sampled timestamp maps to a frame via the avih frame clock, and
+    the frame's PIXELS are decoded — DIB frames are their own pixel
+    bytes, MJPEG frames run through the DC-only baseline JPEG decoder
+    (_jpeg_decode_gray: Huffman entropy decode + dequantize + IDCT of
+    the restricted stream class our encoder emits). Each output row
+    carries the decoded pixel count, exact integer pixel sum, and an
+    md5 signature of the comma-joined row-major pixel values — the
+    mm4 md5-of-pixels discipline, so the oracle pins frame CONTENT,
+    not header echo. Non-RIFF payloads drop inside the pass (type
+    filter, like resize_images); frames are decoded only for the
+    SAMPLED indices, never the whole movi list.
+
+    mapInPandas, Arrow-batched; at 100 TB the sampled-frame stats are
+    computed once at ingest and everything downstream is JVM-side."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "frame_payload": []}
-            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                if meta["kind"] != "video":
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload or b"")
+                if not (p[:4] == b"RIFF" and p[8:12] == b"AVI "):
                     continue
-                n = max(1, int(meta["duration_ms"]) // every_ms)
-                for i in range(n):
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["frame_payload"].append(
-                        hashlib.md5(f"{(payload or b'').hex()}:{i}".encode()).digest()
+                info = _avi_walk(p)
+                frames, codec = info["frames"], info["codec"]
+                dt_ms = max(1, info["usec_per_frame"] // 1000)
+                duration_ms = len(frames) * dt_ms
+                for ts in range(0, duration_ms, every_ms):
+                    idx = ts // dt_ms
+                    if codec == "dib":
+                        px = np.frombuffer(frames[idx], dtype=np.uint8)
+                    else:
+                        px = _jpeg_decode_gray(frames[idx]).ravel()
+                    sig = hashlib.md5(
+                        ",".join(str(int(v)) for v in px).encode()
+                    ).hexdigest()
+                    out.append(
+                        (
+                            int(mid),
+                            idx,
+                            ts,
+                            codec,
+                            int(px.size),
+                            int(px.sum(dtype=np.int64)),
+                            sig,
+                        )
                     )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "codec",
+                    "n_px", "sum_px", "frame_sig",
+                ],
+            )
 
     return media.mapInPandas(sample, FRAMES_DDL)
 

@@ -3731,24 +3731,48 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm3_frame_sampling",
     """
     WITH v AS (
-      SELECT doc_id AS media_id, sha256(text) AS hexpay,
-             CAST(doc_id % 5000 + 1000 AS INT) AS duration_ms
-      FROM documents WHERE doc_id % 3 = 2)
-    SELECT media_id, CAST(f.i AS INT) AS frame_idx,
-           md5(hexpay || ':' || CAST(f.i AS VARCHAR)) AS frame_sig
-    FROM v, UNNEST(generate_series(0, greatest(1, duration_ms // 1000) - 1)) AS f(i)
+      SELECT doc_id AS media_id,
+             doc_id % 16 + 16 AS w, doc_id % 12 + 12 AS h,
+             doc_id % 4 + 2 AS nf, doc_id % 256 AS seed,
+             doc_id % 2 = 1 AS is_mjpeg
+      FROM documents WHERE doc_id % 3 = 2),
+    s AS (
+      SELECT media_id, w, h, seed, is_mjpeg,
+             CAST(t.ts AS INT) AS ts_ms, CAST(t.ts // 100 AS INT) AS frame_idx
+      FROM v, UNNEST(generate_series(0, nf * 100 - 1, 200)) AS t(ts))
+    SELECT media_id, frame_idx, ts_ms,
+           CASE WHEN is_mjpeg THEN 'mjpeg' ELSE 'dib' END AS codec,
+           CAST(CASE WHEN is_mjpeg THEN w * h ELSE w * h * 3 END AS INT) AS n_px,
+           CAST(CASE WHEN is_mjpeg THEN w * h * ((seed + frame_idx * 11) % 256)
+                ELSE list_sum(list_transform(generate_series(0, w * h * 3 - 1),
+                       x -> (x + frame_idx * 11 + seed) % 256)) END AS BIGINT)
+             AS sum_px,
+           CASE WHEN is_mjpeg THEN
+             md5(array_to_string(list_transform(generate_series(1, w * h),
+                 x -> (seed + frame_idx * 11) % 256), ','))
+           ELSE
+             md5(array_to_string(list_transform(generate_series(0, w * h * 3 - 1),
+                 x -> (x + frame_idx * 11 + seed) % 256), ','))
+           END AS frame_sig
+    FROM s
     """,
 )
 def mm3_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling STUB (video payload -> N frame rows, the UDTF
-    fan-out shape of a real decoder). Emits the frame signature as
-    lowercase hex so the oracle can recompute it."""
-    from dot_spark.operators.multimodal import sample_frames, synthesize_media
+    """REAL frame sampling: genuine AVI payloads (DIB for even ids,
+    Motion-JPEG for odd — synthesize_real_media), one decoded frame
+    per 200 ms of timeline. The engine decodes actual frame pixels
+    (DIB bytes / DC-only baseline JPEG entropy decode) and emits
+    their count, exact integer sum, and md5-of-pixel-list signature;
+    the oracle recomputes all three from the synthesis formulas —
+    pixel-exact content verification, the mm4 pattern applied to
+    video (reference analog: the media-ingest pipelines' per-file
+    verification, okta_sync_utils.py checksum discipline)."""
+    from dot_spark.operators.multimodal import sample_frames, synthesize_real_media
 
     docs = load_table(spark, "documents", sf_dir)
-    frames = sample_frames(synthesize_media(docs), every_ms=1000)
+    frames = sample_frames(synthesize_real_media(docs), every_ms=200)
     return frames.select(
-        "media_id", "frame_idx", F.lower(F.hex("frame_payload")).alias("frame_sig")
+        "media_id", "frame_idx", "ts_ms", "codec", "n_px", "sum_px", "frame_sig"
     )
 
 

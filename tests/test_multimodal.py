@@ -239,20 +239,70 @@ def test_features_shape_and_normalization(media):
         assert abs(sum(r.feature) - 1.0) < 1e-3  # L1-normalized histogram
 
 
-def test_frame_sampling_fanout_video_only(media):
-    frames = sample_frames(media, every_ms=1000)
-    rows = frames.collect()
-    vids = {r.media_id for r in media.select("media_id", F.col("meta.kind").alias("k"))
-            .filter(F.col("k") == "video").collect()}
+def test_frame_sampling_decodes_real_pixels_video_only(spark, sf_dir):
+    """sample_frames over REAL AVI payloads: video rows only, one
+    frame per every_ms of the avih frame clock, and every emitted
+    signature/sum matches the pixels the synthesis formula wrote —
+    decoded content, not header echo (both DIB and MJPEG paths)."""
+    import hashlib
+
+    from dot_spark.operators.multimodal import synthesize_real_media
+
+    docs = load_table(spark, "documents", sf_dir).limit(60)
+    real = synthesize_real_media(docs).cache()
+    rows = sample_frames(real, every_ms=200).collect()
+    vids = {
+        r.media_id
+        for r in real.select("media_id", F.col("meta.kind").alias("k"))
+        .filter(F.col("k") == "video")
+        .collect()
+    }
     assert {r.media_id for r in rows} == vids
-    # fan-out count matches duration // every_ms, frames are distinct
-    by_id = {}
+    assert rows, "no video rows sampled"
     for r in rows:
-        by_id.setdefault(r.media_id, set()).add(r.frame_idx)
-    durations = {r.media_id: r.d for r in media.select(
-        "media_id", F.col("meta.duration_ms").alias("d")).collect()}
-    for mid, idxs in by_id.items():
-        assert idxs == set(range(max(1, durations[mid] // 1000)))
+        mid = r.media_id
+        w, h, seed = mid % 16 + 16, mid % 12 + 12, mid % 256
+        nf = mid % 4 + 2
+        assert r.ts_ms % 200 == 0 and r.ts_ms < nf * 100
+        assert r.frame_idx == r.ts_ms // 100
+        if mid % 2:  # mjpeg: flat gray field
+            gray = (seed + r.frame_idx * 11) % 256
+            px = [gray] * (w * h)
+            assert r.codec == "mjpeg"
+        else:  # dib: pixel x = (x + f*11 + seed) % 256
+            px = [(x + r.frame_idx * 11 + seed) % 256 for x in range(w * h * 3)]
+            assert r.codec == "dib"
+        assert r.n_px == len(px)
+        assert r.sum_px == sum(px)
+        sig = hashlib.md5(",".join(str(v) for v in px).encode()).hexdigest()
+        assert r.frame_sig == sig
+    real.unpersist()
+
+
+def test_frame_sampler_skips_non_riff_payloads(media):
+    """Digest payloads (synthesize_media) are not AVI containers: the
+    type-filtering sampler drops them all rather than faking frames."""
+    assert sample_frames(media, every_ms=500).count() == 0
+
+
+def test_jpeg_dc_only_decoder_roundtrip_and_rejects_ac():
+    """_jpeg_decode_gray reconstructs the exact flat field _jpeg_bytes
+    encoded (all dims/gray combos incl. non-multiple-of-8 edges), and
+    REFUSES streams outside its honest restriction (AC coefficients /
+    truncated entropy) instead of guessing."""
+    import numpy as np
+    import pytest
+
+    from dot_spark.operators.multimodal import _jpeg_bytes, _jpeg_decode_gray
+
+    for w, h, g in [(8, 8, 0), (16, 12, 255), (17, 13, 77), (9, 1, 128)]:
+        px = _jpeg_decode_gray(_jpeg_bytes(w, h, g))
+        assert px.shape == (h, w)
+        assert (px == g).all()
+    # truncated entropy stream must fail, not emit partial frames
+    b = _jpeg_bytes(32, 32, 200)
+    with pytest.raises(ValueError):
+        _jpeg_decode_gray(b[:-10] + b"\xff\xd9")
 
 
 def test_metadata_only_query_prunes_payload(media, spark, tmp_path):
