@@ -38,11 +38,20 @@ piece:
   retention clock for in-flight readers; retained-version count is the
   sandbox-expressible equivalent).
 
-Scale notes: manifests carry file PATHS (O(files), the known Delta
-scaling knob — checkpoint/compaction of the log itself is the next
-step at 1e6+ files); data files are written by executors in parallel
-and never rewritten, so commit cost is O(manifest), independent of
-data volume.
+Scale notes (the Delta checkpoint pattern, implemented): APPEND
+manifests are DELTAS (an ``add`` file list, O(new files) per commit —
+a million-file table appends in constant cost); OVERWRITE manifests
+are full-state and self-anchoring. Readers resolve a version by
+walking back from it, accumulating ``add`` lists until they hit an
+anchor — an overwrite, a legacy full-state manifest, or a
+``ckpt.vN.json`` checkpoint file. Checkpoints are written
+automatically every ``checkpoint_interval`` commits (best-effort,
+post-claim — a crash before the checkpoint only means readers replay
+a few more deltas) and by ``vacuum`` at the oldest retained version
+before it truncates older manifests, so every retained snapshot stays
+resolvable after compaction. Data files are written by executors in
+parallel and never rewritten, so commit cost is O(delta), independent
+of data volume AND of table file count.
 """
 
 from __future__ import annotations
@@ -62,9 +71,12 @@ class CommitConflict(Exception):
 
 
 class TxTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, checkpoint_interval: int = 16
+    ):
         self.spark = spark
         self.root = root
+        self.checkpoint_interval = max(1, checkpoint_interval)
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -90,24 +102,82 @@ class TxTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _try_claim(self, version: int, manifest: dict) -> bool:
-        """Atomically claim ``version`` with a fully-written manifest:
-        write body to a temp file in the SAME directory (same fs),
-        hard-link it to the version name — EEXIST means another
-        writer won this version."""
+    # --- snapshot resolution (delta manifests + checkpoint anchors) --------
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"ckpt.v{version:08d}.json")
+
+    def files_at(self, version: int) -> list[str]:
+        """Resolve the COMPLETE file list of a snapshot: walk back
+        from ``version`` accumulating append deltas until an anchor —
+        a checkpoint file, an overwrite, or a legacy full-state
+        manifest. Cost: O(files) once at the anchor plus O(adds since
+        anchor); the checkpoint cadence bounds the walk length."""
+        adds: list[list[str]] = []
+        v = version
+        files: list[str] = []
+        while v >= 1:
+            try:
+                with open(self._ckpt_path(v)) as f:
+                    files = json.load(f)["files"]
+                break
+            except (OSError, json.JSONDecodeError):
+                pass
+            m = self.manifest(v)
+            if "files" in m:  # overwrite / legacy full-state: anchor
+                files = m["files"]
+                break
+            adds.append(m["add"])
+            v -= 1
+        for a in reversed(adds):
+            files = files + a
+        return files
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Write the full resolved file list of ``version`` (default
+        latest) as a checkpoint anchor. Idempotent and CAS-safe: the
+        same tmp+hard-link protocol as manifests, EEXIST means another
+        process already anchored this version. Returns the version."""
+        v = self.latest_version() if version is None else version
+        if v >= 1 and not os.path.exists(self._ckpt_path(v)):
+            self._try_link(self._ckpt_path(v), {"files": self.files_at(v)})
+        return v
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Post-claim auto-checkpoint every checkpoint_interval
+        commits — best-effort (a crash here costs readers a longer
+        delta replay, never correctness)."""
+        if version % self.checkpoint_interval == 0:
+            try:
+                self.checkpoint(version)
+            except OSError:
+                pass
+
+    def _try_link(self, dest: str, body: dict) -> bool:
+        """Atomic create-if-absent of a fully-written JSON file: write
+        body to a temp file in the SAME directory (same fs), hard-link
+        it to the destination — on POSIX the link either creates the
+        name or fails with EEXIST, and because the body was fully
+        written (and fsynced) BEFORE the claim, a reader can never
+        observe a torn file."""
         fd, tmp = tempfile.mkstemp(prefix=".commit_", dir=self.log_dir)
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
+                json.dump(body, f)
                 f.flush()
                 os.fsync(f.fileno())
             try:
-                os.link(tmp, self._manifest_path(version))
+                os.link(tmp, dest)
                 return True
             except FileExistsError:
                 return False
         finally:
             os.unlink(tmp)
+
+    def _try_claim(self, version: int, manifest: dict) -> bool:
+        """Atomically claim ``version`` — EEXIST means another writer
+        won this version."""
+        return self._try_link(self._manifest_path(version), manifest)
 
     # --- writers -----------------------------------------------------------
 
@@ -125,17 +195,15 @@ class TxTable:
         )
 
     def append(self, df: DataFrame) -> int:
-        """Commit an append. Never conflicts: the retry loop re-reads
-        the latest file set before every claim, so concurrent appends
-        serialize in claim order, each snapshot containing all
-        earlier ones."""
+        """Commit an append as a DELTA manifest (just the added file
+        list — O(new files), never O(table files)). Never conflicts:
+        concurrent appends serialize in claim order, and snapshot
+        resolution (files_at) accumulates every earlier delta."""
         new_files = self._stage(df)
         while True:
             v = self.latest_version()
-            files = self.manifest(v)["files"] if v else []
-            if self._try_claim(
-                v + 1, {"op": "append", "files": files + new_files}
-            ):
+            if self._try_claim(v + 1, {"op": "append", "add": new_files}):
+                self._maybe_checkpoint(v + 1)
                 return v + 1
 
     def overwrite(self, df: DataFrame, read_version: int | None = None) -> int:
@@ -163,8 +231,7 @@ class TxTable:
         v = self.latest_version() if version is None else version
         if v == 0:
             raise ValueError("table has no committed version")
-        files = self.manifest(v)["files"]
-        return self.spark.read.parquet(*files)
+        return self.spark.read.parquet(*self.files_at(v))
 
     # --- maintenance -------------------------------------------------------
 
@@ -219,9 +286,15 @@ class TxTable:
         vs = self.versions()
         keep_vs = vs[-retain_last:] if vs else []
         drop_vs = vs[: max(0, len(vs) - retain_last)]
+        # ANCHOR the oldest retained version before truncating: its
+        # resolution chain may walk into manifests about to be
+        # dropped. checkpoint() is idempotent; after this every
+        # retained snapshot resolves without the dropped prefix.
+        if drop_vs and keep_vs:
+            self.checkpoint(keep_vs[0])
         referenced: set[str] = set()
         for v in keep_vs:
-            referenced.update(self.manifest(v)["files"])
+            referenced.update(self.files_at(v))
         # fold dropped manifests' id tokens into the sidecar BEFORE
         # any unlink: crash between rename and unlink leaves a
         # duplicate record (harmless — sets), never a lost one
@@ -264,6 +337,10 @@ class TxTable:
         for v in drop_vs:
             try:
                 os.unlink(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
+            try:
+                os.unlink(self._ckpt_path(v))  # its anchor is garbage too
             except FileNotFoundError:
                 pass
         return removed
@@ -341,11 +418,11 @@ def exactly_once_sink(table: TxTable):
             # while this one staged
             if batch_id in committed_batch_ids():
                 return
-            files = table.manifest(v)["files"] if v else []
             if table._try_claim(
                 v + 1,
-                {"op": "append", "batch_id": batch_id, "files": files + new_files},
+                {"op": "append", "batch_id": batch_id, "add": new_files},
             ):
+                table._maybe_checkpoint(v + 1)
                 return
 
     return sink

@@ -69,11 +69,11 @@ def test_concurrent_appends_serialize_without_loss(spark, tmp_path):
     assert t.versions() == list(range(1, total + 1))
     got = sorted(r.id for r in t.read().collect())
     assert got == list(range(total * rows_per))
-    # snapshots are monotone: every manifest's file set contains its
+    # snapshots are monotone: every resolved file set contains its
     # predecessor's (appends never drop files)
     prev: set = set()
     for v in t.versions():
-        cur = set(t.manifest(v)["files"])
+        cur = set(t.files_at(v))
         assert prev <= cur, v
         prev = cur
 
@@ -225,3 +225,86 @@ def test_scanner_tolerates_concurrently_vacuumed_manifest(spark, tmp_path):
     os.unlink(t._manifest_path(1))
     committed = committed_ids_scanner(t)
     assert committed() == set()  # no ids anywhere; and no crash
+
+
+def test_append_manifests_are_deltas_with_checkpoint_anchors(spark, tmp_path):
+    """Commit cost is O(new files): append manifests carry only their
+    own `add` list (never the full table file set), and every
+    checkpoint_interval-th commit lands a ckpt anchor holding the
+    full resolved state — the Delta checkpoint pattern."""
+    import os
+
+    t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=3)
+    for i in range(7):
+        t.append(_df(spark, i * 5, i * 5 + 5, f"b{i}"))
+    # deltas: each manifest's add is its own files only
+    for v in t.versions():
+        m = t.manifest(v)
+        assert "files" not in m and len(m["add"]) >= 1
+    # anchors at v3 and v6
+    assert os.path.exists(t._ckpt_path(3))
+    assert os.path.exists(t._ckpt_path(6))
+    assert not os.path.exists(t._ckpt_path(7))
+    # resolution equals the cumulative union at every version
+    seen: list[str] = []
+    for v in t.versions():
+        seen += t.manifest(v)["add"]
+        assert t.files_at(v) == seen
+    assert sorted(r.id for r in t.read().collect()) == list(range(35))
+    assert sorted(r.id for r in t.read(version=2).collect()) == list(range(10))
+
+
+def test_vacuum_compaction_keeps_retained_snapshots_resolvable(spark, tmp_path):
+    """The checkpoint+vacuum+time-travel law the log needs at 1e6+
+    files: after vacuum truncates the log prefix, every RETAINED
+    version still resolves to exactly the file set it had before —
+    a reader pinned inside the window survives compaction."""
+    t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=100)  # no auto-ckpt
+    for i in range(6):
+        t.append(_df(spark, i * 3, i * 3 + 3, f"b{i}"))
+    before = {v: t.files_at(v) for v in t.versions()}
+    t.vacuum(retain_last=3, grace_seconds=0)
+    assert t.versions() == [4, 5, 6]
+    for v in (4, 5, 6):
+        assert t.files_at(v) == before[v], v
+    assert sorted(r.id for r in t.read(version=4).collect()) == list(range(12))
+    # and the table keeps working: new appends resolve on top
+    t.append(_df(spark, 100, 103, "post"))
+    assert t.read().count() == 21
+    # a second compaction over the post-vacuum log also holds
+    t.vacuum(retain_last=1, grace_seconds=0)
+    assert t.read().count() == 21
+
+
+def test_checkpoint_vacuum_time_travel_law_property(spark, tmp_path):
+    """Property over random op sequences: any mix of appends and
+    overwrites, any checkpoint cadence, any retention — retained
+    snapshots resolve identically before and after vacuum, and the
+    head of the table never changes. (Driven as a seeded loop rather
+    than @given: a SparkSession inside hypothesis shrinking is too
+    slow, and the row payloads don't matter — only the op/file-list
+    algebra does, which the seeds cover.)"""
+    import random
+
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        t = TxTable(
+            spark,
+            str(tmp_path / f"tx{seed}"),
+            checkpoint_interval=rng.choice([1, 2, 5, 100]),
+        )
+        lo = 0
+        for _ in range(rng.randint(4, 9)):
+            if rng.random() < 0.3:
+                t.overwrite(_df(spark, lo, lo + 2, "o"))
+            else:
+                t.append(_df(spark, lo, lo + 2, "a"))
+            lo += 2
+        retain = rng.randint(1, t.latest_version())
+        before = {v: t.files_at(v) for v in t.versions()[-retain:]}
+        head_rows = sorted(r.id for r in t.read().collect())
+        t.vacuum(retain_last=retain, grace_seconds=0)
+        assert t.versions() == sorted(before)
+        for v, files in before.items():
+            assert t.files_at(v) == files, (seed, v)
+        assert sorted(r.id for r in t.read().collect()) == head_rows, seed
