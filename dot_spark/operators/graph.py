@@ -41,7 +41,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def copurchase_edges(lineitem: DataFrame, key: str = "l_orderkey", item: str = "l_partkey") -> DataFrame:
+def copurchase_edges(
+    lineitem: DataFrame,
+    key: str = "l_orderkey",
+    item: str = "l_partkey",
+    max_basket: int | None = None,
+) -> DataFrame:
     """Undirected co-occurrence edges: two items are linked when they
     appear under the same key (parts co-purchased in one order, docs
     sharing an LSH bucket, ...). Returns BOTH directions of each
@@ -50,12 +55,21 @@ def copurchase_edges(lineitem: DataFrame, key: str = "l_orderkey", item: str = "
 
     Scale: the self-join is per-key, so the blow-up is sum(k_i^2)
     over per-key item counts — bounded when keys are small baskets
-    (orders average ~4 lineitems). A key whose basket is pathological
-    (a crawl "order" with 10^5 items) must be capped upstream the
-    same way dd4b caps stop-shingles (maxdf); the join itself is a
-    plain equi-join AQE can skew-split.
+    (orders average ~4 lineitems). ``max_basket`` is the explicit cap
+    for pathological keys (a crawl "order" with 10^5 items): a key
+    with MORE than max_basket distinct items contributes NO edges —
+    dd4b's stop-shingle (maxdf) discipline, where a token shared by
+    everything carries no pairing signal and only its quadratic cost.
+    The basket-size filter runs before the self-join, so the
+    quadratic stage never sees the hub key at all; the join itself is
+    a plain equi-join AQE can skew-split.
     """
     kp = lineitem.select(F.col(key).alias("k"), F.col(item).alias("p")).distinct()
+    if max_basket is not None:
+        sizes = kp.groupBy("k").agg(F.count(F.lit(1)).alias("__bs"))
+        kp = kp.join(
+            sizes.filter(F.col("__bs") <= max_basket).select("k"), "k", "left_semi"
+        )
     a, b = kp.alias("a"), kp.alias("b")
     pairs = (
         a.join(b, on=(F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
@@ -63,6 +77,28 @@ def copurchase_edges(lineitem: DataFrame, key: str = "l_orderkey", item: str = "
         .distinct()
     )
     return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def cap_degree(edges: DataFrame, max_degree: int) -> DataFrame:
+    """Hub-degree cap for the wedge-join family (triangle_count,
+    link_prediction, label_propagation): drop every edge incident to
+    a node whose degree on the INPUT list exceeds ``max_degree``.
+    Wedge volume is sum(deg²), so one crawl-hub node at 100× data is
+    the difference between m^1.5 and effectively-unbounded — the cap
+    is dd4b's maxdf discipline applied to nodes (a hub adjacent to
+    everything carries no pairwise signal, only quadratic cost).
+
+    One-shot semantics (degrees measured once on the input, both
+    endpoints must be under the cap; no recursive re-measure) — the
+    deterministic contract the law test pins: with max_degree >= the
+    true max degree the output IS the input edge set. Cost: one
+    degree partial-agg plus two semi-joins; the survivor list is
+    |nodes ≤ cap|-sized and AQE broadcasts it when small."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    ok = deg.filter(F.col("__d") <= max_degree).select("src")
+    return edges.join(ok, "src", "left_semi").join(
+        ok.withColumnRenamed("src", "dst"), "dst", "left_semi"
+    ).select("src", "dst")
 
 
 def pagerank(

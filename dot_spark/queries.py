@@ -7501,15 +7501,21 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT DISTINCT a.p AS src, b.p AS dst
       FROM kp a JOIN kp b ON a.k = b.k AND a.p < b.p),
+    ed_all AS (SELECT src, dst FROM pairs
+               UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    dg AS (SELECT src, COUNT(*) AS d FROM ed_all GROUP BY src),
+    ok AS (SELECT src FROM dg WHERE d <= 200),
+    ce AS (SELECT p.src, p.dst FROM pairs p
+           JOIN ok o1 ON p.src = o1.src JOIN ok o2 ON p.dst = o2.src),
     tri AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-      FROM pairs e1
-      JOIN pairs e2 ON e1.dst = e2.src
-      JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      FROM ce e1
+      JOIN ce e2 ON e1.dst = e2.src
+      JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
     nd AS (
       SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_nodes
-      FROM (SELECT src AS p FROM pairs UNION ALL SELECT dst AS p FROM pairs)),
-    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+      FROM (SELECT src AS p FROM ce UNION ALL SELECT dst AS p FROM ce)),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ce)
     SELECT n_nodes, n_edges, n_triangles FROM nd, ec, tri
     """,
 )
@@ -7520,13 +7526,21 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-(degree,id) so each triangle forms exactly one wedge at its
     minimum pivot, bounding the wedge join at m^1.5 instead of
     sum(deg²) — THE difference between feasible and not on a
-    power-law graph at scale. The oracle counts the same triangles
-    with a plain ordered 3-way self-join (a<b<c), a completely
-    different enumeration order that must land on the same count."""
-    from dot_spark.operators.graph import copurchase_edges, triangle_count
+    power-law graph at scale. Hubs above degree 200 are dropped
+    FIRST (cap_degree, the explicit maxdf-style knob — one crawl-hub
+    node at 100× data otherwise dominates even the oriented join);
+    the cap is part of the operator contract and the oracle mirrors
+    it. The oracle counts the same triangles with a plain ordered
+    3-way self-join (a<b<c), a completely different enumeration
+    order that must land on the same count."""
+    from dot_spark.operators.graph import (
+        cap_degree,
+        copurchase_edges,
+        triangle_count,
+    )
 
     li = load_table(spark, "lineitem", sf_dir)
-    return triangle_count(copurchase_edges(li))
+    return triangle_count(cap_degree(copurchase_edges(li), max_degree=200))
 
 
 @query(
@@ -7927,8 +7941,17 @@ def t22_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same |vocab| points; both engines' float SUMs can
     differ in final ulps (summation order), absorbed by the 4 dp
     scaled-floor round. Scale: the only data-sized exchange is the
-    token count; everything after is vocab-sized (the t15/t9
-    shape)."""
+    token count, and NO vocab-sized table crosses a single-partition
+    window: the OLS sums are invariant to how ties (equal-freq
+    tokens) are ordered, so the rank values are GENERATED
+    arithmetically — group the vocab by freq (distinct-freq-sized
+    table, << vocab), prefix-offset the groups in freq-desc order
+    via the 256-bucket shape (ln-scaled value-range buckets, the
+    p15/ranked_by discipline: the only unpartitioned window is over
+    256 bucket totals), then explode each group's rank interval in
+    bounded 64k chunks. The oracle keeps its per-token ROW_NUMBER —
+    two different enumeration strategies must land on the same
+    sums."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         F.explode(
@@ -7938,14 +7961,78 @@ def t22_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     from pyspark.sql import Window as W
 
-    rk = cnt.select(
-        "tok",
-        "freq",
-        F.row_number()
-        .over(W.orderBy(F.col("freq").desc(), F.col("tok")))
-        .alias("rnk"),
+    # distinct-freq groups: c_f tokens share frequency f; the group
+    # occupies the contiguous rank interval (R_f, R_f + c_f] where
+    # R_f counts tokens of strictly higher frequency. The group table
+    # is distinct-freq-sized (≤ O(sqrt(total tokens)) — tiny next to
+    # the vocab) and feeds FOUR consumers (max-freq, bucket totals,
+    # offsets, token total): localCheckpoint so the scan+explode+count
+    # subtree runs exactly ONCE (left lazy it replays per branch —
+    # measured 5 scans / 18 exchanges in the plan baseline).
+    grp = cnt.groupBy("freq").agg(F.count(F.lit(1)).alias("c_f")).localCheckpoint(
+        eager=True
     )
-    pts = rk.select(
+    # one scalar collect (the _zorder_rows extent pattern): embedding
+    # the max as a literal keeps the bucket expression branch-free
+    fmax = grp.agg(F.max("freq")).first()[0]
+    # 256-bucket prefix in freq-DESC order: bucket monotone in -freq
+    # (ln-scaled value range — evenness only affects parallelism,
+    # monotonicity is the correctness requirement)
+    bucketed = grp.withColumn(
+        "__b",
+        (
+            F.lit(255)
+            - F.least(
+                F.lit(255),
+                F.floor(
+                    F.log(F.col("freq").cast("double") + 1.0)
+                    / F.log(F.lit(float(fmax)) + 1.0)
+                    * 256.0
+                ),
+            )
+        ).cast("int"),
+    )
+    btot = bucketed.groupBy("__b").agg(F.sum("c_f").alias("__bt"))
+    wb = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    bprefix = btot.withColumn(
+        "__before", F.coalesce(F.sum("__bt").over(wb), F.lit(0))
+    ).select("__b", "__before")
+    win = W.partitionBy("__b").orderBy(F.col("freq").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = (
+        bucketed.join(F.broadcast(bprefix), "__b", "left")
+        .withColumn(
+            "r_f",
+            F.coalesce(F.col("__before"), F.lit(0))
+            + F.coalesce(F.sum("c_f").over(win), F.lit(0)),
+        )
+        .select("freq", "c_f", "r_f")
+    )
+    # explode each group's rank interval in bounded 64k chunks so a
+    # huge tie group (the freq=1 tail holds most of a web vocab)
+    # never materializes one giant array row
+    chunk = 65536
+    chunks = offs.select(
+        "freq",
+        "c_f",
+        "r_f",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("c_f") - 1) / chunk).cast("long"))
+        ).alias("__ch"),
+    )
+    pts = chunks.select(
+        F.explode(
+            F.sequence(
+                F.col("r_f") + F.col("__ch") * chunk + 1,
+                F.least(
+                    F.col("r_f") + F.col("c_f"),
+                    F.col("r_f") + (F.col("__ch") + 1) * chunk,
+                ),
+            )
+        ).alias("rnk"),
+        "freq",
+    ).select(
         F.log(F.col("rnk").cast("double")).alias("lx"),
         F.log(F.col("freq").cast("double")).alias("ly"),
     )
@@ -7956,7 +8043,9 @@ def t22_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
         F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
     )
-    t = cnt.agg(F.sum("freq").cast("long").alias("n_tokens"))
+    t = grp.agg(
+        F.sum(F.col("freq") * F.col("c_f")).cast("long").alias("n_tokens")
+    )
     return s.crossJoin(t).select(
         F.col("n").cast("long").alias("n_types"),
         "n_tokens",
@@ -7980,7 +8069,11 @@ def t22_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-    ed AS (SELECT src, dst FROM pw UNION ALL SELECT dst, src FROM pw),
+    ed_all AS (SELECT src, dst FROM pw UNION ALL SELECT dst, src FROM pw),
+    dg0 AS (SELECT src, COUNT(*) AS d FROM ed_all GROUP BY 1),
+    ok AS (SELECT src FROM dg0 WHERE d <= 40),
+    ed AS (SELECT e.src, e.dst FROM ed_all e
+           JOIN ok o1 ON e.src = o1.src JOIN ok o2 ON e.dst = o2.src),
     deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
     cn AS (
       SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -7988,8 +8081,8 @@ def t22_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2),
     unl AS (
       SELECT cn.* FROM cn
-      WHERE NOT EXISTS (SELECT 1 FROM pw
-                        WHERE pw.src = cn.a AND pw.dst = cn.b)),
+      WHERE NOT EXISTS (SELECT 1 FROM ed
+                        WHERE ed.src = cn.a AND ed.dst = cn.b)),
     sc AS (
       SELECT a, b, n_common, da.d AS deg_a, db.d AS deg_b,
              FLOOR(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common)
@@ -8011,8 +8104,13 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing in >= 2 orders — the dd4b stop-key discipline applied
     to graph construction): random single co-occurrences are noise
     for prediction AND the wedge join's sum(deg^2) blow-up control.
-    Top-k compiles to TakeOrderedAndProject over the scored pairs."""
-    from dot_spark.operators.graph import link_prediction
+    Residual hubs above degree 40 are then dropped via cap_degree
+    (the explicit knob the support prune alone doesn't give — a node
+    in thousands of repeat baskets keeps every one of its wedge
+    pairs otherwise); degrees/Jaccard are measured on the CAPPED
+    graph and the oracle mirrors both stages. Top-k compiles to
+    TakeOrderedAndProject over the scored pairs."""
+    from dot_spark.operators.graph import cap_degree, link_prediction
 
     li = load_table(spark, "lineitem", sf_dir)
     items = li.select("l_orderkey", "l_partkey").distinct()
@@ -8027,7 +8125,7 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     edges = pw.union(pw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return link_prediction(edges, top_k=100, min_common=1)
+    return link_prediction(cap_degree(edges, max_degree=40), top_k=100, min_common=1)
 
 
 _CMS_BUCKET_SQL = (
@@ -9262,10 +9360,14 @@ def _g5_oracle_sql(rounds: int = 4) -> str:
     pairs AS (
       SELECT DISTINCT a.p AS src, b.p AS dst
       FROM kp a JOIN kp b ON a.k = b.k AND a.p < b.p),
-    edges AS (
+    ed_all AS (
       SELECT src, dst FROM pairs
       UNION ALL
       SELECT dst AS src, src AS dst FROM pairs),
+    dg AS (SELECT src, COUNT(*) AS d FROM ed_all GROUP BY src),
+    ok AS (SELECT src FROM dg WHERE d <= 200),
+    edges AS (SELECT e.src, e.dst FROM ed_all e
+              JOIN ok o1 ON e.src = o1.src JOIN ok o2 ON e.dst = o2.src),
     {chain}
     SELECT label AS community,
            CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -9286,15 +9388,24 @@ def g5_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction (recommendation); the operator's contract is the
     fixed-round deterministic state — sync LPA can oscillate on
     bipartite structure, so production runs pin rounds for
-    reproducibility. Scale shape: edges cached dst-partitioned once;
+    reproducibility. Scale shape: hubs above degree 200 drop first
+    (cap_degree — LPA's per-round gather is degree-bounded, and one
+    crawl hub otherwise both dominates the count table and smears
+    one label over everything); edges cached dst-partitioned once;
     each round moves the |V|-row label table plus a degree-bounded
     (node, label) count; the arg-max is a per-node window on that
     count table (operators/graph.py:label_propagation). Oracle: the
-    identical recurrence as generated chained CTEs."""
-    from dot_spark.operators.graph import copurchase_edges, label_propagation
+    identical recurrence (cap mirrored) as generated chained CTEs."""
+    from dot_spark.operators.graph import (
+        cap_degree,
+        copurchase_edges,
+        label_propagation,
+    )
 
     li = load_table(spark, "lineitem", sf_dir)
-    labels = label_propagation(copurchase_edges(li), rounds=4)
+    labels = label_propagation(
+        cap_degree(copurchase_edges(li), max_degree=200), rounds=4
+    )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").alias("rep"),

@@ -116,6 +116,30 @@ def upsampled_lineitem(spark, k: int):
     return out
 
 
+def upsampled_events(spark, k: int):
+    """K disjoint copies of the events table (user/event id offsets):
+    per-user windows and per-key MV groups grow linearly and never
+    bridge copies."""
+    base = load_table(spark, "events", SF_DIR).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    mx = base.agg(F.max("user_id"), F.max("event_id")).first()
+    u_off, e_off = mx[0] + 1, mx[1] + 1
+    copies = [
+        base.select(
+            (F.col("user_id") + F.lit(i * u_off)).alias("user_id"),
+            (F.col("event_id") + F.lit(i * e_off)).alias("event_id"),
+            "ts",
+            "value",
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def run(obj) -> float:
     """Time one grid cell. Cells are lazy DataFrames, except eager
     driver-loop operators (connected components) which enter as
@@ -211,8 +235,28 @@ def main() -> None:
         grid[("g1_pagerank", k)] = lambda li=li_k: pagerank(
             copurchase_edges(li), iterations=5
         )
+        # g2/g5 cells run the SHIPPED shape (cap_degree(200) included,
+        # matching the registry queries) so the grid can never drift
+        # from what users execute.
+        from dot_spark.operators.graph import cap_degree
+
         grid[("g2_triangle_count", k)] = lambda li=li_k: triangle_count(
-            copurchase_edges(li)
+            cap_degree(copurchase_edges(li), max_degree=200)
+        )
+        # hub-stress cell: inject ONE pathological basket (a "crawl
+        # order" holding 3000 parts — sum(deg²) poison uncapped) on
+        # top of the K-scaled lineitem. The cap drops the hub edges,
+        # so this cell's alpha must track g2_triangle_count's; a
+        # regression here means the cap stopped protecting the wedge
+        # join.
+        hub = spark.range(3000).select(
+            F.lit(-1).cast("long").alias("l_orderkey"),
+            (F.col("id") + 1).alias("l_partkey"),
+            F.lit(1).cast("long").alias("l_suppkey"),
+        )
+        li_hub = li_k.unionByName(hub)
+        grid[("g2_hub_capped", k)] = lambda li=li_hub: triangle_count(
+            cap_degree(copurchase_edges(li, max_basket=1024), max_degree=200)
         )
 
         # t17 encode core: fixed merge table (training is a separate
@@ -315,17 +359,17 @@ def main() -> None:
             edges = pw.union(
                 pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            return link_prediction(edges, top_k=100)
+            return link_prediction(cap_degree(edges, max_degree=40), top_k=100)
 
         grid[("g4_link_prediction", k)] = lambda li=li_k: _g4_cell(li)
         # g5: sync LPA — disjoint per-copy subgraphs keep community
         # structure and round count constant; per-round work (label
         # table + degree-bounded counts) must scale with edges.
-        # Checkpoints eagerly -> thunk.
+        # Checkpoints eagerly -> thunk. Shipped shape (cap included).
         from dot_spark.operators.graph import label_propagation
 
         grid[("g5_label_propagation", k)] = lambda li=li_k: label_propagation(
-            copurchase_edges(li), rounds=4
+            cap_degree(copurchase_edges(li), max_degree=200), rounds=4
         )
         # ss9: PQ training collects a FIXED 1024-row sample (eager ->
         # thunk); the encode + asymmetric scan is the linear term.
@@ -374,6 +418,81 @@ def main() -> None:
         grid[("a33_skyline", k)] = skyline(
             li_k, "l_partkey", "l_suppkey", "l_orderkey"
         )
+
+        # r9 additions (r8 verdict task 7): the streaming/composed
+        # newcomers, pinned at the same bound as the rest.
+        from pyspark.sql import Window
+
+        from dot_spark.operators.layout import chunk_minmax
+        from dot_spark.pipelines import mv_merge, mv_partials
+
+        ev_k = upsampled_events(spark, k)
+        # w15: per-user running-peak drawdown — one keyed exchange,
+        # cummax window + rollup reuse the same partitioning. Users
+        # grow K-fold (disjoint), so this must be flat-per-row.
+        wpk = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dd = (
+            ev_k.filter(F.col("value") > 0)
+            .withColumn("peak", F.max("value").over(wpk))
+            .withColumn(
+                "drawdown",
+                F.round((F.col("peak") - F.col("value")) / F.col("peak"), 6),
+            )
+        )
+        grid[("w15_drawdown", k)] = dd.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+            F.round(F.avg("drawdown"), 6).alias("avg_drawdown"),
+        )
+        # pl14 per-batch core: the arriving delta scales K-fold while
+        # the standing MV stays base-sized — the claim to pin is that
+        # batch cost is delta-sized partial-agg + MV-row-sized merge,
+        # never a base re-aggregation.
+        base_mv = mv_partials(
+            load_table(spark, "events", SF_DIR),
+            keys=["user_id"],
+            value_col="value",
+            ts_col="ts",
+        )
+        grid[("pl14_mv_batch", k)] = mv_merge(
+            base_mv,
+            mv_partials(ev_k, keys=["user_id"], value_col="value", ts_col="ts"),
+            keys=["user_id"],
+        )
+        # pl15 maintenance core: full-rewrite rank vs incremental
+        # (delta-only) rank, both through the 256-bucket prefix +
+        # chunk stats — the row table is touched once per layout and
+        # the within-bucket windows must stay bucket-parallel.
+        def _pl15_cell(li):
+            mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+            z = (
+                li.withColumn("a16", quantize(F.col("l_partkey"), F.lit(mx[0])))
+                .withColumn("b16", quantize(F.col("l_suppkey"), F.lit(mx[1])))
+                .withColumn(
+                    "zval",
+                    zorder_key(F.col("a16"), F.col("b16")).cast("long"),
+                )
+            )
+            zbucket = F.shiftright(F.col("zval"), 8)
+            tb = ["l_orderkey", "l_partkey"]
+            full = chunk_minmax(
+                chunked_layout(z, "zval", tb, bucket=zbucket),
+                ["a16", "b16"],
+                "full_rewrite",
+            )
+            delta = z.filter(F.col("l_orderkey") % 5 == 0)
+            inc = chunk_minmax(
+                chunked_layout(delta, "zval", tb, bucket=zbucket),
+                ["a16", "b16"],
+                "incremental",
+            )
+            return full.unionByName(inc)
+
+        grid[("pl15_zorder_maintain", k)] = lambda li=li_k: _pl15_cell(li)
 
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
