@@ -8997,6 +8997,132 @@ def s19_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s20_manifest_skipping",
+    f"""
+    WITH {_Z_BASE_SQL},
+    z AS (
+      SELECT l_orderkey, l_linenumber, a16, b16,
+             CAST({_Z_SQL} AS BIGINT) AS zval
+      FROM q),
+    cf AS (
+      SELECT l_orderkey, a16, b16,
+             CAST(FLOOR(CAST(ROW_NUMBER() OVER (ORDER BY zval, l_orderkey, l_linenumber) - 1
+                  AS DOUBLE) / 1024) AS BIGINT) AS cid
+      FROM z),
+    st AS (SELECT cid, MIN(a16) AS min_a, MAX(a16) AS max_a,
+                  MIN(b16) AS min_b, MAX(b16) AS max_b
+           FROM cf GROUP BY cid),
+    ext AS (SELECT MAX(a16) AS maxa, MAX(b16) AS maxb FROM z),
+    boxes AS (
+      SELECT CAST(1 AS BIGINT) AS box_id,
+             CAST(FLOOR(CAST(maxa * 40 AS DOUBLE) / 100.0) AS BIGINT) AS lo_a,
+             CAST(FLOOR(CAST(maxa * 45 AS DOUBLE) / 100.0) AS BIGINT) AS hi_a,
+             CAST(0 AS BIGINT) AS lo_b, maxb AS hi_b
+      FROM ext
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), maxa,
+             CAST(FLOOR(CAST(maxb * 40 AS DOUBLE) / 100.0) AS BIGINT),
+             CAST(FLOOR(CAST(maxb * 45 AS DOUBLE) / 100.0) AS BIGINT)
+      FROM ext
+      UNION ALL
+      SELECT CAST(3 AS BIGINT),
+             CAST(FLOOR(CAST(maxa * 20 AS DOUBLE) / 100.0) AS BIGINT),
+             CAST(FLOOR(CAST(maxa * 30 AS DOUBLE) / 100.0) AS BIGINT),
+             CAST(FLOOR(CAST(maxb * 60 AS DOUBLE) / 100.0) AS BIGINT),
+             CAST(FLOOR(CAST(maxb * 70 AS DOUBLE) / 100.0) AS BIGINT)
+      FROM ext),
+    sk AS (
+      SELECT b.box_id,
+             CAST(COUNT(*) AS BIGINT) AS n_files_total,
+             CAST(SUM(CASE WHEN s.max_a < b.lo_a OR s.min_a > b.hi_a
+                             OR s.max_b < b.lo_b OR s.min_b > b.hi_b
+                      THEN 0 ELSE 1 END) AS BIGINT) AS n_files_read
+      FROM st s CROSS JOIN boxes b GROUP BY b.box_id),
+    rw AS (
+      SELECT b.box_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(c.l_orderkey) AS BIGINT) AS sum_key
+      FROM cf c JOIN boxes b
+        ON c.a16 BETWEEN b.lo_a AND b.hi_a
+       AND c.b16 BETWEEN b.lo_b AND b.hi_b
+      GROUP BY b.box_id)
+    SELECT s.box_id, s.n_files_total, s.n_files_read,
+           COALESCE(r.n_rows, 0) AS n_rows,
+           COALESCE(r.sum_key, 0) AS sum_key
+    FROM sk s LEFT JOIN rw r ON r.box_id = s.box_id
+    """,
+)
+def s20_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level min/max skipping end-to-end — the piece that
+    makes the p20 z-order rewrite pay off WITHOUT any scan or footer
+    read (the Delta/Iceberg stats-pruning core): lineitem is
+    z-clustered into 1024-row chunks, committed to a TxTable with
+    one file per chunk (split_col) and per-file (a16, b16) min/max
+    recorded in the manifest at write time, then three box queries
+    resolve their file lists from the MANIFEST ALONE (prune_files)
+    and scan only the survivors. Emitted per box: total/read file
+    counts (the I/O the layout saves — the oracle recomputes both
+    from the same deterministic chunking, so a silently broken
+    pruner hash-mismatches) and the exact row count + key sum of
+    the pruned-then-filtered read (pruning must never change
+    results). s19 audits what skipping WOULD save from ad-hoc chunk
+    stats; this query actually saves it through the log's own
+    metadata. Scale: the pruning decision is O(manifest) on the
+    driver — at 100 TB the scan plan shrinks before any executor
+    touches storage."""
+    from dot_spark.txlog import TxTable
+
+    z, maxa, maxb = _zorder_rows(spark, sf_dir)
+    lay = chunked_layout(
+        z,
+        "zval",
+        ["l_orderkey", "l_linenumber"],
+        bucket=F.shiftright(F.col("zval"), 8),
+        rows_per_chunk=1024,
+    )
+    t = TxTable(spark, _scratch("dot_spark_skip_") + "/li_z")
+    t.overwrite(
+        lay.select("l_orderkey", "l_linenumber", "a16", "b16", "chunk_id"),
+        stats_cols=["a16", "b16"],
+        split_col="chunk_id",
+    )
+
+    def _pct(mx, n):
+        import math
+
+        return math.floor(mx * n / 100.0)
+
+    boxes = [
+        (1, _pct(maxa, 40), _pct(maxa, 45), 0, maxb),
+        (2, 0, maxa, _pct(maxb, 40), _pct(maxb, 45)),
+        (3, _pct(maxa, 20), _pct(maxa, 30), _pct(maxb, 60), _pct(maxb, 70)),
+    ]
+    parts = []
+    for box_id, lo_a, hi_a, lo_b, hi_b in boxes:
+        ranges = {"a16": (lo_a, hi_a), "b16": (lo_b, hi_b)}
+        kept, total = t.prune_files(ranges)
+        parts.append(
+            t.read_pruned(ranges)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum("l_orderkey"), F.lit(0))
+                .cast("long")
+                .alias("sum_key"),
+            )
+            .select(
+                F.lit(box_id).cast("long").alias("box_id"),
+                F.lit(total).cast("long").alias("n_files_total"),
+                F.lit(len(kept)).cast("long").alias("n_files_read"),
+                "n_rows",
+                "sum_key",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "j19_bloom_prejoin",
     """
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -9736,6 +9862,8 @@ _R10_WINDOW = [
     "pl13_incremental_mv", "a32_linreg_trend", "a33_skyline",
     "dd16_cdc_chunks", "pl14_streaming_mv", "pl15_incremental_zorder",
     "w15_drawdown", "g5_label_propagation",
+    # round-9 additions (never gated; added as the round built them)
+    "s20_manifest_skipping",
 ]
 _r10_missing = [n for n in _R10_WINDOW if n not in QUERIES]
 assert not _r10_missing, f"r10 window names not registered: {_r10_missing}"

@@ -107,40 +107,48 @@ class TxTable:
     def _ckpt_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"ckpt.v{version:08d}.json")
 
-    def files_at(self, version: int) -> list[str]:
-        """Resolve the COMPLETE file list of a snapshot: walk back
-        from ``version`` accumulating append deltas until an anchor —
-        a checkpoint file, an overwrite, or a legacy full-state
-        manifest. Cost: O(files) once at the anchor plus O(adds since
-        anchor); the checkpoint cadence bounds the walk length."""
-        adds: list[list[str]] = []
+    def _state_at(self, version: int) -> tuple[list[str], dict]:
+        """Resolve the COMPLETE (file list, per-file stats) of a
+        snapshot: walk back from ``version`` accumulating append
+        deltas until an anchor — a checkpoint file, an overwrite, or
+        a legacy full-state manifest. Cost: O(files) once at the
+        anchor plus O(adds since anchor); the checkpoint cadence
+        bounds the walk length."""
+        adds: list[tuple[list[str], dict]] = []
         v = version
         files: list[str] = []
+        stats: dict = {}
         while v >= 1:
             try:
                 with open(self._ckpt_path(v)) as f:
-                    files = json.load(f)["files"]
+                    ck = json.load(f)
+                files, stats = ck["files"], dict(ck.get("stats") or {})
                 break
             except (OSError, json.JSONDecodeError):
                 pass
             m = self.manifest(v)
             if "files" in m:  # overwrite / legacy full-state: anchor
-                files = m["files"]
+                files, stats = m["files"], dict(m.get("stats") or {})
                 break
-            adds.append(m["add"])
+            adds.append((m["add"], m.get("stats") or {}))
             v -= 1
-        for a in reversed(adds):
+        for a, s in reversed(adds):
             files = files + a
-        return files
+            stats.update(s)
+        return files, stats
+
+    def files_at(self, version: int) -> list[str]:
+        return self._state_at(version)[0]
 
     def checkpoint(self, version: int | None = None) -> int:
-        """Write the full resolved file list of ``version`` (default
+        """Write the full resolved state of ``version`` (default
         latest) as a checkpoint anchor. Idempotent and CAS-safe: the
         same tmp+hard-link protocol as manifests, EEXIST means another
         process already anchored this version. Returns the version."""
         v = self.latest_version() if version is None else version
         if v >= 1 and not os.path.exists(self._ckpt_path(v)):
-            self._try_link(self._ckpt_path(v), {"files": self.files_at(v)})
+            files, stats = self._state_at(v)
+            self._try_link(self._ckpt_path(v), {"files": files, "stats": stats})
         return v
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -181,45 +189,118 @@ class TxTable:
 
     # --- writers -----------------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> list[str]:
+    def _stage(self, df: DataFrame, split_col: str | None = None) -> list[str]:
         """Write the batch as immutable parquet under a fresh uuid dir
         and return the part-file paths. Staged files are INVISIBLE
         until a manifest references them, so a writer dying here
-        leaves garbage for vacuum, never a corrupt table."""
-        d = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.parquet(d)
-        return sorted(
-            os.path.join(d, n)
-            for n in os.listdir(d)
-            if n.endswith(".parquet") or n.endswith(".snappy.parquet")
-        )
+        leaves garbage for vacuum, never a corrupt table.
 
-    def append(self, df: DataFrame) -> int:
+        ``split_col`` routes rows into one FILE per column value
+        (repartition on it + hive partitionBy): the clustering-write
+        path, where each file is one layout chunk and its manifest
+        stats envelope is chunk-tight. The split column itself stays
+        IN the data (hive dirs would drop it on a plain file read, so
+        it is duplicated under an internal name and restored by the
+        reader — files_at readers see the original schema)."""
+        d = os.path.join(self.data_dir, uuid.uuid4().hex)
+        if split_col is None:
+            df.write.parquet(d)
+        else:
+            (
+                df.withColumn("__split", df[split_col])
+                .repartition(split_col)
+                .write.partitionBy("__split")
+                .parquet(d)
+            )
+        out = []
+        for root, _, names in os.walk(d):
+            out.extend(
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+        return sorted(out)
+
+    def _file_stats(
+        self, files: list[str], stats_cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file min/max of ``stats_cols`` for freshly staged
+        files: ONE delta-sized scan at write time (what Delta does
+        while the rows stream through the writer — the
+        sandbox-expressible equivalent), recorded in the manifest so
+        a reader can prune files without touching any footer."""
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        rows = (
+            self.spark.read.parquet(*files)
+            .withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        stats: dict[str, dict[str, list]] = {}
+        for r in rows:
+            path = r["__f"]
+            if path.startswith("file:"):
+                path = path[5:]
+                # URI form file:///p -> /p (collapse leading slashes)
+                while path.startswith("//"):
+                    path = path[1:]
+            stats[path] = {
+                c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in stats_cols
+            }
+        return stats
+
+    def append(
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        split_col: str | None = None,
+    ) -> int:
         """Commit an append as a DELTA manifest (just the added file
         list — O(new files), never O(table files)). Never conflicts:
         concurrent appends serialize in claim order, and snapshot
-        resolution (files_at) accumulates every earlier delta."""
-        new_files = self._stage(df)
+        resolution (files_at) accumulates every earlier delta.
+
+        ``stats_cols`` records per-file min/max in the manifest (one
+        delta-sized scan at write time) so read_pruned can drop files
+        from the manifest alone; ``split_col`` makes each value of
+        that column its own file (chunk-tight stat envelopes — the
+        piece that makes a z-order layout pay off without any scan)."""
+        new_files = self._stage(df, split_col=split_col)
+        manifest: dict = {"op": "append", "add": new_files}
+        if stats_cols:
+            manifest["stats"] = self._file_stats(new_files, stats_cols)
         while True:
             v = self.latest_version()
-            if self._try_claim(v + 1, {"op": "append", "add": new_files}):
+            if self._try_claim(v + 1, manifest):
                 self._maybe_checkpoint(v + 1)
                 return v + 1
 
-    def overwrite(self, df: DataFrame, read_version: int | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        read_version: int | None = None,
+        stats_cols: list[str] | None = None,
+        split_col: str | None = None,
+    ) -> int:
         """Commit a full-table replace. ``read_version`` is the
         snapshot the caller's decision was based on; if the table has
         advanced past it the claim raises CommitConflict instead of
         clobbering commits the caller never saw. ``None`` means
         last-writer-wins (replace whatever is latest)."""
-        new_files = self._stage(df)
+        new_files = self._stage(df, split_col=split_col)
+        manifest: dict = {"op": "overwrite", "files": new_files}
+        if stats_cols:
+            manifest["stats"] = self._file_stats(new_files, stats_cols)
         while True:
             v = self.latest_version()
             if read_version is not None and v != read_version:
                 raise CommitConflict(
                     f"table advanced to v{v} past read snapshot v{read_version}"
                 )
-            if self._try_claim(v + 1, {"op": "overwrite", "files": new_files}):
+            if self._try_claim(v + 1, manifest):
                 return v + 1
 
     # --- readers -----------------------------------------------------------
@@ -232,6 +313,49 @@ class TxTable:
         if v == 0:
             raise ValueError("table has no committed version")
         return self.spark.read.parquet(*self.files_at(v))
+
+    def prune_files(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files a range query must read, total files in the
+        snapshot) — decided from MANIFEST stats alone, zero footer
+        reads (the Delta/Iceberg stats-pruning core). A file is
+        skipped only when its recorded [min, max] envelope for some
+        queried column provably cannot intersect [lo, hi]; files
+        without stats for a column (pre-stats commits, null-only
+        envelopes) are conservatively read — pruning can change I/O,
+        never results."""
+        v = self.latest_version() if version is None else version
+        files, stats = self._state_at(v)
+        kept = []
+        for f in files:
+            fstats = stats.get(f) or {}
+            skip = False
+            for col, (lo, hi) in ranges.items():
+                env = fstats.get(col)
+                if env and env[0] is not None and env[1] is not None:
+                    if env[1] < lo or env[0] > hi:
+                        skip = True
+                        break
+            if not skip:
+                kept.append(f)
+        return kept, len(files)
+
+    def read_pruned(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read that scans only the manifest-stats survivors
+        of ``ranges`` AND applies the exact predicate (pruning is an
+        I/O optimization, the filter is still the contract)."""
+        from pyspark.sql import functions as F
+
+        kept, _ = self.prune_files(ranges, version=version)
+        if not kept:
+            return self.read(version=version).limit(0)
+        df = self.spark.read.parquet(*kept)
+        for col, (lo, hi) in ranges.items():
+            df = df.filter(F.col(col).between(lo, hi))
+        return df
 
     # --- maintenance -------------------------------------------------------
 
@@ -324,9 +448,13 @@ class TxTable:
             full = os.path.join(self.data_dir, d)
             if now - os.path.getmtime(full) < grace_seconds:
                 continue  # possibly an in-flight writer's stage
+            # recursive: split-staged batches nest files under hive
+            # __split= dirs — a flat listdir would see zero parts and
+            # reclaim a REFERENCED directory as garbage
             parts = [
-                os.path.join(full, n)
-                for n in os.listdir(full)
+                os.path.join(root, n)
+                for root, _, names in os.walk(full)
+                for n in names
                 if n.endswith(".parquet")
             ]
             if not any(p in referenced for p in parts):

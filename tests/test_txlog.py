@@ -308,3 +308,38 @@ def test_checkpoint_vacuum_time_travel_law_property(spark, tmp_path):
         for v, files in before.items():
             assert t.files_at(v) == files, (seed, v)
         assert sorted(r.id for r in t.read().collect()) == head_rows, seed
+
+
+def test_manifest_stats_prune_files_never_changes_results(spark, tmp_path):
+    """Per-file min/max stats recorded at write time let prune_files
+    drop files from the manifest alone; the laws: (a) every row
+    matching the range survives pruning, (b) files without stats are
+    conservatively read, (c) stats survive checkpoint + vacuum."""
+    t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=100)
+    # split on a range-correlated column -> tight per-file envelopes
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") / 100).cast("long").alias("bucket")
+    )
+    t.append(df, stats_cols=["k"], split_col="bucket")
+    kept, total = t.prune_files({"k": (250, 449)})
+    assert total == 10 and len(kept) == 3  # buckets 2, 3, 4
+    got = sorted(r.k for r in t.read_pruned({"k": (250, 449)}).collect())
+    assert got == list(range(250, 450))
+    # (b) a stats-less append is always read
+    t.append(
+        spark.range(5000, 5010)
+        .coalesce(1)
+        .select(F.col("id").alias("k"), F.lit(99).alias("bucket"))
+    )
+    kept2, total2 = t.prune_files({"k": (250, 449)})
+    assert total2 == 11 and len(kept2) == len(kept) + 1
+    assert t.read_pruned({"k": (250, 449)}).count() == 200
+    # (c) checkpoint + vacuum keep the stats (prune still works on
+    # the compacted log)
+    t.append(df.withColumn("k", F.col("k") + 10_000), stats_cols=["k"], split_col="bucket")
+    t.vacuum(retain_last=1, grace_seconds=0)
+    kept3, total3 = t.prune_files({"k": (10_250, 10_449)})
+    # 3 stat-pruned buckets of the new batch + the stats-less file
+    # (conservatively read forever)
+    assert total3 == 21 and len(kept3) == 4
+    assert t.read_pruned({"k": (10_250, 10_449)}).count() == 200
