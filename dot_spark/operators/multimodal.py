@@ -815,11 +815,32 @@ def resize_images(
 
 RMS_DDL = "media_id BIGINT, win_idx INT, n_samples INT, rms DOUBLE"
 
+ENERGY_DDL = "media_id BIGINT, win_idx INT, n_samples INT, sum_sq BIGINT"
+
+
+def _pcm_windows(pdf: pd.DataFrame, window: int):
+    """Shared PCM decode + windowing for the audio features: WAV
+    payloads parse through the stdlib `wave` reader, int16 samples
+    split into fixed-size windows. Yields (media_id, win_idx, chunk)
+    with chunk as an int64 ndarray; non-WAV payloads drop (the
+    type-filtering contract). ONE copy of the decode so a bounds fix
+    cannot land in the RMS path and miss the energy path."""
+    import io
+    import wave
+
+    for mid, p in zip(pdf["media_id"], pdf["payload"]):
+        p = bytes(p or b"")
+        if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+            continue
+        with wave.open(io.BytesIO(p), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        for wi in range(0, len(samples), window):
+            yield int(mid), wi // window, samples[wi : wi + window]
+
 
 def audio_rms(media: DataFrame, window: int = 100) -> DataFrame:
-    """Windowed RMS energy over REAL decoded PCM: WAV payloads parse
-    through the stdlib `wave` reader, int16 samples split into
-    fixed-size windows, each emitting its root-mean-square — the
+    """Windowed RMS energy over REAL decoded PCM — the
     silence-detection / loudness-normalization feature an audio
     corpus pipeline computes before filtering. The mean-of-squares is
     an integer sum divided once (exact in float64 at int16 scale), so
@@ -828,28 +849,38 @@ def audio_rms(media: DataFrame, window: int = 100) -> DataFrame:
     Non-WAV payloads drop inside the pass (type-filtering stage, like
     resize_images). mapInPandas + numpy per batch.
     """
-    import io
-    import wave
 
     def rms_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                p = bytes(p or b"")
-                if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
-                    continue
-                with wave.open(io.BytesIO(p), "rb") as w:
-                    raw = w.readframes(w.getnframes())
-                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-                for wi in range(0, len(samples), window):
-                    chunk = samples[wi : wi + window]
-                    rms = float(np.sqrt((chunk * chunk).sum() / len(chunk)))
-                    out.append((int(mid), wi // window, len(chunk), round(rms, 3)))
+            for mid, wi, chunk in _pcm_windows(pdf, window):
+                rms = float(np.sqrt((chunk * chunk).sum() / len(chunk)))
+                out.append((mid, wi, len(chunk), round(rms, 3)))
             yield pd.DataFrame(
                 out, columns=["media_id", "win_idx", "n_samples", "rms"]
             )
 
     return media.mapInPandas(rms_batches, RMS_DDL)
+
+
+def audio_energy(media: DataFrame, window: int = 100) -> DataFrame:
+    """Windowed INTEGER energy (sum of squared samples) over real
+    decoded PCM — the exact-arithmetic sibling of audio_rms that
+    downstream comparisons build on: a window-vs-track energy
+    threshold evaluated by integer cross-multiplication can never be
+    dusted by float summation order on either engine (the phash
+    integer-comparison discipline applied to audio)."""
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, wi, chunk in _pcm_windows(pdf, window):
+                out.append((mid, wi, len(chunk), int((chunk * chunk).sum())))
+            yield pd.DataFrame(
+                out, columns=["media_id", "win_idx", "n_samples", "sum_sq"]
+            )
+
+    return media.mapInPandas(energy_batches, ENERGY_DDL)
 
 
 PHASH_DDL = "media_id BIGINT, phash STRING, b0 INT, b1 INT, b2 INT, b3 INT"

@@ -7093,6 +7093,206 @@ def mm5_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm8_silence_segments",
+    """
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             doc_id % 500 + 100 AS n_frames,
+             doc_id % 256 AS seed
+      FROM documents WHERE doc_id % 3 = 1),
+    s AS (
+      SELECT media_id, t.i AS i,
+             ((31 * t.i + seed) % 256) + 256 * ((31 * t.i + seed + 1) % 256)
+               AS raw
+      FROM a, UNNEST(generate_series(0, n_frames - 1)) AS t(i)),
+    v AS (
+      SELECT media_id, CAST(i // 100 AS INT) AS win_idx,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+      FROM s),
+    w AS (
+      SELECT media_id, win_idx, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(val * val) AS BIGINT) AS ss
+      FROM v GROUP BY 1, 2),
+    tot AS (
+      SELECT media_id, CAST(SUM(n) AS BIGINT) AS tot_n,
+             CAST(SUM(ss) AS BIGINT) AS tot_ss
+      FROM w GROUP BY 1),
+    low AS (
+      SELECT w.media_id, w.win_idx, w.ss
+      FROM w JOIN tot ON w.media_id = tot.media_id
+      WHERE w.ss * tot.tot_n < tot.tot_ss * w.n),
+    isl AS (
+      SELECT media_id, win_idx, ss,
+             win_idx - ROW_NUMBER() OVER (
+               PARTITION BY media_id ORDER BY win_idx) AS anchor
+      FROM low)
+    SELECT media_id, CAST(MIN(win_idx) AS INT) AS start_win,
+           CAST(MAX(win_idx) AS INT) AS end_win,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(ss) AS BIGINT) AS span_sum_sq
+    FROM isl GROUP BY media_id, anchor
+    """,
+)
+def mm8_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-energy (silence) span segmentation over real decoded PCM —
+    the trim/segment pass an audio corpus runs before training:
+    windows whose mean-square energy sits below the track average
+    merge into contiguous spans (the a23 gaps-and-islands shape, per
+    media). The below-average test is INTEGER cross-multiplication
+    (ss * track_samples < track_ss * window_samples), so no float
+    summation order can flip a borderline window on either engine —
+    the phash discipline applied to audio. Shape: one Arrow decode
+    pass (shared with mm5 via _pcm_windows), then one keyed exchange:
+    per-track totals, the threshold filter, the island window, and
+    the span rollup all ride the media_id partitioning."""
+    from dot_spark.operators.multimodal import audio_energy, synthesize_real_media
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = audio_energy(synthesize_real_media(docs))
+    per_track = W.partitionBy("media_id")
+    low = (
+        w.withColumn("tot_n", F.sum("n_samples").over(per_track))
+        .withColumn("tot_ss", F.sum("sum_sq").over(per_track))
+        .filter(
+            F.col("sum_sq") * F.col("tot_n")
+            < F.col("tot_ss") * F.col("n_samples")
+        )
+    )
+    isl = low.withColumn(
+        "anchor",
+        F.col("win_idx")
+        - F.row_number().over(per_track.orderBy("win_idx")),
+    )
+    return isl.groupBy("media_id", "anchor").agg(
+        F.min("win_idx").cast("int").alias("start_win"),
+        F.max("win_idx").cast("int").alias("end_win"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("sum_sq").alias("span_sum_sq"),
+    ).drop("anchor")
+
+
+@query(
+    "pl16_incremental_ivf",
+    """
+    WITH base AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 0),
+    cents AS (
+      SELECT label AS cell, s.i AS dim,
+             ROUND(AVG(CAST(s.v AS DOUBLE)), 4) AS cv
+      FROM (SELECT label,
+                   UNNEST(list_transform(generate_series(1, len(embedding)),
+                          i -> {'i': i, 'v': embedding[i]})) AS s
+            FROM base)
+      GROUP BY 1, 2),
+    carr AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM cents GROUP BY 1),
+    dist AS (
+      SELECT e.vec_id, e.vec_id % 7 = 0 AS is_delta, c.cell,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2
+      FROM embeddings e CROSS JOIN carr c),
+    assigned AS (
+      SELECT vec_id, is_delta, cell FROM (
+        SELECT vec_id, is_delta, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dist)
+      WHERE rn = 1)
+    SELECT c.cell,
+           CAST(COALESCE(SUM(CASE WHEN NOT a.is_delta THEN 1 END), 0)
+                AS BIGINT) AS n_base,
+           CAST(COALESCE(SUM(CASE WHEN a.is_delta THEN 1 END), 0)
+                AS BIGINT) AS n_delta,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_total
+    FROM carr c LEFT JOIN assigned a ON a.cell = c.cell
+    GROUP BY c.cell
+    """,
+)
+def pl16_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the ANN sibling of pl11's
+    incremental LSH: the coarse quantizer (per-label centroids of the
+    BASE corpus, the ss6 M-step) is FROZEN, the standing index is the
+    base assigned once, and an arriving delta batch is assigned
+    against the same frozen centroids and ADDED to the standing cell
+    counts — never a base re-assignment. The engine runs the
+    incremental two-pass plan; the oracle recomputes the whole index
+    in ONE pass over base ∪ delta, so a hash match IS the
+    incremental == full-recompute law (the pl11/pl13 verification
+    mechanism). Determinism across engines: centroid components
+    round to 4 dp, squared distances accumulate in index order on
+    both engines (Spark's aggregate fold and DuckDB's list_sum are
+    both sequential) and round to 6 dp, argmin ties break to the
+    smallest cell (the ss7 discipline). Scale: centroids are
+    |cells| x dim scalars (broadcast); each pass is one probe-side
+    scan + a per-vector argmin; delta cost is delta-sized — the 100
+    TB base is touched zero times per batch."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    delta = emb.filter(F.col("vec_id") % 7 == 0)
+    cents = (
+        base.select("label", F.posexplode("embedding").alias("dim", "comp"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("comp").cast("double")), 4).alias("cv"))
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.cv,
+            ).alias("cvec")
+        )
+        # |cells| x dim scalars feeding THREE consumers (two assign
+        # branches + the cell spine): localCheckpoint so the
+        # centroid aggregation scans the corpus exactly once
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(vectors: DataFrame) -> DataFrame:
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "cvec",
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cell", d2.alias("d2")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell")).alias("best"))
+            .select("vec_id", F.col("best.cell").alias("cell"))
+        )
+
+    # standing index: base assigned ONCE; per batch only the delta
+    # assignment runs (delta-sized), then cell counts merge
+    base_counts = assign(base).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    delta_counts = assign(delta).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_delta")
+    )
+    return (
+        cents.select("cell")
+        .join(base_counts, "cell", "left")
+        .join(delta_counts, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+            (
+                F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_total"),
+        )
+    )
+
+
+@query(
     "ss6_label_centroids",
     """
     WITH ex AS (
@@ -9863,7 +10063,7 @@ _R10_WINDOW = [
     "dd16_cdc_chunks", "pl14_streaming_mv", "pl15_incremental_zorder",
     "w15_drawdown", "g5_label_propagation",
     # round-9 additions (never gated; added as the round built them)
-    "s20_manifest_skipping",
+    "s20_manifest_skipping", "mm8_silence_segments", "pl16_incremental_ivf",
 ]
 _r10_missing = [n for n in _R10_WINDOW if n not in QUERIES]
 assert not _r10_missing, f"r10 window names not registered: {_r10_missing}"

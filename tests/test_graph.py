@@ -312,3 +312,61 @@ def test_label_propagation_directed_input_keeps_all_nodes(spark):
     )
     got = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_cap_degree_identity_below_cap(spark, sf_dir):
+    """The law the cap contract promises: with max_degree at or above
+    the graph's true max degree, cap_degree is the identity on the
+    edge set."""
+    from dot_spark.operators.graph import cap_degree
+    from dot_spark.sources.registry import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li).localCheckpoint(eager=True)
+    max_deg = (
+        edges.groupBy("src").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    capped = cap_degree(edges, max_degree=int(max_deg))
+    assert capped.count() == edges.count()
+    assert (
+        capped.exceptAll(edges).count() == 0
+        and edges.exceptAll(capped).count() == 0
+    )
+
+
+def test_cap_degree_removes_hub_and_its_edges(spark):
+    """Above the cap: a star hub's edges all drop (both directions),
+    the spoke-to-spoke structure survives, and degrees are measured
+    ONCE on the input (one-shot, not recursive)."""
+    from dot_spark.operators.graph import cap_degree
+
+    # hub 0 -> 1..6 (deg 6), plus a 1-2 edge (spoke degs stay <= 3)
+    und = [(0, i) for i in range(1, 7)] + [(1, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {(r.src, r.dst) for r in cap_degree(edges, max_degree=3).collect()}
+    assert got == {(1, 2), (2, 1)}
+    # spokes 3..6 became isolated (their only edge touched the hub):
+    # one-shot semantics drop the edge, not re-evaluate the survivors
+
+
+def test_copurchase_max_basket_drops_pathological_keys(spark):
+    """max_basket is dd4b's stop-shingle rule for baskets: a key with
+    more distinct items than the cap contributes NO edges; smaller
+    baskets are untouched (capped == uncapped below the cap)."""
+    rows = [(1, p) for p in (10, 11, 12)] + [(2, p) for p in range(20, 29)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    uncapped = {
+        (r.src, r.dst) for r in copurchase_edges(li).collect()
+    }
+    small_only = {
+        (r.src, r.dst) for r in copurchase_edges(li, max_basket=5).collect()
+    }
+    assert small_only == {
+        (a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a != b
+    }
+    # below the cap the operator is the identity
+    assert {
+        (r.src, r.dst) for r in copurchase_edges(li, max_basket=9).collect()
+    } == uncapped

@@ -457,3 +457,30 @@ def test_phash_neardup_matches_bruteforce_band_semantics(spark, sf_dir):
     }
     hashes.unpersist()
     assert got == expected
+
+
+def test_audio_energy_matches_rms_and_integer_exactness(spark, sf_dir):
+    """audio_energy's integer sum-of-squares must agree with
+    audio_rms's float RMS on every window (same decode, same
+    windows): rms == round(sqrt(sum_sq / n), 3)."""
+    import math
+
+    from dot_spark.operators.multimodal import (
+        audio_energy,
+        audio_rms,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(30)
+    real = synthesize_real_media(docs).cache()
+    rms = {
+        (r.media_id, r.win_idx): (r.n_samples, r.rms)
+        for r in audio_rms(real).collect()
+    }
+    eng = audio_energy(real).collect()
+    assert rms and len(eng) == len(rms)
+    for r in eng:
+        n, expect = rms[(r.media_id, r.win_idx)]
+        assert r.n_samples == n
+        assert round(math.sqrt(r.sum_sq / n), 3) == expect
+    real.unpersist()
