@@ -152,33 +152,30 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-8 rotation: the first 50 never-officially-gated queries
-    in registration order (the plan committed in round 7 at
-    queries.py's rotation comment) — an accidental registration
-    reorder silently drops operators out of the official artifact."""
+    the round-9 rotation: the 50 stalest never-officially-gated
+    queries (the plan committed in round 8's _R9_WINDOW constant) —
+    an accidental registration reorder silently drops operators out
+    of the official artifact."""
     window = list(QUERIES)[:50]
     must_have = {
-        "dd13_minhash_estimator_audit", "dd9_chunk_dedup", "ss7_mmr_topk",
-        "pl6_verified_dedup_pipeline", "j13_interval_overlap_join",
-        "p12_train_val_test_split", "p13_token_budget_sample",
-        "t11_bigram_counts", "pl7_corpus_build_pipeline",
-        "a12_cube_lattice", "w7_moving_avg", "n7_unpivot",
-        "st8_session_window", "a14_gapfill_locf", "w9_scd2_history",
-        "a13_pivot_wide", "w8_topk_per_group", "t12_domain_stats",
-        "p14_weighted_sample", "p15_corpus_shuffle",
-        "f11_higher_order_arrays", "ss5_recall_eval",
-        "pl9_semdedup", "t13_bpe_merges", "t17_bpe_encode",
-        "dd11_lsh_quality_eval", "pl11_incremental_lsh",
-        "pl10_record_linkage", "w10_funnel_steps",
-        "dd10_edit_distance_verify", "a18_winsorize",
-        "j14_attribution_join", "dd12_url_dedup", "t15_unigram_lm_score",
-        "n10_variant_access", "s17_bucketed_join", "s16_file_lineage",
-        "j16_tree_flatten", "c4_quality_ensemble", "p17_leakproof_split",
-        "w11_moving_zscore", "a20_share_of_total",
-        "f15_array_sort_comparator", "t14_stopword_stem",
-        "f14_map_functions", "n9_nested_json_explode",
-        "a19_percentile_sketch_audit", "a17_global_topk",
-        "f12_bitwise_aggs", "f13_calendar_arith",
+        "st5_delayed_retry", "t19_bm25_topterms", "t20_pmi_collocations",
+        "w12_ewma_smooth", "j18_snapshot_diff", "t18_novelty_score",
+        "ss8_sq_topk", "s15_text_log_source", "p16_fixed_k_per_stratum",
+        "pl8_merge_upsert", "a16_grouping_sets", "n8_malformed_json_audit",
+        "t16_langid_accuracy", "mm5_audio_rms", "ss6_label_centroids",
+        "mm4_image_resize", "a15_approx_distinct_audit", "n11_xml_roundtrip",
+        "p18_mixture_resample", "a21_cumulative_distinct",
+        "a22_cohort_retention", "a23_activity_streaks", "g1_pagerank",
+        "g2_triangle_count", "g3_bfs_levels", "j17_multihop_topk",
+        "a24_mad_robust",
+        "ss9_pq_topk", "t21_readability", "a25_table_profile",
+        "a26_frequent_pairs", "a27_event_transitions", "mm6_image_phash",
+        "mm7_phash_neardup", "dd14_substring_spans", "a28_wilson_ci",
+        "t22_zipf_audit", "g4_link_prediction", "a29_countmin_audit",
+        "p19_sequence_packing", "dd15_containment", "a30_k_anonymity",
+        "a31_expectations_audit", "w13_ohlc_resample", "pl12_dataset_card",
+        "s18_txlog_snapshot", "w14_range_frame",
+        "p20_zorder_layout", "s19_zorder_skipping", "j19_bloom_prejoin",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50
