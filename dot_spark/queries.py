@@ -7173,6 +7173,285 @@ def mm8_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ss10_rrf_fusion",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    terms AS (SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS term FROM tk),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, AVG(len(toks)) AS avgdl
+              FROM tk),
+    qt AS (SELECT DISTINCT doc_id AS query_id, term
+           FROM terms WHERE doc_id % 100 = 0),
+    lexs AS (
+      SELECT q.query_id, t.doc_id,
+             ROUND(SUM(ROUND(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / avgdl)), 6)), 4) AS lex
+      FROM qt q
+      JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id
+      JOIN dfq d ON d.term = q.term
+      CROSS JOIN stats
+      WHERE d.df * 2 <= (SELECT n_docs FROM stats)
+      GROUP BY 1, 2),
+    lexr AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY lex DESC, doc_id) AS lex_rank
+      FROM lexs),
+    lext AS (SELECT * FROM lexr WHERE lex_rank <= 20),
+    qv AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+    vecs AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+                    i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))),
+               6) AS cos
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id <> q.query_id),
+    vecr AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, doc_id) AS vec_rank
+      FROM vecs),
+    vect AS (SELECT * FROM vecr WHERE vec_rank <= 20),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+                   + COALESCE(1.0 / (60 + v.vec_rank), 0), 6) AS rrf
+      FROM lext l FULL JOIN vect v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+    final AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM fused)
+    SELECT query_id, doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           rrf, CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM final WHERE fused_rank <= 10
+    """,
+)
+def ss10_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    SIGIR'09) — the curation/hard-negative-mining primitive: every
+    100th document is a query; the LEXICAL channel scores candidates
+    by Okapi BM25 over shared terms (t19's exact formula; stop-terms
+    with df > n/2 dropped — the dd4b maxdf discipline, since they
+    carry ~zero idf but all the join volume) and the VECTOR channel
+    by brute cosine over the linked embeddings (dd7's machinery);
+    each channel keeps its top-20 per query and fusion scores
+    1/(60+rank) summed across channels, top-10 fused per query.
+    Engine parity: per-term BM25 contributions round to 6 dp BEFORE
+    the per-doc sum (both engines then sum identical values) and the
+    sum rounds to 4 dp; cosine accumulates in index order on both
+    engines (6 dp); every rank breaks ties on doc_id. Scale shape:
+    the query side is tiny and broadcasts; the lexical join is the
+    inverted-index equi-join (|q-terms| x df, stop-capped); the
+    vector pass is the ss1 brute scan — swap in ss2/ss3's IVF probe
+    for the 100 TB corpus, fusion is rank-table-sized either way."""
+    from dot_spark.operators.textdedup import normalize_text
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    tk = docs.select("doc_id", toks.alias("toks"))
+    terms = tk.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # (n_docs, avgdl) are two scalars — collected once and embedded
+    # as literals (the _zorder_rows extent pattern); df rides the tf
+    # table as a window count over the term partitioning, so the
+    # token explode is scanned ONCE for the whole lexical channel
+    # (the groupBy+join formulation replayed it under three branches)
+    n_docs, avgdl = tk.agg(
+        F.count_distinct("doc_id"), F.avg(F.size("toks"))
+    ).first()
+    tfd = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    qt = (
+        terms.filter(F.col("doc_id") % 100 == 0)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    per_term = F.round(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(float(avgdl)))),
+        6,
+    )
+    lexs = (
+        qt.join(tfd, ["term"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .filter(F.col("df") * 2 <= F.lit(int(n_docs)))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(per_term), 4).alias("lex"))
+    )
+    wl = W.partitionBy("query_id").orderBy(F.col("lex").desc(), "doc_id")
+    lext = (
+        lexs.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    qv = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    vecs = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qvec"))), 6).alias("cos"),
+        )
+    )
+    wv = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    vect = (
+        vecs.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= 20)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    fused = (
+        lext.join(vect, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
+
+
+@query(
+    "t23_bigram_lm_score",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    uni AS (SELECT UNNEST(toks) AS term FROM tk),
+    uc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uc),
+    pr AS (
+      SELECT doc_id, UNNEST(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> {{'p': toks[i] || ' ' || toks[i + 1], 'w1': toks[i]}})) AS s
+      FROM tk WHERE len(toks) >= 2),
+    pairs AS (SELECT doc_id, s.p AS pair, s.w1 AS w1 FROM pr),
+    bc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM pairs GROUP BY 1),
+    scored AS (
+      SELECT p.doc_id, COUNT(*) AS n_pairs,
+             SUM(ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * vv.v))) AS logp
+      FROM pairs p
+      JOIN bc ON p.pair = bc.pair
+      JOIN uc ON p.w1 = uc.term
+      CROSS JOIN vv
+      GROUP BY 1)
+    SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(-logp / n_pairs, 3) AS avg_neg_logp
+    FROM scored
+    """,
+)
+def t23_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing (k=0.5) —
+    the sequence-aware upgrade of t15's unigram proxy: per-doc mean
+    negative log-probability of each adjacent token pair under
+    p(w2|w1) = (c(w1 w2)+k) / (c(w1)+k·|V|), the KenLM-shaped
+    fluency signal a corpus filter thresholds on (scrambled or
+    boilerplate-stitched text scores high even when its unigrams are
+    ordinary). Convention: c(w1) is the corpus unigram count (not
+    history-only) — stated because both engines must share it.
+    Shape: ONE pair-explode feeds both the bigram-count aggregate
+    and the scoring join (the t9 shared-exchange pattern); unigram
+    counts and |V| come from the token explode; probabilities are
+    exact integer ratios, so both engines take ln of identical
+    doubles and the 3-dp round absorbs summation order (t15's
+    discipline)."""
+    from dot_spark.operators.textdedup import normalize_text
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    tk = docs.select("doc_id", toks.alias("toks"))
+    terms = tk.select(F.explode("toks").alias("term"))
+    uc = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    # |V| is one scalar — collect it (the _zorder_rows extent
+    # pattern); a crossJoin'd 1-row aggregate would replay the token
+    # explode under the scoring branch
+    v = uc.agg(F.count(F.lit(1))).first()[0]
+    pairs = tk.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(concat(toks[i - 1], ' ', toks[i]) AS pair,"
+                "             toks[i - 1] AS w1))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pair").alias("pair"), F.col("s.w1").alias("w1"))
+    # bigram count as a window over the pair partitioning — the pair
+    # explode is scanned ONCE and pays ONE exchange (a groupBy+join
+    # formulation would replay the explode for the count side)
+    c12 = F.count(F.lit(1)).over(W.partitionBy("pair"))
+    scored = (
+        pairs.withColumn("c12", c12)
+        .join(F.broadcast(uc), pairs["w1"] == uc["term"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.log(
+                    (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.lit(float(v)))
+                )
+            ).alias("logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        F.round(-F.col("logp") / F.col("n_pairs"), 3).alias("avg_neg_logp"),
+    )
+
+
+@query(
     "pl16_incremental_ivf",
     """
     WITH base AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 0),
@@ -10064,6 +10343,7 @@ _R10_WINDOW = [
     "w15_drawdown", "g5_label_propagation",
     # round-9 additions (never gated; added as the round built them)
     "s20_manifest_skipping", "mm8_silence_segments", "pl16_incremental_ivf",
+    "ss10_rrf_fusion", "t23_bigram_lm_score",
 ]
 _r10_missing = [n for n in _R10_WINDOW if n not in QUERIES]
 assert not _r10_missing, f"r10 window names not registered: {_r10_missing}"
