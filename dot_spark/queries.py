@@ -7173,6 +7173,51 @@ def mm8_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s21_fixed_width_source",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM orders
+    """,
+)
+def s21_fixed_width_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (positional) text source — the mainframe-era twin
+    of the reference's headerless CSV scans (S4/P2,
+    process-geography/main.py:140-162: positional columns declared by
+    index, not header). Orders rows are rendered to a REAL
+    fixed-width text file in scratch (distributed write: zero-padded
+    numerics, right-padded strings, 55-byte records) and read back
+    with spark.read.text + pure-codegen substring/trim/cast parsing —
+    the declared-offsets schema a COBOL copybook or legacy feed
+    ships. Round-trip must reproduce the source rows exactly (the s4
+    discipline); the oracle restates them from the table. Scale: both
+    directions are distributed (text part files; the parse fuses into
+    the scan — no UDF, no shuffle)."""
+    orders = load_table(spark, "orders", sf_dir)
+    lines = orders.select(
+        F.concat(
+            F.format_string("%012d", "o_orderkey"),
+            F.format_string("%012d", "o_custkey"),
+            F.col("o_orderstatus"),
+            F.format_string("%015.2f", "o_totalprice"),
+            F.rpad("o_orderpriority", 15, " "),
+        ).alias("value")
+    )
+    path = _scratch("dot_spark_fw_") + "/orders_fw"
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.substring("value", 13, 12).cast("long").alias("o_custkey"),
+        F.substring("value", 25, 1).alias("o_orderstatus"),
+        F.round(F.substring("value", 26, 15).cast("double"), 2).alias(
+            "o_totalprice"
+        ),
+        F.rtrim(F.substring("value", 41, 15)).alias("o_orderpriority"),
+    )
+
+
+@query(
     "ss10_rrf_fusion",
     f"""
     WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
@@ -10343,7 +10388,7 @@ _R10_WINDOW = [
     "w15_drawdown", "g5_label_propagation",
     # round-9 additions (never gated; added as the round built them)
     "s20_manifest_skipping", "mm8_silence_segments", "pl16_incremental_ivf",
-    "ss10_rrf_fusion", "t23_bigram_lm_score",
+    "ss10_rrf_fusion", "t23_bigram_lm_score", "s21_fixed_width_source",
 ]
 _r10_missing = [n for n in _R10_WINDOW if n not in QUERIES]
 assert not _r10_missing, f"r10 window names not registered: {_r10_missing}"
