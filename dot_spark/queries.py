@@ -1861,8 +1861,18 @@ def dd13_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
-    pairs = lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
+    # sig (16 ints/doc) feeds the band mining AND both estimator
+    # sides; pairs feeds the estimator and the exact-intersection
+    # join. Left lazy, the signature subtree compiled THREE times and
+    # the band mining twice (32 exchanges / 10 scans measured) — both
+    # are bounded derived indexes a production run materializes
+    # anyway, so checkpoint once.
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3).localCheckpoint(
+        eager=True
+    )
+    pairs = lsh_candidate_pairs(
+        lsh_bands(sig, bands=4, rows_per_band=4)
+    ).localCheckpoint(eager=True)
 
     sig_arr = F.array(*[F.col(f"h{k}") for k in range(16)])
     sa = sig.select(F.col("doc_id").alias("id_a"), sig_arr.alias("sig_a"))
@@ -1885,7 +1895,23 @@ def dd13_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    shing = shingle_rows(docs, n=3).select("doc_id", "shingle").distinct()
+    # the exact side's CONTRACT is candidate-bounded: restrict the
+    # shingle table to candidate-pair members first (semi-join against
+    # the checkpointed pair ids), then checkpoint the survivor rows —
+    # the shingle explode scans the corpus ONCE and the three exact
+    # consumers (sizes, both join sides) read the bounded artifact
+    # (left lazy this subtree compiled three more times)
+    cand_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .distinct()
+    )
+    shing = (
+        shingle_rows(docs, n=3)
+        .select("doc_id", "shingle")
+        .distinct()
+        .join(cand_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     sizes = shing.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ex_a = shing.select(F.col("doc_id").alias("id_a"), "shingle")
     ex_b = shing.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -5628,10 +5654,24 @@ def dd11_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    cand = lsh_candidate_pairs(
-        lsh_bands(minhash_signatures(docs, num_hashes=16, shingle_n=3))
-    ).select("id_a", "id_b")
-    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.7).select("id_a", "id_b")
+    # both pair tables feed TWO consumers each (the hit join and
+    # their own count): localCheckpoint so the dd2 band-mining and
+    # dd4 inverted-index subtrees run ONCE instead of twice (the
+    # lazy form compiled to 60 exchanges / 16 scans). Candidate-pair
+    # tables are threshold-bounded artifacts, and the eval runs on a
+    # sample tier by contract — not a data-sized cache.
+    cand = (
+        lsh_candidate_pairs(
+            lsh_bands(minhash_signatures(docs, num_hashes=16, shingle_n=3))
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     hit = truth.join(cand, ["id_a", "id_b"])
     counts = (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))

@@ -494,6 +494,95 @@ def main() -> None:
 
         grid[("pl15_zorder_maintain", k)] = lambda li=li_k: _pl15_cell(li)
 
+        # r9 late additions: the two new heavy text/retrieval shapes.
+        # Suffixed-token upsampling keeps each copy's term space
+        # disjoint: per-copy df and bigram counts are constant, so
+        # both cells must scale with the explode (linear).
+        # t23 core: pair explode + pair-window count + scoring join
+        # (normalize_text comes from the module-level import — an
+        # inner import here would shadow it as a main() local and
+        # break the earlier pl4 cell)
+        def _t23_cell(docs):
+            from pyspark.sql import Window as W
+
+            toks2 = F.split(normalize_text(F.col("text")), " ")
+            tk2 = docs.select("doc_id", toks2.alias("toks"))
+            terms2 = tk2.select(F.explode("toks").alias("term"))
+            uc2 = terms2.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+            v2 = uc2.agg(F.count(F.lit(1))).first()[0]
+            pairs2 = tk2.filter(F.size("toks") >= 2).select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(concat(toks[i - 1], ' ', toks[i]) AS pair,"
+                        "             toks[i - 1] AS w1))"
+                    )
+                ).alias("s"),
+            ).select("doc_id", F.col("s.pair").alias("pair"), F.col("s.w1").alias("w1"))
+            c12 = F.count(F.lit(1)).over(W.partitionBy("pair"))
+            return (
+                pairs2.withColumn("c12", c12)
+                .join(F.broadcast(uc2), pairs2["w1"] == uc2["term"])
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_pairs"),
+                    F.sum(
+                        F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.lit(float(v2))))
+                    ).alias("logp"),
+                )
+            )
+
+        grid[("t23_bigram_lm", k)] = lambda d=docs: _t23_cell(d)
+
+        # ss10 lexical-channel core (the vector channel is the ss1
+        # brute scan already pinned by ss2/ss7 cells): inverted-index
+        # BM25 join with window-df — the query side stays FIXED
+        # (copy-0 probes only; offset copies would grow it with K),
+        # the corpus scales K-fold
+        def _ss10_cell(docs, n_base):
+            from pyspark.sql import Window as W
+
+            toks3 = F.split(normalize_text(F.col("text")), " ")
+            tk3 = docs.select("doc_id", toks3.alias("toks"))
+            terms3 = tk3.select(
+                "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+            )
+            tf3 = terms3.groupBy("doc_id", "dl", "term").agg(
+                F.count(F.lit(1)).alias("tf")
+            )
+            n_docs, avgdl = tk3.agg(
+                F.count_distinct("doc_id"), F.avg(F.size("toks"))
+            ).first()
+            tfd3 = tf3.withColumn(
+                "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+            )
+            qt3 = (
+                terms3.filter(
+                    (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < n_base)
+                )
+                .select(F.col("doc_id").alias("query_id"), "term")
+                .distinct()
+            )
+            per_term = F.round(
+                F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(float(avgdl)))),
+                6,
+            )
+            return (
+                qt3.join(tfd3, ["term"])
+                .filter(F.col("doc_id") != F.col("query_id"))
+                .filter(F.col("df") * 2 <= F.lit(int(n_docs)))
+                .groupBy("query_id", "doc_id")
+                .agg(F.round(F.sum(per_term), 4).alias("lex"))
+            )
+
+        n_base_docs = load_table(spark, "documents", SF_DIR).count()
+        grid[("ss10_bm25_channel", k)] = (
+            lambda d=docs, nb=n_base_docs: _ss10_cell(d, nb)
+        )
+
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
         for cell, df in grid.items():
