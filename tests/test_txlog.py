@@ -343,3 +343,43 @@ def test_manifest_stats_prune_files_never_changes_results(spark, tmp_path):
     # (conservatively read forever)
     assert total3 == 21 and len(kept3) == 4
     assert t.read_pruned({"k": (10_250, 10_449)}).count() == 200
+
+
+def test_concurrent_appends_during_vacuum_lose_nothing(spark, tmp_path):
+    """Vacuum is single-maintenance-process but must be safe AGAINST
+    concurrent commits: appenders race a vacuum loop (default grace —
+    fresh stages are protected even while unreferenced) and every
+    appended row must survive, with the log still contiguous."""
+    import threading
+
+    t = TxTable(spark, str(tmp_path / "tx"))
+    t.append(_df(spark, 0, 5, "seed"))
+    errs = []
+
+    def appender(i):
+        try:
+            for b in range(3):
+                lo = 100 + (i * 3 + b) * 10
+                t.append(_df(spark, lo, lo + 10, f"w{i}"))
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    def vacuumer():
+        try:
+            for _ in range(5):
+                t.vacuum(retain_last=1)  # default grace protects stages
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender, args=(i,)) for i in range(2)]
+    ts.append(threading.Thread(target=vacuumer))
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+    got = sorted(r.id for r in t.read().collect())
+    expect = sorted(list(range(0, 5)) + [v for i in range(2) for b in range(3) for v in range(100 + (i * 3 + b) * 10, 110 + (i * 3 + b) * 10)])
+    assert got == expect
+    vs = t.versions()
+    assert vs == list(range(vs[0], vs[0] + len(vs)))  # contiguous tail
