@@ -7213,6 +7213,66 @@ def mm8_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd17_bloom_history_dedup",
+    """
+    WITH h AS (
+      SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
+             MIN(doc_id) AS first_id
+      FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+    b AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h
+      FROM documents WHERE doc_id % 5 = 0)
+    SELECT b.doc_id, h.first_id AS dup_of,
+           h.first_id IS NOT NULL AS is_dup
+    FROM b LEFT JOIN h ON b.h = h.h
+    """,
+)
+def dd17_bloom_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of an arriving batch against a HISTORICAL corpus
+    too big to join per batch — the incremental-ingest twin of dd1
+    and the j19 machinery applied to dedup: the history's content
+    hashes fold into a few-KB Bloom filter (built once, amortized
+    across batches; incrementally maintainable since Bloom bit-sets
+    OR together), each batch row probes it MAP-SIDE, and only the
+    survivors (true dups + the bounded false-positive rate) enter
+    the exact hash join — a definitely-new row never shuffles and
+    the 100 TB history never re-shuffles at all. Bloom false
+    positives are killed by the exact join, false negatives are
+    impossible, so the output is bloom-independent and the oracle is
+    the plain hash left-join (the j19 discipline: approximation
+    costs I/O, never correctness). Emits per batch doc its verdict
+    and the canonical history doc it duplicates."""
+    from dot_spark.operators.relational import bloom_filter_array, bloom_prune
+    from dot_spark.operators.textdedup import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select("doc_id", F.md5(normalize_text("text")).alias("h"))
+    hist = (
+        hashed.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    batch = hashed.filter(F.col("doc_id") % 5 == 0)
+    words = bloom_filter_array(hist, "h")
+    maybe = bloom_prune(batch, "h", words)
+    verified = maybe.join(hist, "h", "left").select(
+        "doc_id",
+        F.col("first_id").alias("dup_of"),
+        F.col("first_id").isNotNull().alias("is_dup"),
+    )
+    # bloom-rejected rows are DEFINITELY new (no false negatives):
+    # they bypass the join entirely — at scale this is most of a
+    # typical batch, and none of it ever shuffles
+    fresh = batch.join(maybe.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(False).alias("is_dup"),
+    )
+    return verified.unionByName(fresh)
+
+
+@query(
     "s21_fixed_width_source",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -10415,21 +10475,39 @@ _missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
 assert not _missing, f"window names not registered: {_missing}"
 assert not set(_WINDOW_PRIORITY) & set(_R8_WINDOW), "r9 overlaps r8"
 
-# The r10 rotation, MACHINE-READABLE: after the r9 window lands, the
-# 8 session-4 leftovers below are the only registered queries without
-# an official CORRECTNESS row. Next round, put these first in
-# _WINDOW_PRIORITY and fill the remaining 42 slots with (a) queries
-# added during round 9 and (b) the stalest previously-gated names for
-# re-verification. Asserted against the registry now so a typo cannot
-# survive to r10.
+# The r10 rotation, MACHINE-READABLE — next round, swap this list
+# into _WINDOW_PRIORITY. Composition (computed at the end of round 9
+# from CORRECTNESS_r01–r08 + the r9 window): the 14 never-officially-
+# gated names first (8 session-4 leftovers + 7 round-9 additions),
+# then the 35 STALEST previously-gated names (newest green row r5–r6)
+# for re-verification — mm3_frame_sampling among them matters most,
+# since round 9 replaced its digest-stub semantics with real decoded
+# pixels and its only official row predates that. Asserted against
+# the registry now so a typo cannot survive to r10.
 _R10_WINDOW = [
+    # never officially gated (15)
     "pl13_incremental_mv", "a32_linreg_trend", "a33_skyline",
     "dd16_cdc_chunks", "pl14_streaming_mv", "pl15_incremental_zorder",
     "w15_drawdown", "g5_label_propagation",
-    # round-9 additions (never gated; added as the round built them)
     "s20_manifest_skipping", "mm8_silence_segments", "pl16_incremental_ivf",
     "ss10_rrf_fusion", "t23_bigram_lm_score", "s21_fixed_width_source",
+    "dd17_bloom_history_dedup",
+    # stalest previously-gated backfill (35, newest row r5–r6;
+    # mm3's semantics changed in r9 — re-gate under the new oracle)
+    "mm3_frame_sampling", "a11_group_percentiles", "a9_hypertable_rollup",
+    "j9_range_join", "pl4_corpus_ingest_dedup", "s11_attributed_publish",
+    "a10_string_agg_ordered", "a2_watermark_max", "a3_conditional_agg",
+    "a4_count_predicate", "a5_collect_sorted_list", "a6_rollup_subtotals",
+    "a7_distribution_stats", "a8_count_distinct", "dd4_ngram_jaccard",
+    "f10_try_cast_coerce", "f1_regex_match", "f2_ts_format",
+    "f3_epoch_seconds", "f4_decimal_negate", "f5_string_ops",
+    "f6_hour_gate", "f7_flag_coerce", "f9_json_access",
+    "j10_intersect_except", "j11_null_safe_join", "j12_exists_semi_join",
+    "j2_union_distinct", "j3_union_all", "j4_broadcast_lookup",
+    "j6_salted_skew_join", "n1_struct_extract", "n3_kv_pivot",
+    "n4_element_first_last", "n6_json_stringify",
 ]
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 _r10_missing = [n for n in _R10_WINDOW if n not in QUERIES]
 assert not _r10_missing, f"r10 window names not registered: {_r10_missing}"
 assert not set(_R10_WINDOW) & set(_WINDOW_PRIORITY), "r10 overlaps r9"
