@@ -236,9 +236,17 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
     return visited
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
     """Global triangle count over a SYMMETRIZED (src, dst) edge list,
     returned as one row (n_nodes, n_edges, n_triangles).
+
+    ``max_degree`` folds the hub cap INTO the orientation's own
+    degree table (identical semantics to cap_degree(edges, d) —
+    one-shot input-degree cap on both endpoints, law-tested equal —
+    but one fewer edge-list aggregation and no semi-join passes,
+    since the orientation join already carries every node's degree).
 
     The node-iterator++ plan (Schank & Wagner 2005; the standard
     MapReduce formulation is Suri & Vassilvitskii WWW'11): orient
@@ -266,11 +274,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         .select(F.col("src").alias("node"), "d")
     )
-    # orient: keep (lo, hi) ordered by (degree, id)
+    # orient: keep (lo, hi) ordered by (degree, id); the cap rides
+    # the same joins as a plain filter on the carried degrees
     e = (
         und.join(deg.withColumnRenamed("node", "src").withColumnRenamed("d", "ds"), on="src")
         .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "dd"), on="dst")
-        .select(
+    )
+    if max_degree is not None:
+        e = e.filter(
+            (F.col("ds") <= max_degree) & (F.col("dd") <= max_degree)
+        )
+    e = (
+        e.select(
             F.when(
                 (F.col("ds") < F.col("dd"))
                 | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
@@ -291,11 +306,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     )
     tri = wedges.join(closing, on=["a", "b"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # n_nodes from the ORIENTED list's endpoints: identical to the
+    # input's distinct sources on an (uncapped) symmetrized graph,
+    # and correct under max_degree (a node whose every edge was
+    # capped away is no longer in the graph)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
     counts = closing.agg(
         F.count(F.lit(1)).alias("n_edges"),
-    ).crossJoin(
-        edges.select(F.col("src").alias("node")).distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
-    )
+    ).crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 

@@ -8150,21 +8150,19 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-(degree,id) so each triangle forms exactly one wedge at its
     minimum pivot, bounding the wedge join at m^1.5 instead of
     sum(deg²) — THE difference between feasible and not on a
-    power-law graph at scale. Hubs above degree 200 are dropped
-    FIRST (cap_degree, the explicit maxdf-style knob — one crawl-hub
-    node at 100× data otherwise dominates even the oriented join);
-    the cap is part of the operator contract and the oracle mirrors
-    it. The oracle counts the same triangles with a plain ordered
-    3-way self-join (a<b<c), a completely different enumeration
-    order that must land on the same count."""
-    from dot_spark.operators.graph import (
-        cap_degree,
-        copurchase_edges,
-        triangle_count,
-    )
+    power-law graph at scale. Hubs above degree 200 are dropped (the
+    explicit maxdf-style knob — one crawl-hub node at 100× data
+    otherwise dominates even the oriented join); the cap FOLDS into
+    the orientation's own degree join (max_degree param — identical
+    semantics to cap_degree∘triangle_count, law-tested, minus one
+    edge aggregation and two semi-join passes) and the oracle
+    mirrors it. The oracle counts the same triangles with a plain
+    ordered 3-way self-join (a<b<c), a completely different
+    enumeration order that must land on the same count."""
+    from dot_spark.operators.graph import copurchase_edges, triangle_count
 
     li = load_table(spark, "lineitem", sf_dir)
-    return triangle_count(cap_degree(copurchase_edges(li), max_degree=200))
+    return triangle_count(copurchase_edges(li), max_degree=200)
 
 
 @query(

@@ -370,3 +370,29 @@ def test_copurchase_max_basket_drops_pathological_keys(spark):
     assert {
         (r.src, r.dst) for r in copurchase_edges(li, max_basket=9).collect()
     } == uncapped
+
+
+def test_folded_degree_cap_equals_composed_cap(spark, sf_dir):
+    """triangle_count(edges, max_degree=d) must equal
+    triangle_count(cap_degree(edges, d)) — the folded cap is a plan
+    optimization (one fewer edge aggregation), never a semantics
+    change. Checked at a BINDING cap on the co-purchase graph and on
+    a hub star."""
+    from dot_spark.operators.graph import cap_degree
+    from dot_spark.sources.registry import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = copurchase_edges(li).localCheckpoint(eager=True)
+    for cap in (5, 50):
+        folded = triangle_count(edges, max_degree=cap).collect()[0]
+        composed = triangle_count(cap_degree(edges, cap)).collect()[0]
+        assert folded == composed, (cap, folded, composed)
+    # hub star: everything incident to the hub drops either way
+    und = [(0, i) for i in range(1, 7)] + [(1, 2), (2, 3), (1, 3)]
+    star = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    f = triangle_count(star, max_degree=4).collect()[0]
+    c = triangle_count(cap_degree(star, 4)).collect()[0]
+    assert f == c
+    assert f.n_triangles == 1  # the 1-2-3 triangle survives the cap

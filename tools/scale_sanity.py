@@ -241,7 +241,7 @@ def main() -> None:
         from dot_spark.operators.graph import cap_degree
 
         grid[("g2_triangle_count", k)] = lambda li=li_k: triangle_count(
-            cap_degree(copurchase_edges(li), max_degree=200)
+            copurchase_edges(li), max_degree=200
         )
         # hub-stress cell: inject ONE pathological basket (a "crawl
         # order" holding 3000 parts — sum(deg²) poison uncapped) on
@@ -256,7 +256,7 @@ def main() -> None:
         )
         li_hub = li_k.unionByName(hub)
         grid[("g2_hub_capped", k)] = lambda li=li_hub: triangle_count(
-            cap_degree(copurchase_edges(li, max_basket=1024), max_degree=200)
+            copurchase_edges(li, max_basket=1024), max_degree=200
         )
 
         # t17 encode core: fixed merge table (training is a separate
