@@ -10408,11 +10408,11 @@ def pl15_incremental_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pl13_incremental_mv a32_linreg_trend a33_skyline
 #   dd16_cdc_chunks pl14_streaming_mv pl15_incremental_zorder
 #   w15_drawdown g5_label_propagation
-# — 58 names, so the r9 window (now ACTIVE in _WINDOW_PRIORITY below)
-# is the first 50 in the order above (r7-era leaders first — they are
-# stalest) and the last 8 session-4 names
-# (pl13/a32/a33/dd16/pl14/pl15/w15/g5) carry to r10's backfill slot
-# (the machine-readable _R10_WINDOW constant at the bottom).
+# — 58 names, so the r9 window (historical _R9_WINDOW below, gated
+# 50/50 green in CORRECTNESS_r09) was the first 50 in the order above
+# (r7-era leaders first — they are stalest) and the last 8 session-4
+# names (pl13/a32/a33/dd16/pl14/pl15/w15/g5) carried to r10's window
+# (the ACTIVE _WINDOW_PRIORITY constant at the bottom).
 _R8_WINDOW = [
     # ROUND-8 WINDOW (historical — CORRECTNESS_r08 is 50/50 green on
     # exactly this list; kept as a constant so the r9 no-overlap
@@ -10440,11 +10440,10 @@ _R8_WINDOW = [
 
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 
-# ROUND-9 WINDOW (active): swapped in at the start of round 9 per the
-# committed rotation plan — these are the 50 stalest never-officially-
-# gated names (r7-era leaders first, then round-8 additions, then the
-# first 3 session-4 names). All 50 passed the r8 judge's full gate.
-_WINDOW_PRIORITY = [
+# ROUND-9 WINDOW (historical — CORRECTNESS_r09 is 50/50 green on
+# exactly this list; kept as a constant so the r10 no-overlap
+# assertion below stays machine-checked).
+_R9_WINDOW = [
     # r7-era leaders (stalest, 27)
     "st5_delayed_retry", "t19_bm25_topterms", "t20_pmi_collocations",
     "w12_ewma_smooth", "j18_snapshot_diff", "t18_novelty_score",
@@ -10468,21 +10467,18 @@ _WINDOW_PRIORITY = [
     # carry to r10)
     "p20_zorder_layout", "s19_zorder_skipping", "j19_bloom_prejoin",
 ]
-assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
-_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
-assert not _missing, f"window names not registered: {_missing}"
-assert not set(_WINDOW_PRIORITY) & set(_R8_WINDOW), "r9 overlaps r8"
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+assert not set(_R9_WINDOW) & set(_R8_WINDOW), "r9 overlaps r8"
 
-# The r10 rotation, MACHINE-READABLE — next round, swap this list
-# into _WINDOW_PRIORITY. Composition (computed at the end of round 9
-# from CORRECTNESS_r01–r08 + the r9 window): the 14 never-officially-
-# gated names first (8 session-4 leftovers + 7 round-9 additions),
-# then the 35 STALEST previously-gated names (newest green row r5–r6)
-# for re-verification — mm3_frame_sampling among them matters most,
-# since round 9 replaced its digest-stub semantics with real decoded
-# pixels and its only official row predates that. Asserted against
-# the registry now so a typo cannot survive to r10.
-_R10_WINDOW = [
+# ROUND-10 WINDOW (active): swapped in at the start of round 10 per
+# the committed rotation plan. Composition (computed at the end of
+# round 9 from CORRECTNESS_r01–r09): the 15 never-officially-gated
+# names first (8 session-4 leftovers + 7 round-9 additions), then the
+# 35 STALEST previously-gated names (newest green row r5–r6) for
+# re-verification — mm3_frame_sampling among them matters most, since
+# round 9 replaced its digest-stub semantics with real decoded pixels
+# and its only official row predates that.
+_WINDOW_PRIORITY = [
     # never officially gated (15)
     "pl13_incremental_mv", "a32_linreg_trend", "a33_skyline",
     "dd16_cdc_chunks", "pl14_streaming_mv", "pl15_incremental_zorder",
@@ -10505,10 +10501,10 @@ _R10_WINDOW = [
     "j6_salted_skew_join", "n1_struct_extract", "n3_kv_pivot",
     "n4_element_first_last", "n6_json_stringify",
 ]
-assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
-_r10_missing = [n for n in _R10_WINDOW if n not in QUERIES]
-assert not _r10_missing, f"r10 window names not registered: {_r10_missing}"
-assert not set(_R10_WINDOW) & set(_WINDOW_PRIORITY), "r10 overlaps r9"
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+assert not _missing, f"window names not registered: {_missing}"
+assert not set(_WINDOW_PRIORITY) & set(_R9_WINDOW), "r10 overlaps r9"
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},
