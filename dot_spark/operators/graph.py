@@ -91,11 +91,31 @@ def cap_degree(edges: DataFrame, max_degree: int) -> DataFrame:
     One-shot semantics (degrees measured once on the input, both
     endpoints must be under the cap; no recursive re-measure) — the
     deterministic contract the law test pins: with max_degree >= the
-    true max degree the output IS the input edge set. Cost: one
-    degree partial-agg plus two semi-joins; the survivor list is
-    |nodes ≤ cap|-sized and AQE broadcasts it when small."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
-    ok = deg.filter(F.col("__d") <= max_degree).select("src")
+    true max degree the output IS the input edge set. Degree per node
+    is ``greatest(out_degree, in_degree)``: on a symmetrized edge
+    list out == in, so this is EXACTLY the out-degree the oracle SQL
+    mirrors; on a directed input it gives every endpoint a degree row
+    — measuring only groupBy(src) would leave dst-only nodes rowless
+    and the dst-side semi-join would silently drop every edge into
+    them regardless of their actual degree (label_propagation
+    explicitly supports directed inputs). Cost: two |V|-sized partial
+    aggs + one node-table outer join plus two semi-joins; the
+    survivor list is |nodes ≤ cap|-sized and AQE broadcasts it when
+    small."""
+    out_d = edges.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("__out")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("n")).agg(
+        F.count(F.lit(1)).alias("__in")
+    )
+    deg = out_d.join(in_d, "n", "full_outer").select(
+        "n",
+        F.greatest(
+            F.coalesce(F.col("__out"), F.lit(0)),
+            F.coalesce(F.col("__in"), F.lit(0)),
+        ).alias("__d"),
+    )
+    ok = deg.filter(F.col("__d") <= max_degree).select(F.col("n").alias("src"))
     return edges.join(ok, "src", "left_semi").join(
         ok.withColumnRenamed("src", "dst"), "dst", "left_semi"
     ).select("src", "dst")

@@ -7576,9 +7576,14 @@ def t23_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode is scanned ONCE and pays ONE exchange (a groupBy+join
     # formulation would replay the explode for the count side)
     c12 = F.count(F.lit(1)).over(W.partitionBy("pair"))
+    # vocabulary is corpus-unbounded, so the broadcast hint is GATED
+    # on the |V| scalar we already collected: small vocab → broadcast
+    # (skips the unigram shuffle), huge vocab → no hint, AQE picks
+    # the strategy (an unconditional hint risks driver OOM at scale)
+    uc_join = F.broadcast(uc) if v <= 1_000_000 else uc
     scored = (
         pairs.withColumn("c12", c12)
-        .join(F.broadcast(uc), pairs["w1"] == uc["term"])
+        .join(uc_join, pairs["w1"] == uc["term"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

@@ -217,6 +217,25 @@ class TxTable:
             out.extend(
                 os.path.join(root, n) for n in names if n.endswith(".parquet")
             )
+        if split_col is not None:
+            # LOUD guard on the one-file-per-chunk layout contract:
+            # repartition(split_col) + partitionBy happens to place
+            # each value in one shuffle partition today, but a future
+            # write-path change (maxRecordsPerFile, AQE skew-split of
+            # the repartition) would silently emit multiple files per
+            # chunk and surface only as a downstream oracle hash
+            # mismatch (s20's n_files_total parity). Cheap: the hive
+            # dir component IS the split value, no extra scan.
+            by_val: dict[str, int] = {}
+            for p in out:
+                val = os.path.basename(os.path.dirname(p))
+                by_val[val] = by_val.get(val, 0) + 1
+            multi = {v: n for v, n in by_val.items() if n > 1}
+            assert not multi, (
+                f"_stage(split_col={split_col!r}) layout drift: "
+                f"{len(multi)} split value(s) produced >1 file: "
+                f"{sorted(multi.items())[:5]}"
+            )
         return sorted(out)
 
     def _file_stats(
@@ -491,22 +510,38 @@ def committed_ids_scanner(table: TxTable, key: str = "batch_id"):
     recovered from the table's ``_committed_ids.json`` sidecar (the
     fold-forward vacuum writes), and a manifest unlinked between
     ``versions()`` and the read (concurrent vacuum) is skipped, not
-    fatal — its id is either already scanned or in the sidecar."""
+    fatal. The sidecar is re-read AFTER the version loop whenever a
+    manifest vanished mid-scan: reading it only up front is a TOCTOU
+    — a vacuum racing this call can fold an id into the sidecar and
+    unlink its manifest between our (stale) sidecar snapshot and the
+    manifest open, leaving the id invisible to this call and letting
+    an exactly-once sink double-append a replayed batch. The vacuum
+    writes the sidecar (atomic rename) BEFORE unlinking manifests, so
+    by the time a manifest read raises FileNotFoundError its id is
+    guaranteed to be in the current sidecar — the post-loop merge
+    closes the window."""
     seen_ids: set = set()
     scanned_to = [0]
 
     def committed() -> set:
         seen_ids.update(table.retired_ids().get(key, ()))
+        vacuumed_under_us = False
         for v in table.versions():
             if v <= scanned_to[0]:
                 continue
             try:
                 b = table.manifest(v).get(key)
             except FileNotFoundError:
-                b = None  # vacuumed under us; sidecar carries its id
+                b = None  # vacuumed under us; fresh sidecar has it
+                vacuumed_under_us = True
             if b is not None:
                 seen_ids.add(b)
             scanned_to[0] = v
+        if vacuumed_under_us:
+            # a concurrent vacuum folded ids after our sidecar
+            # snapshot — merge the current sidecar so those ids are
+            # visible within THIS call, not just the next one
+            seen_ids.update(table.retired_ids().get(key, ()))
         return seen_ids
 
     return committed

@@ -351,6 +351,28 @@ def test_cap_degree_removes_hub_and_its_edges(spark):
     # one-shot semantics drop the edge, not re-evaluate the survivors
 
 
+def test_cap_degree_directed_keeps_dst_only_nodes(spark):
+    """On a DIRECTED (non-symmetrized) edge list a node appearing
+    only as dst must still get a degree row — measuring degree via
+    groupBy(src) alone leaves it rowless and the dst-side semi-join
+    silently drops every edge into it. Degree is
+    greatest(out, in): the chain 1->2->3 plus a fan into 4 keeps all
+    low-degree edges, and only the true in-hub's edges drop."""
+    from dot_spark.operators.graph import cap_degree
+
+    # 1->2->3 chain; nodes 5..9 all point at hub 4 (in-degree 5)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)] + [(i, 4) for i in range(5, 10)],
+        "src long, dst long",
+    )
+    got = {(r.src, r.dst) for r in cap_degree(edges, max_degree=3).collect()}
+    # dst-only nodes 2 and 3 (deg 1) keep their edges; hub 4 (in 5) drops
+    assert got == {(1, 2), (2, 3)}
+    # with the cap above the hub's in-degree the op is the identity
+    all_edges = {(r.src, r.dst) for r in cap_degree(edges, max_degree=5).collect()}
+    assert all_edges == {(1, 2), (2, 3)} | {(i, 4) for i in range(5, 10)}
+
+
 def test_copurchase_max_basket_drops_pathological_keys(spark):
     """max_basket is dd4b's stop-shingle rule for baskets: a key with
     more distinct items than the cap contributes NO edges; smaller
