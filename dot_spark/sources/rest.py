@@ -29,7 +29,8 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Iterator, Sequence
+import time
+from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -41,6 +42,96 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 from pyspark.sql.types import StructType
+
+
+# --- live-transport hardening ------------------------------------------
+#
+# The reference's HTTP fetch (okta-sync/okta_sync_utils.py:72-193)
+# survives four failure classes, each with its own cadence: 429 rate
+# limits back off exponentially (1 s doubling, retried until the
+# server relents — rate limiting is the server pacing the client, not
+# a fault, so it does NOT consume the bounded retry budget); invalid
+# JSON bodies, non-429 HTTP errors, timeouts and connection errors
+# each burn one of max_retries+1 bounded attempts with a
+# class-specific delay. Re-expressed here as a pure wrapper over an
+# injectable transport so the policy is unit-testable without a
+# network (the sandbox has none) and swappable for requests/urllib in
+# a live deployment. The sleeper is injected for the same reason.
+
+
+class RateLimited(Exception):
+    """Transport signal: the server said 'slow down' (HTTP 429)."""
+
+
+class TransientFetchError(Exception):
+    """Transport signal: a retryable fault (5xx, timeout, connection
+    reset). ``delay`` is the class-specific pause the reference uses
+    (180 s for HTTP errors, 60 s for timeouts/connection faults,
+    300 s general)."""
+
+    def __init__(self, msg: str = "", delay: float = 60.0):
+        super().__init__(msg)
+        self.delay = delay
+
+
+class FetchFailed(Exception):
+    """Raised when the bounded retry budget is exhausted — the
+    engine-appropriate form of the reference returning None (a Spark
+    task must fail loudly so the scheduler retries/aborts the stage,
+    not silently yield an empty page)."""
+
+
+def fetch_with_retry(
+    transport: Callable[[str], str | dict],
+    url: str,
+    max_retries: int = 5,
+    backoff_initial: float = 1.0,
+    invalid_json_delay: float = 300.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict:
+    """Fetch one page document through ``transport`` with the
+    reference's retry contract. ``transport`` returns the raw body
+    (str, parsed here so invalid JSON is retryable) or an
+    already-parsed dict; it raises RateLimited / TransientFetchError
+    to signal the two retryable fault classes. Any other exception
+    propagates — non-retryable faults (4xx other than 429) should
+    fail the task immediately."""
+    retries = 0
+    delay = backoff_initial
+    while retries <= max_retries:
+        try:
+            raw = transport(url)
+        except RateLimited:
+            # server pacing, not a fault: exponential doubling, no
+            # budget consumed (reference: inner `while True` loop)
+            sleep(delay)
+            delay *= 2
+            continue
+        except TransientFetchError as e:
+            retries += 1
+            if retries > max_retries:
+                break
+            sleep(e.delay)
+            continue
+        if isinstance(raw, dict):
+            return raw
+        try:
+            return json.loads(raw)
+        except ValueError:
+            # a 200 with a garbage body: bounded retry, long pause
+            retries += 1
+            if retries > max_retries:
+                break
+            sleep(invalid_json_delay)
+    raise FetchFailed(f"fetch failed after {max_retries + 1} attempts: {url}")
+
+
+def _file_transport(path: str) -> str:
+    """Default transport: the fixture tree (the sandbox has no
+    network). Returns the raw body so the JSON-validity retry path is
+    exercised identically to a live HTTP transport."""
+    with open(path, encoding="utf-8") as fh:
+        return fh.read()
 
 
 class PagedJsonDataSource(DataSource):
@@ -129,12 +220,16 @@ class PagedJsonReader(DataSourceReader):
                 return False
         return True
 
-    @staticmethod
-    def _fetch_page(path: str) -> dict:
-        # transport seam: a live deployment swaps this for an HTTP GET
-        # with retry/backoff (okta_sync_utils.py:72-193 semantics)
-        with open(path, encoding="utf-8") as fh:
-            return json.load(fh)
+    # transport seam: a live deployment swaps _file_transport for an
+    # HTTP GET raising RateLimited/TransientFetchError; the retry/
+    # backoff policy (okta_sync_utils.py:72-193 semantics) lives in
+    # fetch_with_retry and is identical for both. Class attribute so
+    # tests (and subclasses) inject a failing transport; must stay a
+    # picklable module-level callable — the reader ships to executors.
+    transport = staticmethod(_file_transport)
+
+    def _fetch_page(self, path: str) -> dict:
+        return fetch_with_retry(self.transport, path)
 
 
 def register_paged_json(spark) -> None:

@@ -103,3 +103,111 @@ def test_missing_fields_become_nulls(spark, tmp_path):
     row = (spark.read.format("paged_json").option("path", str(tmp_path))
            .option("schema", SCHEMA).load()).collect()[0]
     assert row.id == 1 and row.status is None and row.modified is None
+
+
+# --- live-transport retry policy (okta_sync_utils.py:72-193 parity) ----
+#
+# The policy is a pure function over an injectable transport+sleeper,
+# so every failure class is testable without a network: 429 backs off
+# exponentially from 1 s WITHOUT consuming the bounded budget; invalid
+# JSON and transient faults burn one of max_retries+1 attempts each
+# with their class delay; exhaustion raises (a Spark task must fail
+# loudly, not yield an empty page).
+
+from dot_spark.sources.rest import (  # noqa: E402
+    FetchFailed,
+    PagedJsonReader,
+    RateLimited,
+    TransientFetchError,
+    fetch_with_retry,
+)
+
+
+class _ScriptedTransport:
+    """Raises/returns each scripted step in order; records calls."""
+
+    def __init__(self, steps):
+        self.steps = list(steps)
+        self.calls = 0
+
+    def __call__(self, url):
+        self.calls += 1
+        step = self.steps.pop(0)
+        if isinstance(step, Exception):
+            raise step
+        return step
+
+
+def test_retry_rate_limit_backs_off_doubling_without_burning_budget():
+    sleeps = []
+    # 7 consecutive 429s (> max_retries) then success: rate limiting
+    # must NOT exhaust the bounded budget
+    t = _ScriptedTransport([RateLimited()] * 7 + ['{"records": [], "next": null}'])
+    doc = fetch_with_retry(t, "u", max_retries=5, sleep=sleeps.append)
+    assert doc == {"records": [], "next": None}
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0]  # 1s doubling
+    assert t.calls == 8
+
+
+def test_retry_invalid_json_bounded_then_raises():
+    sleeps = []
+    t = _ScriptedTransport(["not json"] * 6)
+    with pytest.raises(FetchFailed):
+        fetch_with_retry(t, "u", max_retries=5, sleep=sleeps.append)
+    assert t.calls == 6  # max_retries + 1 attempts
+    assert sleeps == [300.0] * 5  # the reference's 5-minute pause
+
+
+def test_retry_transient_fault_uses_class_delay_then_recovers():
+    sleeps = []
+    t = _ScriptedTransport(
+        [
+            TransientFetchError("timeout", delay=60.0),
+            TransientFetchError("http 503", delay=180.0),
+            {"records": [{"id": 1}], "next": None},
+        ]
+    )
+    doc = fetch_with_retry(t, "u", max_retries=5, sleep=sleeps.append)
+    assert doc["records"] == [{"id": 1}]
+    assert sleeps == [60.0, 180.0]
+
+
+def test_retry_transient_exhaustion_raises_not_none():
+    t = _ScriptedTransport([TransientFetchError(delay=1.0)] * 6)
+    with pytest.raises(FetchFailed):
+        fetch_with_retry(t, "u", max_retries=5, sleep=lambda _: None)
+    assert t.calls == 6
+
+
+def test_retry_non_retryable_error_propagates_immediately():
+    t = _ScriptedTransport([PermissionError("401")])
+    with pytest.raises(PermissionError):
+        fetch_with_retry(t, "u", max_retries=5, sleep=lambda _: None)
+    assert t.calls == 1
+
+
+def test_reader_fetch_page_goes_through_retry_policy(spark, tmp_path, monkeypatch):
+    """The reader's page walk survives a transient fault mid-chain:
+    the policy wraps the transport INSIDE read(), not just at the
+    chain head."""
+    from pyspark.sql.types import StructType
+
+    _write_chain(tmp_path / "g1", [{"id": 1}, {"id": 2}, {"id": 3}], page_size=2)
+    schema = StructType.fromDDL("id BIGINT, status STRING, modified BIGINT, group_id STRING")
+    reader = PagedJsonReader(schema, {"path": str(tmp_path), "keys": "g1"})
+
+    fails = {"n": 2}
+
+    def flaky(path):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise TransientFetchError("reset", delay=0.0)
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+
+    monkeypatch.setattr(PagedJsonReader, "transport", staticmethod(flaky))
+    monkeypatch.setattr("dot_spark.sources.rest.time", type("T", (), {"sleep": staticmethod(lambda _: None)}))
+    part = reader.partitions()[0]
+    rows = list(reader.read(part))
+    assert [r[0] for r in rows] == [1, 2, 3]
+    assert fails["n"] == 0
