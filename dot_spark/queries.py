@@ -1281,6 +1281,622 @@ def n6_json_stringify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.6b Full-width WooCommerce flattening (N12-N15) — the complete
+# reference row builders gated end-to-end: nested documents are
+# synthesized DETERMINISTICALLY from the TPC-H tables (every leaf a
+# pure expression of the source columns), flattened by the
+# woo_flatten operators, and the oracle reproduces the FLAT output
+# directly from the same tables (it never needs the nested form).
+# Decimal outputs are cast to double and dates to string in the gate
+# projection on BOTH sides (the f4 discipline — engine-portable
+# canonicalization).
+# ---------------------------------------------------------------------------
+
+_WOO_ADDR_FIELDS = [
+    "address_1", "address_2", "city", "company", "country", "email",
+    "first_name", "last_name", "phone", "postcode", "state",
+]
+_WOO_SYNC_TS = "2026-03-01 00:00:00"
+_WOO_LOAD_TS = 1767225600
+
+
+def _woo_gate(df, table: str):
+    """Gate projection: the operator's declared schema made
+    hash-comparable (decimal -> double, date -> string; the column
+    SET is the full declared width)."""
+    from dot_spark import schemas as _schemas
+
+    cols = []
+    for n, t in _schemas.columns_of(table).items():
+        c = F.col(n)
+        if t.startswith("decimal"):
+            c = c.cast("double")
+        elif t == "date":
+            c = c.cast("string")
+        cols.append(c.alias(n))
+    return df.select(cols)
+
+
+def _woo_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> one nested order document per row, every leaf a pure
+    expression of (o_orderkey, o_custkey, o_totalprice, o_orderdate,
+    o_orderstatus, o_orderpriority) so the oracle can reproduce the
+    flattened value without the nested form."""
+    o = load_table(spark, "orders", sf_dir)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    ks = k.cast("string")
+
+    def money(n: int):
+        return (F.col("o_totalprice") + F.lit(float(n))).cast("decimal(18,2)").cast("string")
+
+    def tag(p: str):
+        return F.concat(F.lit(p + "_"), (c % 97).cast("string"))
+
+    def addr(p: str):
+        return F.struct(*[tag(f"{p}_{f}").alias(f) for f in _WOO_ADDR_FIELDS])
+
+    def dstr(days: int):
+        return F.date_format(
+            F.col("o_orderdate") + F.expr(f"INTERVAL {days} DAY"),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+
+    d1 = F.struct(
+        money(1).alias("amount"), F.lit("D1").alias("code"),
+        F.lit("percent").alias("type"),
+        F.concat(F.lit("d1-"), ks).alias("description"),
+    )
+    d2 = F.struct(
+        money(2).alias("amount"), F.lit("D2").alias("code"),
+        F.lit("fixed").alias("type"),
+        F.concat(F.lit("d2-"), ks).alias("description"),
+    )
+    discounts = (
+        F.when(k % 3 == 1, F.array(d1))
+        .when(k % 3 == 2, F.array(d1, d2))
+        .otherwise(F.slice(F.array(d1), 1, 0))  # typed empty array
+    )
+    meta = F.array(
+        F.struct(
+            F.when(k % 5 == 0, "event_code").otherwise("x_ec").alias("key"),
+            F.concat(F.lit("EC-"), ks).alias("value"),
+        ),
+        F.struct(
+            F.when(k % 2 == 0, "cru_order_origin").otherwise("x_oo").alias("key"),
+            F.lit("PHONE").alias("value"),
+        ),
+    )
+    cru = F.struct(
+        F.struct(tag("ae").alias("email"), tag("an").alias("name")).alias("agent"),
+        F.struct(
+            tag("obe").alias("email"), tag("obn").alias("name"),
+            tag("obp").alias("phone"),
+        ).alias("ordered_by"),
+        F.struct(
+            tag("note").alias("custom_note"),
+            F.when(k % 11 == 0, "0000-00-00 00:00:00").otherwise(dstr(2)).alias("date_shipped"),
+            F.lit("GROUND").alias("shipped_method"),
+            tag("mid").alias("method_id"),
+            tag("mt").alias("method_title"),
+        ).alias("shipping"),
+        tag("role").alias("customer_role"),
+        F.concat(F.lit("PO-"), ks).alias("po_number"),
+        F.struct(tag("rs").alias("id"), tag("rsd").alias("description")).alias("radio_station"),
+        tag("sfa").alias("salesforce_account"),
+        discounts.alias("discounts"),
+    )
+    return o.select(
+        k.alias("id"),
+        F.concat(F.lit("wc_"), ks).alias("order_key"),
+        dstr(0).alias("date_created"),
+        F.col("o_orderstatus").alias("status"),
+        addr("b").alias("billing"),
+        addr("s").alias("shipping"),
+        cru.alias("cru_data"),
+        meta.alias("meta_data"),
+        F.concat(F.lit("h-"), ks).alias("cart_hash"),
+        money(3).alias("cart_tax"),
+        F.lit("checkout").alias("created_via"),
+        F.lit("USD").alias("currency"),
+        c.alias("customer_id"),
+        tag("ip").alias("customer_ip_address"),
+        tag("cn").alias("customer_note"),
+        tag("ua").alias("customer_user_agent"),
+        dstr(1).alias("date_completed"),
+        dstr(0).alias("date_modified"),
+        dstr(1).alias("date_paid"),
+        money(4).alias("discount_tax"),
+        money(5).alias("discount_total"),
+        F.col("o_orderpriority").alias("order_type"),
+        (k % 7).alias("parent_id"),
+        F.lit("cc").alias("payment_method"),
+        F.lit("Card").alias("payment_method_title"),
+        (k % 2 == 0).alias("prices_include_tax"),
+        F.concat(F.lit("SF-"), ks).alias("salesforce_id"),
+        money(6).alias("shipping_tax"),
+        money(7).alias("shipping_total"),
+        money(0).alias("total"),
+        money(8).alias("total_tax"),
+        F.concat(F.lit("tx-"), ks).alias("transaction_id"),
+        F.lit("7.0").alias("version"),
+    )
+
+
+def _n12_oracle_sql() -> str:
+    """The flat order row computed directly from `orders` — every
+    expression mirrors one leaf of _woo_nested_orders composed with
+    the flatten_orders semantics."""
+    mon = lambda n: f"CAST(CAST(o_totalprice + {n} AS DECIMAL(18,2)) AS DOUBLE)"
+    tag = lambda p: f"'{p}_' || CAST(o_custkey % 97 AS VARCHAR)"
+    d = "date_trunc('second', o_orderdate)"
+    # billing keeps all 11 paths; the flat shipping block has no
+    # email/phone (woo-sync/main.py:655-668)
+    addr_cols = ",\n      ".join(
+        f"{tag(p + '_' + f)} AS {out}_{f}"
+        for p, out, fields in (
+            ("b", "billing", _WOO_ADDR_FIELDS),
+            ("s", "shipping", [f for f in _WOO_ADDR_FIELDS if f not in ("email", "phone")]),
+        )
+        for f in fields
+    )
+    return f"""
+    SELECT
+      3 AS store_wid, 'cru_woo' AS rls_value,
+      o_orderkey AS order_number,
+      TIMESTAMP '{_WOO_SYNC_TS}' AS sync_timestamp,
+      {tag('ae')} AS agent_email, {tag('an')} AS agent_name,
+      {addr_cols},
+      'h-' || CAST(o_orderkey AS VARCHAR) AS cart_hash,
+      {mon(3)} AS cart_tax,
+      'checkout' AS created_via, 'USD' AS currency,
+      {tag('note')} AS custom_shipping_note,
+      o_custkey AS customer_id,
+      {tag('ip')} AS customer_ip_address,
+      {tag('cn')} AS customer_note,
+      {tag('role')} AS customer_role,
+      {tag('ua')} AS customer_user_agent,
+      {d} + INTERVAL 1 DAY AS date_completed,
+      {d} AS date_created,
+      {d} AS date_modified,
+      {d} + INTERVAL 1 DAY AS date_paid,
+      CASE WHEN o_orderkey % 11 = 0 THEN NULL
+           ELSE {d} + INTERVAL 2 DAY END AS date_shipped,
+      CASE o_orderkey % 3 WHEN 0 THEN 0.0
+           WHEN 1 THEN {mon(1)} ELSE {mon(2)} END AS discount_amount,
+      CASE o_orderkey % 3 WHEN 1 THEN 'D1' WHEN 2 THEN 'D2' END AS discount_codes,
+      CASE o_orderkey % 3 WHEN 1 THEN 'percent' WHEN 2 THEN 'fixed' END AS discount_type,
+      CASE o_orderkey % 3
+           WHEN 1 THEN 'd1-' || CAST(o_orderkey AS VARCHAR)
+           WHEN 2 THEN 'd2-' || CAST(o_orderkey AS VARCHAR) END AS discount_description,
+      {mon(4)} AS discount_tax, {mon(5)} AS discount_total,
+      CASE WHEN o_orderkey % 5 = 0
+           THEN 'EC-' || CAST(o_orderkey AS VARCHAR) ELSE '' END AS event_code,
+      'wc_' || CAST(o_orderkey AS VARCHAR) AS order_key,
+      CASE WHEN o_orderkey % 2 = 0 THEN 'PHONE' ELSE 'WEB' END AS order_origin,
+      o_orderpriority AS order_type,
+      {tag('obe')} AS ordered_by_email,
+      {tag('obn')} AS ordered_by_name,
+      {tag('obp')} AS ordered_by_phone,
+      o_orderkey % 7 AS parent_id,
+      'cc' AS payment_method, 'Card' AS payment_method_title,
+      'PO-' || CAST(o_orderkey AS VARCHAR) AS po_number,
+      (o_orderkey % 2 = 0) AS prices_include_tax,
+      {tag('rs')} AS radio_station,
+      {tag('rsd')} AS radio_station_description,
+      {tag('sfa')} AS salesforce_account,
+      'SF-' || CAST(o_orderkey AS VARCHAR) AS salesforce_id,
+      'GROUND' AS shipped_method,
+      {tag('mid')} AS shipping_method_id,
+      {tag('mt')} AS shipping_method_title,
+      {mon(6)} AS shipping_tax, {mon(7)} AS shipping_total,
+      o_orderstatus AS status,
+      {_WOO_LOAD_TS} AS timestamp,
+      {mon(0)} AS total, {mon(8)} AS total_tax,
+      'tx-' || CAST(o_orderkey AS VARCHAR) AS transaction_id,
+      '7.0' AS version
+    FROM orders
+    """
+
+
+@query("n12_woo_flat_orders", _n12_oracle_sql())
+def n12_woo_flat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-WIDTH order flattening end-to-end (every scalar path of
+    woo-sync/main.py:570-677): synthesize nested order documents from
+    `orders`, run flatten_orders, emit all 74 declared columns."""
+    from dot_spark.operators.woo_flatten import flatten_orders
+
+    raw = _woo_nested_orders(spark, sf_dir)
+    flat = flatten_orders(
+        raw,
+        store_wid=3,
+        rls_value="cru_woo",
+        sync_timestamp=F.lit(_WOO_SYNC_TS).cast("timestamp"),
+        load_ts=_WOO_LOAD_TS,
+    )
+    return _woo_gate(flat, "woo_api_orders")
+
+
+def _woo_nested_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> nested order documents with a line_items array in
+    (l_linenumber, l_partkey, l_suppkey) document order (the same
+    total order n5 uses; packed into the item id so array_sort orders
+    by it). Leaf values chosen to exercise every item semantics:
+    '' sentinels, both sticky carries, component blanks, meta cost."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ln, pk, sk = F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")
+    iid = ln.cast("bigint") * F.lit(1_000_000_000_000) + pk * F.lit(1_000_000) + sk
+    standalone = ln % 3 == 0
+    comp_blank = pk % 4 == 0
+
+    def mod_str(col, m):
+        return (col % m).cast("string")
+
+    item = F.struct(
+        iid.alias("id"),
+        F.concat(F.lit("SKU-"), pk.cast("string")).alias("sku"),
+        F.when(standalone, "").otherwise(sk.cast("string")).alias("bundled_by"),
+        F.concat(F.lit("item-"), pk.cast("string")).alias("name"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("quantity"),
+        F.col("l_tax").cast("decimal(18,2)").cast("string").alias("total_tax"),
+        F.when(ln % 5 == 0, "").otherwise(
+            F.col("l_quantity").cast("decimal(18,2)").cast("string")
+        ).alias("weight"),
+        pk.alias("product_id"),
+        F.concat(F.lit("BR-"), mod_str(pk, 13)).alias("brand"),
+        F.when(pk % 6 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("DP-"), mod_str(pk, 5))
+        ).alias("dept"),
+        F.concat(F.lit("IM-"), mod_str(pk, 3)).alias("impact"),
+        F.when(sk % 4 == 0, "PJ").alias("project"),
+        F.concat(F.lit("SB-"), mod_str(sk, 7)).alias("sub_brand"),
+        F.when(pk % 9 == 0, "1").otherwise("0").alias("product_inactive"),
+        F.when(sk % 2 == 0, "").otherwise(mod_str(sk, 10)).alias("per_case"),
+        mod_str(pk, 4).alias("total_manuals"),
+        F.concat(F.lit("NR-"), mod_str(pk, 3)).alias("next_receipt_date"),
+        F.struct(
+            F.struct(
+                F.when(comp_blank, "").otherwise(
+                    F.concat(mod_str(pk, 100), F.lit(".25"))
+                ).alias("cost"),
+                F.when(sk % 5 == 0, F.lit(None).cast("bigint")).otherwise(sk % 50).alias("id"),
+                F.when(comp_blank, "").otherwise(
+                    F.concat(mod_str(pk, 90), F.lit(".99"))
+                ).alias("msrp"),
+                F.when(comp_blank, "").otherwise(
+                    F.concat(mod_str(pk, 80), F.lit(".88"))
+                ).alias("regular_price"),
+                F.concat(F.lit("CSKU-"), mod_str(pk, 40)).alias("sku"),
+            ).alias("component"),
+            F.when(pk % 2 == 0, "0.50").otherwise("0.00").alias("discount"),
+            F.when(pk % 5 == 0, "1")
+            .when(pk % 5 == 1, "0")
+            .when(pk % 5 == 2, "false")
+            .alias("donor_premium"),
+            F.when(pk % 10 == 0, "1").otherwise("").alias("exclude_discounting"),
+            F.lit("0").alias("free_shipping"),
+            F.lit("").alias("gift_card"),
+            F.concat(mod_str(pk, 70), F.lit(".77")).alias("msrp"),
+            F.when(pk % 3 == 0, "").otherwise(
+                F.concat(mod_str(pk, 60), F.lit(".66"))
+            ).alias("regular_price"),
+            F.when(sk % 3 == 0, "1").otherwise("").alias("royalty"),
+        ).alias("cru_data"),
+        F.array(
+            F.struct(
+                F.when(pk % 3 == 0, "_alg_wc_cog_item_cost").otherwise("x_cost").alias("key"),
+                F.concat(mod_str(sk, 30), F.lit(".25")).alias("value"),
+            )
+        ).alias("meta_data"),
+    )
+    ok = F.col("l_orderkey")
+    return (
+        li.groupBy(ok.alias("id"))
+        .agg(
+            F.array_sort(F.collect_list(item)).alias("line_items"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("date_created"),
+        )
+        .select(
+            "id",
+            F.concat(F.lit("wc_"), F.col("id").cast("string")).alias("order_key"),
+            "date_created",
+            "line_items",
+        )
+    )
+
+
+def _n13_oracle_sql() -> str:
+    """The flat item rows computed directly from `lineitem`: the two
+    sticky carries are IGNORE NULLS window functions over the same
+    (iid) document order the nested synthesis packs."""
+    win = ("OVER (PARTITION BY l_orderkey ORDER BY iid "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    dec = lambda e: f"CAST(CAST({e} AS DECIMAL(38,9)) AS DOUBLE)"
+    return f"""
+    WITH it AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_quantity, l_extendedprice, l_tax,
+             CAST(l_linenumber AS BIGINT) * 1000000000000
+               + l_partkey * 1000000 + l_suppkey AS iid,
+             MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS oc
+      FROM lineitem),
+    w AS (
+      SELECT *,
+        COALESCE(LAST_VALUE(CASE WHEN l_linenumber % 3 = 0
+                   THEN 'SKU-' || CAST(l_partkey AS VARCHAR) END IGNORE NULLS)
+                 {win}, '') AS sku_carry,
+        COALESCE(FIRST_VALUE(CASE WHEN l_partkey % 5 = 0 THEN '1'
+                                  WHEN l_partkey % 5 = 1 THEN '0' END IGNORE NULLS)
+                 {win}, 'false') AS dp_frozen
+      FROM it)
+    SELECT
+      1 AS store_wid, 'cru_woo' AS rls_value,
+      iid AS order_item_id,
+      TIMESTAMP '{_WOO_SYNC_TS}' AS sync_timestamp,
+      date_trunc('second', oc) AS date_created,
+      'wc_' || CAST(l_orderkey AS VARCHAR) AS order_key,
+      l_orderkey AS order_number,
+      'BR-' || CAST(l_partkey % 13 AS VARCHAR) AS product_brand,
+      CASE WHEN l_partkey % 4 = 0 THEN NULL
+           ELSE {dec("CAST(l_partkey % 100 AS VARCHAR) || '.25'")} END AS product_component_cost,
+      CASE WHEN l_suppkey % 5 = 0 THEN 0 ELSE l_suppkey % 50 END AS product_component_id,
+      CASE WHEN l_partkey % 4 = 0 THEN NULL
+           ELSE {dec("CAST(l_partkey % 90 AS VARCHAR) || '.99'")} END AS product_component_msrp,
+      CASE WHEN l_partkey % 4 = 0 THEN NULL
+           ELSE {dec("CAST(l_partkey % 80 AS VARCHAR) || '.88'")} END AS product_component_regular_price,
+      'CSKU-' || CAST(l_partkey % 40 AS VARCHAR) AS product_component_sku,
+      CASE WHEN l_partkey % 3 = 0
+           THEN {dec("CAST(l_suppkey % 30 AS VARCHAR) || '.25'")} ELSE 0.0 END AS product_cost,
+      CASE WHEN l_partkey % 6 = 0 THEN '' ELSE 'DP-' || CAST(l_partkey % 5 AS VARCHAR) END AS product_dept,
+      CASE WHEN l_partkey % 2 = 0 THEN 0.50 ELSE 0.00 END AS product_discount,
+      (dp_frozen = '1') AS product_donor_premium,
+      CASE WHEN l_partkey % 10 = 0 THEN '1' ELSE '' END AS product_exclude_discounting,
+      '0' AS product_free_shipping,
+      '' AS product_gift_card,
+      l_partkey AS product_id,
+      'IM-' || CAST(l_partkey % 3 AS VARCHAR) AS product_impact,
+      CASE WHEN l_partkey % 9 = 0 THEN '1' ELSE '0' END AS product_inactive,
+      {dec("CAST(l_partkey % 70 AS VARCHAR) || '.77'")} AS product_msrp,
+      'item-' || CAST(l_partkey AS VARCHAR) AS product_name,
+      'NR-' || CAST(l_partkey % 3 AS VARCHAR) AS product_next_receipt_date,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS product_price,
+      CASE WHEN l_suppkey % 4 = 0 THEN 'PJ' ELSE '' END AS product_project,
+      CAST(l_quantity AS BIGINT) AS product_quantity,
+      CASE WHEN l_partkey % 3 = 0 THEN NULL
+           ELSE {dec("CAST(l_partkey % 60 AS VARCHAR) || '.66'")} END AS product_regular_price,
+      CASE WHEN l_suppkey % 3 = 0 THEN '1' ELSE '' END AS product_royalty,
+      sku_carry AS product_sku,
+      'SB-' || CAST(l_suppkey % 7 AS VARCHAR) AS product_subbrand,
+      CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS product_tax,
+      CAST(l_partkey % 4 AS VARCHAR) AS product_total_manuals,
+      CASE WHEN l_linenumber % 5 = 0 THEN 0.0
+           ELSE CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) END AS product_weight,
+      CASE WHEN l_suppkey % 2 = 0 THEN 0 ELSE l_suppkey % 10 END AS products_per_case,
+      CASE WHEN l_linenumber % 3 = 0 THEN 0 ELSE l_suppkey END AS bundled_by,
+      {_WOO_LOAD_TS} AS timestamp
+    FROM w
+    """
+
+
+@query("n13_woo_flat_order_items", _n13_oracle_sql())
+def n13_woo_flat_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-WIDTH order-item flattening end-to-end (every scalar path
+    of woo-sync/main.py:679-819 including BOTH sticky carries):
+    synthesize nested documents from `lineitem`, run
+    flatten_order_items, emit all 39 declared columns."""
+    from dot_spark.operators.woo_flatten import flatten_order_items
+
+    raw = _woo_nested_order_items(spark, sf_dir)
+    flat = flatten_order_items(
+        raw,
+        sync_timestamp=F.lit(_WOO_SYNC_TS).cast("timestamp"),
+        load_ts=_WOO_LOAD_TS,
+    )
+    return _woo_gate(flat, "woo_api_order_items")
+
+
+def _woo_nested_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part -> one nested product document per row: an 18-key
+    meta_data pivot source with ''-value and absent-key cases, ''
+    price sentinels, and the date_created -> date_modified fallback."""
+    p = load_table(spark, "part", sf_dir)
+    k, sz = F.col("p_partkey"), F.col("p_size")
+    ks = k.cast("string")
+
+    def price(n: int):
+        return (F.col("p_retailprice") + F.lit(float(n))).cast("decimal(18,2)").cast("string")
+
+    def me(key: str, value, present=None):
+        kcol = (
+            F.lit(key)
+            if present is None
+            else F.when(present, key).otherwise("x_" + key)
+        )
+        return F.struct(kcol.alias("key"), value.cast("string").alias("value"))
+
+    # date strings built CHARACTER-IDENTICALLY on both sides: seconds
+    # digit from p_size so values vary without interval arithmetic
+    dmod = F.concat(F.lit("2026-01-15 00:00:0"), (sz % 10).cast("string"))
+    meta = F.array(
+        me("exclude_from_all_discounting", F.when(k % 2 == 0, "1").otherwise("0")),
+        me("free_shipping", F.when(k % 3 == 0, "1").otherwise("0")),
+        me("product_inactive", F.when(k % 9 == 0, "1").otherwise("")),
+        me("gift_card", F.lit("0")),
+        me("donor_premium", F.when(k % 5 == 0, "1").otherwise("0")),
+        me("royalty", F.when(k % 11 == 0, "1").otherwise("0")),
+        me("next_receipt_date", F.concat(F.lit("2026-0"), (1 + sz % 9).cast("string"), F.lit("-01"))),
+        me("_alg_wc_cog_cost", F.when(k % 7 == 0, "").otherwise(F.concat((sz % 40).cast("string"), F.lit(".25")))),
+        me("fl_staff_price_field", F.when(k % 4 == 0, "").otherwise(F.concat((sz % 30).cast("string"), F.lit(".75")))),
+        me("case_qty", F.when(k % 2 == 0, "").otherwise((sz % 20).cast("string"))),
+        me("product_page_count", (sz * 3).cast("string")),
+        me("product_isbn", F.concat(F.lit("isbn-"), ks), present=(k % 5 != 0)),
+        me("product_publisher", F.concat(F.lit("PUB-"), (k % 9).cast("string"))),
+        me("brand", F.concat(F.lit("B-"), (k % 8).cast("string"))),
+        me("impact", F.concat(F.lit("I-"), (k % 4).cast("string"))),
+        me("product_language", F.when(k % 2 == 0, "en").otherwise("fr")),
+        me("sub_brand", F.concat(F.lit("SB-"), (k % 6).cast("string"))),
+        me("total_manuals", F.when(k % 3 == 0, "").otherwise((sz % 5).cast("string"))),
+    )
+    return p.select(
+        k.alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_type").alias("short_description"),
+        F.when(k % 2 == 0, "publish").otherwise("draft").alias("status"),
+        F.when(k % 7 == 0, F.lit(None)).otherwise(dmod).alias("date_created"),
+        dmod.alias("date_modified"),
+        F.when(k % 5 == 0, "").otherwise(price(0)).alias("price"),
+        F.when(k % 3 == 0, "").otherwise(price(1)).alias("regular_price"),
+        F.when(k % 4 == 0, "").otherwise(price(2)).alias("msrp_price"),
+        F.concat(F.lit("P-"), ks).alias("sku"),
+        F.when(k % 6 == 0, "").otherwise(F.concat(sz.cast("string"), F.lit(".5"))).alias("weight"),
+        F.when(k % 2 == 0, "simple").otherwise("bundle").alias("type"),
+        sz.cast("bigint").alias("stock_quantity"),
+        F.when(k % 2 == 0, "1").otherwise("").alias("backorders_allowed"),
+        F.lit("0").alias("downloadable"),
+        F.when(k % 9 == 0, "1").otherwise("").alias("virtual"),
+        meta.alias("meta_data"),
+    )
+
+
+def _n14_oracle_sql() -> str:
+    price = lambda n: f"CAST(CAST(p_retailprice + {n} AS DECIMAL(18,2)) AS DOUBLE)"
+    dmod = "CAST('2026-01-15 00:00:0' || CAST(p_size % 10 AS VARCHAR) AS TIMESTAMP)"
+    dec = lambda e: f"CAST(CAST({e} AS DECIMAL(38,9)) AS DOUBLE)"
+    return f"""
+    SELECT
+      1 AS store_wid, 'cru_woo' AS rls_value,
+      TIMESTAMP '{_WOO_SYNC_TS}' AS sync_timestamp,
+      {dmod} AS date_created,
+      {dmod} AS date_modified,
+      p_partkey AS id, p_name AS name, p_type AS short_description,
+      (p_partkey % 2 = 0) AS backorders_allowed,
+      FALSE AS downloadable,
+      (p_partkey % 9 = 0) AS virtual,
+      (p_partkey % 2 = 0) AS exclude_from_all_discounting,
+      (p_partkey % 3 = 0) AS free_shipping,
+      (p_partkey % 9 = 0) AS product_inactive,
+      FALSE AS gift_card,
+      (p_partkey % 5 = 0) AS donor_premium,
+      (p_partkey % 11 = 0) AS royalty,
+      '2026-0' || CAST(1 + p_size % 9 AS VARCHAR) || '-01' AS next_receipt_date,
+      'B-' || CAST(p_partkey % 8 AS VARCHAR) AS brand,
+      CASE WHEN p_partkey % 5 = 0 THEN '' ELSE 'isbn-' || CAST(p_partkey AS VARCHAR) END AS product_isbn,
+      'PUB-' || CAST(p_partkey % 9 AS VARCHAR) AS product_publisher,
+      'I-' || CAST(p_partkey % 4 AS VARCHAR) AS impact,
+      CASE WHEN p_partkey % 2 = 0 THEN 'en' ELSE 'fr' END AS product_language,
+      'SB-' || CAST(p_partkey % 6 AS VARCHAR) AS sub_brand,
+      CASE WHEN p_partkey % 2 = 0 THEN 'Publish' ELSE 'Draft' END AS status,
+      CASE WHEN p_partkey % 7 = 0 THEN 0.0
+           ELSE {dec("CAST(p_size % 40 AS VARCHAR) || '.25'")} END AS alg_wc_cog_cost,
+      CASE WHEN p_partkey % 4 = 0 THEN 0.0
+           ELSE {dec("CAST(p_size % 30 AS VARCHAR) || '.75'")} END AS fl_staff_price_field,
+      CASE WHEN p_partkey % 4 = 0 THEN 0.0 ELSE {price(2)} END AS msrp_price,
+      CASE WHEN p_partkey % 5 = 0 THEN 0.0 ELSE {price(0)} END AS price,
+      CASE WHEN p_partkey % 3 = 0 THEN 0.0 ELSE {price(1)} END AS regular_price,
+      'P-' || CAST(p_partkey AS VARCHAR) AS sku,
+      CASE WHEN p_partkey % 6 = 0 THEN 0.0
+           ELSE {dec("CAST(p_size AS VARCHAR) || '.5'")} END AS weight,
+      CASE WHEN p_partkey % 2 = 0 THEN 'simple' ELSE 'bundle' END AS type,
+      CAST(p_size AS BIGINT) AS stock_quantity,
+      CASE WHEN p_partkey % 2 = 0 THEN 0 ELSE p_size % 20 END AS case_qty,
+      CAST(p_size AS BIGINT) * 3 AS product_page_count,
+      CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE p_size % 5 END AS total_manuals,
+      {_WOO_LOAD_TS} AS timestamp
+    FROM part
+    """
+
+
+@query("n14_woo_flat_products", _n14_oracle_sql())
+def n14_woo_flat_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-WIDTH product flattening end-to-end (the 18-key meta
+    pivot of woo-sync/main.py:821-974): synthesize nested product
+    documents from `part`, run flatten_products, emit all 38 declared
+    columns."""
+    from dot_spark.operators.woo_flatten import flatten_products
+
+    raw = _woo_nested_products(spark, sf_dir)
+    flat = flatten_products(
+        raw,
+        sync_timestamp=F.lit(_WOO_SYNC_TS).cast("timestamp"),
+        load_ts=_WOO_LOAD_TS,
+    )
+    return _woo_gate(flat, "woo_api_products")
+
+
+def _woo_nested_refunds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (every 10th) -> one nested refund document per row:
+    positive amounts (the sign flip must be observable), 0/1/2
+    shipping_lines (last wins)."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 10 == 0)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+
+    def money(n: int):
+        return (F.col("o_totalprice") + F.lit(float(n))).cast("decimal(18,2)").cast("string")
+
+    s1 = F.struct(money(3).alias("total"), money(4).alias("total_tax"))
+    s2 = F.struct(money(5).alias("total"), money(6).alias("total_tax"))
+    ship = (
+        F.when(k % 3 == 1, F.array(s1))
+        .when(k % 3 == 2, F.array(s1, s2))
+        .otherwise(F.slice(F.array(s1), 1, 0))
+    )
+    return o.select(
+        k.alias("id"),
+        c.alias("parent_id"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("date_created"),
+        money(0).alias("amount"),
+        F.struct(
+            F.concat(F.lit("ra-"), (c % 97).cast("string")).alias("agent_email"),
+            F.concat(F.lit("RA-"), (c % 97).cast("string")).alias("agent_name"),
+            money(1).alias("subtotal"),
+            money(2).alias("subtotal_tax"),
+        ).alias("cru_data"),
+        ship.alias("shipping_lines"),
+    )
+
+
+def _n15_oracle_sql() -> str:
+    mon = lambda n: f"CAST(CAST(o_totalprice + {n} AS DECIMAL(18,2)) AS DOUBLE)"
+    return f"""
+    SELECT
+      1 AS store_wid, 'cru_woo' AS rls_value,
+      o_orderkey AS refund_number,
+      TIMESTAMP '{_WOO_SYNC_TS}' AS sync_timestamp,
+      'ra-' || CAST(o_custkey % 97 AS VARCHAR) AS agent_email,
+      'RA-' || CAST(o_custkey % 97 AS VARCHAR) AS agent_name,
+      date_trunc('second', o_orderdate) AS date_created,
+      date_trunc('second', o_orderdate) AS date_modified,
+      o_custkey AS order_number,
+      o_custkey AS parent_id,
+      CASE o_orderkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN {mon(3)} ELSE {mon(5)} END AS shipping,
+      CASE o_orderkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN {mon(4)} ELSE {mon(6)} END AS shipping_tax,
+      {mon(1)} AS subtotal,
+      {mon(2)} AS subtotal_tax,
+      {_WOO_LOAD_TS} AS timestamp,
+      -{mon(0)} AS total
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """
+
+
+@query("n15_woo_flat_refunds", _n15_oracle_sql())
+def n15_woo_flat_refunds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-WIDTH refund flattening end-to-end (woo-sync/main.py:
+    1034-1081 — mirrored date/order columns, last shipping line wins,
+    negated total): synthesize nested refund documents from `orders`,
+    run flatten_refunds, emit all 16 declared columns."""
+    from dot_spark.operators.woo_flatten import flatten_refunds
+
+    raw = _woo_nested_refunds(spark, sf_dir)
+    flat = flatten_refunds(
+        raw,
+        sync_timestamp=F.lit(_WOO_SYNC_TS).cast("timestamp"),
+        load_ts=_WOO_LOAD_TS,
+    )
+    return _woo_gate(flat, "woo_api_refunds")
+
+
+# ---------------------------------------------------------------------------
 # §2.7 Scalar function families (F1-F9)
 # ---------------------------------------------------------------------------
 
@@ -10503,8 +11119,13 @@ _WINDOW_PRIORITY = [
     "f6_hour_gate", "f7_flag_coerce", "f9_json_access",
     "j10_intersect_except", "j11_null_safe_join", "j12_exists_semi_join",
     "j2_union_distinct", "j3_union_all", "j4_broadcast_lookup",
-    "j6_salted_skew_join", "n1_struct_extract", "n3_kv_pivot",
-    "n4_element_first_last", "n6_json_stringify",
+    "j6_salted_skew_join",
+    # round-10 additions (full-width WooCommerce flattening) take the
+    # last four slots from the stalest re-gates (n1/n3/n4/n6 move to
+    # the r11 backfill): first-gating new queries beats re-verifying
+    # already-green ones
+    "n12_woo_flat_orders", "n13_woo_flat_order_items",
+    "n14_woo_flat_products", "n15_woo_flat_refunds",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 _missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]

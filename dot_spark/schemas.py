@@ -59,6 +59,58 @@ DDL: dict[str, str] = {
     """,
     "okta_everyone_ids": "id string",
     # --- WooCommerce flat outputs (woo-sync/main.py:189-556) -----------
+    "woo_api_orders": f"""
+        store_wid bigint, rls_value string, order_number bigint,
+        sync_timestamp {_TS}, agent_email string, agent_name string,
+        billing_address_1 string, billing_address_2 string,
+        billing_city string, billing_company string,
+        billing_country string, billing_email string,
+        billing_first_name string, billing_last_name string,
+        billing_phone string, billing_postcode string,
+        billing_state string, cart_hash string, cart_tax {_DEC},
+        created_via string, currency string,
+        custom_shipping_note string, customer_id bigint,
+        customer_ip_address string, customer_note string,
+        customer_role string, customer_user_agent string,
+        date_completed {_TS}, date_created {_TS}, date_modified {_TS},
+        date_paid {_TS}, date_shipped {_TS}, discount_amount {_DEC},
+        discount_codes string, discount_type string,
+        discount_description string, discount_tax {_DEC},
+        discount_total {_DEC}, event_code string, order_key string,
+        order_origin string, order_type string, ordered_by_email string,
+        ordered_by_name string, ordered_by_phone string,
+        parent_id bigint, payment_method string,
+        payment_method_title string, po_number string,
+        prices_include_tax boolean, radio_station string,
+        radio_station_description string, salesforce_account string,
+        salesforce_id string, shipped_method string,
+        shipping_address_1 string, shipping_address_2 string,
+        shipping_city string, shipping_company string,
+        shipping_country string, shipping_first_name string,
+        shipping_last_name string, shipping_method_id string,
+        shipping_method_title string, shipping_postcode string,
+        shipping_state string, shipping_tax {_DEC},
+        shipping_total {_DEC}, status string, timestamp bigint,
+        total {_DEC}, total_tax {_DEC}, transaction_id string,
+        version string
+    """,
+    "woo_api_products": f"""
+        store_wid bigint, rls_value string, sync_timestamp {_TS},
+        date_created {_TS}, date_modified {_TS}, id bigint, name string,
+        short_description string, backorders_allowed boolean,
+        downloadable boolean, virtual boolean,
+        exclude_from_all_discounting boolean, free_shipping boolean,
+        product_inactive boolean, gift_card boolean,
+        donor_premium boolean, royalty boolean, next_receipt_date date,
+        brand string, product_isbn string, product_publisher string,
+        impact string, product_language string, sub_brand string,
+        status string, alg_wc_cog_cost {_DEC},
+        fl_staff_price_field {_DEC}, msrp_price {_DEC}, price {_DEC},
+        regular_price {_DEC}, sku string, weight {_DEC}, type string,
+        stock_quantity bigint, case_qty bigint,
+        product_page_count bigint, total_manuals bigint,
+        timestamp bigint
+    """,
     "woo_api_order_items": f"""
         store_wid bigint, rls_value string, order_item_id bigint,
         sync_timestamp {_TS}, date_created {_TS}, order_key string,

@@ -152,30 +152,63 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-9 rotation: the 50 stalest never-officially-gated
-    queries (the plan committed in round 8's _R9_WINDOW constant) —
-    an accidental registration reorder silently drops operators out
-    of the official artifact."""
+    the round-10 rotation: the 15 never-officially-gated queries
+    first, then the stalest previously-gated backfill (r5/r6 rows)
+    and the four round-10 full-width woo gates — an accidental
+    registration reorder silently drops operators out of the official
+    artifact."""
     window = list(QUERIES)[:50]
     must_have = {
-        "st5_delayed_retry", "t19_bm25_topterms", "t20_pmi_collocations",
-        "w12_ewma_smooth", "j18_snapshot_diff", "t18_novelty_score",
-        "ss8_sq_topk", "s15_text_log_source", "p16_fixed_k_per_stratum",
-        "pl8_merge_upsert", "a16_grouping_sets", "n8_malformed_json_audit",
-        "t16_langid_accuracy", "mm5_audio_rms", "ss6_label_centroids",
-        "mm4_image_resize", "a15_approx_distinct_audit", "n11_xml_roundtrip",
-        "p18_mixture_resample", "a21_cumulative_distinct",
-        "a22_cohort_retention", "a23_activity_streaks", "g1_pagerank",
-        "g2_triangle_count", "g3_bfs_levels", "j17_multihop_topk",
-        "a24_mad_robust",
-        "ss9_pq_topk", "t21_readability", "a25_table_profile",
-        "a26_frequent_pairs", "a27_event_transitions", "mm6_image_phash",
-        "mm7_phash_neardup", "dd14_substring_spans", "a28_wilson_ci",
-        "t22_zipf_audit", "g4_link_prediction", "a29_countmin_audit",
-        "p19_sequence_packing", "dd15_containment", "a30_k_anonymity",
-        "a31_expectations_audit", "w13_ohlc_resample", "pl12_dataset_card",
-        "s18_txlog_snapshot", "w14_range_frame",
-        "p20_zorder_layout", "s19_zorder_skipping", "j19_bloom_prejoin",
+        "pl13_incremental_mv",
+        "a32_linreg_trend",
+        "a33_skyline",
+        "dd16_cdc_chunks",
+        "pl14_streaming_mv",
+        "pl15_incremental_zorder",
+        "w15_drawdown",
+        "g5_label_propagation",
+        "s20_manifest_skipping",
+        "mm8_silence_segments",
+        "pl16_incremental_ivf",
+        "ss10_rrf_fusion",
+        "t23_bigram_lm_score",
+        "s21_fixed_width_source",
+        "dd17_bloom_history_dedup",
+        "mm3_frame_sampling",
+        "a11_group_percentiles",
+        "a9_hypertable_rollup",
+        "j9_range_join",
+        "pl4_corpus_ingest_dedup",
+        "s11_attributed_publish",
+        "a10_string_agg_ordered",
+        "a2_watermark_max",
+        "a3_conditional_agg",
+        "a4_count_predicate",
+        "a5_collect_sorted_list",
+        "a6_rollup_subtotals",
+        "a7_distribution_stats",
+        "a8_count_distinct",
+        "dd4_ngram_jaccard",
+        "f10_try_cast_coerce",
+        "f1_regex_match",
+        "f2_ts_format",
+        "f3_epoch_seconds",
+        "f4_decimal_negate",
+        "f5_string_ops",
+        "f6_hour_gate",
+        "f7_flag_coerce",
+        "f9_json_access",
+        "j10_intersect_except",
+        "j11_null_safe_join",
+        "j12_exists_semi_join",
+        "j2_union_distinct",
+        "j3_union_all",
+        "j4_broadcast_lookup",
+        "j6_salted_skew_join",
+        "n12_woo_flat_orders",
+        "n13_woo_flat_order_items",
+        "n14_woo_flat_products",
+        "n15_woo_flat_refunds",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50
