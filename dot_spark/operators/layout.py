@@ -112,6 +112,8 @@ def ranked_by(
     (repartitionByRange's recipe) at the cost of determinism."""
     bucketed = df.withColumn("__b", bucket.cast("int"))
     totals = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__bt"))
+    # <=256 rows by construction (bucket totals): bounded, never
+    # data-sized — the 256-bucket prefix discipline
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     prefix = totals.withColumn(
         "__before", F.coalesce(F.sum("__bt").over(wb), F.lit(0))

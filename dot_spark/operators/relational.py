@@ -583,6 +583,9 @@ def skyline(
         ).cast("int"),
     )
     btot = bucketed.groupBy("__b").agg(F.max("__best_here").alias("__bbest"))
+    # <=256 rows by construction (bucket totals): bounded, never
+    # data-sized — the 256-bucket prefix discipline (the ~16
+    # WindowExec warnings this emits are over this table only)
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     bprev = btot.withColumn("__before_b", F.max("__bbest").over(wb)).select(
         "__b", "__before_b"

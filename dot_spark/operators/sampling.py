@@ -271,6 +271,9 @@ def pack_sequences(
     hexed = df.withColumn("__hx", F.md5(F.col(key_col).cast("string")))
     bucketed = hexed.withColumn("__b", hash_byte(key_col))
     totals = bucketed.groupBy("__b").agg(F.sum(weight_col).alias("__bt"))
+    # <=256 rows by construction (bucket totals): the unpartitioned
+    # window is the documented 256-bucket prefix discipline, bounded,
+    # never data-sized
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     prefix = totals.withColumn(
         "__before", F.coalesce(F.sum("__bt").over(wb), F.lit(0))
