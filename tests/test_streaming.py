@@ -1064,3 +1064,154 @@ def test_delayed_retry_twins_agree_on_null_and_lookalike_causes(spark, tmp_path)
     q.stop()
     streamed = {r.job_id: r.cause for r in rows}
     assert streamed == batch
+
+
+# --- pl14 crash-replay matrix: the streaming MV's exactly-once claim
+# tested at BOTH crash windows of the stage->claim protocol
+# (txlog.exactly_once_sink docstring; pipelines.streaming_mv_maintain).
+
+def _mv_drops(tmp_path, n_drops=2, rows_per=3):
+    """JSONL drops: drop d, row r -> user_id r, value 10*d+r, ts d*100+r."""
+    import json as _json
+
+    import os as _os
+    import time as _time
+
+    src = tmp_path / "mv_in"
+    src.mkdir()
+    base = _time.time() - 3600
+    for d in range(n_drops):
+        lines = [
+            _json.dumps({"user_id": r, "value": 10.0 * d + r, "ts_us": d * 100 + r})
+            for r in range(rows_per)
+        ]
+        f = src / f"{d:04d}.jsonl"
+        f.write_text("\n".join(lines) + "\n")
+        # FileStreamSource orders drops by mtime: pin it so drop d IS
+        # micro-batch d (same-instant writes would tie)
+        _os.utime(f, (base + d, base + d))
+    return str(src)
+
+
+def _mv_expected(n_drops=2, rows_per=3):
+    """One-shot aggregate of every drop, applied exactly once."""
+    out = {}
+    for d in range(n_drops):
+        for r in range(rows_per):
+            n, s, lo, hi = out.get(r, (0, 0.0, None, None))
+            v, t = 10.0 * d + r, d * 100 + r
+            out[r] = (
+                n + 1,
+                s + v,
+                t if lo is None else min(lo, t),
+                t if hi is None else max(hi, t),
+            )
+    return out
+
+
+def _run_mv(spark, src, mv_table, cp):
+    from dot_spark.pipelines import streaming_mv_maintain
+
+    return streaming_mv_maintain(
+        spark, src, mv_table, cp,
+        keys=["user_id"], value_col="value", ts_col="ts_us",
+        schema="user_id BIGINT, value DOUBLE, ts_us BIGINT",
+    )
+
+
+def _mv_state(mv_table):
+    return {
+        r.user_id: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+        for r in mv_table.read().collect()
+    }
+
+
+def test_streaming_mv_crash_between_stage_and_claim(spark, tmp_path):
+    """Crash window 1: the process dies AFTER the merged MV state is
+    staged but BEFORE the manifest claim. The staged files must stay
+    invisible (readers still see the pre-crash version), and the
+    restarted stream — foreachBatch is at-least-once, so the engine
+    re-delivers the batch — must re-apply it fully. Final MV ==
+    one-shot aggregate: nothing lost, nothing double-counted."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dot_spark.txlog import TxTable
+
+    src = _mv_drops(tmp_path)
+    cp = str(tmp_path / "cp")
+    mv_table = TxTable(spark, str(tmp_path / "mv_tx"))
+
+    real_claim = mv_table._try_claim
+    crashed = {"n": 0}
+
+    def dying_claim(version, manifest):
+        # batch 0 commits normally; batch 1 dies between stage and claim
+        if manifest.get("mv_batch_id") == 1:
+            crashed["n"] += 1
+            raise RuntimeError("injected crash: post-stage, pre-claim")
+        return real_claim(version, manifest)
+
+    mv_table._try_claim = dying_claim
+    q = _run_mv(spark, src, mv_table, cp)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert crashed["n"] == 1
+
+    # pre-restart: the orphaned staged files are INVISIBLE — the MV
+    # reads as batch 0 only (snapshot isolation across the crash)
+    assert _mv_state(mv_table) == {
+        r: (1, float(r), r, r) for r in range(3)
+    }
+
+    # restart with the SAME checkpoint: the engine re-delivers batch 1
+    mv_table._try_claim = real_claim
+    q2 = _run_mv(spark, src, mv_table, cp)
+    q2.awaitTermination()
+    want = _mv_expected()
+    assert _mv_state(mv_table) == want
+
+    # and the crash left recoverable garbage, not corruption: vacuum
+    # reclaims the orphaned stage dir without touching live state
+    mv_table.vacuum(grace_seconds=0)
+    assert _mv_state(mv_table) == want
+
+
+def test_streaming_mv_crash_after_claim_skips_replay(spark, tmp_path):
+    """Crash window 2: the process dies AFTER the manifest claim
+    landed (the batch IS committed) but before foreachBatch returns,
+    so the engine checkpoint never records the batch and the restart
+    re-delivers it. The replay must find the batch id in the manifest
+    scan and SKIP — the non-idempotent merge runs once, no double
+    count, and no new version is claimed for the replayed batch."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dot_spark.txlog import TxTable
+
+    src = _mv_drops(tmp_path)
+    cp = str(tmp_path / "cp")
+    mv_table = TxTable(spark, str(tmp_path / "mv_tx"))
+
+    real_claim = mv_table._try_claim
+
+    def claim_then_die(version, manifest):
+        ok = real_claim(version, manifest)
+        if ok and manifest.get("mv_batch_id") == 1:
+            raise RuntimeError("injected crash: post-claim, pre-ack")
+        return ok
+
+    mv_table._try_claim = claim_then_die
+    q = _run_mv(spark, src, mv_table, cp)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+
+    # the claim landed: the MV already holds both batches
+    want = _mv_expected()
+    assert _mv_state(mv_table) == want
+    v_before = mv_table.latest_version()
+
+    # restart: batch 1 is re-delivered, found committed, skipped
+    mv_table._try_claim = real_claim
+    q2 = _run_mv(spark, src, mv_table, cp)
+    q2.awaitTermination()
+    assert _mv_state(mv_table) == want          # no double count
+    assert mv_table.latest_version() == v_before  # no replay version
