@@ -336,7 +336,9 @@ def ngram_jaccard_pairs(
     # to AQE: forcing repartition(sh_h) co-locates pair blow-up on
     # hot shingle keys (measured 5x slower); the broadcast-hash plan
     # streams the probe side in scan order, spreading a hot bucket's
-    # m^2 expansion evenly over tasks.
+    # m^2 expansion evenly over tasks. AQE's skew-split engagement is
+    # receipts-backed: tools/scale_sanity.py j6_unsalted_hot_join +
+    # the plan-pinned skew=true test in tests/test_scale.py.
     sh, sizes = _distinct_shingle_hashes(df, id_col, text_col, n)
     freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_sh"))
     keep = F.col("df_sh") >= 2

@@ -583,6 +583,78 @@ def main() -> None:
             lambda d=docs, nb=n_base_docs: _ss10_cell(d, nb)
         )
 
+        # r10 additions (r9 verdict tasks 6+8): skew + vocab receipts.
+        #
+        # j6_unsalted_hot_join — the receipt behind the "AQE handles
+        # the skew" claims (textdedup.py self-join, graph.py basket
+        # join): one hot key carrying 10% of the K-scaled fact goes
+        # through the UNSALTED shuffle join with skew thresholds
+        # scaled to fixture size (production partitions clear the
+        # 256 MB default naturally; tests/test_scale.py pins that the
+        # split actually engages, plan-marked skew=true). alpha ~ 1
+        # means the split keeps the hot partition from becoming the
+        # straggler as the key grows with K.
+        def _skew_cell(li):
+            def thunk():
+                confs = {
+                    "spark.sql.autoBroadcastJoinThreshold": "-1",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+                    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+                    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                }
+                saved = {c: spark.conf.get(c, None) for c in confs}
+                for c, v in confs.items():
+                    spark.conf.set(c, v)
+                try:
+                    fact = li.select(
+                        F.when(F.col("l_orderkey") % 10 == 0, F.lit(7))
+                        .otherwise(F.col("l_orderkey") % 50000)
+                        .alias("jk"),
+                        "l_partkey",
+                    )
+                    dim = spark.range(50000).select(
+                        F.col("id").alias("jk"), (F.col("id") * 10).alias("v")
+                    )
+                    fact.join(dim, "jk").write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                finally:
+                    for c, v in saved.items():
+                        if v is None:
+                            spark.conf.unset(c)
+                        else:
+                            spark.conf.set(c, v)
+                return spark.range(1)  # run() re-writes this; ~0 cost
+
+            return thunk
+
+        grid[("j6_unsalted_hot_join", k)] = _skew_cell(li_k)
+
+        # t13 BPE training cells — the vocab-bounded claim measured:
+        # the per-round pair count runs over the DISTINCT-WORD vocab,
+        # so (a) across K the cost tracks the vocab (upsampled copies
+        # have disjoint token suffixes: vocab scales K-fold along
+        # with the corpus), and (b) at FIXED corpus a 10x vocab
+        # blow-up (per-doc token suffix) must cost <= ~10x, never
+        # quadratic — the one family the r9 verdict called argued-
+        # but-unmeasured. Training is an eager driver loop -> thunks.
+        from dot_spark.operators.bpe import bpe_merges
+
+        grid[("t13_bpe_train", k)] = lambda d=docs: bpe_merges(d, k=4)
+        docs_v10 = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                "text",
+                r"(\S+)",
+                F.concat(F.lit("$1_"), (F.col("doc_id") % 10).cast("string")),
+            ).alias("text"),
+        )
+        grid[("t13_bpe_train_vocab10x", k)] = (
+            lambda d=docs_v10: bpe_merges(d, k=4)
+        )
+
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
         for cell, df in grid.items():
