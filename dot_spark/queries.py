@@ -1896,6 +1896,154 @@ def n15_woo_flat_refunds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _woo_gate(flat, "woo_api_refunds")
 
 
+def _woo_nested_refund_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem (every 10th order) -> nested refund documents with a
+    line_items array: exercises the _refunded_item_id and
+    _alg_wc_cog_item_cost meta lifts with present/absent keys."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 10 == 0)
+    ln, pk, sk = F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")
+    iid = ln.cast("bigint") * F.lit(1_000_000_000_000) + pk * F.lit(1_000_000) + sk
+    item = F.struct(
+        iid.alias("id"),
+        pk.alias("product_id"),
+        F.concat(F.lit("item-"), pk.cast("string")).alias("name"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("quantity"),
+        F.concat(F.lit("SKU-"), pk.cast("string")).alias("sku"),
+        F.col("l_tax").cast("decimal(18,2)").cast("string").alias("total_tax"),
+        F.array(
+            F.struct(
+                F.when(pk % 2 == 0, "_refunded_item_id").otherwise("x_ri").alias("key"),
+                (iid % 100000).cast("string").alias("value"),
+            ),
+            F.struct(
+                F.when(pk % 3 == 0, "_alg_wc_cog_item_cost").otherwise("x_cc").alias("key"),
+                F.concat((sk % 30).cast("string"), F.lit(".25")).alias("value"),
+            ),
+        ).alias("meta_data"),
+    )
+    return (
+        li.groupBy(F.col("l_orderkey").alias("id"))
+        .agg(
+            F.array_sort(F.collect_list(item)).alias("line_items"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("date_created"),
+        )
+        .select(
+            "id",
+            (F.col("id") * 2).alias("parent_id"),
+            "date_created",
+            "line_items",
+        )
+    )
+
+
+def _n16_oracle_sql() -> str:
+    dec = lambda e: f"CAST(CAST({e} AS DECIMAL(38,9)) AS DOUBLE)"
+    return f"""
+    WITH it AS (
+      SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+             l_extendedprice, l_tax,
+             CAST(l_linenumber AS BIGINT) * 1000000000000
+               + l_partkey * 1000000 + l_suppkey AS iid,
+             MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS oc
+      FROM lineitem WHERE l_orderkey % 10 = 0)
+    SELECT
+      1 AS store_wid, 'cru_woo' AS rls_value,
+      iid AS refund_item_id,
+      TIMESTAMP '{_WOO_SYNC_TS}' AS sync_timestamp,
+      date_trunc('second', oc) AS date_created,
+      l_orderkey * 2 AS order_number,
+      CASE WHEN l_partkey % 2 = 0 THEN iid % 100000 ELSE 0 END AS order_item_id,
+      CASE WHEN l_partkey % 3 = 0
+           THEN {dec("CAST(l_suppkey % 30 AS VARCHAR) || '.25'")}
+           ELSE 0.0 END AS product_component_cost,
+      CASE WHEN l_partkey % 3 = 0
+           THEN {dec("CAST(l_suppkey % 30 AS VARCHAR) || '.25'")}
+           ELSE 0.0 END AS product_cost,
+      l_partkey AS product_id,
+      'item-' || CAST(l_partkey AS VARCHAR) AS product_name,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS product_price,
+      CAST(l_quantity AS BIGINT) AS product_quantity,
+      'SKU-' || CAST(l_partkey AS VARCHAR) AS product_sku,
+      CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS product_tax,
+      l_orderkey AS refund_number,
+      {_WOO_LOAD_TS} AS timestamp
+    FROM it
+    """
+
+
+@query("n16_woo_flat_refund_items", _n16_oracle_sql())
+def n16_woo_flat_refund_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-WIDTH refund-item flattening end-to-end
+    (woo-sync/main.py:1083-1130 — _refunded_item_id meta with 0
+    default, both cost columns from one meta with the except-0
+    fallback): synthesize nested refund documents from `lineitem`,
+    run flatten_refund_items, emit all 17 declared columns."""
+    from dot_spark.operators.woo_flatten import flatten_refund_items
+
+    raw = _woo_nested_refund_items(spark, sf_dir)
+    flat = flatten_refund_items(
+        raw,
+        sync_timestamp=F.lit(_WOO_SYNC_TS).cast("timestamp"),
+        load_ts=_WOO_LOAD_TS,
+    )
+    return _woo_gate(flat, "woo_api_refund_items")
+
+
+def _n17_oracle_sql() -> str:
+    return f"""
+    WITH two AS (SELECT 1 AS i UNION ALL SELECT 2 AS i)
+    SELECT
+      1 AS store_wid, 'cru_woo' AS rls_value,
+      TIMESTAMP '{_WOO_SYNC_TS}' AS sync_timestamp,
+      p_partkey AS product_id,
+      CASE i WHEN 1 THEN p_partkey % 100 ELSE 100 + p_partkey % 50 END AS id,
+      CASE i WHEN 1 THEN 'Color' ELSE 'Size' END AS name,
+      CASE i WHEN 1 THEN 'color' ELSE 'size' END AS slug,
+      CASE i WHEN 1 THEN 'R-' || CAST(p_size % 5 AS VARCHAR) ELSE NULL END AS option,
+      {_WOO_LOAD_TS} AS timestamp
+    FROM part CROSS JOIN two
+    WHERE p_partkey % 7 <> 0
+    """
+
+
+@query("n17_woo_flat_product_attributes", _n17_oracle_sql())
+def n17_woo_flat_product_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-attribute child-table flattening end-to-end
+    (woo-sync/main.py:1014-1032 — option = options[0], absent/empty
+    arrays contribute no rows): two attributes per part (the second
+    with an EMPTY options array -> NULL option), parts with
+    p_partkey % 7 = 0 carry a NULL attributes array and must vanish."""
+    from dot_spark.operators.woo_flatten import flatten_product_attributes
+
+    p = load_table(spark, "part", sf_dir)
+    k, sz = F.col("p_partkey"), F.col("p_size")
+    a1 = F.struct(
+        (k % 100).alias("id"),
+        F.lit("Color").alias("name"),
+        F.lit("color").alias("slug"),
+        F.array(
+            F.concat(F.lit("R-"), (sz % 5).cast("string")), F.lit("G")
+        ).alias("options"),
+    )
+    a2 = F.struct(
+        (F.lit(100) + k % 50).alias("id"),
+        F.lit("Size").alias("name"),
+        F.lit("size").alias("slug"),
+        F.slice(F.array(F.lit("x")), 1, 0).alias("options"),  # empty
+    )
+    raw = p.select(
+        k.alias("id"),
+        F.when(k % 7 == 0, F.lit(None)).otherwise(F.array(a1, a2)).alias("attributes"),
+    )
+    flat = flatten_product_attributes(
+        raw,
+        sync_timestamp=F.lit(_WOO_SYNC_TS).cast("timestamp"),
+        load_ts=_WOO_LOAD_TS,
+    )
+    return _woo_gate(flat, "woo_api_product_attributes")
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Scalar function families (F1-F9)
 # ---------------------------------------------------------------------------
