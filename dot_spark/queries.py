@@ -11266,14 +11266,14 @@ _WINDOW_PRIORITY = [
     "f3_epoch_seconds", "f4_decimal_negate", "f5_string_ops",
     "f6_hour_gate", "f7_flag_coerce", "f9_json_access",
     "j10_intersect_except", "j11_null_safe_join", "j12_exists_semi_join",
-    "j2_union_distinct", "j3_union_all", "j4_broadcast_lookup",
-    "j6_salted_skew_join",
+    "j4_broadcast_lookup", "j6_salted_skew_join",
     # round-10 additions (full-width WooCommerce flattening) take the
-    # last four slots from the stalest re-gates (n1/n3/n4/n6 move to
-    # the r11 backfill): first-gating new queries beats re-verifying
-    # already-green ones
+    # last six slots from the stalest re-gates (n1/n3/n4/n6 and
+    # j2/j3 move to the r11 backfill): first-gating new queries beats
+    # re-verifying already-green ones
     "n12_woo_flat_orders", "n13_woo_flat_order_items",
     "n14_woo_flat_products", "n15_woo_flat_refunds",
+    "n16_woo_flat_refund_items", "n17_woo_flat_product_attributes",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 _missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]

@@ -201,14 +201,14 @@ def test_correctness_window_composition():
         "j10_intersect_except",
         "j11_null_safe_join",
         "j12_exists_semi_join",
-        "j2_union_distinct",
-        "j3_union_all",
         "j4_broadcast_lookup",
         "j6_salted_skew_join",
         "n12_woo_flat_orders",
         "n13_woo_flat_order_items",
         "n14_woo_flat_products",
         "n15_woo_flat_refunds",
+        "n16_woo_flat_refund_items",
+        "n17_woo_flat_product_attributes",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50
