@@ -11279,6 +11279,41 @@ assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 _missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
 assert not _missing, f"window names not registered: {_missing}"
 assert not set(_WINDOW_PRIORITY) & set(_R9_WINDOW), "r10 overlaps r9"
+# The r11 rotation, MACHINE-READABLE — next round, swap this list
+# into _WINDOW_PRIORITY. Composition (computed at the end of round 10
+# from CORRECTNESS_r01-r09 + the r10 window): after r10 lands, ZERO
+# queries are never-officially-gated, so r11 is pure staleness
+# backfill — the 26 queries whose newest green row is r6 (including
+# the six the r10 window displaced: n1/n3/n4/n6, j2/j3), then the 24
+# stalest r7 rows. dd4b leads the r7 tier because its plan changed in
+# r10 (the shared-shingle checkpoint repair) after its last official
+# row. Asserted against the registry now so a typo cannot survive.
+_R11_WINDOW = [
+    # r6-stale (26)
+    "j2_union_distinct", "j3_union_all", "n1_struct_extract",
+    "n3_kv_pivot", "n4_element_first_last", "n6_json_stringify",
+    "p2_positional_projection", "p4_filter_gate", "p5_status_route",
+    "p6_isin_filter", "p8_coalesce_defaults", "p9_string_norm",
+    "pl2_woo_incremental", "pl2b_woo_incremental_by_store",
+    "s10_object_store_export", "s6_sql_source", "s9_csv_checkpoint",
+    "st1_windowed_agg", "st2_superseded_stream", "t3_language_id",
+    "t4_fingerprint", "t5_length_histogram", "t6_sequence_packing",
+    "w2_distinct_rows", "w3_sort_limit_top1", "w5_rank_lattice",
+    # r7-stale (24; dd4b first — plan changed in r10)
+    "dd4b_ngram_jaccard_capped", "a1_group_having", "c1_classify_runs",
+    "c2_webhook_route", "c3_quality_filter", "dd1_exact_dedup",
+    "dd2_minhash_lsh_candidates", "dd3_simhash", "dd5_embedding_neardup",
+    "dd5b_bucketed_neardup", "dd6_decontamination",
+    "dd7_embedding_decontamination", "dd8_dedup_clusters",
+    "f8_hmac_sha256", "j1_anti_join", "j5_parent_child_join",
+    "j7_star_join_rollup", "j8_asof_join", "mm1_decode_media",
+    "mm2_media_features", "n2_explode_tokens", "n5_sticky_carry",
+    "p10_deterministic_sample", "p11_stratified_sample",
+]
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+_r11_missing = [n for n in _R11_WINDOW if n not in QUERIES]
+assert not _r11_missing, f"r11 window names not registered: {_r11_missing}"
+assert not set(_R11_WINDOW) & set(_WINDOW_PRIORITY), "r11 overlaps r10"
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},
