@@ -73,10 +73,18 @@ def copurchase_edges(
             sizes.filter(F.col("__bs") <= max_basket).select("k"), "k", "left_semi"
         )
     a, b = kp.alias("a"), kp.alias("b")
+    # the symmetrizing union consumes `pairs` TWICE, and Catalyst
+    # compiles the basket self-join once per branch (ReuseExchange
+    # only dedupes the shuffle, not the join work above it). A lazy
+    # localCheckpoint materializes the a<b orientation once and both
+    # branches read the checkpointed blocks: g1_pagerank 4.52->3.67s
+    # at sf0.1 (min-of-4 interleaved, quiet box). eager=False so no
+    # job runs at plan-build time; storage is the |E|/2-row pair list.
     pairs = (
         a.join(b, on=(F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
