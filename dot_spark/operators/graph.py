@@ -111,7 +111,12 @@ def cap_degree(edges: DataFrame, max_degree: int) -> DataFrame:
     explicitly supports directed inputs). Cost: two |V|-sized partial
     aggs + one node-table outer join plus two semi-joins; the
     survivor list is |nodes ≤ cap|-sized and AQE broadcasts it when
-    small."""
+    small. The input is lazily checkpointed — it feeds THREE
+    consumers (both degree aggs and the semi-join probe side), and an
+    unmaterialized construction plan would recompile per consumer
+    (the copurchase self-join costs real work even with its own pair
+    checkpoint; measured on g4's weighted-pair graph)."""
+    edges = edges.localCheckpoint(eager=False)
     out_d = edges.groupBy(F.col("src").alias("n")).agg(
         F.count(F.lit(1)).alias("__out")
     )

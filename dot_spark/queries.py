@@ -9515,6 +9515,10 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("wgt") >= 2)
         .select("src", "dst")
     )
+    # same repair as copurchase_edges: the symmetrizing union feeds
+    # the weighted-pair subtree twice — materialize it once (lazy;
+    # g4 2.63->2.09s at sf0.1 together with cap_degree's input ckpt)
+    pw = pw.localCheckpoint(eager=False)
     edges = pw.union(pw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return link_prediction(cap_degree(edges, max_degree=40), top_k=100, min_common=1)
 
