@@ -292,9 +292,18 @@ def flatten_order_items(
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried_sku = F.coalesce(
-        F.last(F.when(is_standalone, fld("sku")), ignorenulls=True).over(w),
-        F.lit(""),
+    # struct sentinel, not last(sku) directly: a STANDALONE item with
+    # a NULL sku must RESET the carry (the reference assigns
+    # li['sku'] verbatim, None included — :683-688), but a bare
+    # last(ignorenulls) would skip it and leak the previous carry.
+    # struct(...) is non-null even when its field is NULL, so the
+    # window sees every standalone row; the initial state (no
+    # standalone yet) renders '' exactly like the reference's
+    # sku = '' accumulator. Pinned by the hypothesis fold-parity test.
+    sku_mark = F.when(is_standalone, F.struct(fld("sku").alias("v")))
+    carried_mark = F.last(sku_mark, ignorenulls=True).over(w)
+    carried_sku = F.when(carried_mark.isNull(), F.lit("")).otherwise(
+        carried_mark["v"]
     )
     dp_raw = fld("cru_data.donor_premium").cast("string")
     frozen_dp = F.coalesce(

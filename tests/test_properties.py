@@ -973,3 +973,59 @@ def test_mv_merge_law_under_random_slicings(spark, rows, cuts):
         for r in whole.collect()
     }
     assert got == want
+
+
+# --- woo item sticky carries: the Spark windows must equal the
+# reference's loop-carried fold for EVERY item sequence (the loop is
+# the spec; woo-sync/main.py:683-688 sku, :745-749 donor_premium).
+
+# per-item (sku, bundled_by, donor_premium) with the interesting
+# domains: sku sometimes None, bundled_by ''/non-empty, dp in
+# {None, '0', '1', 'false'} — 'false' must NOT freeze
+_item_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["s1", "s2"])),
+        st.sampled_from(["", "9"]),
+        st.one_of(st.none(), st.sampled_from(["0", "1", "false"])),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _reference_carries(items):
+    """The reference loop, verbatim semantics: returns per-item
+    (sku_carry, donor_premium_bool)."""
+    sku = ""
+    dp = "false"
+    out = []
+    for s, bundled_by, d in items:
+        if bundled_by == "":
+            sku = s
+        if dp == "false" and d is not None:
+            dp = d
+        out.append((sku, dp == "1"))
+    return out
+
+
+@given(items=_item_st)
+@settings(**SETTINGS)
+def test_woo_sticky_carries_match_reference_fold(spark, items):
+    from dot_spark.operators.woo_flatten import flatten_order_items
+
+    ddl = (
+        "id BIGINT, order_key STRING, date_created STRING, "
+        "line_items ARRAY<STRUCT<id BIGINT, sku STRING, bundled_by STRING, "
+        "cru_data STRUCT<donor_premium STRING>>>"
+    )
+    rows = [
+        (1, "k", "2026-01-01 00:00:00",
+         [(i, s, b, (d,)) for i, (s, b, d) in enumerate(items)])
+    ]
+    got = {
+        r.order_item_id: (r.product_sku, r.product_donor_premium)
+        for r in flatten_order_items(spark.createDataFrame(rows, ddl)).collect()
+    }
+    want = _reference_carries(items)
+    for i, (sku, dp) in enumerate(want):
+        assert got[i] == (sku, dp), (i, got[i], (sku, dp), items)
