@@ -112,6 +112,142 @@ def bpe_merges(docs: DataFrame, k: int = 4, text_col: str = "text") -> DataFrame
     )
 
 
+def _select_disjoint(candidates, want: int):
+    """Greedy batched-merge selection rule, shared by the Spark path
+    and the pure-Python reference: scan candidates in (count DESC,
+    left ASC, right ASC) order and accept a pair iff neither of its
+    symbols appears in an already-accepted pair of this batch.
+    Symbol-disjoint merges cannot interact — fusing (a,b) only
+    destroys/creates pairs that mention a or b — so the whole batch
+    can be applied in one map-only projection and every accepted
+    pair's recorded count is exact at application time."""
+    used: set = set()
+    accepted = []
+    for l, r, cnt in candidates:
+        if len(accepted) == want:
+            break
+        if l in used or r in used:
+            continue
+        used.add(l)
+        used.add(r)
+        accepted.append((l, r, int(cnt)))
+    return accepted
+
+
+def _batch_scan_limit(want: int) -> int:
+    """How deep into the sorted candidate list one batch round may
+    look. Part of the algorithm's SPEC (the reference twin applies
+    the same bound), not a tuning knob: a bounded prefix keeps the
+    per-round driver fetch O(batch) instead of O(|pairs|)."""
+    return max(4 * want, 16)
+
+
+def bpe_merges_batched(
+    docs: DataFrame, k: int = 16, batch: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Learn the top-k BPE merges with BATCHED round selection: each
+    round counts pairs once, collects the top `_batch_scan_limit`
+    candidate rows (O(batch), not O(|pairs|)), greedily accepts up to
+    `batch` pairwise symbol-DISJOINT merges, and applies them all as
+    one chained map-only projection before a single checkpoint.
+
+    Why: the sequential trainer (bpe_merges) runs one Spark job per
+    merge — fine for k≈4, but a real 32k-merge vocabulary would mean
+    32k driver round-trips. Batching makes the job count
+    ceil(k/batch); disjointness keeps every accepted merge's count
+    exact (fusing (a,b) only touches pairs mentioning a or b), so the
+    schedule is deterministic and independently replayable
+    (reference_bpe_batched). Note the batched schedule is a DIFFERENT
+    (well-defined) training objective than pure sequential greedy:
+    a pair created by an earlier merge in the same round cannot be
+    selected until the next round — the standard trade every batched
+    BPE trainer makes.
+
+    Returns one row per learned merge: (rank, left_sym, right_sym,
+    pair_count), rank global across rounds in acceptance order."""
+    spark = docs.sparkSession
+    vocab = word_vocab(docs, text_col)
+    syms = vocab.select(
+        "freq",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    out = []
+    while len(out) < k:
+        want = min(batch, k - len(out))
+        top = (
+            syms.select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(_batch_scan_limit(want))
+            .collect()
+        )
+        if not top:
+            break
+        accepted = _select_disjoint(
+            [(row["l"], row["r"], row["cnt"]) for row in top], want
+        )
+        fused = syms
+        for l, r, cnt in accepted:
+            out.append((len(out) + 1, l, r, cnt))
+            # chained selects collapse into ONE codegen projection;
+            # disjointness makes application order irrelevant
+            fused = fused.select("freq", _fuse_expr(l, r).alias("syms"))
+        syms = fused.localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        out, "rank INT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )
+
+
+def reference_bpe_batched(
+    texts: list[str], k: int = 16, batch: int = 4
+) -> list[tuple[int, str, str, int]]:
+    """Independent pure-Python replay of the BATCHED merge schedule
+    (same spec: sort by (count DESC, pair ASC), scan only the top
+    `_batch_scan_limit` candidates, accept up to `batch` symbol-
+    disjoint pairs, apply, repeat) — the oracle/test twin of
+    bpe_merges_batched; shares NO code with the Spark fold."""
+    import re
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in re.sub(r" +", " ", (t or "").lower()).strip().split(" "):
+            vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < k:
+        want = min(batch, k - len(merges))
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        candidates = [
+            (l, r, cnt) for (l, r), cnt in ordered[: _batch_scan_limit(want)]
+        ]
+        accepted = _select_disjoint(candidates, want)
+        for l, r, cnt in accepted:
+            merges.append((len(merges) + 1, l, r, cnt))
+            for w, syms in words.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                words[w] = new
+    return merges
+
+
 def bpe_encode_counts(
     docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -6308,6 +6308,64 @@ def t13_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=4)
 
 
+def _t13b_oracle_sql() -> str | None:
+    """t13b's oracle via the t13 generated-literal mechanism, but
+    replaying the BATCHED schedule with reference_bpe_batched
+    (operators/bpe.py — independent pure-Python twin of the Spark
+    batched trainer, same spec: top-`_batch_scan_limit` candidate
+    window, greedy symbol-disjoint acceptance). Any divergence in
+    pair counting, tie-breaking, the disjointness rule, the scan
+    bound, or the fuse breaks the hash. Shares the memoized corpus
+    fetch with _t13_oracle_sql."""
+    import os
+
+    gate_dir = os.environ.get(
+        "DOT_SPARK_GATE_SF_DIR", "/root/testdata/sf0.01"
+    ).rstrip("/")
+    cached = _gate_corpus_bpe(gate_dir)
+    if cached is None:
+        return None
+    rows, _ = cached
+    from dot_spark.operators.bpe import reference_bpe_batched
+
+    merges = reference_bpe_batched([t for _, t in rows], k=16, batch=4)
+    if not merges:
+        return None
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"({rank}, '{q(l)}', '{q(r)}', {cnt})" for rank, l, r, cnt in merges
+    )
+    return f"""
+    SELECT CAST(rank AS INT) AS rank, left_sym, right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM (VALUES {vals}) AS t(rank, left_sym, right_sym, pair_count)
+    """
+
+
+@query("t13b_bpe_merges_batched", _t13b_oracle_sql())
+def t13b_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE merge training — the scale path for real (32k+)
+    merge budgets, where t13's one-argmax-collect-per-merge would
+    mean one Spark job per merge. Each round: ONE pair-count
+    aggregation over the (tiny, distinct-word) vocab table, an
+    O(batch) driver fetch of the top candidate window, greedy
+    acceptance of up to `batch` pairwise symbol-DISJOINT merges
+    (disjoint merges cannot interact, so their pre-round counts stay
+    exact at application time), then all accepted fuses applied as
+    one chained map-only codegen projection before a single
+    localCheckpoint. Job count is ceil(k/batch), not k. Oracle = an
+    independent pure-Python replay of the identical batched schedule
+    (reference_bpe_batched), embedded as literals at oracle-build
+    time."""
+    from dot_spark.operators.bpe import bpe_merges_batched
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_merges_batched(docs, k=16, batch=4)
+
+
 def _t17_oracle_sql() -> str | None:
     """t17's oracle via the t13 generated-literal mechanism: the whole
     train-then-encode pass is deterministic, so the builder replays it
@@ -11243,15 +11301,10 @@ _R9_WINDOW = [
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 assert not set(_R9_WINDOW) & set(_R8_WINDOW), "r9 overlaps r8"
 
-# ROUND-10 WINDOW (active): swapped in at the start of round 10 per
-# the committed rotation plan. Composition (computed at the end of
-# round 9 from CORRECTNESS_r01–r09): the 15 never-officially-gated
-# names first (8 session-4 leftovers + 7 round-9 additions), then the
-# 35 STALEST previously-gated names (newest green row r5–r6) for
-# re-verification — mm3_frame_sampling among them matters most, since
-# round 9 replaced its digest-stub semantics with real decoded pixels
-# and its only official row predates that.
-_WINDOW_PRIORITY = [
+# ROUND-10 WINDOW (historical — CORRECTNESS_r10 is 50/50 green on
+# exactly this list; kept as a constant so the r11 overlap
+# accounting below stays machine-checked).
+_R10_WINDOW = [
     # never officially gated (15)
     "pl13_incremental_mv", "a32_linreg_trend", "a33_skyline",
     "dd16_cdc_chunks", "pl14_streaming_mv", "pl15_incremental_zorder",
@@ -11279,20 +11332,25 @@ _WINDOW_PRIORITY = [
     "n14_woo_flat_products", "n15_woo_flat_refunds",
     "n16_woo_flat_refund_items", "n17_woo_flat_product_attributes",
 ]
-assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
-_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
-assert not _missing, f"window names not registered: {_missing}"
-assert not set(_WINDOW_PRIORITY) & set(_R9_WINDOW), "r10 overlaps r9"
-# The r11 rotation, MACHINE-READABLE — next round, swap this list
-# into _WINDOW_PRIORITY. Composition (computed at the end of round 10
-# from CORRECTNESS_r01-r09 + the r10 window): after r10 lands, ZERO
-# queries are never-officially-gated, so r11 is pure staleness
-# backfill — the 26 queries whose newest green row is r6 (including
-# the six the r10 window displaced: n1/n3/n4/n6, j2/j3), then the 24
-# stalest r7 rows. dd4b leads the r7 tier because its plan changed in
-# r10 (the shared-shingle checkpoint repair) after its last official
-# row. Asserted against the registry now so a typo cannot survive.
-_R11_WINDOW = [
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+assert not set(_R10_WINDOW) & set(_R9_WINDOW), "r10 overlaps r9"
+# ROUND-11 WINDOW (active): the staleness backfill staged at the end
+# of round 10, with four slots swapped for queries whose SEMANTICS or
+# SCALE GUARDS change in round 11 (re-gating changed code beats
+# re-verifying untouched code, same principle as the r10 n12-n17
+# swap): pl9_semdedup + mm7_phash_neardup (both inherit the new
+# max_bucket hot-cell cap), mm3_frame_sampling (oracle re-pinned on
+# full baseline-JPEG entropy decode — its only full-decode row, r10,
+# certifies the DC-only semantics), and t13b_bpe_merges_batched (new
+# query: batched top-N disjoint merge selection). Displaced to the
+# r12 staging: p10/p11/a1/c3 (all r7-stale, code untouched).
+# Composition: the 26 queries whose newest green row is r6 (including
+# the six the r10 window displaced: n1/n3/n4/n6, j2/j3), then the 20
+# stalest r7 rows, then the 4 changed-this-round slots. dd4b leads
+# the r7 tier because its plan changed in r10 (the shared-shingle
+# checkpoint repair) after its last official row. Asserted against
+# the registry so a typo cannot survive.
+_WINDOW_PRIORITY = [
     # r6-stale (26)
     "j2_union_distinct", "j3_union_all", "n1_struct_extract",
     "n3_kv_pivot", "n4_element_first_last", "n6_json_stringify",
@@ -11303,21 +11361,63 @@ _R11_WINDOW = [
     "st1_windowed_agg", "st2_superseded_stream", "t3_language_id",
     "t4_fingerprint", "t5_length_histogram", "t6_sequence_packing",
     "w2_distinct_rows", "w3_sort_limit_top1", "w5_rank_lattice",
-    # r7-stale (24; dd4b first — plan changed in r10)
-    "dd4b_ngram_jaccard_capped", "a1_group_having", "c1_classify_runs",
-    "c2_webhook_route", "c3_quality_filter", "dd1_exact_dedup",
+    # r7-stale (20; dd4b first — plan changed in r10)
+    "dd4b_ngram_jaccard_capped", "c1_classify_runs",
+    "c2_webhook_route", "dd1_exact_dedup",
     "dd2_minhash_lsh_candidates", "dd3_simhash", "dd5_embedding_neardup",
     "dd5b_bucketed_neardup", "dd6_decontamination",
     "dd7_embedding_decontamination", "dd8_dedup_clusters",
     "f8_hmac_sha256", "j1_anti_join", "j5_parent_child_join",
     "j7_star_join_rollup", "j8_asof_join", "mm1_decode_media",
     "mm2_media_features", "n2_explode_tokens", "n5_sticky_carry",
-    "p10_deterministic_sample", "p11_stratified_sample",
+    # changed-in-r11 re-gates + new query (4)
+    "pl9_semdedup", "mm7_phash_neardup", "mm3_frame_sampling",
+    "t13b_bpe_merges_batched",
 ]
-assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
-_r11_missing = [n for n in _R11_WINDOW if n not in QUERIES]
-assert not _r11_missing, f"r11 window names not registered: {_r11_missing}"
-assert not set(_R11_WINDOW) & set(_WINDOW_PRIORITY), "r11 overlaps r10"
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+assert not _missing, f"window names not registered: {_missing}"
+# mm3 is deliberately re-gated one round after its r10 row because
+# its decode semantics change in r11 (DC-only -> full entropy
+# decode); everything else respects the no-repeat rotation.
+assert set(_WINDOW_PRIORITY) & set(_R10_WINDOW) == {"mm3_frame_sampling"}, (
+    "r11 overlaps r10 beyond the planned mm3 re-gate"
+)
+# The r12 rotation, MACHINE-READABLE — next round, swap this list
+# into _WINDOW_PRIORITY. Composition (computed at the start of round
+# 11 from CORRECTNESS_r01-r10 + the r11 window): the 30 queries whose
+# newest green row will still be r7 after r11 lands (26 never
+# displaced + p10/p11/a1/c3 displaced above), then the 20 stalest r8
+# rows (alphabetical within the r8 cohort). If round 12 changes any
+# query's semantics, swap it in and push the tail to r13 staging —
+# re-gating changed code beats re-verifying untouched code.
+_R12_WINDOW = [
+    # r7-stale (30)
+    "a1_group_having", "c3_quality_filter", "p10_deterministic_sample",
+    "p11_stratified_sample", "p1_schema_align", "p7_sentinel_null",
+    "pl1_okta_refresh", "pl3_event_retry_pipeline",
+    "pl5_corpus_dedup_pipeline", "s13_jsonl_roundtrip",
+    "s14_orc_roundtrip", "s1_scan_projection", "s2_paged_rest_scan",
+    "s4_csv_parse", "ss1_cosine_topk", "ss2_ivf_topk",
+    "ss3_ivf_trained_topk", "ss4_lsh_topk", "st3_stream_corpus_dedup",
+    "st4_attribute_fanout", "st7_drain_machine", "t10_doc_chunking",
+    "t1_token_stats", "t2_quality_score", "t7_repetition_ratio",
+    "t8_pii_scrub", "t9_tfidf_topterms", "w1_dedup_keep_latest",
+    "w4_superseded_dedup", "w6_sessionize",
+    # r8-stale (20, alphabetical)
+    "a12_cube_lattice", "a13_pivot_wide", "a14_gapfill_locf",
+    "a17_global_topk", "a18_winsorize", "a19_percentile_sketch_audit",
+    "a20_share_of_total", "c4_quality_ensemble",
+    "dd10_edit_distance_verify", "dd11_lsh_quality_eval",
+    "dd12_url_dedup", "dd13_minhash_estimator_audit", "dd9_chunk_dedup",
+    "f11_higher_order_arrays", "f12_bitwise_aggs", "f13_calendar_arith",
+    "f14_map_functions", "f15_array_sort_comparator",
+    "j13_interval_overlap_join", "j14_attribution_join",
+]
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+_r12_missing = [n for n in _R12_WINDOW if n not in QUERIES]
+assert not _r12_missing, f"r12 window names not registered: {_r12_missing}"
+assert not set(_R12_WINDOW) & set(_WINDOW_PRIORITY), "r12 overlaps r11"
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},

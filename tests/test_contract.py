@@ -152,63 +152,63 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-10 rotation: the 15 never-officially-gated queries
-    first, then the stalest previously-gated backfill (r5/r6 rows)
-    and the four round-10 full-width woo gates — an accidental
-    registration reorder silently drops operators out of the official
-    artifact."""
+    the round-11 rotation: the 26 r6-stale backfill rows first, then
+    the 20 stalest r7 rows, then the four changed-in-r11 re-gates
+    (pl9/mm7 max_bucket, mm3 full-JPEG oracle, the new t13b) — an
+    accidental registration reorder silently drops operators out of
+    the official artifact."""
     window = list(QUERIES)[:50]
     must_have = {
-        "pl13_incremental_mv",
-        "a32_linreg_trend",
-        "a33_skyline",
-        "dd16_cdc_chunks",
-        "pl14_streaming_mv",
-        "pl15_incremental_zorder",
-        "w15_drawdown",
-        "g5_label_propagation",
-        "s20_manifest_skipping",
-        "mm8_silence_segments",
-        "pl16_incremental_ivf",
-        "ss10_rrf_fusion",
-        "t23_bigram_lm_score",
-        "s21_fixed_width_source",
-        "dd17_bloom_history_dedup",
+        "j2_union_distinct",
+        "j3_union_all",
+        "n1_struct_extract",
+        "n3_kv_pivot",
+        "n4_element_first_last",
+        "n6_json_stringify",
+        "p2_positional_projection",
+        "p4_filter_gate",
+        "p5_status_route",
+        "p6_isin_filter",
+        "p8_coalesce_defaults",
+        "p9_string_norm",
+        "pl2_woo_incremental",
+        "pl2b_woo_incremental_by_store",
+        "s10_object_store_export",
+        "s6_sql_source",
+        "s9_csv_checkpoint",
+        "st1_windowed_agg",
+        "st2_superseded_stream",
+        "t3_language_id",
+        "t4_fingerprint",
+        "t5_length_histogram",
+        "t6_sequence_packing",
+        "w2_distinct_rows",
+        "w3_sort_limit_top1",
+        "w5_rank_lattice",
+        "dd4b_ngram_jaccard_capped",
+        "c1_classify_runs",
+        "c2_webhook_route",
+        "dd1_exact_dedup",
+        "dd2_minhash_lsh_candidates",
+        "dd3_simhash",
+        "dd5_embedding_neardup",
+        "dd5b_bucketed_neardup",
+        "dd6_decontamination",
+        "dd7_embedding_decontamination",
+        "dd8_dedup_clusters",
+        "f8_hmac_sha256",
+        "j1_anti_join",
+        "j5_parent_child_join",
+        "j7_star_join_rollup",
+        "j8_asof_join",
+        "mm1_decode_media",
+        "mm2_media_features",
+        "n2_explode_tokens",
+        "n5_sticky_carry",
+        "pl9_semdedup",
+        "mm7_phash_neardup",
         "mm3_frame_sampling",
-        "a11_group_percentiles",
-        "a9_hypertable_rollup",
-        "j9_range_join",
-        "pl4_corpus_ingest_dedup",
-        "s11_attributed_publish",
-        "a10_string_agg_ordered",
-        "a2_watermark_max",
-        "a3_conditional_agg",
-        "a4_count_predicate",
-        "a5_collect_sorted_list",
-        "a6_rollup_subtotals",
-        "a7_distribution_stats",
-        "a8_count_distinct",
-        "dd4_ngram_jaccard",
-        "f10_try_cast_coerce",
-        "f1_regex_match",
-        "f2_ts_format",
-        "f3_epoch_seconds",
-        "f4_decimal_negate",
-        "f5_string_ops",
-        "f6_hour_gate",
-        "f7_flag_coerce",
-        "f9_json_access",
-        "j10_intersect_except",
-        "j11_null_safe_join",
-        "j12_exists_semi_join",
-        "j4_broadcast_lookup",
-        "j6_salted_skew_join",
-        "n12_woo_flat_orders",
-        "n13_woo_flat_order_items",
-        "n14_woo_flat_products",
-        "n15_woo_flat_refunds",
-        "n16_woo_flat_refund_items",
-        "n17_woo_flat_product_attributes",
+        "t13b_bpe_merges_batched",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50

@@ -584,6 +584,67 @@ def test_bpe_merges_match_reference_implementation(spark, texts, k):
 @given(
     texts=st.lists(
         st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 5]),
+    batch=st.sampled_from([1, 3]),
+)
+@settings(**SETTINGS)
+def test_bpe_merges_batched_match_reference(spark, texts, k, batch):
+    """The BATCHED distributed BPE (top-N symbol-disjoint merges per
+    round, one candidate-window collect per round) must replay the
+    SAME schedule as the independent pure-Python batched reference —
+    tiny {a,b,c} alphabets force ties and symbol collisions inside
+    the candidate window, which is exactly where the disjointness
+    rule and the scan bound matter."""
+    from dot_spark.operators.bpe import bpe_merges_batched, reference_bpe_batched
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges_batched(docs, k=k, batch=batch).orderBy("rank").collect()
+    ]
+    assert got == reference_bpe_batched(texts, k=k, batch=batch)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.sampled_from([1, 4]),
+)
+@settings(**SETTINGS)
+def test_bpe_batch_of_one_equals_sequential_greedy(spark, texts, k):
+    """Law: batch=1 degenerates to pure sequential greedy — the
+    candidate window's head is always accepted, so the batched
+    trainer must learn EXACTLY bpe_merges' table (rank, pair, count
+    all equal). Pins the batched path to the sequential baseline."""
+    from dot_spark.operators.bpe import bpe_merges, bpe_merges_batched
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = lambda df: [  # noqa: E731
+        (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in df.orderBy("rank").collect()
+    ]
+    assert rows(bpe_merges_batched(docs, k=k, batch=1)) == rows(
+        bpe_merges(docs, k=k)
+    )
+
+
+@given(
+    texts=st.lists(
+        st.lists(
             st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=8
         ).map(" ".join),
         min_size=1,
