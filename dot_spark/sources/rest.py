@@ -87,7 +87,7 @@ def fetch_with_retry(
     max_retries: int = 5,
     backoff_initial: float = 1.0,
     invalid_json_delay: float = 300.0,
-    sleep: Callable[[float], None] = time.sleep,
+    sleep: Callable[[float], None] | None = None,
 ) -> dict:
     """Fetch one page document through ``transport`` with the
     reference's retry contract. ``transport`` returns the raw body
@@ -95,7 +95,13 @@ def fetch_with_retry(
     already-parsed dict; it raises RateLimited / TransientFetchError
     to signal the two retryable fault classes. Any other exception
     propagates — non-retryable faults (4xx other than 429) should
-    fail the task immediately."""
+    fail the task immediately.
+
+    ``sleep`` defaults to ``time.sleep`` resolved at CALL time (not
+    bound at def time) so tests that monkeypatch this module's
+    ``time`` actually intercept the waits."""
+    if sleep is None:
+        sleep = time.sleep
     retries = 0
     delay = backoff_initial
     while retries <= max_retries:
@@ -126,12 +132,70 @@ def fetch_with_retry(
     raise FetchFailed(f"fetch failed after {max_retries + 1} attempts: {url}")
 
 
+# Fail-fast knobs for transports where retrying cannot help: a local
+# file does not heal, so a corrupt page must fail the task NOW, not
+# after max_retries x invalid_json_delay of real sleeping (~25 min).
+# Live HTTP transports carry no retry_policy attribute and get the
+# reference cadence (okta_sync_utils.py:127-191 semantics).
+_FAIL_FAST_POLICY = {
+    "max_retries": 0,
+    "backoff_initial": 0.0,
+    "invalid_json_delay": 0.0,
+}
+
+
 def _file_transport(path: str) -> str:
     """Default transport: the fixture tree (the sandbox has no
     network). Returns the raw body so the JSON-validity retry path is
-    exercised identically to a live HTTP transport."""
+    exercised identically to a live HTTP transport — but under the
+    fail-fast policy, because re-reading the same local file can
+    never produce a different body."""
     with open(path, encoding="utf-8") as fh:
         return fh.read()
+
+
+_file_transport.retry_policy = _FAIL_FAST_POLICY
+
+
+def http_transport(url: str, timeout: float = 30.0) -> str:
+    """Live HTTP GET (stdlib urllib), mapping response classes onto
+    the retry signals the policy understands — the same fault
+    taxonomy as the reference client (okta_sync_utils.py:127-191):
+
+    - 429              -> RateLimited (exponential pacing, no budget)
+    - 5xx              -> TransientFetchError(delay=180)  # http class
+    - timeout/conn err -> TransientFetchError(delay=60)   # net class
+    - other 4xx        -> HTTPError propagates (non-retryable)
+
+    Carries NO retry_policy attribute, so it runs under the full
+    reference cadence."""
+    import socket
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return resp.read().decode("utf-8")
+    except urllib.error.HTTPError as e:
+        if e.code == 429:
+            raise RateLimited(f"429: {url}") from e
+        if 500 <= e.code < 600:
+            raise TransientFetchError(f"http {e.code}: {url}", delay=180.0) from e
+        raise
+    except (TimeoutError, socket.timeout) as e:
+        raise TransientFetchError(f"timeout: {url}", delay=60.0) from e
+    except (urllib.error.URLError, ConnectionError) as e:
+        raise TransientFetchError(f"{e}: {url}", delay=60.0) from e
+
+
+# named transports selectable via the reader's `transport` option —
+# the production seam (no monkeypatching needed to go live): a reader
+# built on executors re-resolves the name to the module-level
+# function, so the choice survives pickling.
+_TRANSPORTS: dict[str, Callable[[str], str | dict]] = {
+    "file": _file_transport,
+    "http": http_transport,
+}
 
 
 class PagedJsonDataSource(DataSource):
@@ -144,6 +208,10 @@ class PagedJsonDataSource(DataSource):
     - parent_col: column to stamp with the partition's parent key
       (default none)
     - filterable: comma-separated columns the "server" can filter
+    - transport: "file" (default) or "http" — live HTTP GET with the
+      reference retry cadence; `path` is then a base URL
+    - max_retries / backoff_initial / invalid_json_delay: retry-knob
+      overrides (defaults: the transport's policy)
     """
 
     @classmethod
@@ -173,6 +241,17 @@ class PagedJsonReader(DataSourceReader):
             c.strip() for c in options.get("filterable", "").split(",") if c.strip()
         }
         self.pushed: list[Filter] = []
+        # only shadow the class-attribute seam when explicitly asked:
+        # tests and subclasses that patch the class attribute keep
+        # working, and an instance attribute pointing at a module-
+        # level function still pickles by reference to executors.
+        if "transport" in options:
+            name = options["transport"]
+            if name not in _TRANSPORTS:
+                raise ValueError(
+                    f"unknown transport {name!r}; expected one of {sorted(_TRANSPORTS)}"
+                )
+            self.transport = _TRANSPORTS[name]
 
     # --- P3: server-side pushdown -------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -223,13 +302,23 @@ class PagedJsonReader(DataSourceReader):
     # transport seam: a live deployment swaps _file_transport for an
     # HTTP GET raising RateLimited/TransientFetchError; the retry/
     # backoff policy (okta_sync_utils.py:72-193 semantics) lives in
-    # fetch_with_retry and is identical for both. Class attribute so
-    # tests (and subclasses) inject a failing transport; must stay a
-    # picklable module-level callable — the reader ships to executors.
+    # fetch_with_retry. The policy is PER-TRANSPORT: a transport may
+    # carry a `retry_policy` dict of knob overrides (_file_transport
+    # is fail-fast — retrying a local read is pointless), and reader
+    # options (`max_retries`, `backoff_initial`, `invalid_json_delay`)
+    # override both. Class attribute so tests (and subclasses) inject
+    # a failing transport; must stay a picklable module-level
+    # callable — the reader ships to executors.
     transport = staticmethod(_file_transport)
 
     def _fetch_page(self, path: str) -> dict:
-        return fetch_with_retry(self.transport, path)
+        policy = dict(getattr(self.transport, "retry_policy", {}))
+        if "max_retries" in self.options:
+            policy["max_retries"] = int(self.options["max_retries"])
+        for knob in ("backoff_initial", "invalid_json_delay"):
+            if knob in self.options:
+                policy[knob] = float(self.options[knob])
+        return fetch_with_retry(self.transport, path, **policy)
 
 
 def register_paged_json(spark) -> None:

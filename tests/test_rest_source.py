@@ -211,3 +211,185 @@ def test_reader_fetch_page_goes_through_retry_policy(spark, tmp_path, monkeypatc
     rows = list(reader.read(part))
     assert [r[0] for r in rows] == [1, 2, 3]
     assert fails["n"] == 0
+
+
+# --- loopback HTTP integration (real sockets, stdlib http.server) ------
+#
+# The retry policy's unit tests above inject transports; these stand
+# up a real in-process HTTP server on 127.0.0.1 and drive the SAME
+# code paths over actual sockets: status-code mapping in
+# http_transport, the full fetch_with_retry cadence, and the reader's
+# page walk (including through real executors via option
+# transport=http).
+
+import threading  # noqa: E402
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer  # noqa: E402
+
+from dot_spark.sources.rest import http_transport  # noqa: E402
+
+
+class _ScriptedHTTPHandler(BaseHTTPRequestHandler):
+    """Serves per-path scripted (status, body) sequences; the last
+    step of a script is sticky so retries/extra requests converge."""
+
+    def do_GET(self):
+        steps = self.server.scripts.get(self.path)
+        if steps is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        with self.server.lock:
+            status, body = steps.pop(0) if len(steps) > 1 else steps[0]
+        payload = body.encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *args):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture()
+def loopback(request):
+    def make(scripts):
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _ScriptedHTTPHandler)
+        srv.scripts = {k: list(v) for k, v in scripts.items()}
+        srv.lock = threading.Lock()
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        request.addfinalizer(srv.shutdown)
+        return f"http://127.0.0.1:{srv.server_address[1]}"
+
+    return make
+
+
+def test_http_transport_maps_status_codes_over_real_sockets(loopback):
+    base = loopback(
+        {
+            "/limited": [(429, "slow down")],
+            "/flaky": [(503, "boom")],
+            "/gone": [(404, "nope")],
+            "/ok": [(200, '{"records": [], "next": null}')],
+        }
+    )
+    with pytest.raises(RateLimited):
+        http_transport(f"{base}/limited")
+    with pytest.raises(TransientFetchError) as exc:
+        http_transport(f"{base}/flaky")
+    assert exc.value.delay == 180.0  # the reference's http-error class delay
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):  # non-retryable: propagates
+        http_transport(f"{base}/gone")
+    assert json.loads(http_transport(f"{base}/ok"))["next"] is None
+
+
+def test_fetch_with_retry_full_cadence_over_real_sockets(loopback):
+    """429 -> 5xx -> garbage-200 -> good-200, all over one socket:
+    the cadence must be 1s pacing (no budget), 180s http-class delay,
+    300s invalid-JSON pause — exactly the injected-transport law, now
+    proven against real HTTP semantics."""
+    base = loopback(
+        {
+            "/p": [
+                (429, ""),
+                (503, ""),
+                (200, "definitely not json"),
+                (200, '{"records": [{"id": 7}], "next": null}'),
+            ]
+        }
+    )
+    sleeps = []
+    doc = fetch_with_retry(http_transport, f"{base}/p", sleep=sleeps.append)
+    assert doc["records"] == [{"id": 7}]
+    assert sleeps == [1.0, 180.0, 300.0]
+
+
+def test_paged_reader_http_chain_through_executors(spark, loopback):
+    """End-to-end: spark.read with transport=http walks a multi-page
+    link chain over real sockets FROM EXECUTOR PROCESSES (the
+    transport choice is an option, so it survives pickling — no
+    monkeypatch seam involved)."""
+    base = loopback(
+        {
+            "/g1/page-0.json": [
+                (200, json.dumps({"records": [{"id": 1, "status": "ACTIVE"},
+                                              {"id": 2, "status": "ACTIVE"}],
+                                  "next": "page-1"}))
+            ],
+            "/g1/page-1.json": [
+                (200, json.dumps({"records": [{"id": 3, "status": "DEPROVISIONED"}],
+                                  "next": None}))
+            ],
+            "/g2/page-0.json": [
+                (200, json.dumps({"records": [{"id": 10, "status": "ACTIVE"}],
+                                  "next": None}))
+            ],
+        }
+    )
+    register_paged_json(spark)
+    df = (
+        spark.read.format("paged_json")
+        .option("path", base)
+        .option("schema", SCHEMA)
+        .option("keys", "g1,g2")
+        .option("parent_col", "group_id")
+        .option("transport", "http")
+        .load()
+    )
+    rows = {(r.id, r.group_id) for r in df.collect()}
+    assert rows == {(1, "g1"), (2, "g1"), (3, "g1"), (10, "g2")}
+
+
+def test_paged_reader_http_retries_rate_limit_and_garbage_mid_chain(loopback):
+    """The reader's page walk survives a 429 and a garbage 200 body
+    mid-chain over a real socket, with the pacing knobs zeroed via
+    reader options (the per-transport override seam)."""
+    from pyspark.sql.types import StructType
+
+    base = loopback(
+        {
+            "/page-0.json": [
+                (429, ""),
+                (200, "garbage body"),
+                (200, json.dumps({"records": [{"id": 1}], "next": "page-1"})),
+            ],
+            "/page-1.json": [
+                (200, json.dumps({"records": [{"id": 2}], "next": None}))
+            ],
+        }
+    )
+    schema = StructType.fromDDL(SCHEMA)
+    reader = PagedJsonReader(
+        schema,
+        {
+            "path": base,
+            "transport": "http",
+            "backoff_initial": "0",
+            "invalid_json_delay": "0",
+        },
+    )
+    part = reader.partitions()[0]
+    assert [r[0] for r in reader.read(part)] == [1, 2]
+
+
+def test_file_transport_fails_fast_on_corrupt_page(spark, tmp_path, monkeypatch):
+    """A corrupt LOCAL page file must fail the task immediately (one
+    attempt, zero sleeps) — retrying a local read is pointless, and
+    the reference cadence's 5x300s would stall the task ~25 minutes.
+    The sleep seam resolves time.sleep at call time, so this records
+    any accidental wait."""
+    from pyspark.sql.types import StructType
+
+    (tmp_path / "page-0.json").write_text("definitely not json")
+    schema = StructType.fromDDL(SCHEMA)
+    reader = PagedJsonReader(schema, {"path": str(tmp_path)})
+
+    sleeps = []
+    monkeypatch.setattr(
+        "dot_spark.sources.rest.time",
+        type("T", (), {"sleep": staticmethod(sleeps.append)}),
+    )
+    with pytest.raises(FetchFailed):
+        list(reader.read(reader.partitions()[0]))
+    assert sleeps == []
