@@ -31,9 +31,10 @@ Semantics preserved per shape:
   attributes with parent keys.
 - N5 sticky carries in document order: a standalone item's sku
   applies to following bundle members (:683-688), and donor_premium
-  FREEZES on the first item value that isn't the literal 'false'
-  (:745-749 `if donor_premium == "false": ...` — one per-order value,
-  not per-item).
+  FREEZES on the first cru_data-bearing item value that isn't the
+  literal 'false', None included (:745-749
+  `if donor_premium == "false": ...` — one per-order value, not
+  per-item).
 - F4 exact decimal money math (Decimal casts; '' sentinels use the
   reference's defaults where it defaults, try_cast->NULL where it
   would throw).
@@ -105,18 +106,64 @@ def _dec0(col: Column) -> Column:
 
 
 def _flag1(col: Column) -> Column:
-    """F7: '1'-string (or boolean true) -> true, anything else false."""
+    """'1'-string (or boolean true) -> true, anything else false.
+    For TOP-LEVEL fields only (backorders_allowed/downloadable/
+    virtual), where the source value can be a JSON boolean; the
+    meta-data pivot flags use meta_flag, which accepts ONLY the
+    exact string '1' (the reference pivot :846-892 tests
+    `y['value'] == "1"` — a meta value 'true' yields 0 there)."""
     s = col.cast("string")
     return F.coalesce(s.isin("1", "true"), F.lit(False))
 
 
 def meta_value(meta_col: str, key: str, default: str | None = None) -> Column:
-    """Lift one meta_data {key,value} entry (N3). `filter + element_at`
-    keeps it a pure array expression — no explode, no shuffle."""
+    """Lift one meta_data {key,value} entry (N3). `filter +
+    element_at` keeps it a pure array expression — no explode, no
+    shuffle. The LAST matching entry wins: the reference pivots are
+    plain loops that overwrite on every match (duplicate meta keys
+    are legal in WooCommerce), so `x = y['value']` leaves the final
+    occurrence. A matched entry whose value is NULL yields NULL —
+    the default applies only when NO entry matches (the reference
+    assigns y['value'] verbatim, None included)."""
+    last = F.try_element_at(
+        F.filter(F.col(meta_col), lambda e: e["key"] == F.lit(key)), F.lit(-1)
+    )
+    if default is None:
+        return last["value"]
+    return F.when(last.isNull(), F.lit(default)).otherwise(last["value"])
+
+
+def meta_flag(meta_col: str, key: str) -> Column:
+    """Sticky meta flag pivot: true iff ANY entry for `key` has the
+    EXACT string value '1' (woo-sync/main.py:846-892 — the `if
+    y['value'] == "1": x = 1` arms only ever SET the flag, so a later
+    duplicate can't clear it, and 'true'/'yes' never set it)."""
+    return F.coalesce(
+        F.exists(
+            F.col(meta_col),
+            lambda e: (e["key"] == F.lit(key)) & (e["value"] == F.lit("1")),
+        ),
+        F.lit(False),
+    )
+
+
+def meta_last_nonempty(meta_col: str, key: str, default: str) -> Column:
+    """''-guarded meta lift: the reference's `if y['value'] != "":
+    x = y['value']` arms overwrite on every NON-EMPTY match, so the
+    LAST non-empty entry wins and '' entries can never clobber an
+    earlier value back to the default. (A present-but-None value
+    would crash the reference's int()/Decimal() coercion downstream —
+    treated as non-matching here.)"""
     hit = F.try_element_at(
-        F.filter(F.col(meta_col), lambda e: e["key"] == F.lit(key)), F.lit(1)
+        F.filter(
+            F.col(meta_col),
+            lambda e: (e["key"] == F.lit(key))
+            & e["value"].isNotNull()
+            & (e["value"] != F.lit("")),
+        ),
+        F.lit(-1),
     )["value"]
-    return F.coalesce(hit, F.lit(default)) if default is not None else hit
+    return F.coalesce(hit, F.lit(default))
 
 
 def _meta_of(
@@ -263,10 +310,11 @@ def flatten_order_items(
     - sku: a standalone item (bundled_by == '') sets the running sku;
       bundle members inherit it; initial value '' (:683-688).
     - donor_premium: starts 'false' per order and FREEZES on the
-      first item whose cru_data.donor_premium isn't the literal
-      'false' (:745-749) — once frozen (to '0' OR '1'), later items
-      cannot change it. first(ignorenulls) over the same running
-      frame expresses the freeze exactly.
+      first cru_data-bearing item whose donor_premium isn't the
+      literal 'false' — None INCLUDED (:745-749 assigns the value
+      verbatim) — once frozen (to '0', '1', or None), later items
+      cannot change it. A struct-sentinel first(ignorenulls) over
+      the same running frame expresses the freeze exactly.
 
     Both windows share one (order, pos) spec, so the explode pays a
     single exchange.
@@ -305,13 +353,25 @@ def flatten_order_items(
     carried_sku = F.when(carried_mark.isNull(), F.lit("")).otherwise(
         carried_mark["v"]
     )
+    # donor_premium freeze, verbatim :745-749: the reference assigns
+    # `donor_premium = cd['donor_premium']` whenever the accumulator
+    # still reads 'false' and the item HAS a cru_data block — so a
+    # present-but-None value freezes the carry at None (later '1'
+    # items can no longer set it); only the literal 'false' leaves it
+    # assignable. Struct sentinel again (like sku_mark) so a NULL
+    # freeze value survives first(ignorenulls); cru_data-struct
+    # nullness IS the reference's `if 'cru_data' in li` (a JSON
+    # cru_data: null would crash the reference's cd['...'] access, so
+    # null-struct == absent is exact).
+    has_cru = fld("cru_data").isNotNull()
     dp_raw = fld("cru_data.donor_premium").cast("string")
-    frozen_dp = F.coalesce(
-        F.first(
-            F.when(dp_raw.isNotNull() & (dp_raw != "false"), dp_raw),
-            ignorenulls=True,
-        ).over(w),
-        F.lit("false"),
+    dp_mark = F.when(
+        has_cru & (dp_raw.isNull() | (dp_raw != "false")),
+        F.struct(dp_raw.alias("v")),
+    )
+    frozen_mark = F.first(dp_mark, ignorenulls=True).over(w)
+    frozen_dp = F.when(frozen_mark.isNull(), F.lit("false")).otherwise(
+        frozen_mark["v"]
     )
     item_cost = _meta_of(items, "item.meta_data", "_alg_wc_cog_item_cost")
     return items.select(
@@ -407,8 +467,9 @@ def flatten_products(
         return meta_value("meta_data", key, default)
 
     def meta_num_default(key: str, default: str) -> Column:
-        # ``if y['value'] != "": x = y['value']`` — '' keeps default
-        return F.coalesce(F.nullif(meta(key), F.lit("")), F.lit(default))
+        # ``if y['value'] != "": x = y['value']`` — last non-empty
+        # duplicate wins; '' entries never clobber back to default
+        return meta_last_nonempty("meta_data", key, default)
 
     def bool_field(path: str) -> Column:
         # '' and absent both mean the default (:907-923)
@@ -429,14 +490,14 @@ def flatten_products(
         bool_field("backorders_allowed").alias("backorders_allowed"),
         bool_field("downloadable").alias("downloadable"),
         bool_field("virtual").alias("virtual"),
-        _flag1(meta("exclude_from_all_discounting")).alias(
+        meta_flag("meta_data", "exclude_from_all_discounting").alias(
             "exclude_from_all_discounting"
         ),
-        _flag1(meta("free_shipping")).alias("free_shipping"),
-        _flag1(meta("product_inactive")).alias("product_inactive"),
-        _flag1(meta("gift_card")).alias("gift_card"),
-        _flag1(meta("donor_premium")).alias("donor_premium"),
-        _flag1(meta("royalty")).alias("royalty"),
+        meta_flag("meta_data", "free_shipping").alias("free_shipping"),
+        meta_flag("meta_data", "product_inactive").alias("product_inactive"),
+        meta_flag("meta_data", "gift_card").alias("gift_card"),
+        meta_flag("meta_data", "donor_premium").alias("donor_premium"),
+        meta_flag("meta_data", "royalty").alias("royalty"),
         meta("next_receipt_date").try_cast("date").alias("next_receipt_date"),
         meta("brand", "").alias("brand"),
         meta("product_isbn", "").alias("product_isbn"),
@@ -470,15 +531,19 @@ def flatten_products(
         ).alias("weight"),
         _field(raw, "type").alias("type"),
         _field(raw, "stock_quantity", "bigint").cast("bigint").alias("stock_quantity"),
+        # try_cast-then-coalesce keeps the reference's int() crash
+        # cases (garbage digits) at the 0 default instead of NULL
         F.coalesce(
-            F.nullif(meta("case_qty"), F.lit("")).try_cast("bigint"), F.lit(0)
+            meta_last_nonempty("meta_data", "case_qty", "0").try_cast("bigint"),
+            F.lit(0),
         ).alias("case_qty"),
         F.coalesce(
-            F.nullif(meta("product_page_count"), F.lit("")).try_cast("bigint"),
+            meta_last_nonempty("meta_data", "product_page_count", "0").try_cast("bigint"),
             F.lit(0),
         ).alias("product_page_count"),
         F.coalesce(
-            F.nullif(meta("total_manuals"), F.lit("")).try_cast("bigint"), F.lit(0)
+            meta_last_nonempty("meta_data", "total_manuals", "0").try_cast("bigint"),
+            F.lit(0),
         ).alias("total_manuals"),
         F.lit(load_ts).cast("bigint").alias("timestamp"),
     )

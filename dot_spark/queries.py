@@ -1625,9 +1625,16 @@ def _n13_oracle_sql() -> str:
         COALESCE(LAST_VALUE(CASE WHEN l_linenumber % 3 = 0
                    THEN 'SKU-' || CAST(l_partkey AS VARCHAR) END IGNORE NULLS)
                  {win}, '') AS sku_carry,
-        COALESCE(FIRST_VALUE(CASE WHEN l_partkey % 5 = 0 THEN '1'
-                                  WHEN l_partkey % 5 = 1 THEN '0' END IGNORE NULLS)
-                 {win}, 'false') AS dp_frozen
+        -- donor_premium freeze class: the fixture's dp value is
+        -- '1'/'0'/'false'/NULL/NULL for pk%5 = 0/1/2/3/4 and
+        -- cru_data is always present, so the carry freezes at the
+        -- first item with pk%5 <> 2 (a present-but-NULL value
+        -- freezes too — main.py:745-749 assigns verbatim); the
+        -- frozen CLASS is carried because NULL itself cannot ride
+        -- IGNORE NULLS
+        FIRST_VALUE(CASE WHEN l_partkey % 5 <> 2
+                         THEN CAST(l_partkey % 5 AS VARCHAR) END IGNORE NULLS)
+                 {win} AS dp_class
       FROM it)
     SELECT
       1 AS store_wid, 'cru_woo' AS rls_value,
@@ -1649,7 +1656,10 @@ def _n13_oracle_sql() -> str:
            THEN {dec("CAST(l_suppkey % 30 AS VARCHAR) || '.25'")} ELSE 0.0 END AS product_cost,
       CASE WHEN l_partkey % 6 = 0 THEN '' ELSE 'DP-' || CAST(l_partkey % 5 AS VARCHAR) END AS product_dept,
       CASE WHEN l_partkey % 2 = 0 THEN 0.50 ELSE 0.00 END AS product_discount,
-      (dp_frozen = '1') AS product_donor_premium,
+      CASE WHEN dp_class IS NULL THEN FALSE      -- never froze ('false' = '1')
+           WHEN dp_class = '0' THEN TRUE         -- froze at '1'
+           WHEN dp_class = '1' THEN FALSE        -- froze at '0'
+           ELSE NULL END AS product_donor_premium,  -- froze at NULL
       CASE WHEN l_partkey % 10 = 0 THEN '1' ELSE '' END AS product_exclude_discounting,
       '0' AS product_free_shipping,
       '' AS product_gift_card,
@@ -1736,6 +1746,17 @@ def _woo_nested_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         me("product_language", F.when(k % 2 == 0, "en").otherwise("fr")),
         me("sub_brand", F.concat(F.lit("SB-"), (k % 6).cast("string"))),
         me("total_manuals", F.when(k % 3 == 0, "").otherwise((sz % 5).cast("string"))),
+        # DUPLICATE-KEY coverage (legal in WooCommerce; the reference
+        # pivot is a loop, main.py:846-892): a second royalty entry
+        # can SET the sticky flag but a '0' can't clear it; 'true' is
+        # NOT the exact string '1'; a later brand entry overwrites
+        # (last wins); '' can never clobber a guarded value back to
+        # its default; a later non-'' case_qty overwrites.
+        me("royalty", F.when(k % 2 == 0, "1").otherwise("0")),
+        me("gift_card", F.when(k % 13 == 0, "true").otherwise("0")),
+        me("brand", F.concat(F.lit("B2-"), (k % 4).cast("string")), present=(k % 3 == 0)),
+        me("_alg_wc_cog_cost", F.lit("")),
+        me("case_qty", (sz % 7).cast("string"), present=(k % 3 == 0)),
     )
     return p.select(
         k.alias("id"),
@@ -1777,9 +1798,10 @@ def _n14_oracle_sql() -> str:
       (p_partkey % 9 = 0) AS product_inactive,
       FALSE AS gift_card,
       (p_partkey % 5 = 0) AS donor_premium,
-      (p_partkey % 11 = 0) AS royalty,
+      (p_partkey % 11 = 0 OR p_partkey % 2 = 0) AS royalty,
       '2026-0' || CAST(1 + p_size % 9 AS VARCHAR) || '-01' AS next_receipt_date,
-      'B-' || CAST(p_partkey % 8 AS VARCHAR) AS brand,
+      CASE WHEN p_partkey % 3 = 0 THEN 'B2-' || CAST(p_partkey % 4 AS VARCHAR)
+           ELSE 'B-' || CAST(p_partkey % 8 AS VARCHAR) END AS brand,
       CASE WHEN p_partkey % 5 = 0 THEN '' ELSE 'isbn-' || CAST(p_partkey AS VARCHAR) END AS product_isbn,
       'PUB-' || CAST(p_partkey % 9 AS VARCHAR) AS product_publisher,
       'I-' || CAST(p_partkey % 4 AS VARCHAR) AS impact,
@@ -1798,7 +1820,8 @@ def _n14_oracle_sql() -> str:
            ELSE {dec("CAST(p_size AS VARCHAR) || '.5'")} END AS weight,
       CASE WHEN p_partkey % 2 = 0 THEN 'simple' ELSE 'bundle' END AS type,
       CAST(p_size AS BIGINT) AS stock_quantity,
-      CASE WHEN p_partkey % 2 = 0 THEN 0 ELSE p_size % 20 END AS case_qty,
+      CASE WHEN p_partkey % 3 = 0 THEN p_size % 7
+           WHEN p_partkey % 2 = 0 THEN 0 ELSE p_size % 20 END AS case_qty,
       CAST(p_size AS BIGINT) * 3 AS product_page_count,
       CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE p_size % 5 END AS total_manuals,
       {_WOO_LOAD_TS} AS timestamp
@@ -11342,11 +11365,16 @@ assert not set(_R10_WINDOW) & set(_R9_WINDOW), "r10 overlaps r9"
 # max_bucket hot-cell cap), mm3_frame_sampling (oracle re-pinned on
 # full baseline-JPEG entropy decode — its only full-decode row, r10,
 # certifies the DC-only semantics), and t13b_bpe_merges_batched (new
-# query: batched top-N disjoint merge selection). Displaced to the
-# r12 staging: p10/p11/a1/c3 (all r7-stale, code untouched).
+# query: batched top-N disjoint merge selection) — plus TWO more
+# swaps for the ADVICE.md woo-flatten semantic fixes (last-wins meta
+# lifts, exact-'1' sticky flag pivots, verbatim donor_premium NULL
+# freeze): n13_woo_flat_order_items (output changed — the fixture has
+# present-but-NULL donor_premium values) and n14_woo_flat_products
+# (fixture extended with duplicate-key coverage). Displaced to the
+# r12 staging: p10/p11/a1/c3/c2/f8 (all r7-stale, code untouched).
 # Composition: the 26 queries whose newest green row is r6 (including
-# the six the r10 window displaced: n1/n3/n4/n6, j2/j3), then the 20
-# stalest r7 rows, then the 4 changed-this-round slots. dd4b leads
+# the six the r10 window displaced: n1/n3/n4/n6, j2/j3), then the 18
+# stalest r7 rows, then the 6 changed-this-round slots. dd4b leads
 # the r7 tier because its plan changed in r10 (the shared-shingle
 # checkpoint repair) after its last official row. Asserted against
 # the registry so a typo cannot survive.
@@ -11361,18 +11389,19 @@ _WINDOW_PRIORITY = [
     "st1_windowed_agg", "st2_superseded_stream", "t3_language_id",
     "t4_fingerprint", "t5_length_histogram", "t6_sequence_packing",
     "w2_distinct_rows", "w3_sort_limit_top1", "w5_rank_lattice",
-    # r7-stale (20; dd4b first — plan changed in r10)
+    # r7-stale (18; dd4b first — plan changed in r10)
     "dd4b_ngram_jaccard_capped", "c1_classify_runs",
-    "c2_webhook_route", "dd1_exact_dedup",
+    "dd1_exact_dedup",
     "dd2_minhash_lsh_candidates", "dd3_simhash", "dd5_embedding_neardup",
     "dd5b_bucketed_neardup", "dd6_decontamination",
     "dd7_embedding_decontamination", "dd8_dedup_clusters",
-    "f8_hmac_sha256", "j1_anti_join", "j5_parent_child_join",
+    "j1_anti_join", "j5_parent_child_join",
     "j7_star_join_rollup", "j8_asof_join", "mm1_decode_media",
     "mm2_media_features", "n2_explode_tokens", "n5_sticky_carry",
-    # changed-in-r11 re-gates + new query (4)
+    # changed-in-r11 re-gates + new query (6)
     "pl9_semdedup", "mm7_phash_neardup", "mm3_frame_sampling",
-    "t13b_bpe_merges_batched",
+    "t13b_bpe_merges_batched", "n13_woo_flat_order_items",
+    "n14_woo_flat_products",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 _missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
@@ -11380,20 +11409,24 @@ assert not _missing, f"window names not registered: {_missing}"
 # mm3 is deliberately re-gated one round after its r10 row because
 # its decode semantics change in r11 (DC-only -> full entropy
 # decode); everything else respects the no-repeat rotation.
-assert set(_WINDOW_PRIORITY) & set(_R10_WINDOW) == {"mm3_frame_sampling"}, (
-    "r11 overlaps r10 beyond the planned mm3 re-gate"
-)
+assert set(_WINDOW_PRIORITY) & set(_R10_WINDOW) == {
+    "mm3_frame_sampling",
+    "n13_woo_flat_order_items",
+    "n14_woo_flat_products",
+}, "r11 overlaps r10 beyond the planned semantics-changed re-gates"
 # The r12 rotation, MACHINE-READABLE — next round, swap this list
 # into _WINDOW_PRIORITY. Composition (computed at the start of round
 # 11 from CORRECTNESS_r01-r10 + the r11 window): the 30 queries whose
 # newest green row will still be r7 after r11 lands (26 never
-# displaced + p10/p11/a1/c3 displaced above), then the 20 stalest r8
-# rows (alphabetical within the r8 cohort). If round 12 changes any
-# query's semantics, swap it in and push the tail to r13 staging —
-# re-gating changed code beats re-verifying untouched code.
+# displaced + p10/p11/a1/c3/c2/f8 displaced above), then the 18
+# stalest r8 rows (alphabetical within the r8 cohort; j13/j14 slide
+# to r13). If round 12 changes any query's semantics, swap it in and
+# push the tail to r13 staging — re-gating changed code beats
+# re-verifying untouched code.
 _R12_WINDOW = [
-    # r7-stale (30)
-    "a1_group_having", "c3_quality_filter", "p10_deterministic_sample",
+    # r7-stale (32)
+    "a1_group_having", "c2_webhook_route", "c3_quality_filter",
+    "f8_hmac_sha256", "p10_deterministic_sample",
     "p11_stratified_sample", "p1_schema_align", "p7_sentinel_null",
     "pl1_okta_refresh", "pl3_event_retry_pipeline",
     "pl5_corpus_dedup_pipeline", "s13_jsonl_roundtrip",
@@ -11412,7 +11445,6 @@ _R12_WINDOW = [
     "dd12_url_dedup", "dd13_minhash_estimator_audit", "dd9_chunk_dedup",
     "f11_higher_order_arrays", "f12_bitwise_aggs", "f13_calendar_arith",
     "f14_map_functions", "f15_array_sort_comparator",
-    "j13_interval_overlap_join", "j14_attribution_join",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 _r12_missing = [n for n in _R12_WINDOW if n not in QUERIES]

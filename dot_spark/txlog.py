@@ -231,11 +231,15 @@ class TxTable:
                 val = os.path.basename(os.path.dirname(p))
                 by_val[val] = by_val.get(val, 0) + 1
             multi = {v: n for v, n in by_val.items() if n > 1}
-            assert not multi, (
-                f"_stage(split_col={split_col!r}) layout drift: "
-                f"{len(multi)} split value(s) produced >1 file: "
-                f"{sorted(multi.items())[:5]}"
-            )
+            if multi:
+                # explicit raise, not assert: an assert is compiled
+                # out under `python -O`, silently disabling this
+                # guard exactly where it matters (production runs)
+                raise RuntimeError(
+                    f"_stage(split_col={split_col!r}) layout drift: "
+                    f"{len(multi)} split value(s) produced >1 file: "
+                    f"{sorted(multi.items())[:5]}"
+                )
         return sorted(out)
 
     def _file_stats(

@@ -187,7 +187,6 @@ def test_correctness_window_composition():
         "w5_rank_lattice",
         "dd4b_ngram_jaccard_capped",
         "c1_classify_runs",
-        "c2_webhook_route",
         "dd1_exact_dedup",
         "dd2_minhash_lsh_candidates",
         "dd3_simhash",
@@ -196,7 +195,6 @@ def test_correctness_window_composition():
         "dd6_decontamination",
         "dd7_embedding_decontamination",
         "dd8_dedup_clusters",
-        "f8_hmac_sha256",
         "j1_anti_join",
         "j5_parent_child_join",
         "j7_star_join_rollup",
@@ -209,6 +207,8 @@ def test_correctness_window_composition():
         "mm7_phash_neardup",
         "mm3_frame_sampling",
         "t13b_bpe_merges_batched",
+        "n13_woo_flat_order_items",
+        "n14_woo_flat_products",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50

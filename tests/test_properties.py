@@ -1040,13 +1040,17 @@ def test_mv_merge_law_under_random_slicings(spark, rows, cuts):
 # reference's loop-carried fold for EVERY item sequence (the loop is
 # the spec; woo-sync/main.py:683-688 sku, :745-749 donor_premium).
 
-# per-item (sku, bundled_by, donor_premium) with the interesting
-# domains: sku sometimes None, bundled_by ''/non-empty, dp in
-# {None, '0', '1', 'false'} — 'false' must NOT freeze
+# per-item (sku, bundled_by, has_cru, donor_premium) with the
+# interesting domains: sku sometimes None, bundled_by ''/non-empty,
+# cru_data sometimes ABSENT (no assignment at all), dp in
+# {None, '0', '1', 'false'} — 'false' must NOT freeze, but a
+# present-but-None value MUST (the reference assigns cd['...']
+# verbatim, None included)
 _item_st = st.lists(
     st.tuples(
         st.one_of(st.none(), st.sampled_from(["s1", "s2"])),
         st.sampled_from(["", "9"]),
+        st.booleans(),
         st.one_of(st.none(), st.sampled_from(["0", "1", "false"])),
     ),
     min_size=1,
@@ -1055,17 +1059,19 @@ _item_st = st.lists(
 
 
 def _reference_carries(items):
-    """The reference loop, verbatim semantics: returns per-item
-    (sku_carry, donor_premium_bool)."""
+    """The reference loop, VERBATIM (woo-sync/main.py:683-688 sku,
+    :739-749 donor_premium — no extra None guard): returns per-item
+    (sku_carry, donor_premium_bool_or_None)."""
     sku = ""
     dp = "false"
     out = []
-    for s, bundled_by, d in items:
+    for s, bundled_by, has_cru, d in items:
         if bundled_by == "":
             sku = s
-        if dp == "false" and d is not None:
-            dp = d
-        out.append((sku, dp == "1"))
+        if has_cru:
+            if dp == "false":
+                dp = d
+        out.append((sku, None if dp is None else dp == "1"))
     return out
 
 
@@ -1081,7 +1087,8 @@ def test_woo_sticky_carries_match_reference_fold(spark, items):
     )
     rows = [
         (1, "k", "2026-01-01 00:00:00",
-         [(i, s, b, (d,)) for i, (s, b, d) in enumerate(items)])
+         [(i, s, b, (d,) if has_cru else None)
+          for i, (s, b, has_cru, d) in enumerate(items)])
     ]
     got = {
         r.order_item_id: (r.product_sku, r.product_donor_premium)

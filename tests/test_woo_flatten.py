@@ -21,8 +21,11 @@ RAW_DDL = (
 
 
 def _item(iid, sku, bundled_by, price="1.00", meta=None, dp=None):
+    # dp=None means NO cru_data block at all (the reference's
+    # `'cru_data' in li` false branch) — a present-but-None
+    # donor_premium would FREEZE the carry at None (:745-749)
     return (iid, sku, bundled_by, f"n{iid}", price, 1, "0.10", 100 + iid,
-            (dp,), meta or [])
+            (dp,) if dp is not None else None, meta or [])
 
 
 @pytest.fixture(scope="module")
@@ -288,23 +291,64 @@ def test_full_width_items_schema_and_values(full_raw):
 
 def test_donor_premium_freezes_on_first_non_false(spark):
     """woo-sync/main.py:745-749: donor_premium updates only while the
-    accumulator is the literal 'false' — a '0' FREEZES it, and a later
-    '1' cannot unfreeze. Items before any cru_data stay 'false'."""
+    accumulator is the literal 'false' — a '0' FREEZES it, a later
+    '1' cannot unfreeze, and a present-but-None value freezes too
+    (the reference assigns cd['donor_premium'] verbatim). Items whose
+    documents carry NO cru_data block never assign at all."""
     ddl = ("id BIGINT, order_key STRING, date_created STRING, "
            f"line_items ARRAY<STRUCT<id BIGINT, sku STRING, bundled_by STRING, "
            f"cru_data STRUCT<donor_premium STRING>>>")
     rows = [
-        # order 1: None, '0', '1' -> all false (frozen at '0')
+        # order 1: '0' freezes; the later '1' cannot unfreeze
         (1, "k", "2026-01-01 00:00:00",
-         [(11, "a", "", (None,)), (12, "b", "", ("0",)), (13, "c", "", ("1",))]),
+         [(11, "a", "", ("false",)), (12, "b", "", ("0",)), (13, "c", "", ("1",))]),
         # order 2: '1' first -> all true from item 21 on
         (2, "k", "2026-01-01 00:00:00",
          [(21, "a", "", ("1",)), (22, "b", "", ("0",))]),
+        # order 3: present-but-None FREEZES at None -> NULL out, and
+        # the later '1' cannot set it (the ADVICE r10 divergence)
+        (3, "k", "2026-01-01 00:00:00",
+         [(31, "a", "", (None,)), (32, "b", "", ("1",))]),
+        # order 4: NO cru_data block -> no assignment (stays false),
+        # then a 'false' value keeps it assignable, then '1' sets it
+        (4, "k", "2026-01-01 00:00:00",
+         [(41, "a", "", None), (42, "b", "", ("false",)), (43, "c", "", ("1",))]),
     ]
     raw = spark.createDataFrame(rows, ddl)
     got = {r.order_item_id: r.product_donor_premium
            for r in flatten_order_items(raw).collect()}
-    assert got == {11: False, 12: False, 13: False, 21: True, 22: True}
+    assert got == {11: False, 12: False, 13: False, 21: True, 22: True,
+                   31: None, 32: None, 41: False, 42: False, 43: True}
+
+
+def test_meta_pivot_duplicate_keys_match_reference_loop(spark):
+    """Duplicate meta keys are legal in WooCommerce; the reference
+    pivot is a loop, so (main.py:846-892):
+    - plain value keys: the LAST entry wins, even a None one;
+    - ''-guarded keys: the LAST NON-EMPTY entry wins ('' can't
+      clobber back to the default);
+    - flag keys: sticky — 1 if ANY entry is the EXACT string '1'
+      ('true' does NOT count, and a later '0' can't clear it)."""
+    rows = [
+        (1, "P", "sd", "publish", "2026-01-01 00:00:00", "2026-01-01 00:00:00",
+         "1.00", "", "", "S", "", "simple", 1, "", "", "",
+         [("brand", "first"), ("brand", "last"),          # last wins
+          ("product_isbn", "kept"), ("product_isbn", None),  # None wins (verbatim assign)
+          ("_alg_wc_cog_cost", "7.25"), ("_alg_wc_cog_cost", ""),  # '' skipped
+          ("case_qty", ""), ("case_qty", "4"), ("case_qty", ""),   # guarded last non-''
+          ("royalty", "0"), ("royalty", "1"), ("royalty", "0"),    # sticky any-'1'
+          ("gift_card", "true"), ("gift_card", "0"),               # 'true' is NOT '1'
+          ("donor_premium", "1")],
+         [], [], []),
+    ]
+    r = flatten_products(spark.createDataFrame(rows, PRODUCT_DDL)).collect()[0]
+    assert r.brand == "last"
+    assert r.product_isbn is None
+    assert str(r.alg_wc_cog_cost) == "7.250000000"
+    assert r.case_qty == 4
+    assert r.royalty is True
+    assert r.gift_card is False
+    assert r.donor_premium is True
 
 
 PRODUCT_DDL = (
