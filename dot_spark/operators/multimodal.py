@@ -950,7 +950,7 @@ def image_phash(media: DataFrame) -> DataFrame:
 
 
 def phash_neardup(
-    hashes: DataFrame, max_hamming: int = 12
+    hashes: DataFrame, max_hamming: int = 12, max_bucket: int | None = None
 ) -> DataFrame:
     """Near-duplicate image pairs from phash band buckets: two
     images are CANDIDATES when any of their four 16-bit bands is
@@ -964,8 +964,15 @@ def phash_neardup(
     Everything past the hash is JVM codegen: explode 4 band rows per
     image, self-join per bucket, bit_count(xor) per band summed.
     At 100 TB the bucket join shuffles 4 rows of 3 ints per image;
-    skewed buckets (e.g. the all-dark band 0) cap out exactly like
-    dd4b's stop-shingles would — drop buckets whose df explodes."""
+    ``max_bucket`` is the dd4b stop-shingle / bucketed_neardup_pairs
+    hot-cell cap applied to band buckets: a (band_idx, band_val)
+    bucket with MORE than max_bucket members (the all-dark band of a
+    screenshot corpus) contributes NO candidate pairs — it carries no
+    discriminative signal, only its m_b² cost. Sizes are measured
+    once before the self-join (one partial-agg over the 2-int bucket
+    projection) and the HOT list broadcasts into an anti-join, so the
+    quadratic stage never sees the hot bucket. cap >= the true max
+    bucket size is the identity (law test in tests/test_multimodal.py)."""
     bands = hashes.select(
         "media_id",
         "b0",
@@ -974,6 +981,15 @@ def phash_neardup(
         "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "band_val"),
     )
+    if max_bucket is not None:
+        hot = (
+            bands.select("band_idx", "band_val")
+            .groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_bucket)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
     left = bands.select(
         F.col("media_id").alias("id_a"),
         F.col("b0").alias("a0"),

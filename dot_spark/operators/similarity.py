@@ -444,6 +444,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, public
     arXiv:2303.09540): within each embedding cell, near-duplicate
@@ -458,6 +459,12 @@ def semdedup(
     connected components (pointer-jumping label propagation), and the
     centroid scoring pass (two partial-agg shuffles). Output:
     (id, cell, cluster_id, cos_to_centroid, keep).
+
+    ``max_bucket`` passes through to the pair miner (hot-cell cap):
+    an over-cap cell contributes no pairs, so all its members stay
+    singleton clusters and are KEPT — the conservative failure mode
+    for a dedup (never drop data because one degenerate cell was too
+    dense to score).
     """
     from pyspark.sql import Window
 
@@ -468,7 +475,12 @@ def semdedup(
 
     scored = cosine_to_cell_centroid(emb, cell_col, id_col, vec_col)
     pairs = bucketed_neardup_pairs(
-        emb, cell_col, id_col=id_col, vec_col=vec_col, threshold=threshold
+        emb,
+        cell_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_bucket=max_bucket,
     )
     cc = connected_components(pairs.select("id_a", "id_b"))
     labeled = scored.join(

@@ -464,6 +464,7 @@ def bucketed_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     broadcast_build: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Bucket-pruned embedding near-dup: only pairs within the same
     coarse bucket (IVF cell id, LSH hyperplane signature, cluster
@@ -488,6 +489,19 @@ def bucketed_neardup_pairs(
 
     Norms are precomputed once per vector per side; the per-pair work
     is a single dot-product fold.
+
+    ``max_bucket`` is the hot-cell escape hatch (copurchase_edges'
+    max_basket / cap_degree discipline): a bucket with MORE than
+    max_bucket members contributes NO pairs. Without it, one
+    degenerate cell — mode-collapsed embeddings, an over-coarse IVF
+    assignment, a band value shared by everything — makes a single
+    task pay m_b² with no bound; a cell that dense carries no
+    near-dup signal anyway (everything in it would pair with
+    everything). The size filter runs BEFORE the equi-join, on the
+    (bucket) projection alone, so the quadratic stage never sees the
+    hot cell; cap >= the true max cell size is the identity (law
+    test in tests/test_dedup.py). One-shot semantics: sizes are
+    measured once on the input, like cap_degree.
     """
     from dot_spark.operators.similarity import dot as vdot
     from dot_spark.operators.similarity import norm
@@ -498,6 +512,21 @@ def bucketed_neardup_pairs(
         F.col(vec_col),
         norm(F.col(vec_col)).alias("__nrm"),
     )
+    if max_bucket is not None:
+        # sizes aggregate over the 1-column bucket projection only —
+        # vectors never ride through this partial-agg shuffle — and
+        # the ANTI-join broadcasts the HOT list, which is tiny by
+        # construction (buckets above the cap are the pathology, not
+        # the population; broadcasting the ok-list would ship every
+        # bucket id)
+        hot = (
+            pre.select("bkt")
+            .groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_bucket)
+            .select("bkt")
+        )
+        pre = pre.join(F.broadcast(hot), "bkt", "left_anti")
     a = spread_small_input(pre).select(
         "bkt",
         F.col(id_col).alias("id_a"),

@@ -2943,7 +2943,9 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd5b_bucketed_neardup",
     """
-    WITH p AS (
+    WITH ok_cells AS (
+      SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) <= 1000),
+    p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(
                list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -2953,8 +2955,9 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
                4) AS cos_sim
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id)
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      JOIN ok_cells k ON k.label = a.label)
     SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.45
     """,
 )
@@ -2964,11 +2967,16 @@ def dd5b_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here the label cell; in production an IVF cell or LSH signature,
     multi-probed for recall). The cross join becomes an equi-join on
     the bucket key: sum-of-m_b² work instead of n², one shuffle per
-    side. The oracle mirrors the same cell constraint exactly."""
+    side. max_bucket=1000 is the hot-cell escape hatch (a degenerate
+    cell above the cap contributes no pairs — identity on every test
+    SF, where the densest cell is 218 rows at sf0.1, but bounds the
+    single-task m_b² blow-up a mode-collapsed cell would cause at
+    100 TB). The oracle mirrors BOTH the cell constraint and the cap
+    exactly."""
     from dot_spark.operators.textdedup import bucketed_neardup_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return bucketed_neardup_pairs(emb, "label", threshold=0.45)
+    return bucketed_neardup_pairs(emb, "label", threshold=0.45, max_bucket=1000)
 
 
 # ---------------------------------------------------------------------------
@@ -6250,7 +6258,9 @@ def pl9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dot_spark.operators.similarity import semdedup
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return semdedup(emb, "label", threshold=0.45)
+    # max_bucket mirrors dd5b's hot-cell cap (the oracle composes
+    # dd5b's capped pair SQL, so both sides carry it)
+    return semdedup(emb, "label", threshold=0.45, max_bucket=1000)
 
 
 _BPE_ORACLE_CACHE: dict[str, tuple[list, list] | None] = {}
@@ -9192,10 +9202,13 @@ def mm6_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm7_phash_neardup",
     f"""
     WITH {_PHASH_CELLS_SQL},
+    hot AS (
+      SELECT b, bv FROM bands GROUP BY b, bv HAVING COUNT(*) > 10000),
     cand AS (
       SELECT a.media_id AS id_a, c.media_id AS id_b
       FROM bands a
       JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.media_id < c.media_id
+      ANTI JOIN hot h ON h.b = a.b AND h.bv = a.bv
       GROUP BY 1, 2),
     scored AS (
       SELECT id_a, id_b,
@@ -9238,7 +9251,13 @@ def mm7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
     hash_dir = _scratch("dot_spark_phash_") + "/hashes"
     image_phash(synthesize_real_media(docs)).write.parquet(hash_dir)
-    return phash_neardup(spark.read.parquet(hash_dir), max_hamming=12)
+    # max_bucket: the dd5b hot-cell cap on band buckets (identity on
+    # every test SF — a bucket can't exceed the image count — but
+    # bounds a screenshot corpus's all-dark band at 100 TB); the
+    # oracle mirrors the cap in its cand CTE
+    return phash_neardup(
+        spark.read.parquet(hash_dir), max_hamming=12, max_bucket=10000
+    )
 
 
 @query(

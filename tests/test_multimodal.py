@@ -459,6 +459,58 @@ def test_phash_neardup_matches_bruteforce_band_semantics(spark, sf_dir):
     assert got == expected
 
 
+def test_phash_neardup_hot_bucket_cap_laws(spark, sf_dir):
+    """max_bucket on the band join (the dd5b hot-cell cap applied to
+    phash buckets): cap >= the true max bucket size is the IDENTITY;
+    a lower cap removes exactly the pairs whose ONLY shared bands are
+    hot; cap 0 (every non-empty bucket hot) yields no pairs."""
+    from collections import Counter
+
+    from dot_spark.operators.multimodal import (
+        image_phash,
+        phash_neardup,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
+    hashes = image_phash(synthesize_real_media(docs)).cache()
+    hs = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"]) for r in hashes.collect()}
+    bucket_n = Counter((k, v[k]) for v in hs.values() for k in range(4))
+    mx = max(bucket_n.values())
+
+    base = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup(hashes, max_hamming=12).collect()
+    }
+    got_id = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup(hashes, max_hamming=12, max_bucket=mx).collect()
+    }
+    assert got_id == base  # identity at cap == max bucket size
+
+    cap = mx - 1
+    expected = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ba, bb = hs[a], hs[b]
+            if not any(
+                ba[k] == bb[k] and bucket_n[(k, ba[k])] <= cap for k in range(4)
+            ):
+                continue
+            ham = sum(bin(ba[k] ^ bb[k]).count("1") for k in range(4))
+            if ham <= 12:
+                expected[(a, b)] = ham
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup(hashes, max_hamming=12, max_bucket=cap).collect()
+    }
+    assert got == expected  # surgical: only hot-bucket-only pairs vanish
+
+    assert phash_neardup(hashes, max_hamming=12, max_bucket=0).count() == 0
+    hashes.unpersist()
+
+
 def test_audio_energy_matches_rms_and_integer_exactness(spark, sf_dir):
     """audio_energy's integer sum-of-squares must agree with
     audio_rms's float RMS on every window (same decode, same

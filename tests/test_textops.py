@@ -303,6 +303,54 @@ def test_bucketed_neardup_scale_path(emb):
     assert full == exact
 
 
+def test_bucketed_neardup_hot_cell_cap_laws(emb):
+    """max_bucket (the dd5b hot-cell escape hatch) laws:
+    (a) cap >= the true max cell size is the IDENTITY;
+    (b) a cap below a cell's size removes EXACTLY that cell's pairs
+        (other cells untouched) — the degenerate cell contributes
+        nothing instead of an unbounded m_b² task;
+    (c) cap that excludes every cell yields no pairs, and semdedup
+        then KEEPS every vector as a singleton (the conservative
+        failure mode for a dedup)."""
+    from dot_spark.operators.similarity import semdedup
+    from dot_spark.operators.textdedup import bucketed_neardup_pairs
+
+    base = {
+        (r.id_a, r.id_b)
+        for r in bucketed_neardup_pairs(emb, "label", threshold=0.45).collect()
+    }
+    sizes = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cell_of = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    mx = max(sizes.values())
+
+    capped_at_max = {
+        (r.id_a, r.id_b)
+        for r in bucketed_neardup_pairs(
+            emb, "label", threshold=0.45, max_bucket=mx
+        ).collect()
+    }
+    assert capped_at_max == base  # (a) identity
+
+    hot = {lbl for lbl, n in sizes.items() if n > mx - 1}
+    want = {p for p in base if cell_of[p[0]] not in hot}
+    got = {
+        (r.id_a, r.id_b)
+        for r in bucketed_neardup_pairs(
+            emb, "label", threshold=0.45, max_bucket=mx - 1
+        ).collect()
+    }
+    assert got == want  # (b) surgical removal
+
+    none = bucketed_neardup_pairs(emb, "label", threshold=0.45, max_bucket=0)
+    assert none.count() == 0  # (c) every cell hot -> no pairs
+    sem = semdedup(emb, "label", threshold=0.45, max_bucket=0).collect()
+    assert all(r["keep"] for r in sem)
+    assert all(r["cluster_id"] == r["vec_id"] for r in sem)
+
+
 # --- round-2 operators: repetition, scrub, tfidf, contamination, ---------
 # --- sampling, sessionize                                         ---------
 

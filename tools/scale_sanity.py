@@ -292,6 +292,29 @@ def main() -> None:
         # upsampled cells keep per-copy cluster structure so the
         # component iteration count stays constant.
         grid[("pl9_semdedup", k)] = lambda e=emb: semdedup(e)
+        # dd5b hot-cell stress (r10 verdict task 2): re-label HALF the
+        # K-scaled vectors into ONE mode-collapsed cell on top of the
+        # normal cells. Uncapped, that single bucket pays (n/2)² in
+        # one task and the cell's time would blow up quadratically in
+        # K; with max_bucket=1000 (the dd5b query's production knob,
+        # smaller than the hot cell at every K here since half of
+        # sf0.1 is ≥1000 vectors) the hot cell contributes no pairs,
+        # so this cell's alpha must track the plain dd5b cell's (the
+        # cap costs one partial-agg size pass + a broadcast
+        # anti-join). A regression here means the cap stopped
+        # protecting the pair join.
+        from dot_spark.operators.textdedup import bucketed_neardup_pairs
+
+        emb_hot = emb.withColumn(
+            "label",
+            F.when(F.col("vec_id") % 2 == 0, F.lit(-1)).otherwise(F.col("label")),
+        )
+        grid[("dd5b_bucketed_neardup", k)] = lambda e=emb: bucketed_neardup_pairs(
+            e, "label", threshold=0.45, max_bucket=1000
+        )
+        grid[("dd5b_hot_cell_capped", k)] = lambda e=emb_hot: bucketed_neardup_pairs(
+            e, "label", threshold=0.45, max_bucket=1000
+        )
         # j18: snapshot diff old-vs-new where both sides scale K-fold
         # (new = old with ~1/13 updated, ~1/17 deleted) — the
         # full-outer null-safe key join must stay one linear exchange
@@ -654,6 +677,18 @@ def main() -> None:
         grid[("t13_bpe_train_vocab10x", k)] = (
             lambda d=docs_v10: bpe_merges(d, k=4)
         )
+
+    # SCALE_SANITY_ONLY=<substr>[,<substr>...] restricts the grid to
+    # matching cell names — targeted re-receipts without paying for
+    # the full grid (interleaving discipline unchanged within the
+    # selected cells).
+    only = [s for s in os.environ.get("SCALE_SANITY_ONLY", "").split(",") if s]
+    if only:
+        grid = {
+            (name, k): v
+            for (name, k), v in grid.items()
+            if any(s in name for s in only)
+        }
 
     best: dict[tuple[str, int], float] = {}
     for _ in range(2):
