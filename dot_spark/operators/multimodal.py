@@ -167,7 +167,13 @@ def _avi_bytes(
     Stdlib-only, two codecs:
     - "dib": raw 24-bit BGR frames ('00db'); frames ARE the pixels.
     - "mjpg": Motion-JPEG — each '00dc' frame is a genuine baseline
-      JPEG from _jpeg_bytes (flat gray field keyed off seed+frame).
+      JPEG from _jpeg_bytes: gray level (seed + f*11) % 128 + 64 plus
+      AC coefficient (4,4) of magnitude (seed + f*7) % 10, so the
+      decoded pixel field is g + 2c*s(x%8)*s(y%8) (s = +--++--+) —
+      NON-flat frames that exercise the full baseline entropy decode
+      (ZRL runs, AC magnitude, dezigzag, IDCT) while keeping an exact
+      closed form the mm3 oracle recomputes without any DCT. Frames
+      with c == 0 stay flat, so the DC-only class remains covered.
     The decoder below re-derives dims and frame count from the actual
     container/codestream structure in both cases."""
     import struct
@@ -211,7 +217,15 @@ def _avi_bytes(
     )
     if mjpg:
         frames = b"".join(
-            chunk(b"00dc", _jpeg_bytes(width, height, (seed + f * 11) % 256))
+            chunk(
+                b"00dc",
+                _jpeg_bytes(
+                    width,
+                    height,
+                    (seed + f * 11) % 128 + 64,  # clamp-free gray level
+                    ac44=(seed + f * 7) % 10,
+                ),
+            )
             for f in range(n_frames)
         )
     else:
@@ -336,27 +350,56 @@ def _decode_avi(data: bytes) -> dict:
     }
 
 
-def _jpeg_bytes(width: int, height: int, gray: int) -> bytes:
-    """Encode a REAL baseline JPEG (stdlib-only) of a flat gray field
-    with pixel value `gray`. Spec-valid JFIF: quant table, SOF0 dims,
-    custom canonical Huffman tables (DC: 12 categories at 4 bits; AC:
-    EOB only, 1 bit), and a correct entropy stream — a flat field is
-    DC-only per MCU, which is the restricted input class a stdlib
-    encoder can emit exactly (the DIB path's analog: those frames ARE
-    the pixels; these MCUs ARE the DC coefficients)."""
+# JPEG zigzag scan order (ITU-T T.81 Figure A.6): scan position ->
+# linear block index (row*8 + col). Scan position 39 is (4,4) — the
+# coefficient the synthetic encoder uses for its AC field.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_bytes(width: int, height: int, gray: int, ac44: int = 0) -> bytes:
+    """Encode a REAL baseline JPEG (stdlib-only). Spec-valid JFIF:
+    quant table, SOF0 dims, custom canonical Huffman tables, and a
+    correct entropy stream for the two-coefficient block class
+    {DC = gray-128, quantized (4,4) coefficient = ac44}:
+
+    - ac44 == 0: a flat gray field (DC-only MCUs).
+    - ac44 in 1..9: every MCU additionally carries AC coefficient
+      (4,4), whose entropy coding exercises the full baseline scan
+      machinery — two ZRL (0xF0) runs to reach zigzag position 39,
+      a (run=6, size) symbol, magnitude bits, then EOB. The decoded
+      pixel field is EXACTLY gray + 2*ac44*s(x%8)*s(y%8) with
+      s = [+,-,-,+,+,-,-,+]: the (4,4) basis product is ±1/8 per
+      pixel, so dequantized 16*ac44 contributes the exact integer
+      ±2*ac44 — a closed form an independent oracle can recompute
+      without running any DCT.
+    """
     import struct
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    if not 0 <= ac44 <= 9:
+        raise ValueError("ac44 must be in 0..9 (keeps pixels clamp-free)")
     # quant: Q[0]=8 so quantized DC == gray-128 exactly; rest flat 16
+    # (zigzag pos 39 = (4,4) -> dequantized coefficient 16*ac44)
     dqt = seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
     sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
     # DC table 0: 12 symbols (categories 0-11), all 4-bit canonical ->
-    # category c encodes as the 4-bit value c. AC table 0: one 1-bit
-    # symbol, EOB -> "0".
+    # category c encodes as the 4-bit value c. AC table 0: six 4-bit
+    # canonical symbols [EOB, ZRL, (6,1), (6,2), (6,3), (6,4)] ->
+    # symbol i encodes as the 4-bit value i.
     dht_dc = seg(0xFFC4, b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
-    dht_ac = seg(0xFFC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00")
+    ac_syms = bytes([0x00, 0xF0, 0x61, 0x62, 0x63, 0x64])
+    dht_ac = seg(0xFFC4, b"\x10" + bytes([0, 0, 0, len(ac_syms)] + [0] * 12) + ac_syms)
     sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
 
     n_mcus = ((width + 7) // 8) * ((height + 7) // 8)
@@ -366,14 +409,24 @@ def _jpeg_bytes(width: int, height: int, gray: int) -> bytes:
     def put(value: int, n: int) -> None:
         bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
 
-    cat = abs(d).bit_length()
-    put(cat, 4)  # DC category code (canonical: category == code)
-    if cat:  # magnitude bits, JPEG one's-complement convention
-        put(d if d >= 0 else d + (1 << cat) - 1, cat)
-    put(0, 1)  # EOB
+    ac_code = {s: i for i, s in enumerate(ac_syms)}  # canonical 4-bit
+
+    def put_block(dc_diff: int) -> None:
+        cat = abs(dc_diff).bit_length()
+        put(cat, 4)  # DC category code (canonical: category == code)
+        if cat:  # magnitude bits, JPEG one's-complement convention
+            put(dc_diff if dc_diff >= 0 else dc_diff + (1 << cat) - 1, cat)
+        if ac44:
+            put(ac_code[0xF0], 4)  # ZRL: 16 zeros (scan pos 1-16)
+            put(ac_code[0xF0], 4)  # ZRL: 16 zeros (scan pos 17-32)
+            size = ac44.bit_length()
+            put(ac_code[0x60 | size], 4)  # run 6 (pos 33-38), then (4,4)
+            put(ac44, size)  # positive magnitude bits
+        put(ac_code[0x00], 4)  # EOB
+
+    put_block(d)
     for _ in range(n_mcus - 1):
-        put(0, 4)  # DC diff 0
-        put(0, 1)  # EOB
+        put_block(0)
     while len(bits) % 8:
         bits.append(1)  # pad with 1s per spec
     raw = bytes(
@@ -421,16 +474,16 @@ def _parse_jpeg(data: bytes) -> dict:
 
 
 def _jpeg_decode_gray(data: bytes) -> np.ndarray:
-    """REAL (restricted) baseline-JPEG decode to the (h, w) grayscale
-    pixel grid: marker walk, DQT/SOF/DHT/SOS parse, canonical-Huffman
-    entropy decode of the DC coefficients, dequantize, IDCT of a
-    DC-only block (= flat 8x8), assemble MCUs, crop. The restriction
-    is honest and checked: any AC coefficient raises (a DC-only
-    stream is what _jpeg_bytes emits and what flat-field MJPEG is;
-    general AC reconstruction is a real codec's job). Everything
-    here — Huffman tables, bit reader, byte destuffing, JPEG extend
-    rule, dequantization — is the actual spec machinery, so the
-    returned pixels are decoded content, not header echo."""
+    """REAL baseline-JPEG decode to the (h, w) grayscale pixel grid:
+    marker walk, DQT/SOF/DHT/SOS parse, FULL canonical-Huffman
+    entropy decode (DC categories + AC run/size symbols including
+    ZRL and EOB, JPEG extend rule, byte destuffing), dezigzag,
+    dequantize, exact 2-D IDCT per block, level shift, clamp,
+    assemble MCUs, crop. Grayscale single-component baseline only
+    (SOF0 with one component) — multi-component color and
+    progressive scans still raise, but the entropy layer is the
+    complete spec machinery: any baseline grayscale stream decodes,
+    not just the DC-only class the r9-r10 decoder accepted."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -475,7 +528,7 @@ def _jpeg_decode_gray(data: bytes) -> np.ndarray:
         pos += 2 + length
     if w is None or entropy is None or (0, 0) not in huff or (1, 0) not in huff:
         raise ValueError("JPEG missing SOF/SOS/DHT")
-    q0 = qtab.get(0, bytes([1] * 64))[0]
+    q = np.frombuffer(qtab.get(0, bytes([1] * 64)), dtype=np.uint8).astype(np.int32)
 
     bitpos = 0
     nbits = len(entropy) * 8
@@ -488,6 +541,12 @@ def _jpeg_decode_gray(data: bytes) -> np.ndarray:
         bitpos += 1
         return b
 
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
     def read_symbol(table: dict[tuple[int, int], int]) -> int:
         code, bitlen = 0, 0
         while bitlen < 17:
@@ -497,26 +556,49 @@ def _jpeg_decode_gray(data: bytes) -> np.ndarray:
                 return table[(bitlen, code)]
         raise ValueError("invalid Huffman code")
 
+    def extend(v: int, size: int) -> int:
+        # JPEG extend rule: top bit 0 means the negative branch
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    # exact 2-D IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16);
+    # block = A.T @ F @ A (float64 error ~1e-13, far below the 0.5
+    # rounding margin for integer-exact coefficient classes)
+    uu = np.arange(8).reshape(-1, 1)
+    xx = np.arange(8).reshape(1, -1)
+    A = np.cos((2 * xx + 1) * uu * np.pi / 16) / 2.0
+    A[0, :] /= np.sqrt(2.0)
+
     mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
     dc_table, ac_table = huff[(0, 0)], huff[(1, 0)]
     dc = 0
     out = np.empty((mcus_y * 8, mcus_x * 8), dtype=np.uint8)
     for m in range(mcus_x * mcus_y):
+        coef = np.zeros(64, dtype=np.int32)  # linear (row*8+col) order
         cat = read_symbol(dc_table)
         if cat:
-            v = 0
-            for _ in range(cat):
-                v = (v << 1) | read_bit()
-            # JPEG extend: top bit 0 means negative branch
-            diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
-            dc += diff
-        sym = read_symbol(ac_table)
-        if sym != 0x00:  # anything but EOB
-            raise ValueError("AC coefficients present (DC-only decoder)")
-        # DC-only IDCT: flat block at round(dc*q/8) + 128
-        val = min(255, max(0, round(dc * q0 / 8) + 128))
+            dc += extend(read_bits(cat), cat)
+        coef[0] = dc * q[0]
+        pos = 1  # zigzag scan position
+        while pos < 64:
+            sym = read_symbol(ac_table)
+            if sym == 0x00:  # EOB: rest of the block is zero
+                break
+            if sym == 0xF0:  # ZRL: sixteen zero coefficients
+                pos += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                raise ValueError("invalid AC symbol (size 0, not ZRL/EOB)")
+            pos += run
+            if pos >= 64:
+                raise ValueError("AC run overflows the block")
+            coef[_JPEG_ZIGZAG[pos]] = extend(read_bits(size), size) * q[pos]
+            pos += 1
+        block = A.T @ coef.reshape(8, 8).astype(np.float64) @ A
         my, mx = divmod(m, mcus_x)
-        out[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = val
+        out[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+            np.round(block) + 128, 0, 255
+        ).astype(np.uint8)
     return out[:h, :w]
 
 
@@ -697,9 +779,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     frame sampler). The container is walked for real (_avi_walk), the
     sampled timestamp maps to a frame via the avih frame clock, and
     the frame's PIXELS are decoded — DIB frames are their own pixel
-    bytes, MJPEG frames run through the DC-only baseline JPEG decoder
-    (_jpeg_decode_gray: Huffman entropy decode + dequantize + IDCT of
-    the restricted stream class our encoder emits). Each output row
+    bytes, MJPEG frames run through the full baseline JPEG decoder
+    (_jpeg_decode_gray: complete Huffman entropy decode incl. AC
+    run/size + ZRL, dezigzag, dequantize, 2-D IDCT). Each output row
     carries the decoded pixel count, exact integer pixel sum, and an
     md5 signature of the comma-joined row-major pixel values — the
     mm4 md5-of-pixels discipline, so the oracle pins frame CONTENT,

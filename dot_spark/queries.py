@@ -4560,34 +4560,46 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT media_id, w, h, seed, is_mjpeg,
              CAST(t.ts AS INT) AS ts_ms, CAST(t.ts // 100 AS INT) AS frame_idx
-      FROM v, UNNEST(generate_series(0, nf * 100 - 1, 200)) AS t(ts))
+      FROM v, UNNEST(generate_series(0, nf * 100 - 1, 200)) AS t(ts)),
+    -- mjpeg frame pixels, closed-form: the synthetic baseline JPEG
+    -- carries DC = g-128 and quantized AC(4,4) = c, whose IDCT is
+    -- EXACTLY g + 2*c*s(col%8)*s(row%8) with s = +--++--+ — no DCT
+    -- is run here, so the oracle shares nothing with the decoder
+    px AS (
+      SELECT media_id, frame_idx, ts_ms, w, h, seed, is_mjpeg,
+             CASE WHEN is_mjpeg THEN
+               list_transform(generate_series(0, w * h - 1), x ->
+                 ((seed + frame_idx * 11) % 128 + 64)
+                 + 2 * ((seed + frame_idx * 7) % 10)
+                   * (CASE WHEN (x % w) % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                   * (CASE WHEN (x // w) % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END))
+             ELSE
+               list_transform(generate_series(0, w * h * 3 - 1),
+                 x -> (x + frame_idx * 11 + seed) % 256)
+             END AS vals
+      FROM s)
     SELECT media_id, frame_idx, ts_ms,
            CASE WHEN is_mjpeg THEN 'mjpeg' ELSE 'dib' END AS codec,
-           CAST(CASE WHEN is_mjpeg THEN w * h ELSE w * h * 3 END AS INT) AS n_px,
-           CAST(CASE WHEN is_mjpeg THEN w * h * ((seed + frame_idx * 11) % 256)
-                ELSE list_sum(list_transform(generate_series(0, w * h * 3 - 1),
-                       x -> (x + frame_idx * 11 + seed) % 256)) END AS BIGINT)
-             AS sum_px,
-           CASE WHEN is_mjpeg THEN
-             md5(array_to_string(list_transform(generate_series(1, w * h),
-                 x -> (seed + frame_idx * 11) % 256), ','))
-           ELSE
-             md5(array_to_string(list_transform(generate_series(0, w * h * 3 - 1),
-                 x -> (x + frame_idx * 11 + seed) % 256), ','))
-           END AS frame_sig
-    FROM s
+           CAST(len(vals) AS INT) AS n_px,
+           CAST(list_sum(vals) AS BIGINT) AS sum_px,
+           md5(array_to_string(vals, ',')) AS frame_sig
+    FROM px
     """,
 )
 def mm3_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling: genuine AVI payloads (DIB for even ids,
     Motion-JPEG for odd — synthesize_real_media), one decoded frame
-    per 200 ms of timeline. The engine decodes actual frame pixels
-    (DIB bytes / DC-only baseline JPEG entropy decode) and emits
-    their count, exact integer sum, and md5-of-pixel-list signature;
-    the oracle recomputes all three from the synthesis formulas —
-    pixel-exact content verification, the mm4 pattern applied to
-    video (reference analog: the media-ingest pipelines' per-file
-    verification, okta_sync_utils.py checksum discipline)."""
+    per 200 ms of timeline. The engine decodes actual frame pixels —
+    DIB bytes directly; MJPEG frames through the FULL baseline JPEG
+    entropy decode (AC run/size symbols incl. ZRL, dezigzag,
+    dequantize, 2-D IDCT — the frames carry a non-flat (4,4) AC
+    field) — and emits their count, exact integer sum, and
+    md5-of-pixel-list signature; the oracle recomputes all three
+    from the synthesis CLOSED FORMS (g + 2c*s(x%8)*s(y%8)), never
+    running a DCT — pixel-exact content verification, the mm4
+    pattern applied to video (reference analog: the media-ingest
+    pipelines' per-file verification, okta_sync_utils.py checksum
+    discipline)."""
     from dot_spark.operators.multimodal import sample_frames, synthesize_real_media
 
     docs = load_table(spark, "documents", sf_dir)

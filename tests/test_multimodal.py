@@ -265,9 +265,14 @@ def test_frame_sampling_decodes_real_pixels_video_only(spark, sf_dir):
         nf = mid % 4 + 2
         assert r.ts_ms % 200 == 0 and r.ts_ms < nf * 100
         assert r.frame_idx == r.ts_ms // 100
-        if mid % 2:  # mjpeg: flat gray field
-            gray = (seed + r.frame_idx * 11) % 256
-            px = [gray] * (w * h)
+        if mid % 2:  # mjpeg: g + 2c*s(x%8)*s(y%8), s = +--++--+
+            gray = (seed + r.frame_idx * 11) % 128 + 64
+            c = (seed + r.frame_idx * 7) % 10
+            s = [1, -1, -1, 1, 1, -1, -1, 1]
+            px = [
+                gray + 2 * c * s[(i % w) % 8] * s[(i // w) % 8]
+                for i in range(w * h)
+            ]
             assert r.codec == "mjpeg"
         else:  # dib: pixel x = (x + f*11 + seed) % 256
             px = [(x + r.frame_idx * 11 + seed) % 256 for x in range(w * h * 3)]
@@ -285,24 +290,36 @@ def test_frame_sampler_skips_non_riff_payloads(media):
     assert sample_frames(media, every_ms=500).count() == 0
 
 
-def test_jpeg_dc_only_decoder_roundtrip_and_rejects_ac():
-    """_jpeg_decode_gray reconstructs the exact flat field _jpeg_bytes
-    encoded (all dims/gray combos incl. non-multiple-of-8 edges), and
-    REFUSES streams outside its honest restriction (AC coefficients /
-    truncated entropy) instead of guessing."""
+def test_jpeg_full_decoder_roundtrip_and_failure_modes():
+    """_jpeg_decode_gray reconstructs the exact pixel field
+    _jpeg_bytes encoded — flat DC-only frames AND frames with the
+    (4,4) AC coefficient, whose entropy coding exercises ZRL runs,
+    AC magnitude bits, dezigzag, dequantize, and the 2-D IDCT (all
+    dims/gray combos incl. non-multiple-of-8 crops). Streams outside
+    baseline grayscale (progressive SOF2, truncated entropy) must
+    fail loudly, never emit guessed pixels."""
     import numpy as np
     import pytest
 
     from dot_spark.operators.multimodal import _jpeg_bytes, _jpeg_decode_gray
 
-    for w, h, g in [(8, 8, 0), (16, 12, 255), (17, 13, 77), (9, 1, 128)]:
-        px = _jpeg_decode_gray(_jpeg_bytes(w, h, g))
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    for w, h, g, c in [
+        (8, 8, 64, 0), (16, 12, 191, 0), (17, 13, 77, 9),
+        (9, 1, 128, 3), (24, 20, 100, 5), (31, 23, 150, 1),
+    ]:
+        px = _jpeg_decode_gray(_jpeg_bytes(w, h, g, ac44=c))
         assert px.shape == (h, w)
-        assert (px == g).all()
+        want = g + 2 * c * np.outer(s[np.arange(h) % 8], s[np.arange(w) % 8])
+        assert (px == want).all()
     # truncated entropy stream must fail, not emit partial frames
-    b = _jpeg_bytes(32, 32, 200)
+    b = _jpeg_bytes(32, 32, 200, ac44=4)
     with pytest.raises(ValueError):
         _jpeg_decode_gray(b[:-10] + b"\xff\xd9")
+    # progressive (SOF2) must be refused, not mis-decoded
+    prog = b.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        _jpeg_decode_gray(prog)
 
 
 def test_metadata_only_query_prunes_payload(media, spark, tmp_path):
