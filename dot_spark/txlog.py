@@ -113,7 +113,30 @@ class TxTable:
         deltas until an anchor — a checkpoint file, an overwrite, or
         a legacy full-state manifest. Cost: O(files) once at the
         anchor plus O(adds since anchor); the checkpoint cadence
-        bounds the walk length."""
+        bounds the walk length.
+
+        VACUUM-RACE SAFE: the walk is not atomic, so a concurrent
+        vacuum can anchor its keep-floor checkpoint and unlink a
+        prefix manifest BETWEEN this walk's ckpt-check at some
+        version and its manifest-open one version lower. Vacuum
+        always writes that anchor BEFORE any unlink, so a vanished
+        manifest under a RETAINED version means a restart must meet
+        the new anchor; only a version genuinely dropped from the
+        retention window keeps failing — that raises with context
+        instead of looping (pinned by the injected-race tests in
+        tests/test_txlog.py)."""
+        last: FileNotFoundError | None = None
+        for _ in range(3):  # one restart per completed vacuum; 3 is slack
+            try:
+                return self._resolve_state(version)
+            except FileNotFoundError as e:
+                last = e
+        raise FileNotFoundError(
+            f"version {version} no longer resolves — it left the retention "
+            f"window during resolution (concurrent vacuum): {last}"
+        )
+
+    def _resolve_state(self, version: int) -> tuple[list[str], dict]:
         adds: list[tuple[list[str], dict]] = []
         v = version
         files: list[str] = []

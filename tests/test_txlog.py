@@ -383,3 +383,97 @@ def test_concurrent_appends_during_vacuum_lose_nothing(spark, tmp_path):
     assert got == expect
     vs = t.versions()
     assert vs == list(range(vs[0], vs[0] + len(vs)))  # contiguous tail
+
+
+def test_state_at_survives_vacuum_racing_the_walk(spark, tmp_path, monkeypatch):
+    """Injected race (the r10 scanner-TOCTOU pattern applied to the
+    OTHER read paths): a vacuum completes in the middle of a snapshot
+    resolution walk — after the walk checked the latest version's
+    (absent) checkpoint but before it opened a lower manifest that
+    vacuum unlinks. Resolution must RESTART and meet the anchor
+    checkpoint vacuum wrote before unlinking, returning exactly the
+    pre-vacuum file set; prune_files and read() ride the same
+    machinery."""
+    from dot_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=10_000)
+    for i in range(4):
+        t.append(_df(spark, i * 5, i * 5 + 5, f"b{i}"))
+    latest = t.latest_version()
+    want_files = t.files_at(latest)
+
+    orig = TxTable.manifest
+    state = {"armed": True}
+
+    def hooked(self, v):
+        if state["armed"] and v == latest - 1:
+            # the walk is between versions: fire the racing vacuum NOW
+            state["armed"] = False
+            t.vacuum(retain_last=1, grace_seconds=0)
+        return orig(self, v)
+
+    monkeypatch.setattr(TxTable, "manifest", hooked)
+    files, _ = t._state_at(latest)
+    assert files == want_files
+    assert not state["armed"], "race was not actually injected"
+    # and the full read path still returns every row
+    assert sorted(r.id for r in t.read().collect()) == list(range(20))
+
+
+def test_prune_files_survives_vacuum_racing_the_walk(spark, tmp_path, monkeypatch):
+    """Same injected race through prune_files: the stats-pruning scan
+    resolves a snapshot mid-vacuum and must come back with the
+    anchored state, not a FileNotFoundError."""
+    from dot_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=10_000)
+    for i in range(4):
+        t.append(_df(spark, i * 5, i * 5 + 5, f"b{i}"))
+    latest = t.latest_version()
+    n_before = t.prune_files({"id": (0, 100)}, version=latest)[1]
+
+    orig = TxTable.manifest
+    state = {"armed": True}
+
+    def hooked(self, v):
+        if state["armed"] and v == latest - 1:
+            state["armed"] = False
+            t.vacuum(retain_last=1, grace_seconds=0)
+        return orig(self, v)
+
+    monkeypatch.setattr(TxTable, "manifest", hooked)
+    kept, total = t.prune_files({"id": (0, 4)}, version=latest)
+    assert total == n_before
+    assert not state["armed"]
+    assert len(kept) >= 1  # the id<=4 file survives pruning
+
+
+def test_state_at_raises_cleanly_for_version_dropped_mid_walk(
+    spark, tmp_path, monkeypatch
+):
+    """If the version being resolved itself LEAVES the retention
+    window during the walk (reader asked for v1, vacuum retained only
+    the latest), resolution must raise a contextual error after its
+    bounded restarts — never loop forever, never return a guessed
+    state."""
+    import pytest
+
+    from dot_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tx"), checkpoint_interval=10_000)
+    for i in range(4):
+        t.append(_df(spark, i * 5, i * 5 + 5, f"b{i}"))
+
+    orig = TxTable.manifest
+    state = {"armed": True}
+
+    def hooked(self, v):
+        if state["armed"] and v == 2:
+            state["armed"] = False
+            t.vacuum(retain_last=1, grace_seconds=0)  # drops v1-v3
+        return orig(self, v)
+
+    monkeypatch.setattr(TxTable, "manifest", hooked)
+    with pytest.raises(FileNotFoundError, match="retention window"):
+        t._state_at(2)
+    assert not state["armed"]
