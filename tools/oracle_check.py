@@ -73,10 +73,25 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     names = only or list(qs)
     passed = failed = skipped = 0
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, sf_dir).toPandas()
+            # second-channel row accounting (the write_observed
+            # discipline, loads.py): an Observation rides the collect
+            # job, so the JVM-side aggregated count is checked against
+            # BOTH the arrow-collected frame and the oracle — a
+            # partial/dropped-batch collect can no longer masquerade
+            # as a passing row count.
+            obs = Observation(f"gate_{name}_{time.time_ns()}")
+            sdf = (
+                qs[name](spark, sf_dir)
+                .observe(obs, F.count(F.lit(1)).alias("n_rows"))
+                .toPandas()
+            )
+            observed = int(obs.get["n_rows"])
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failed += 1
@@ -92,6 +107,8 @@ def main() -> None:
             failed += 1
             continue
         problems = []
+        if observed != len(sdf):
+            problems.append(f"observed {observed} vs collected {len(sdf)}")
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
@@ -106,7 +123,10 @@ def main() -> None:
                 print("  duck: ", odf.reindex(ks, axis=1).head(3).to_dict("records"))
             failed += 1
         else:
-            print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"PASS {name} ({len(sdf)} rows, observed {observed}, "
+                f"{time.time()-t0:.1f}s)"
+            )
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {skipped} rows-only, of {len(names)}")
     if failed:
