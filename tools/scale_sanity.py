@@ -291,7 +291,14 @@ def main() -> None:
         # components -> centroid scoring), not just its stages —
         # upsampled cells keep per-copy cluster structure so the
         # component iteration count stays constant.
-        grid[("pl9_semdedup", k)] = lambda e=emb: semdedup(e)
+        # production knob (the gated pl9 query's max_bucket=1000):
+        # upsampled cells grow K-fold, so UNCAPPED within-cell pair
+        # volume grows ~K² by construction — measured alpha 0.99 at
+        # K=10 uncapped (r11 NOTES); the cap is exactly what bounds
+        # that at 100 TB (finer cells being the recall-preserving
+        # control). Both variants pinned.
+        grid[("pl9_semdedup", k)] = lambda e=emb: semdedup(e, max_bucket=1000)
+        grid[("pl9_semdedup_uncapped", k)] = lambda e=emb: semdedup(e)
         # dd5b hot-cell stress (r10 verdict task 2): re-label HALF the
         # K-scaled vectors into ONE mode-collapsed cell on top of the
         # normal cells. Uncapped, that single bucket pays (n/2)² in
