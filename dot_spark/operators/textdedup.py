@@ -525,6 +525,12 @@ def bucketed_neardup_pairs(
             .agg(F.count(F.lit(1)).alias("__bs"))
             .filter(F.col("__bs") > max_bucket)
             .select("bkt")
+            # both self-join branches derive from `pre`, so Catalyst
+            # would compile (and run) the size aggregation once per
+            # branch; a lazy checkpoint of the tiny hot list makes
+            # the second branch read materialized blocks instead
+            # (the copurchase_edges pair-orientation pattern)
+            .localCheckpoint(eager=False)
         )
         pre = pre.join(F.broadcast(hot), "bkt", "left_anti")
     a = spread_small_input(pre).select(

@@ -684,6 +684,25 @@ def main() -> None:
         grid[("t13_bpe_train_vocab10x", k)] = (
             lambda d=docs_v10: bpe_merges(d, k=4)
         )
+        # t13b batched trainer at a REAL merge budget (r10 verdict
+        # task 3's receipt): ROUND COUNT, not merge count, drives
+        # cost. k=64/batch=16 learns 4x the merges of k=16/batch=4 in
+        # the SAME 4 rounds — its time must track the k=16 cell, not
+        # 4x it; k=64/batch=4 (16 rounds) is the positive control
+        # that SHOULD cost ~4x. All three stay vocab-bounded across
+        # corpus scale K (disjoint-suffix upsampling grows the vocab
+        # linearly; per-round work is vocab-sized, never corpus-sized).
+        from dot_spark.operators.bpe import bpe_merges_batched
+
+        grid[("t13b_bpe_batched_k16_b4", k)] = (
+            lambda d=docs: bpe_merges_batched(d, k=16, batch=4)
+        )
+        grid[("t13b_bpe_batched_k64_b16", k)] = (
+            lambda d=docs: bpe_merges_batched(d, k=64, batch=16)
+        )
+        grid[("t13b_bpe_batched_k64_b4", k)] = (
+            lambda d=docs: bpe_merges_batched(d, k=64, batch=4)
+        )
 
     # SCALE_SANITY_ONLY=<substr>[,<substr>...] restricts the grid to
     # matching cell names — targeted re-receipts without paying for
