@@ -1075,6 +1075,103 @@ def _reference_carries(items):
     return out
 
 
+# --- woo product meta pivot: the declarative lifts must equal the
+# reference's overwrite-loop fold for EVERY meta_data sequence,
+# duplicate keys included (woo-sync/main.py:840-892 is the spec).
+
+_META_KEYS = [
+    "royalty", "gift_card",                     # sticky exact-'1' flags
+    "brand", "impact",                          # plain: last wins (None too)
+    "_alg_wc_cog_cost",                         # ''-guarded decimal
+    "case_qty",                                 # ''-guarded int
+]
+_meta_st = st.lists(
+    st.tuples(
+        st.sampled_from(_META_KEYS),
+        st.one_of(st.none(), st.sampled_from(["", "0", "1", "true", "7", "2.5", "zz"])),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _reference_meta_pivot(meta):
+    """Verbatim reference fold (main.py:846-892 arm shapes) with the
+    engine's documented coercion fallbacks at the END (the reference
+    int()/Decimal() would crash on garbage; the engine's try_cast
+    coalesces to the default — a deliberate, documented divergence
+    only for inputs that kill the reference)."""
+    royalty = 0
+    gift_card = 0
+    brand = ""
+    impact = ""
+    alg = "0.00"
+    case_qty_raw = "0"
+    for k, v in meta:
+        if k == "royalty":
+            if v == "1":
+                royalty = 1
+        elif k == "gift_card":
+            if v == "1":
+                gift_card = 1
+        elif k == "brand":
+            brand = v
+        elif k == "impact":
+            impact = v
+        elif k == "_alg_wc_cog_cost":
+            if v not in ("", None):
+                alg = v
+        elif k == "case_qty":
+            if v not in ("", None):
+                case_qty_raw = v
+    try:
+        alg_f = float(alg)
+    except (TypeError, ValueError):
+        alg_f = 0.0
+    try:
+        case_qty = int(case_qty_raw)
+    except (TypeError, ValueError):
+        case_qty = 0
+    return {
+        "royalty": bool(royalty),
+        "gift_card": bool(gift_card),
+        "brand": brand,
+        "impact": impact,
+        "alg_wc_cog_cost": alg_f,
+        "case_qty": case_qty,
+    }
+
+
+@given(meta=_meta_st)
+@settings(**SETTINGS)
+def test_woo_meta_pivot_matches_reference_fold(spark, meta):
+    from dot_spark.operators.woo_flatten import flatten_products
+
+    ddl = (
+        "id BIGINT, name STRING, short_description STRING, status STRING, "
+        "date_created STRING, date_modified STRING, price STRING, "
+        "regular_price STRING, msrp_price STRING, sku STRING, weight STRING, "
+        "type STRING, stock_quantity BIGINT, backorders_allowed STRING, "
+        "downloadable STRING, virtual STRING, "
+        "meta_data ARRAY<STRUCT<key STRING, value STRING>>"
+    )
+    rows = [
+        (1, "P", "sd", "publish", "2026-01-01 00:00:00", "2026-01-01 00:00:00",
+         "1.00", "", "", "S", "", "simple", 1, "", "", "", list(meta)),
+    ]
+    r = flatten_products(spark.createDataFrame(rows, ddl)).collect()[0]
+    want = _reference_meta_pivot(meta)
+    got = {
+        "royalty": r.royalty,
+        "gift_card": r.gift_card,
+        "brand": r.brand,
+        "impact": r.impact,
+        "alg_wc_cog_cost": float(r.alg_wc_cog_cost),
+        "case_qty": r.case_qty,
+    }
+    assert got == want, (got, want, meta)
+
+
 @given(items=_item_st)
 @settings(**SETTINGS)
 def test_woo_sticky_carries_match_reference_fold(spark, items):
