@@ -88,6 +88,11 @@ HEADLINE = [
     # dd5b buckets).
     "g1_pagerank",
     "t13_bpe_merges",
+    # round-11: the batched trainer (4 candidate-window rounds for 16
+    # merges instead of 16 argmax rounds for 4) — the 32k-merge path;
+    # a lost checkpoint or a candidate window that stops pruning
+    # shows up here as wall time
+    "t13b_bpe_merges_batched",
     "pl9_semdedup",
     # multimodal ingest pass (round 8): the decode+hash Python stage
     # is the family's scale cost — track it
@@ -107,7 +112,12 @@ HEADLINE = [
 # everything else the builder stays outside so plan-compilation
 # overhead never pollutes steady-state engine timings (and prior
 # rounds stay comparable).
-EAGER_BUILD = {"g1_pagerank", "t13_bpe_merges", "pl9_semdedup"}
+EAGER_BUILD = {
+    "g1_pagerank",
+    "t13_bpe_merges",
+    "t13b_bpe_merges_batched",
+    "pl9_semdedup",
+}
 
 # Round-over-round comparison target: the NEWEST BENCH_r*.json in
 # the repo that carries parsed per-query timings (a crashed round —

@@ -1070,6 +1070,9 @@ def phash_neardup(
             .agg(F.count(F.lit(1)).alias("__bs"))
             .filter(F.col("__bs") > max_bucket)
             .select("band_idx", "band_val")
+            # both self-join branches derive from `bands`: checkpoint
+            # the tiny hot list so the size agg compiles/runs once
+            .localCheckpoint(eager=False)
         )
         bands = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
     left = bands.select(
