@@ -102,6 +102,14 @@ HEADLINE = [
     # whole cost — a lost bucket spread would funnel it to one task
     # and only wall-time would notice
     "p20_zorder_layout",
+    # round-11 mid-round additions: the corpus-filter trio. t25 must
+    # stay a zero-exchange scan-fused pass (a regression to a shuffle
+    # shows in the plan pin, its codegen cost shows here); t24/t26
+    # track the shared-explode LM scoring + bounded-state percentile
+    # cut and the 256-bucket DSIR reweighting respectively.
+    "t24_perplexity_prune",
+    "t25_hashed_linear_quality",
+    "t26_dsir_importance",
 ]
 
 # Queries whose BUILDER executes the heavy work EAGERLY (iterative

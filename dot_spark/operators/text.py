@@ -149,20 +149,29 @@ def fingerprint(
 
     Rolling min is expressed as array_min over a transform of shingle
     windows: still a narrow per-row expression, no shuffle, no UDF.
+
+    STAGED projections (repetition_ratio's discipline): the token
+    array materializes BEFORE the shingle transform — an unstaged
+    `toks` puts the whole split inside the per-shingle lambda, which
+    the interpreted HOF path re-evaluates once per ELEMENT, turning
+    the pass O(len²) per document (measured ~5x at sf0.1, and
+    unboundedly worse on long documents at scale).
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " "))
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - (window - 1)))
-    shingle_hashes = F.transform(
-        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " "))
+    staged = df.withColumns({"__norm": norm, "__toks": F.split(norm, " ")})
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size("__toks") - (window - 1))
     )
-    return df.withColumns(
+    shingle_hashes = F.transform(
+        idx,
+        lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, window), " ")),
+    )
+    return staged.withColumns(
         {
-            "fp_full": F.md5(norm),
+            "fp_full": F.md5(F.col("__norm")),
             "fp_rolling": F.array_min(shingle_hashes),
         }
-    )
+    ).drop("__norm", "__toks")
 
 
 def repetition_ratio(
@@ -539,3 +548,225 @@ def quality_filter(
     )
     return scored.withColumn("verdict", verdict)
 
+
+
+def hash_unit(col: Column) -> Column:
+    """First 32 bits of md5 as an unsigned integer in [0, 2^32) —
+    the engine-portable hash primitive (DuckDB replays it as
+    ('0x' || substr(md5(x), 1, 8))::UBIGINT, bit-exact with
+    conv(..., 16, 10) here; verified in tests/test_textops.py)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def hashed_weight(gram: Column) -> Column:
+    """Deterministic 'shipped model' weight for the hashing trick:
+    md5-derived uniform in [-1, 1). Both engines compute
+    h / 2^32 * 2 - 1 over the identical integer h, so the weight is
+    bit-exact across the gate."""
+    return hash_unit(gram).cast("double") / F.lit(4294967296.0) * 2 - 1
+
+
+def hashed_linear_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-shaped linear quality classifier INFERENCE with a
+    hashed n-gram feature map: score = mean over word n-grams of
+    w(gram), where w is a deterministic md5-derived weight vector
+    (the hashing trick — no weight table ships to executors at all,
+    the 'model' is the hash function). kept = score > threshold.
+
+    This is the inference half of the quality-classifier stage every
+    modern pretraining pipeline runs (CCNet/fastText, GPT-3's LR
+    filter); training stays offline, scoring must scale to 100 TB.
+
+    Scale shape: ZERO shuffle — grams, weights, and the score are one
+    narrow whole-stage-codegen'd projection; the per-doc sum is a
+    row-local sequential array fold (F.aggregate), so summation order
+    is the array order on BOTH engines (DuckDB list_reduce replays
+    the identical left fold) — no distributed-sum nondeterminism,
+    which is why the score can gate at 6 decimals. A learned 2^k
+    weight table would broadcast-join instead; the hash-weight form
+    is the zero-state variant.
+    """
+    from dot_spark.operators.textdedup import normalize_text
+
+    # STAGED projections (repetition_ratio's discipline, and the
+    # reason this stays fast): the gram transform and the hash fold
+    # run on the interpreted HOF path, which re-evaluates any inlined
+    # subexpression once per ELEMENT — an unstaged `toks` puts the
+    # whole split inside the per-gram lambda, turning gram
+    # construction O(len²) (measured ~10x at sf0.1). Materialize the
+    # token array, then the gram array, then the fold, then derive
+    # kept from the rounded score — each expression evaluates exactly
+    # once per row.
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    tk = df.select(F.col(id_col), toks.alias("__toks"))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size("__toks") - (n - 1))
+    )
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " ")
+    )
+    staged = tk.select(F.col(id_col), grams.alias("__grams"))
+    fold = F.aggregate(
+        F.col("__grams"), F.lit(0.0), lambda acc, g: acc + hashed_weight(g)
+    )
+    scored = staged.select(
+        F.col(id_col),
+        F.size("__grams").cast("bigint").alias("n_grams"),
+        F.round(fold / F.size("__grams"), 6).alias("score"),
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_grams",
+        "score",
+        (F.col("score") > F.lit(threshold)).alias("kept"),
+    )
+
+
+def perplexity_prune(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_low: float = 0.33,
+    q_high: float = 0.66,
+) -> DataFrame:
+    """CCNet-style perplexity partition: score every doc by its
+    average negative log-probability under the corpus's own unigram
+    LM, then cut the corpus into head/middle/tail at exact score
+    percentiles (q_low, q_high); kept = not tail. CCNet (Wenzek et
+    al. 2020) keeps the low-perplexity head/middle for pretraining.
+
+    Scale shape: one token explode feeds both the |vocab|-row
+    frequency table (broadcast back) and the scoring pass; the
+    percentile cut is ONE exact-percentile aggregation over the
+    per-doc score column — Spark's exact percentile holds
+    value->count state, and scores are rounded to 3 decimals first,
+    so the aggregation state is bounded by the distinct rounded
+    scores (~1e4), NOT the corpus row count. No global sort, no
+    window. The 2-threshold row broadcasts onto the scored table.
+    Both engines interpolate percentiles identically (type-7 linear;
+    bit-exactness pinned in tests/test_textops.py).
+    """
+    from dot_spark.operators.textdedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    scored = (
+        terms.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                -F.sum(F.log(F.col("cnt") / F.col("n")))
+                / F.count(F.lit(1)),
+                3,
+            ).alias("nll"),
+        )
+    )
+    # both the percentile cut and the final projection read `scored`;
+    # without materialization Catalyst compiles (and runs) the whole
+    # explode+join+agg subtree once per branch — a lazy localCheckpoint
+    # of the narrow per-doc table (3 columns, one row per doc) halves
+    # the heavy work (the dd4b shared-shingle-table pattern; plan pin:
+    # 3 scans / ~7 exchanges, not 6 / 14)
+    scored = scored.localCheckpoint(eager=False)
+    cuts = scored.agg(
+        F.percentile("nll", q_low).alias("__c1"),
+        F.percentile("nll", q_high).alias("__c2"),
+    )
+    bucket = (
+        F.when(F.col("nll") <= F.col("__c1"), "head")
+        .when(F.col("nll") <= F.col("__c2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            F.col(id_col),
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.col("nll"),
+            bucket.alias("bucket"),
+            (F.col("nll") <= F.col("__c2")).alias("kept"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_flag: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR (Xie et al., NeurIPS 2023) data selection via importance
+    resampling: estimate target and raw unigram distributions over
+    hashed feature buckets, weight every raw doc by
+    log w = sum over tokens of log(p_target(b)/p_raw(b)), and accept
+    deterministically iff u(doc) <= min(1, exp(log w)) with u a
+    md5-derived uniform — the hash-seeded variant of DSIR's sampling
+    step, reproducible across engines and runs.
+
+    Scale shape: ONE token explode feeds a single n_buckets-row
+    aggregation carrying raw AND target counts (the target side is a
+    count_if over the same pass, not a second scan); the bucket
+    table plus its two totals broadcast back onto the terms, and the
+    per-doc reduction is one partial-agg shuffle on doc_id. Laplace
+    (+1 per bucket) smoothing keeps every log finite. The per-doc
+    sum rounds to 3 decimals before the acceptance exponential so
+    distributed summation order cannot flip a verdict (t15's
+    discipline), and exp() is rounded to 6 before the u comparison.
+    """
+    from dot_spark.operators.textdedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    terms = df.select(
+        F.col(id_col),
+        target_flag.alias("__tgt"),
+        F.explode(toks).alias("term"),
+    )
+    bucketed = terms.withColumn(
+        "bkt", hash_unit(F.col("term")) % F.lit(n_buckets)
+    )
+    counts = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count(F.when(F.col("__tgt"), 1)).alias("tgt_c"),
+    )
+    totals = counts.agg(
+        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
+    )
+    # log ratio with +1/bucket smoothing, all in exact integer counts
+    # until the final log
+    ratio = (
+        F.log(F.col("tgt_c") + 1)
+        - F.log(F.col("tgt_n") + n_buckets)
+        - F.log(F.col("raw_c") + 1)
+        + F.log(F.col("raw_n") + n_buckets)
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(counts), "bkt")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum(ratio), 3).alias("log_w"),
+        )
+    )
+    accept_p = F.round(F.exp(F.least(F.lit(0.0), F.col("log_w"))), 6)
+    u = hash_unit(F.col(id_col).cast("string")).cast("double") / F.lit(
+        4294967296.0
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        F.col("log_w"),
+        accept_p.alias("accept_p"),
+        (u <= accept_p).alias("accepted"),
+    )

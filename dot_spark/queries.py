@@ -8468,6 +8468,136 @@ def t23_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable hashed weight / uniform used by t25/t26's oracles: the
+# DuckDB replay of operators.text.hash_unit (first 32 md5 bits as an
+# unsigned int; bit-exact parity with conv(substr(md5,1,8),16,10)
+# pinned in tests/test_textops.py).
+_HASH_UNIT_SQL = "('0x' || substr(md5({x}), 1, 8))::UBIGINT"
+
+
+@query(
+    "t24_perplexity_prune",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    terms AS (SELECT doc_id, UNNEST(toks) AS term FROM tk),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, COUNT(*) AS n_toks,
+             ROUND(-SUM(ln(f.cnt / (SELECT n FROM tot))) / COUNT(*), 3) AS nll
+      FROM terms t JOIN freq f ON t.term = f.term GROUP BY 1),
+    cuts AS (SELECT quantile_cont(nll, 0.33) AS c1,
+                    quantile_cont(nll, 0.66) AS c2 FROM scored)
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, nll,
+           CASE WHEN nll <= c1 THEN 'head'
+                WHEN nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           (nll <= c2) AS kept
+    FROM scored CROSS JOIN cuts
+    """,
+)
+def t24_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partition (Wenzek et al. 2020): score
+    every doc by its mean negative log-prob under the corpus's own
+    unigram LM (t15's signal), cut the corpus at the exact 33rd/66th
+    score percentiles into head/middle/tail, keep head+middle — the
+    standard LM-quality prune a pretraining pipeline runs after
+    dedup. Shape: one token explode feeds frequency table + scoring
+    pass; the cut is ONE exact-percentile agg whose state is bounded
+    by distinct 3-dp-rounded scores (~1e4), not corpus rows — no
+    global sort; the 2-value threshold row broadcasts back. Both
+    engines interpolate type-7 percentiles bit-identically over the
+    identical rounded doubles (pinned in tests/test_textops.py)."""
+    from dot_spark.operators.text import perplexity_prune
+
+    docs = load_table(spark, "documents", sf_dir)
+    return perplexity_prune(docs)
+
+
+@query(
+    "t25_hashed_linear_quality",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, greatest(1, len(toks) - 1)),
+                                i -> array_to_string(toks[i:i+1], ' ')) AS grams
+          FROM tk),
+    s AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                 ROUND(list_reduce(
+                         list_prepend(0.0::DOUBLE, list_transform(grams,
+                           gr -> {_HASH_UNIT_SQL.format(x='gr')}::DOUBLE
+                                 / 4294967296 * 2 - 1)),
+                         (a, b) -> a + b) / len(grams), 6) AS score
+          FROM g)
+    SELECT doc_id, n_grams, score, (score > 0.0) AS kept FROM s
+    """,
+)
+def t25_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear quality-classifier INFERENCE via the
+    hashing trick (the GPT-3/CCNet quality-filter stage): per-doc
+    score = mean md5-derived weight over word bigrams, kept = score
+    above threshold. No weight table ships at all — the 'model' is
+    the hash function — so the pass is ZERO-shuffle whole-stage
+    codegen fused into the scan; the per-doc sum is a row-local
+    sequential array fold replayed by DuckDB's list_reduce in the
+    identical order, which is why the score gates at 6 decimals. A
+    learned 2^k-entry weight table would swap the hash for one
+    broadcast join without changing the shape."""
+    from dot_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hashed_linear_quality(docs)
+
+
+@query(
+    "t26_dsir_importance",
+    f"""
+    WITH tk AS (SELECT doc_id, (lang = 'en') AS tgt,
+                       {_NORM_TOKS_SQL} AS toks FROM documents),
+    terms AS (SELECT doc_id, tgt, UNNEST(toks) AS term FROM tk),
+    b AS (SELECT doc_id, {_HASH_UNIT_SQL.format(x='term')} % 256 AS bkt
+          FROM terms),
+    counts AS (SELECT bkt,
+                      COUNT(*) AS raw_c,
+                      COUNT(*) FILTER (WHERE tgt) AS tgt_c
+               FROM (SELECT doc_id, tgt,
+                            {_HASH_UNIT_SQL.format(x='term')} % 256 AS bkt
+                     FROM terms) GROUP BY 1),
+    tots AS (SELECT SUM(raw_c) AS raw_n, SUM(tgt_c) AS tgt_n FROM counts),
+    per AS (SELECT b.doc_id, COUNT(*) AS n_toks,
+                   ROUND(SUM(ln(c.tgt_c + 1) - ln(t.tgt_n + 256)
+                             - ln(c.raw_c + 1) + ln(t.raw_n + 256)), 3)
+                     AS log_w
+            FROM b JOIN counts c ON b.bkt = c.bkt CROSS JOIN tots t
+            GROUP BY 1)
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, log_w,
+           ROUND(exp(least(0.0, log_w)), 6) AS accept_p,
+           ({_HASH_UNIT_SQL.format(x='doc_id::VARCHAR')}::DOUBLE / 4294967296
+            <= ROUND(exp(least(0.0, log_w)), 6)) AS accepted
+    FROM per
+    """,
+)
+def t26_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): weight every
+    raw doc by the log-likelihood ratio of its hashed-unigram bag
+    under the target distribution (here: the corpus's English slice)
+    vs the raw distribution, then accept deterministically iff the
+    doc's md5-uniform u <= min(1, exp(log w)) — hash-seeded
+    importance resampling, reproducible across engines and runs.
+    Shape: ONE token explode feeds a single 256-row bucket aggregate
+    carrying raw AND target counts (count_if on the same pass, not a
+    second scan); bucket table + totals broadcast back; one
+    partial-agg shuffle on doc_id. Laplace smoothing keeps logs
+    finite; the doc sum rounds to 3 dp before the acceptance
+    exponential so distributed summation order cannot flip a verdict
+    (t15's discipline), and exp rounds to 6 dp before the u
+    comparison."""
+    from dot_spark.operators.text import dsir_importance
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_importance(docs, F.col("lang") == "en")
+
+
 @query(
     "pl16_incremental_ivf",
     """
@@ -11420,19 +11550,27 @@ _WINDOW_PRIORITY = [
     "st1_windowed_agg", "st2_superseded_stream", "t3_language_id",
     "t4_fingerprint", "t5_length_histogram", "t6_sequence_packing",
     "w2_distinct_rows", "w3_sort_limit_top1", "w5_rank_lattice",
-    # r7-stale (18; dd4b first — plan changed in r10)
+    # r7-stale (15; dd4b first — plan changed in r10). j7/j8/dd5
+    # (r7-stale, code untouched, their families still represented by
+    # in-window siblings) are displaced to the r12 staging to make
+    # room for the three mid-round-11 additions below — first-gating
+    # new queries beats re-verifying already-green ones (the r10
+    # n12-n17 principle).
     "dd4b_ngram_jaccard_capped", "c1_classify_runs",
     "dd1_exact_dedup",
-    "dd2_minhash_lsh_candidates", "dd3_simhash", "dd5_embedding_neardup",
+    "dd2_minhash_lsh_candidates", "dd3_simhash",
     "dd5b_bucketed_neardup", "dd6_decontamination",
     "dd7_embedding_decontamination", "dd8_dedup_clusters",
     "j1_anti_join", "j5_parent_child_join",
-    "j7_star_join_rollup", "j8_asof_join", "mm1_decode_media",
+    "mm1_decode_media",
     "mm2_media_features", "n2_explode_tokens", "n5_sticky_carry",
-    # changed-in-r11 re-gates + new query (6)
+    # changed-in-r11 re-gates + new queries (9: t13b from the round's
+    # start, t24/t25/t26 added mid-round — CCNet perplexity prune,
+    # hashed linear quality classifier, DSIR importance resampling)
     "pl9_semdedup", "mm7_phash_neardup", "mm3_frame_sampling",
     "t13b_bpe_merges_batched", "n13_woo_flat_order_items",
-    "n14_woo_flat_products",
+    "n14_woo_flat_products", "t24_perplexity_prune",
+    "t25_hashed_linear_quality", "t26_dsir_importance",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 _missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
@@ -11447,17 +11585,19 @@ assert set(_WINDOW_PRIORITY) & set(_R10_WINDOW) == {
 }, "r11 overlaps r10 beyond the planned semantics-changed re-gates"
 # The r12 rotation, MACHINE-READABLE — next round, swap this list
 # into _WINDOW_PRIORITY. Composition (computed at the start of round
-# 11 from CORRECTNESS_r01-r10 + the r11 window): the 30 queries whose
+# 11 from CORRECTNESS_r01-r10 + the r11 window): the 35 queries whose
 # newest green row will still be r7 after r11 lands (26 never
-# displaced + p10/p11/a1/c3/c2/f8 displaced above), then the 18
-# stalest r8 rows (alphabetical within the r8 cohort; j13/j14 slide
-# to r13). If round 12 changes any query's semantics, swap it in and
-# push the tail to r13 staging — re-gating changed code beats
-# re-verifying untouched code.
+# displaced + p10/p11/a1/c3/c2/f8 displaced at round start +
+# j7/j8/dd5 displaced mid-round for t24/t25/t26), then the 15
+# stalest r8 rows (alphabetical within the r8 cohort; f13/f14/f15
+# and j13/j14 slide to r13). If round 12 changes any query's
+# semantics, swap it in and push the tail to r13 staging — re-gating
+# changed code beats re-verifying untouched code.
 _R12_WINDOW = [
-    # r7-stale (32)
+    # r7-stale (35)
     "a1_group_having", "c2_webhook_route", "c3_quality_filter",
-    "f8_hmac_sha256", "p10_deterministic_sample",
+    "dd5_embedding_neardup", "f8_hmac_sha256",
+    "j7_star_join_rollup", "j8_asof_join", "p10_deterministic_sample",
     "p11_stratified_sample", "p1_schema_align", "p7_sentinel_null",
     "pl1_okta_refresh", "pl3_event_retry_pipeline",
     "pl5_corpus_dedup_pipeline", "s13_jsonl_roundtrip",
@@ -11468,14 +11608,13 @@ _R12_WINDOW = [
     "t1_token_stats", "t2_quality_score", "t7_repetition_ratio",
     "t8_pii_scrub", "t9_tfidf_topterms", "w1_dedup_keep_latest",
     "w4_superseded_dedup", "w6_sessionize",
-    # r8-stale (20, alphabetical)
+    # r8-stale (15, alphabetical)
     "a12_cube_lattice", "a13_pivot_wide", "a14_gapfill_locf",
     "a17_global_topk", "a18_winsorize", "a19_percentile_sketch_audit",
     "a20_share_of_total", "c4_quality_ensemble",
     "dd10_edit_distance_verify", "dd11_lsh_quality_eval",
     "dd12_url_dedup", "dd13_minhash_estimator_audit", "dd9_chunk_dedup",
-    "f11_higher_order_arrays", "f12_bitwise_aggs", "f13_calendar_arith",
-    "f14_map_functions", "f15_array_sort_comparator",
+    "f11_higher_order_arrays", "f12_bitwise_aggs",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 _r12_missing = [n for n in _R12_WINDOW if n not in QUERIES]

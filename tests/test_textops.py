@@ -850,3 +850,127 @@ def test_containment_threshold_and_direction_consistency(spark, sf_dir):
     for r in got:
         expect = round(r["inter"] / nsh[r["contained_id"]], 4)
         assert abs(r["containment"] - expect) < 1e-9, r
+
+
+# --- r11 additions: perplexity prune, hashed classifier, DSIR -------------
+
+
+def test_hash_unit_matches_duckdb_bit_exact(spark):
+    """Cross-engine pin for the portable hash primitive: Spark's
+    conv(substr(md5,1,8),16,10) equals DuckDB's
+    ('0x'||substr(md5,1,8))::UBIGINT on every probe — the identity
+    t25/t26's oracles rely on."""
+    import duckdb
+
+    from dot_spark.operators.text import hash_unit
+
+    probes = ["", "a", "hello world", "the the", "Ünïcode ✓", "123", " x "]
+    df = spark.createDataFrame([(p,) for p in probes], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", hash_unit(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for p in probes:
+        (want,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 8))::UBIGINT", [p]
+        ).fetchone()
+        assert got[p] == want, (p, got[p], want)
+
+
+def test_exact_percentile_matches_duckdb_interpolation(spark):
+    """Spark exact percentile vs DuckDB quantile_cont: identical
+    type-7 linear interpolation, bit-exact on doubles — the identity
+    t24's head/middle/tail cuts rely on."""
+    import duckdb
+
+    vals = [1.234, 2.5, 3.75, 7.125, 9.001, 4.5, 0.125, 8.875, 6.0, 5.5, 2.25]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = df.agg(
+        F.percentile("x", 0.33).alias("p33"), F.percentile("x", 0.66).alias("p66")
+    ).first()
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT quantile_cont(x, 0.33), quantile_cont(x, 0.66)"
+        " FROM (SELECT UNNEST(?) AS x)",
+        [vals],
+    ).fetchone()
+    assert row["p33"] == want[0] and row["p66"] == want[1]
+
+
+def test_perplexity_prune_laws(docs):
+    from dot_spark.operators.text import perplexity_prune
+
+    out = perplexity_prune(docs).collect()
+    n = len(out)
+    assert n == docs.count()
+    by = {"head": 0, "middle": 0, "tail": 0}
+    for r in out:
+        by[r["bucket"]] += 1
+        assert r["kept"] == (r["bucket"] != "tail")
+        assert r["nll"] > 0 and r["n_toks"] > 0
+    # exact percentile cuts: head <= 33% + ties, tail >= ~34% - ties;
+    # every bucket is populated on a 500-doc corpus
+    assert all(v > 0 for v in by.values()), by
+    assert by["head"] <= n * 0.45 and by["tail"] >= n * 0.2, by
+    # head scores <= middle scores <= tail scores (bucket monotonicity)
+    mx = {b: max(r["nll"] for r in out if r["bucket"] == b) for b in by}
+    mn = {b: min(r["nll"] for r in out if r["bucket"] == b) for b in by}
+    assert mx["head"] <= mn["middle"] and mx["middle"] <= mn["tail"]
+
+
+def test_hashed_linear_quality_zero_shuffle_and_fold(spark, docs):
+    """Score equals an independent Python replay of the same hash
+    fold on a sample, and the plan holds zero exchanges (the
+    classifier must fuse into the scan)."""
+    import hashlib
+
+    from dot_spark.operators.text import hashed_linear_quality
+
+    out = hashed_linear_quality(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    sample = docs.select("doc_id", "text").limit(20).collect()
+    for s in sample:
+        toks = " ".join(s["text"].lower().split()).split(" ")
+        grams = (
+            [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            if len(toks) > 1
+            else [" ".join(toks[:2])]
+        )
+        acc = 0.0
+        for g in grams:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            acc += h / 4294967296.0 * 2 - 1
+        want = round(acc / len(grams), 6)
+        got = rows[s["doc_id"]]
+        assert got["score"] == pytest.approx(want, abs=1e-9)
+        assert got["n_grams"] == len(grams)
+        assert got["kept"] == (got["score"] > 0.0)
+
+
+def test_dsir_importance_laws(docs):
+    """Target-language docs score higher than non-target on average
+    (the whole point of DSIR), accept_p = min(1, exp(log_w)) at 6dp,
+    and acceptance is the deterministic u <= accept_p rule."""
+    import hashlib
+    import math
+
+    from dot_spark.operators.text import dsir_importance
+
+    out = dsir_importance(docs, F.col("lang") == "en").collect()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    en = [r["log_w"] for r in out if langs[r["doc_id"]] == "en"]
+    rest = [r["log_w"] for r in out if langs[r["doc_id"]] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    for r in out:
+        assert r["accept_p"] == pytest.approx(
+            round(math.exp(min(0.0, r["log_w"])), 6), abs=1e-12
+        )
+        u = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        assert r["accepted"] == (u <= r["accept_p"])
