@@ -704,6 +704,31 @@ def main() -> None:
             lambda d=docs: bpe_merges_batched(d, k=64, batch=4)
         )
 
+        # r11 mid-round corpus-filter trio. t24: the exact-percentile
+        # cut's aggregation state is bounded by DISTINCT 3-dp scores,
+        # not rows — alpha must track the linear explode+join scoring
+        # pass, never blow up with K. t25: zero-shuffle scan-fused
+        # hash fold — the receipt that the staged-HOF form stays
+        # linear (the unstaged form is O(len²) per doc and would
+        # still read linear-in-K here, which is why the STAGING is
+        # pinned by a plan test and the grid pins only the sweep).
+        # t26: one 256-bucket agg + broadcast-back, K-fold terms.
+        from dot_spark.operators.text import (
+            dsir_importance,
+            hashed_linear_quality,
+            perplexity_prune,
+        )
+
+        grid[("t24_perplexity_prune", k)] = (
+            lambda d=docs: perplexity_prune(d)
+        )
+        grid[("t25_hashed_linear", k)] = (
+            lambda d=docs: hashed_linear_quality(d)
+        )
+        grid[("t26_dsir", k)] = (
+            lambda d=docs: dsir_importance(d, F.col("doc_id") % 5 == 0)
+        )
+
     # SCALE_SANITY_ONLY=<substr>[,<substr>...] restricts the grid to
     # matching cell names — targeted re-receipts without paying for
     # the full grid (interleaving discipline unchanged within the
