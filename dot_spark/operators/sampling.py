@@ -304,3 +304,40 @@ def pack_sequences(
             "last_bin"
         ),
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact size k
+    (Efraimidis-Spirakis 2006): each row draws the deterministic
+    md5-uniform u in (0, 1] and the k rows with the largest
+    u^(1/w) — equivalently the largest ln(u)/w, computed in log
+    space so tiny weights can't underflow — win. One pass, no
+    per-round re-draws; p14's Bernoulli form yields a BINOMIAL
+    sample size, this yields exactly k (the reservoir semantics a
+    fixed token budget needs).
+
+    Scale shape: the es_key is a pure row-local expression; the
+    global top-k compiles to TakeOrderedAndProject (per-partition
+    top-k, then a k-row driver merge) — no global sort, no full
+    shuffle, same as a17_global_topk. Deterministic across
+    runs/engines/partitionings: u is hash-derived (the +1 keeps u
+    strictly positive so ln is finite) and ties break on the key
+    column.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / w
+    return (
+        df.withColumn("es_key", F.round(key, 6))
+        .orderBy(F.col("es_key").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -8599,6 +8599,46 @@ def t26_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p21_weighted_topk_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ROUND(least(n_chars, 2000) / 2000.0, 4) AS keep_weight,
+             ROUND(ln(({_HASH_UNIT_SQL.format(x='doc_id::VARCHAR')}::DOUBLE + 1)
+                      / 4294967296)
+                   / (least(n_chars, 2000) / 2000.0), 6) AS es_key
+      FROM documents)
+    SELECT doc_id, n_chars, keep_weight, es_key
+    FROM s ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+)
+def p21_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact k=100
+    (Efraimidis-Spirakis): quality-weighted corpus selection where
+    the output size is a hard budget, not a binomial draw (p14's
+    Bernoulli form can't promise a size; a fixed fine-tuning budget
+    needs exactly k). Keys are hash-seeded and rounded to 6 dp
+    BEFORE ordering with a doc_id tiebreak, so both engines select
+    the identical k rows even where ln() differs by an ulp. Plan:
+    TakeOrderedAndProject — per-partition top-k then a k-row driver
+    merge; no global sort, no shuffle."""
+    from dot_spark.operators.sampling import weighted_topk_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = weighted_topk_sample(
+        docs, "doc_id", F.least(F.col("n_chars"), F.lit(2000)) / 2000.0, k=100
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.least(F.col("n_chars"), F.lit(2000)) / 2000.0, 4).alias(
+            "keep_weight"
+        ),
+        "es_key",
+    )
+
+
+@query(
     "pl16_incremental_ivf",
     """
     WITH base AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 0),
@@ -11550,10 +11590,10 @@ _WINDOW_PRIORITY = [
     "st1_windowed_agg", "st2_superseded_stream", "t3_language_id",
     "t4_fingerprint", "t5_length_histogram", "t6_sequence_packing",
     "w2_distinct_rows", "w3_sort_limit_top1", "w5_rank_lattice",
-    # r7-stale (15; dd4b first — plan changed in r10). j7/j8/dd5
+    # r7-stale (14; dd4b first — plan changed in r10). j7/j8/dd5/j1
     # (r7-stale, code untouched, their families still represented by
     # in-window siblings) are displaced to the r12 staging to make
-    # room for the three mid-round-11 additions below — first-gating
+    # room for the four mid-round-11 additions below — first-gating
     # new queries beats re-verifying already-green ones (the r10
     # n12-n17 principle).
     "dd4b_ngram_jaccard_capped", "c1_classify_runs",
@@ -11561,16 +11601,18 @@ _WINDOW_PRIORITY = [
     "dd2_minhash_lsh_candidates", "dd3_simhash",
     "dd5b_bucketed_neardup", "dd6_decontamination",
     "dd7_embedding_decontamination", "dd8_dedup_clusters",
-    "j1_anti_join", "j5_parent_child_join",
+    "j5_parent_child_join",
     "mm1_decode_media",
     "mm2_media_features", "n2_explode_tokens", "n5_sticky_carry",
-    # changed-in-r11 re-gates + new queries (9: t13b from the round's
-    # start, t24/t25/t26 added mid-round — CCNet perplexity prune,
-    # hashed linear quality classifier, DSIR importance resampling)
+    # changed-in-r11 re-gates + new queries (10: t13b from the
+    # round's start; t24/t25/t26/p21 added mid-round — CCNet
+    # perplexity prune, hashed linear quality classifier, DSIR
+    # importance resampling, Efraimidis-Spirakis exact-k sampling)
     "pl9_semdedup", "mm7_phash_neardup", "mm3_frame_sampling",
     "t13b_bpe_merges_batched", "n13_woo_flat_order_items",
     "n14_woo_flat_products", "t24_perplexity_prune",
     "t25_hashed_linear_quality", "t26_dsir_importance",
+    "p21_weighted_topk_sample",
 ]
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 _missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
@@ -11585,18 +11627,18 @@ assert set(_WINDOW_PRIORITY) & set(_R10_WINDOW) == {
 }, "r11 overlaps r10 beyond the planned semantics-changed re-gates"
 # The r12 rotation, MACHINE-READABLE — next round, swap this list
 # into _WINDOW_PRIORITY. Composition (computed at the start of round
-# 11 from CORRECTNESS_r01-r10 + the r11 window): the 35 queries whose
+# 11 from CORRECTNESS_r01-r10 + the r11 window): the 36 queries whose
 # newest green row will still be r7 after r11 lands (26 never
 # displaced + p10/p11/a1/c3/c2/f8 displaced at round start +
-# j7/j8/dd5 displaced mid-round for t24/t25/t26), then the 15
-# stalest r8 rows (alphabetical within the r8 cohort; f13/f14/f15
-# and j13/j14 slide to r13). If round 12 changes any query's
+# j7/j8/dd5/j1 displaced mid-round for t24/t25/t26/p21), then the 14
+# stalest r8 rows (alphabetical within the r8 cohort; f12/f13/f14/
+# f15 and j13/j14 slide to r13). If round 12 changes any query's
 # semantics, swap it in and push the tail to r13 staging — re-gating
 # changed code beats re-verifying untouched code.
 _R12_WINDOW = [
-    # r7-stale (35)
+    # r7-stale (36)
     "a1_group_having", "c2_webhook_route", "c3_quality_filter",
-    "dd5_embedding_neardup", "f8_hmac_sha256",
+    "dd5_embedding_neardup", "f8_hmac_sha256", "j1_anti_join",
     "j7_star_join_rollup", "j8_asof_join", "p10_deterministic_sample",
     "p11_stratified_sample", "p1_schema_align", "p7_sentinel_null",
     "pl1_okta_refresh", "pl3_event_retry_pipeline",
@@ -11608,13 +11650,13 @@ _R12_WINDOW = [
     "t1_token_stats", "t2_quality_score", "t7_repetition_ratio",
     "t8_pii_scrub", "t9_tfidf_topterms", "w1_dedup_keep_latest",
     "w4_superseded_dedup", "w6_sessionize",
-    # r8-stale (15, alphabetical)
+    # r8-stale (14, alphabetical)
     "a12_cube_lattice", "a13_pivot_wide", "a14_gapfill_locf",
     "a17_global_topk", "a18_winsorize", "a19_percentile_sketch_audit",
     "a20_share_of_total", "c4_quality_ensemble",
     "dd10_edit_distance_verify", "dd11_lsh_quality_eval",
     "dd12_url_dedup", "dd13_minhash_estimator_audit", "dd9_chunk_dedup",
-    "f11_higher_order_arrays", "f12_bitwise_aggs",
+    "f11_higher_order_arrays",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 _r12_missing = [n for n in _R12_WINDOW if n not in QUERIES]

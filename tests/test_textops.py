@@ -974,3 +974,36 @@ def test_dsir_importance_laws(docs):
             / 4294967296.0
         )
         assert r["accepted"] == (u <= r["accept_p"])
+
+
+def test_weighted_topk_sample_laws(spark, docs):
+    """Exact k, deterministic across runs, TakeOrderedAndProject
+    plan (no global sort), replayable selection: an independent
+    Python replay of the Efraimidis-Spirakis keys picks the same
+    rows, and zero-weight-adjacent docs (shortest) are
+    under-represented vs the longest."""
+    import hashlib
+    import math
+
+    from dot_spark.operators.sampling import weighted_topk_sample
+
+    w = F.least(F.col("n_chars"), F.lit(2000)) / 2000.0
+    out = weighted_topk_sample(docs, "doc_id", w, k=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    got = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert len(got) == 50 and len(set(got)) == 50
+    # independent replay
+    rows = docs.select("doc_id", "n_chars").collect()
+    keys = []
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967296.0
+        wt = min(r["n_chars"], 2000) / 2000.0
+        keys.append((round(math.log(u) / wt, 6), -r["doc_id"], r["doc_id"]))
+    keys.sort(reverse=True)
+    want = {d for _, _, d in keys[:50]}
+    assert set(got) == want
+    # run-to-run determinism
+    got2 = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert got == got2
