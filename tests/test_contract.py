@@ -153,8 +153,10 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
     the round-11 rotation: the 26 r6-stale backfill rows first, then
-    the 20 stalest r7 rows, then the four changed-in-r11 re-gates
-    (pl9/mm7 max_bucket, mm3 full-JPEG oracle, the new t13b) — an
+    the 14 stalest r7 rows (j7/j8/dd5/j1 were displaced mid-round to
+    the r12 staging for the four new queries), then the ten
+    changed-in-r11 slots (pl9/mm7 max_bucket, mm3 full-JPEG oracle,
+    n13/n14 woo semantics, the new t13b/t24/t25/t26/p21) — an
     accidental registration reorder silently drops operators out of
     the official artifact."""
     window = list(QUERIES)[:50]
@@ -190,15 +192,11 @@ def test_correctness_window_composition():
         "dd1_exact_dedup",
         "dd2_minhash_lsh_candidates",
         "dd3_simhash",
-        "dd5_embedding_neardup",
         "dd5b_bucketed_neardup",
         "dd6_decontamination",
         "dd7_embedding_decontamination",
         "dd8_dedup_clusters",
-        "j1_anti_join",
         "j5_parent_child_join",
-        "j7_star_join_rollup",
-        "j8_asof_join",
         "mm1_decode_media",
         "mm2_media_features",
         "n2_explode_tokens",
@@ -209,6 +207,10 @@ def test_correctness_window_composition():
         "t13b_bpe_merges_batched",
         "n13_woo_flat_order_items",
         "n14_woo_flat_products",
+        "t24_perplexity_prune",
+        "t25_hashed_linear_quality",
+        "t26_dsir_importance",
+        "p21_weighted_topk_sample",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50

@@ -1007,3 +1007,21 @@ def test_weighted_topk_sample_laws(spark, docs):
     # run-to-run determinism
     got2 = [r["doc_id"] for r in out.select("doc_id").collect()]
     assert got == got2
+
+
+def test_corpus_filter_scores_partitioning_invariant(spark, docs):
+    """The 3-dp/6-dp rounding discipline must absorb distributed
+    summation order: scores and verdicts from a 1-partition run equal
+    the 32-partition run exactly (the property the oracle gate's
+    engine-parity ultimately rests on)."""
+    from dot_spark.operators.text import dsir_importance, perplexity_prune
+
+    for op in (
+        lambda d: perplexity_prune(d).select("doc_id", "nll", "bucket"),
+        lambda d: dsir_importance(d, F.col("lang") == "en").select(
+            "doc_id", "log_w", "accepted"
+        ),
+    ):
+        wide = {tuple(r) for r in op(docs.repartition(32)).collect()}
+        narrow = {tuple(r) for r in op(docs.coalesce(1)).collect()}
+        assert wide == narrow
