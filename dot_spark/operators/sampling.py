@@ -329,12 +329,12 @@ def weighted_topk_sample(
     strictly positive so ln is finite) and ties break on the key
     column.
     """
+    from dot_spark.operators.text import hash_unit
+
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        + 1.0
-    ) / F.lit(4294967296.0)
+    u = (hash_unit(F.col(key_col).cast("string")).cast("double") + 1.0) / F.lit(
+        4294967296.0
+    )
     key = F.log(u) / w
     return (
         df.withColumn("es_key", F.round(key, 6))
