@@ -328,6 +328,13 @@ def weighted_topk_sample(
     runs/engines/partitionings: u is hash-derived (the +1 keeps u
     strictly positive so ln is finite) and ties break on the key
     column.
+
+    Rows with weight <= 0 are EXCLUDED before ranking (their E-S
+    selection probability is zero; without the filter a zero weight
+    divides by zero into a NULL key that sorts unpredictably, and a
+    negative weight flips ln(u)/w positive and would outrank every
+    valid row). Callers wanting different semantics clamp the
+    weight expression first.
     """
     from dot_spark.operators.text import hash_unit
 
@@ -337,7 +344,8 @@ def weighted_topk_sample(
     )
     key = F.log(u) / w
     return (
-        df.withColumn("es_key", F.round(key, 6))
+        df.filter(w > 0)
+        .withColumn("es_key", F.round(key, 6))
         .orderBy(F.col("es_key").desc(), F.col(key_col))
         .limit(k)
     )

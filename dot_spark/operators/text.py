@@ -158,7 +158,12 @@ def fingerprint(
     unboundedly worse on long documents at scale).
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " "))
-    staged = df.withColumns({"__norm": norm, "__toks": F.split(norm, " ")})
+    # two stages, not one: deriving __toks from the STAGED __norm
+    # column evaluates the lower/regexp/trim chain once per row
+    # (inlining `norm` into both columns would run it twice)
+    staged = df.withColumn("__norm", norm).withColumn(
+        "__toks", F.split(F.col("__norm"), " ")
+    )
     idx = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.size("__toks") - (window - 1))
     )
@@ -558,12 +563,20 @@ def hash_unit(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def hash_uniform(col: Column) -> Column:
+    """md5-derived uniform in [0, 1): hash_unit / 2^32. The single
+    place the divisor lives — hashed_weight, dsir_importance, and
+    the DuckDB oracle replicas all derive from this construction, so
+    a precision/width change has one engine-side home."""
+    return hash_unit(col).cast("double") / F.lit(4294967296.0)
+
+
 def hashed_weight(gram: Column) -> Column:
     """Deterministic 'shipped model' weight for the hashing trick:
     md5-derived uniform in [-1, 1). Both engines compute
     h / 2^32 * 2 - 1 over the identical integer h, so the weight is
     bit-exact across the gate."""
-    return hash_unit(gram).cast("double") / F.lit(4294967296.0) * 2 - 1
+    return hash_uniform(gram) * 2 - 1
 
 
 def hashed_linear_quality(
@@ -634,6 +647,7 @@ def perplexity_prune(
     id_col: str = "doc_id",
     q_low: float = 0.33,
     q_high: float = 0.66,
+    materialize: bool = True,
 ) -> DataFrame:
     """CCNet-style perplexity partition: score every doc by its
     average negative log-probability under the corpus's own unigram
@@ -675,9 +689,16 @@ def perplexity_prune(
     # without materialization Catalyst compiles (and runs) the whole
     # explode+join+agg subtree once per branch — a lazy localCheckpoint
     # of the narrow per-doc table (3 columns, one row per doc) halves
-    # the heavy work (the dd4b shared-shingle-table pattern; plan pin:
-    # 3 scans / ~7 exchanges, not 6 / 14)
-    scored = scored.localCheckpoint(eager=False)
+    # the heavy work (the dd4b shared-shingle-table pattern). NOTE:
+    # the checkpoint truncates the visible executedPlan to a
+    # LogicalRDD stub, so the plan baseline cannot watch the scoring
+    # subtree through it — materialize=False exists ONLY so
+    # tests/test_plans.py can pin the un-truncated shape (14
+    # exchanges / 6 scans with the duplicated branches; a lost
+    # broadcast(freq) or extra scan grows those counts and fails the
+    # pin even though the production form hides them).
+    if materialize:
+        scored = scored.localCheckpoint(eager=False)
     cuts = scored.agg(
         F.percentile("nll", q_low).alias("__c1"),
         F.percentile("nll", q_high).alias("__c2"),
@@ -714,15 +735,21 @@ def dsir_importance(
     md5-derived uniform — the hash-seeded variant of DSIR's sampling
     step, reproducible across engines and runs.
 
-    Scale shape: ONE token explode feeds a single n_buckets-row
-    aggregation carrying raw AND target counts (the target side is a
-    count_if over the same pass, not a second scan); the bucket
-    table plus its two totals broadcast back onto the terms, and the
-    per-doc reduction is one partial-agg shuffle on doc_id. Laplace
-    (+1 per bucket) smoothing keeps every log finite. The per-doc
-    sum rounds to 3 decimals before the acceptance exponential so
-    distributed summation order cannot flip a verdict (t15's
-    discipline), and exp() is rounded to 6 before the u comparison.
+    Scale shape: the corpus is tokenized TWICE — once under the
+    n_buckets-row count aggregation (raw AND target counts in the
+    same pass: a count_if, not separate scans per side) and once as
+    the probe side of the scoring join; the counts table
+    localCheckpoints so its two consumers (the broadcast join side
+    and the totals aggregate) read 256 materialized rows instead of
+    re-compiling the corpus explode per branch. Checkpointing the
+    probe side itself would materialize a corpus-sized (one row per
+    TOKEN) table — recomputing the cheap explode is the right trade
+    at 100 TB. The per-doc reduction is one partial-agg shuffle on
+    doc_id. Laplace (+1 per bucket) smoothing keeps every log
+    finite. The per-doc sum rounds to 3 decimals before the
+    acceptance exponential so distributed summation order cannot
+    flip a verdict (t15's discipline), and exp() is rounded to 6
+    before the u comparison.
     """
     from dot_spark.operators.textdedup import normalize_text
 
@@ -735,9 +762,16 @@ def dsir_importance(
     bucketed = terms.withColumn(
         "bkt", hash_unit(F.col("term")) % F.lit(n_buckets)
     )
-    counts = bucketed.groupBy("bkt").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.count(F.when(F.col("__tgt"), 1)).alias("tgt_c"),
+    counts = (
+        bucketed.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.count(F.when(F.col("__tgt"), 1)).alias("tgt_c"),
+        )
+        # n_buckets rows feeding two consumers (join build side +
+        # totals) — materialize so neither branch re-runs the corpus
+        # explode under the aggregation
+        .localCheckpoint(eager=False)
     )
     totals = counts.agg(
         F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
@@ -760,9 +794,7 @@ def dsir_importance(
         )
     )
     accept_p = F.round(F.exp(F.least(F.lit(0.0), F.col("log_w"))), 6)
-    u = hash_unit(F.col(id_col).cast("string")).cast("double") / F.lit(
-        4294967296.0
-    )
+    u = hash_uniform(F.col(id_col).cast("string"))
     return per_doc.select(
         F.col(id_col),
         F.col("n_toks").cast("bigint").alias("n_toks"),

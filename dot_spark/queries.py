@@ -8555,14 +8555,13 @@ def t25_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tk AS (SELECT doc_id, (lang = 'en') AS tgt,
                        {_NORM_TOKS_SQL} AS toks FROM documents),
     terms AS (SELECT doc_id, tgt, UNNEST(toks) AS term FROM tk),
-    b AS (SELECT doc_id, {_HASH_UNIT_SQL.format(x='term')} % 256 AS bkt
+    b AS (SELECT doc_id, tgt,
+                 {_HASH_UNIT_SQL.format(x='term')} % 256 AS bkt
           FROM terms),
     counts AS (SELECT bkt,
                       COUNT(*) AS raw_c,
                       COUNT(*) FILTER (WHERE tgt) AS tgt_c
-               FROM (SELECT doc_id, tgt,
-                            {_HASH_UNIT_SQL.format(x='term')} % 256 AS bkt
-                     FROM terms) GROUP BY 1),
+               FROM b GROUP BY 1),
     tots AS (SELECT SUM(raw_c) AS raw_n, SUM(tgt_c) AS tgt_n FROM counts),
     per AS (SELECT b.doc_id, COUNT(*) AS n_toks,
                    ROUND(SUM(ln(c.tgt_c + 1) - ln(t.tgt_n + 256)
@@ -8607,7 +8606,8 @@ def t26_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(ln(({_HASH_UNIT_SQL.format(x='doc_id::VARCHAR')}::DOUBLE + 1)
                       / 4294967296)
                    / (least(n_chars, 2000) / 2000.0), 6) AS es_key
-      FROM documents)
+      FROM documents
+      WHERE least(n_chars, 2000) / 2000.0 > 0)
     SELECT doc_id, n_chars, keep_weight, es_key
     FROM s ORDER BY es_key DESC, doc_id LIMIT 100
     """,

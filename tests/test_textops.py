@@ -933,7 +933,12 @@ def test_hashed_linear_quality_zero_shuffle_and_fold(spark, docs):
     rows = {r["doc_id"]: r for r in out.collect()}
     sample = docs.select("doc_id", "text").limit(20).collect()
     for s in sample:
-        toks = " ".join(s["text"].lower().split()).split(" ")
+        # mirror normalize_text EXACTLY: collapse ASCII-space runs
+        # only (str.split() would also split on tabs/newlines, which
+        # normalize_text keeps inside tokens)
+        import re as _re
+
+        toks = _re.sub(" +", " ", s["text"].lower()).strip().split(" ")
         grams = (
             [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
             if len(toks) > 1
@@ -1025,3 +1030,38 @@ def test_corpus_filter_scores_partitioning_invariant(spark, docs):
         wide = {tuple(r) for r in op(docs.repartition(32)).collect()}
         narrow = {tuple(r) for r in op(docs.coalesce(1)).collect()}
         assert wide == narrow
+
+
+def test_perplexity_prune_unmaterialized_plan_pin(spark, docs):
+    """The production form's localCheckpoint truncates the visible
+    plan to a LogicalRDD stub, so the committed baseline cannot
+    watch the scoring subtree. Pin the UNCHECKPOINTED shape here: a
+    lost broadcast(freq) or an extra corpus scan grows these counts
+    even though the production plan hides them."""
+    from dot_spark.operators.text import perplexity_prune
+    from tools.plan_baseline import plan_counts
+
+    counts = plan_counts(perplexity_prune(docs, materialize=False))
+    assert counts["scans"] <= 6, counts
+    assert counts["exchanges"] <= 14, counts
+    assert counts["py_eval"] == 0, counts
+    # the two 1-row broadcasts (total, cuts) are the only
+    # nested-loop sites
+    assert counts["nested_loop"] <= 3, counts
+    # and the two forms agree row-for-row
+    a = {tuple(r) for r in perplexity_prune(docs, materialize=False).collect()}
+    b = {tuple(r) for r in perplexity_prune(docs).collect()}
+    assert a == b
+
+
+def test_weighted_topk_excludes_nonpositive_weights(spark):
+    """Zero/negative weights have zero E-S selection probability and
+    must never rank (a zero weight would otherwise produce a NULL
+    key; a negative one would outrank every valid row)."""
+    from dot_spark.operators.sampling import weighted_topk_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -2.0), (4, 0.5), (5, 2.0)], "id long, w double"
+    )
+    got = {r["id"] for r in weighted_topk_sample(df, "id", "w", k=5).collect()}
+    assert got == {1, 4, 5}
