@@ -379,11 +379,21 @@ def pmi_collocations(
 
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " ")), " ")
     terms = df.select(F.explode(toks).alias("term"))
-    uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # uni feeds THREE consumers (n_uni, u1, u2) and bc_all feeds TWO
+    # (n_bi, the floor-filtered bc) — materialize both vocab-sized
+    # tables so neither corpus explode compiles per branch (t15's
+    # discipline; measured 1.7x on the unigram family at sf0.1)
+    uni = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
     bg = shingle_rows(df, id_col=id_col, text_col=text_col, n=2)
-    bc_all = bg.groupBy(F.col("shingle").alias("bigram")).agg(
-        F.count(F.lit(1)).alias("c_xy")
+    bc_all = (
+        bg.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)
     )
     n_bi = bc_all.agg(F.sum("c_xy").alias("n_bi"))
     bc = (
@@ -670,7 +680,13 @@ def perplexity_prune(
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
     terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
-    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # |vocab|-row table, two consumers (join side + total):
+    # materialize once (t15's discipline)
+    freq = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = freq.agg(F.sum("cnt").alias("n"))
     scored = (
         terms.join(F.broadcast(freq), "term")
