@@ -206,7 +206,7 @@ def _naive_jaccard(texts: list[str], n: int = 3):
 
     sets = []
     for t in texts:
-        toks = re.sub(" +", " ", t.lower()).strip().split(" ")
+        toks = re.sub(" +", " ", t.lower()).strip(" ").split(" ")
         grams = {
             " ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))
         }
@@ -397,7 +397,7 @@ def test_chunk_dedup_matches_reference_model(spark, texts):
 
     chunks: dict[int, list[str]] = {}
     for i, t in enumerate(texts):
-        toks = re.sub(" +", " ", t.lower()).strip().split(" ")
+        toks = re.sub(" +", " ", t.lower()).strip(" ").split(" ")
         chunks[i] = [
             " ".join(toks[p : p + 4]) for p in range(0, max(1, len(toks)), 4)
         ]
@@ -1194,3 +1194,119 @@ def test_woo_sticky_carries_match_reference_fold(spark, items):
     want = _reference_carries(items)
     for i, (sku, dp) in enumerate(want):
         assert got[i] == (sku, dp), (i, got[i], (sku, dp), items)
+
+
+# --- r11 corpus-filter trio: replay parity on adversarial corpora ---------
+
+
+def _norm_toks(text: str) -> list[str]:
+    """Verbatim normalize_text + split: lowercase, collapse ASCII
+    space runs, strip, split on single spaces (shares no code with
+    the engine)."""
+    import re
+
+    return re.sub(" +", " ", text.lower()).strip(" ").split(" ")
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="ab \t", min_size=0, max_size=6),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_hashed_linear_quality_matches_replay(spark, texts):
+    """The staged HOF gram fold must equal the independent Python
+    fold on any corpus — whitespace-degenerate texts (tabs, leading/
+    trailing/multiple spaces, empty strings) force the edge shapes:
+    single-token docs, '' tokens, grams containing tabs."""
+    import hashlib
+
+    from dot_spark.operators.text import hashed_linear_quality
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["score"], r["kept"])
+        for r in hashed_linear_quality(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _norm_toks(t)
+        grams = (
+            [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+            if len(toks) > 1
+            else [" ".join(toks[:2])]
+        )
+        acc = 0.0
+        for g in grams:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            acc += h / 4294967296.0 * 2 - 1
+        score = round(acc / len(grams), 6)
+        n_g, sc, kept = got[i]
+        assert n_g == len(grams) and kept == (score > 0.0), (i, t)
+        assert abs(sc - score) < 1e-9, (i, t, sc, score)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=4),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    flags=st.lists(st.booleans(), min_size=8, max_size=8),
+)
+@settings(**SETTINGS)
+def test_dsir_importance_matches_replay(spark, texts, flags):
+    """DSIR log-weights and acceptance must equal the independent
+    Python replay (own hashing, own bucket counts, own smoothing) on
+    any corpus/target-flag assignment — including all-target and
+    no-target corpora, where smoothing carries the whole ratio."""
+    import hashlib
+    import math
+
+    from dot_spark.operators.text import dsir_importance
+
+    rows = [(i, t, flags[i % len(flags)]) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, tgt boolean")
+    got = {
+        r["doc_id"]: (r["n_toks"], r["log_w"], r["accepted"])
+        for r in dsir_importance(docs, F.col("tgt")).collect()
+    }
+
+    def bkt(term: str) -> int:
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % 256
+
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for _, t, fl in rows:
+        for tok in _norm_toks(t):
+            b = bkt(tok)
+            raw[b] = raw.get(b, 0) + 1
+            if fl:
+                tgt[b] = tgt.get(b, 0) + 1
+    raw_n, tgt_n = sum(raw.values()), sum(tgt.values())
+    for i, t, _ in rows:
+        toks = _norm_toks(t)
+        lw = sum(
+            math.log(tgt.get(bkt(tok), 0) + 1)
+            - math.log(tgt_n + 256)
+            - math.log(raw.get(bkt(tok), 0) + 1)
+            + math.log(raw_n + 256)
+            for tok in toks
+        )
+        lw = round(lw, 3)
+        ap = round(math.exp(min(0.0, lw)), 6)
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 4294967296.0
+        n_t, glw, acc = got[i]
+        assert n_t == len(toks) and acc == (u <= ap), (i, t)
+        assert abs(glw - lw) < 1e-9, (i, t, glw, lw)

@@ -938,7 +938,7 @@ def test_hashed_linear_quality_zero_shuffle_and_fold(spark, docs):
         # normalize_text keeps inside tokens)
         import re as _re
 
-        toks = _re.sub(" +", " ", s["text"].lower()).strip().split(" ")
+        toks = _re.sub(" +", " ", s["text"].lower()).strip(" ").split(" ")
         grams = (
             [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
             if len(toks) > 1
