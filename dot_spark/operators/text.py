@@ -356,6 +356,7 @@ def pmi_collocations(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Bigram collocations scored by pointwise mutual information
     (Church & Hanks, CL'90): pmi = ln(P(xy) / (P(x)P(y))) over
@@ -382,19 +383,20 @@ def pmi_collocations(
     # uni feeds THREE consumers (n_uni, u1, u2) and bc_all feeds TWO
     # (n_bi, the floor-filtered bc) — materialize both vocab-sized
     # tables so neither corpus explode compiles per branch (t15's
-    # discipline; measured 1.7x on the unigram family at sf0.1)
-    uni = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    # discipline; measured 1.7x on the unigram family at sf0.1).
+    # The checkpoints truncate the visible plan, so materialize=False
+    # exposes the full tree for the un-truncated pin in
+    # tests/test_plans.py (the t24 pattern).
+    uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    if materialize:
+        uni = uni.localCheckpoint(eager=False)
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
     bg = shingle_rows(df, id_col=id_col, text_col=text_col, n=2)
-    bc_all = (
-        bg.groupBy(F.col("shingle").alias("bigram"))
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .localCheckpoint(eager=False)
+    bc_all = bg.groupBy(F.col("shingle").alias("bigram")).agg(
+        F.count(F.lit(1)).alias("c_xy")
     )
+    if materialize:
+        bc_all = bc_all.localCheckpoint(eager=False)
     n_bi = bc_all.agg(F.sum("c_xy").alias("n_bi"))
     bc = (
         bc_all.filter(F.col("c_xy") >= min_count)
@@ -665,28 +667,32 @@ def perplexity_prune(
     percentiles (q_low, q_high); kept = not tail. CCNet (Wenzek et
     al. 2020) keeps the low-perplexity head/middle for pretraining.
 
-    Scale shape: one token explode feeds both the |vocab|-row
-    frequency table (broadcast back) and the scoring pass; the
-    percentile cut is ONE exact-percentile aggregation over the
-    per-doc score column — Spark's exact percentile holds
-    value->count state, and scores are rounded to 3 decimals first,
-    so the aggregation state is bounded by the distinct rounded
-    scores (~1e4), NOT the corpus row count. No global sort, no
-    window. The 2-threshold row broadcasts onto the scored table.
-    Both engines interpolate percentiles identically (type-7 linear;
-    bit-exactness pinned in tests/test_textops.py).
+    Scale shape: the corpus is tokenized TWICE — once materializing
+    the |vocab|-row frequency table (broadcast back) and once as the
+    scoring probe side (a broadcast probe shares no exchange, so
+    ReuseExchange cannot dedupe the branches; materializing the
+    vocab table is the t15 discipline, and materializing the
+    corpus-sized probe would be worse). The percentile cut is ONE
+    exact-percentile aggregation over the per-doc score column —
+    Spark's exact percentile holds value->count state, and scores
+    are rounded to 3 decimals first, so the aggregation state is
+    bounded by the distinct rounded scores (~1e4), NOT the corpus
+    row count. No global sort, no window. The 2-threshold row
+    broadcasts onto the scored table. Both engines interpolate
+    percentiles identically (type-7 linear; bit-exactness pinned in
+    tests/test_textops.py).
     """
     from dot_spark.operators.textdedup import normalize_text
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
     terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
     # |vocab|-row table, two consumers (join side + total):
-    # materialize once (t15's discipline)
-    freq = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
+    # materialize once (t15's discipline). Gated on `materialize`
+    # like the scored table below, so the materialize=False plan pin
+    # sees the WHOLE un-truncated tree, freq branch included.
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    if materialize:
+        freq = freq.localCheckpoint(eager=False)
     total = freq.agg(F.sum("cnt").alias("n"))
     scored = (
         terms.join(F.broadcast(freq), "term")

@@ -6997,11 +6997,15 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal without a trained LM): token log-probabilities from the
     corpus's own unigram distribution, averaged per doc as a
     perplexity proxy — high avg negative log-prob = rare-token-heavy
-    (noisy) text. Scale shape: one explode feeds BOTH the frequency
-    table and the scoring pass (t9's shared-exchange pattern); the
-    |vocab| frequency table broadcasts back; the grand total is one
-    scalar. Rounded to 3 decimals (a per-doc mean of ~100 ln terms —
-    distributed summation order costs more ulps than a plain sum)."""
+    (noisy) text. Scale shape: the corpus is tokenized TWICE — once
+    materializing the |vocab|-row frequency table (broadcast back,
+    grand total derived from it) and once as the scoring probe side;
+    a broadcast probe shares no exchange, so ReuseExchange cannot
+    dedupe the branches (unlike t9, whose consumers all sit above
+    one TF exchange), and materializing the corpus-sized probe would
+    be worse than re-exploding it. Rounded to 3 decimals (a per-doc
+    mean of ~100 ln terms — distributed summation order costs more
+    ulps than a plain sum)."""
     docs = load_table(spark, "documents", sf_dir)
     from dot_spark.operators.textdedup import normalize_text
 

@@ -21,3 +21,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_TEST_DIR
+
+
+def norm_toks(text: str) -> list[str]:
+    """Driver-side replay of dot_spark's normalize_text + split,
+    shared by every replay test so the tokenizer can't silently
+    diverge copy-by-copy (the r11 tab bug: str.strip() eats tabs,
+    Spark's trim strips only ASCII spaces). Shares no code with the
+    engine."""
+    import re
+
+    return re.sub(" +", " ", text.lower()).strip(" ").split(" ")

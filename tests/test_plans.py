@@ -340,6 +340,10 @@ def test_gapfill_single_scan_no_join(spark, sf_dir):
 def test_weighted_sample_filter_reaches_scan(spark, sf_dir):
     """p14 is a pure filter: no Exchange at all, and the scan reads
     only the columns the query needs."""
+    # another module's cached `documents` frame would swap the
+    # parquet scan for an InMemoryRelation and hide ReadSchema —
+    # this test asserts the SCAN, so it must see the real one
+    spark.catalog.clearCache()
     plan = _plan(QUERIES["p14_weighted_sample"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]

@@ -206,7 +206,7 @@ def _naive_jaccard(texts: list[str], n: int = 3):
 
     sets = []
     for t in texts:
-        toks = re.sub(" +", " ", t.lower()).strip(" ").split(" ")
+        toks = _norm_toks(t)
         grams = {
             " ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))
         }
@@ -397,7 +397,7 @@ def test_chunk_dedup_matches_reference_model(spark, texts):
 
     chunks: dict[int, list[str]] = {}
     for i, t in enumerate(texts):
-        toks = re.sub(" +", " ", t.lower()).strip(" ").split(" ")
+        toks = _norm_toks(t)
         chunks[i] = [
             " ".join(toks[p : p + 4]) for p in range(0, max(1, len(toks)), 4)
         ]
@@ -1199,13 +1199,7 @@ def test_woo_sticky_carries_match_reference_fold(spark, items):
 # --- r11 corpus-filter trio: replay parity on adversarial corpora ---------
 
 
-def _norm_toks(text: str) -> list[str]:
-    """Verbatim normalize_text + split: lowercase, collapse ASCII
-    space runs, strip, split on single spaces (shares no code with
-    the engine)."""
-    import re
-
-    return re.sub(" +", " ", text.lower()).strip(" ").split(" ")
+from tests.conftest import norm_toks as _norm_toks  # noqa: E402
 
 
 @given(

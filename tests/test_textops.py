@@ -933,12 +933,9 @@ def test_hashed_linear_quality_zero_shuffle_and_fold(spark, docs):
     rows = {r["doc_id"]: r for r in out.collect()}
     sample = docs.select("doc_id", "text").limit(20).collect()
     for s in sample:
-        # mirror normalize_text EXACTLY: collapse ASCII-space runs
-        # only (str.split() would also split on tabs/newlines, which
-        # normalize_text keeps inside tokens)
-        import re as _re
+        from tests.conftest import norm_toks
 
-        toks = _re.sub(" +", " ", s["text"].lower()).strip(" ").split(" ")
+        toks = norm_toks(s["text"])
         grams = (
             [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
             if len(toks) > 1
@@ -1065,3 +1062,24 @@ def test_weighted_topk_excludes_nonpositive_weights(spark):
     )
     got = {r["id"] for r in weighted_topk_sample(df, "id", "w", k=5).collect()}
     assert got == {1, 4, 5}
+
+
+def test_pmi_collocations_unmaterialized_plan_pin(spark, docs):
+    """pmi's production checkpoints hide both count subtrees from
+    the committed baseline (visible plan: 0 scans). Pin the
+    UNCHECKPOINTED twin so a regression inside the hidden branches —
+    shingle_rows losing its zero-shuffle slice-explode, an extra
+    corpus scan under the unigram aggregate, a lost broadcast —
+    still fails loudly (the t24 pattern)."""
+    from dot_spark.operators.text import pmi_collocations
+    from tools.plan_baseline import plan_counts
+
+    counts = plan_counts(pmi_collocations(docs, materialize=False))
+    assert counts["scans"] <= 5, counts
+    assert counts["exchanges"] <= 13, counts
+    assert counts["py_eval"] == 0, counts
+    assert counts["nested_loop"] <= 2, counts
+    # the two forms agree row-for-row
+    a = {tuple(r) for r in pmi_collocations(docs, materialize=False).collect()}
+    b = {tuple(r) for r in pmi_collocations(docs).collect()}
+    assert a == b
