@@ -299,6 +299,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.7,
     shingle_maxdf: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing at least
     one shingle, filtered to jaccard >= threshold.
@@ -339,7 +340,7 @@ def ngram_jaccard_pairs(
     # m^2 expansion evenly over tasks. AQE's skew-split engagement is
     # receipts-backed: tools/scale_sanity.py j6_unsalted_hot_join +
     # the plan-pinned skew=true test in tests/test_scale.py.
-    sh, sizes = _distinct_shingle_hashes(df, id_col, text_col, n)
+    sh, sizes = _distinct_shingle_hashes(df, id_col, text_col, n, materialize)
     freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_sh"))
     keep = F.col("df_sh") >= 2
     if shingle_maxdf is not None:
@@ -360,7 +361,7 @@ def ngram_jaccard_pairs(
 
 
 def _distinct_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """((id, sh_h) rows, (id, n_sh) sizes) — per-doc SET semantics via
     distinct on the 8-byte xxhash64 of the shingle, not the string:
@@ -370,7 +371,9 @@ def _distinct_shingle_hashes(
     candidate verifier (verified_neardup_pairs) so the jaccard both
     compute is the same measure.
 
-    The distinct table is LAZILY localCheckpoint'ed: it feeds four
+    The distinct table is LAZILY localCheckpoint'ed (gated on
+    `materialize` so the plan-pin twin can see the full tree): it
+    feeds four
     consumers in the miner (df-frequency, both self-join sides,
     per-doc sizes) and Catalyst compiles a shared subtree once PER
     CONSUMER — the lazy form recompiled the normalize+explode+
@@ -385,8 +388,12 @@ def _distinct_shingle_hashes(
         shingle_rows(df, id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("sh_h"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    if materialize:
+        # materialize=False exposes the un-truncated tree for the
+        # twin plan pin in tests/test_plans.py (the t24 pattern) —
+        # the checkpoint hides everything below it from executedPlan
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return sh, sizes
 
@@ -1047,6 +1054,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     shingle_maxdf: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT C(A,B) = |A∩B| / |A| (Broder
     1997's 'containment', the companion measure to resemblance):
@@ -1062,7 +1070,7 @@ def containment_pairs(
     ((contained, container) per direction clearing the threshold).
     The directed expansion happens AFTER the pair aggregation — 2
     rows per pair, never 2x the index."""
-    sh, sizes = _distinct_shingle_hashes(df, id_col, text_col, n)
+    sh, sizes = _distinct_shingle_hashes(df, id_col, text_col, n, materialize)
     freq = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_sh"))
     keep = F.col("df_sh") >= 2
     if shingle_maxdf is not None:

@@ -1083,3 +1083,31 @@ def test_pmi_collocations_unmaterialized_plan_pin(spark, docs):
     a = {tuple(r) for r in pmi_collocations(docs, materialize=False).collect()}
     b = {tuple(r) for r in pmi_collocations(docs).collect()}
     assert a == b
+
+
+def test_ngram_jaccard_unmaterialized_plan_pin(spark, docs):
+    """dd4b's production checkpoint of the distinct-shingle table
+    hides the whole normalize+explode+distinct pipeline from the
+    committed baseline (visible plan: 0 scans). Pin the
+    UNCHECKPOINTED twin (the t24/t20 pattern): a regression inside
+    the hidden subtree — shingle_rows losing its zero-shuffle
+    slice-explode, a per-branch re-tokenization, a Python boundary —
+    grows these counts and fails loudly."""
+    from dot_spark.operators.textdedup import ngram_jaccard_pairs
+    from tools.plan_baseline import plan_counts
+
+    counts = plan_counts(
+        ngram_jaccard_pairs(docs, shingle_maxdf=50, materialize=False)
+    )
+    assert counts["scans"] <= 6, counts
+    assert counts["exchanges"] <= 22, counts
+    assert counts["py_eval"] == 0, counts
+    assert counts["nested_loop"] == 0, counts
+    a = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, shingle_maxdf=50, materialize=False
+        ).collect()
+    }
+    b = {tuple(r) for r in ngram_jaccard_pairs(docs, shingle_maxdf=50).collect()}
+    assert a == b
