@@ -11578,7 +11578,10 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 assert not set(_R10_WINDOW) & set(_R9_WINDOW), "r10 overlaps r9"
-# ROUND-11 WINDOW (active): the staleness backfill staged at the end
+# ROUND-11 WINDOW (historical — CORRECTNESS_r11 is 50/50 green on
+# exactly this list; kept as a constant so the r12 overlap
+# accounting below stays machine-checked): the staleness backfill
+# staged at the end
 # of round 10, with four slots swapped for queries whose SEMANTICS or
 # SCALE GUARDS change in round 11 (re-gating changed code beats
 # re-verifying untouched code, same principle as the r10 n12-n17
@@ -11599,7 +11602,7 @@ assert not set(_R10_WINDOW) & set(_R9_WINDOW), "r10 overlaps r9"
 # the r7 tier because its plan changed in r10 (the shared-shingle
 # checkpoint repair) after its last official row. Asserted against
 # the registry so a typo cannot survive.
-_WINDOW_PRIORITY = [
+_R11_WINDOW = [
     # r6-stale (26)
     "j2_union_distinct", "j3_union_all", "n1_struct_extract",
     "n3_kv_pivot", "n4_element_first_last", "n6_json_stringify",
@@ -11634,28 +11637,37 @@ _WINDOW_PRIORITY = [
     "t25_hashed_linear_quality", "t26_dsir_importance",
     "p21_weighted_topk_sample",
 ]
-assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
-_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+_missing = [n for n in _R11_WINDOW if n not in QUERIES]
 assert not _missing, f"window names not registered: {_missing}"
 # mm3 is deliberately re-gated one round after its r10 row because
 # its decode semantics change in r11 (DC-only -> full entropy
 # decode); everything else respects the no-repeat rotation.
-assert set(_WINDOW_PRIORITY) & set(_R10_WINDOW) == {
+assert set(_R11_WINDOW) & set(_R10_WINDOW) == {
     "mm3_frame_sampling",
     "n13_woo_flat_order_items",
     "n14_woo_flat_products",
 }, "r11 overlaps r10 beyond the planned semantics-changed re-gates"
-# The r12 rotation, MACHINE-READABLE — next round, swap this list
-# into _WINDOW_PRIORITY. Composition (computed at the start of round
-# 11 from CORRECTNESS_r01-r10 + the r11 window): the 36 queries whose
+# ROUND-12 WINDOW (active): the staleness backfill staged verbatim at
+# the end of round 11 and executed unchanged this round. Composition
+# (computed at the start of round 11 from CORRECTNESS_r01-r10 + the
+# r11 window): the 36 queries whose
 # newest green row will still be r7 after r11 lands (26 never
 # displaced + p10/p11/a1/c3/c2/f8 displaced at round start +
 # j7/j8/dd5/j1 displaced mid-round for t24/t25/t26/p21), then the 14
 # stalest r8 rows (alphabetical within the r8 cohort; f12/f13/f14/
-# f15 and j13/j14 slide to r13). If round 12 changes any query's
-# semantics, swap it in and push the tail to r13 staging — re-gating
-# changed code beats re-verifying untouched code.
-_R12_WINDOW = [
+# f15 and j13/j14 slide to r13).
+#
+# Round 12 deliberately swaps NOTHING in, although dd5b/pl9/mm7 gain
+# an auto-derived max_bucket this round: the derivation is proven
+# output-identical on the fixtures (the cap-never-fires law tests in
+# tests/test_dedup.py + a local oracle_check replica of all three at
+# sf0.01 AND sf0.1, NOTES_r12), so their r11 rows still certify the
+# outputs and an official re-gate would produce byte-identical rows —
+# executing the staged backfill verbatim is strictly more
+# information (the r11 verdict's watch item 3: the staged window
+# must actually run or staleness ratchets).
+_WINDOW_PRIORITY = [
     # r7-stale (36)
     "a1_group_having", "c2_webhook_route", "c3_quality_filter",
     "dd5_embedding_neardup", "f8_hmac_sha256", "j1_anti_join",
@@ -11678,10 +11690,50 @@ _R12_WINDOW = [
     "dd12_url_dedup", "dd13_minhash_estimator_audit", "dd9_chunk_dedup",
     "f11_higher_order_arrays",
 ]
-assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
-_r12_missing = [n for n in _R12_WINDOW if n not in QUERIES]
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+_r12_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
 assert not _r12_missing, f"r12 window names not registered: {_r12_missing}"
-assert not set(_R12_WINDOW) & set(_WINDOW_PRIORITY), "r12 overlaps r11"
+assert not set(_WINDOW_PRIORITY) & set(_R11_WINDOW), "r12 overlaps r11"
+# The r13 rotation, MACHINE-READABLE — next round, swap this list
+# into _WINDOW_PRIORITY. Composition (computed at the start of round
+# 12 from CORRECTNESS_r01-r11 + the r12 window): the 35 queries whose
+# newest green row will still be r8 after r12 lands (the 50-row r8
+# cohort minus pl9_semdedup, re-gated r11, minus the 14 r8 rows the
+# r12 window carries), then the 15 stalest r9 rows
+# (alphabetical within the r9 cohort; the remaining 34 r9 rows slide
+# to r14). If round 13 changes any query's semantics, swap it in and
+# push the tail to r14 staging — re-gating changed code beats
+# re-verifying untouched code. tests/test_gate_window.py enforces
+# the staleness policy (no query's latest official row more than 4
+# rounds stale after this staged window executes) against the
+# committed CORRECTNESS receipts.
+_R13_WINDOW = [
+    # r8-stale (35, alphabetical)
+    "f12_bitwise_aggs", "f13_calendar_arith", "f14_map_functions",
+    "f15_array_sort_comparator", "j13_interval_overlap_join",
+    "j14_attribution_join", "j16_tree_flatten", "n10_variant_access",
+    "n7_unpivot", "n9_nested_json_explode", "p12_train_val_test_split",
+    "p13_token_budget_sample", "p14_weighted_sample",
+    "p15_corpus_shuffle", "p17_leakproof_split", "pl10_record_linkage",
+    "pl11_incremental_lsh", "pl6_verified_dedup_pipeline",
+    "pl7_corpus_build_pipeline", "s16_file_lineage", "s17_bucketed_join",
+    "ss5_recall_eval", "ss7_mmr_topk", "st8_session_window",
+    "t11_bigram_counts", "t12_domain_stats", "t13_bpe_merges",
+    "t14_stopword_stem", "t15_unigram_lm_score", "t17_bpe_encode",
+    "w10_funnel_steps", "w11_moving_zscore", "w7_moving_avg",
+    "w8_topk_per_group", "w9_scd2_history",
+    # r9-stale (15, alphabetical within the r9 cohort)
+    "a15_approx_distinct_audit", "a16_grouping_sets",
+    "a21_cumulative_distinct", "a22_cohort_retention",
+    "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
+    "a26_frequent_pairs", "a27_event_transitions", "a28_wilson_ci",
+    "a29_countmin_audit", "a30_k_anonymity", "a31_expectations_audit",
+    "dd14_substring_spans", "dd15_containment",
+]
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+_r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]
+assert not _r13_missing, f"r13 window names not registered: {_r13_missing}"
+assert not set(_R13_WINDOW) & set(_WINDOW_PRIORITY), "r13 overlaps r12"
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},
