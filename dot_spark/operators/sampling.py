@@ -13,7 +13,7 @@ sum), the shape every event-analytics engine uses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -306,6 +306,22 @@ def pack_sequences(
     )
 
 
+def es_key(key_col: str, weight_col) -> Column:
+    """The Efraimidis-Spirakis ranking key as a reusable expression:
+    round(ln(u)/w, 6) with u the deterministic md5-uniform in (0, 1]
+    derived from ``key_col``. Exposed so callers that want the key in
+    their OUTPUT (p21's oracle mirrors it) compute the identical
+    expression instead of relying on the operator leaking a column.
+    """
+    from dot_spark.operators.text import hash_unit
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash_unit(F.col(key_col).cast("string")).cast("double") + 1.0) / F.lit(
+        4294967296.0
+    )
+    return F.round(F.log(u) / w, 6)
+
+
 def weighted_topk_sample(
     df: DataFrame,
     key_col: str,
@@ -319,7 +335,10 @@ def weighted_topk_sample(
     space so tiny weights can't underflow — win. One pass, no
     per-round re-draws; p14's Bernoulli form yields a BINOMIAL
     sample size, this yields exactly k (the reservoir semantics a
-    fixed token budget needs).
+    fixed token budget needs). The output schema is the INPUT schema
+    — the ranking key is an ordering expression, not a column, so it
+    cannot collide with or leak into caller columns (compute
+    ``es_key(...)`` explicitly if the key itself is wanted).
 
     Scale shape: the es_key is a pure row-local expression; the
     global top-k compiles to TakeOrderedAndProject (per-partition
@@ -329,6 +348,19 @@ def weighted_topk_sample(
     strictly positive so ln is finite) and ties break on the key
     column.
 
+    DETERMINISM-vs-EXACTNESS TRADE (deliberate): the key rounds to
+    6 dp before ranking so both engines of the oracle pair order
+    identical doubles even where ln() differs by an ulp. Near u ~ 1
+    the unrounded key spacing (~2e-10 for unit weights) is far below
+    1e-6, so statistically-distinct keys can TIE at the boundary and
+    fall back to ascending ``key_col`` order — a deterministic bias
+    toward low key ids among boundary ties relative to exact
+    Efraimidis-Spirakis. The bias touches only rows whose true keys
+    agree to 6 dp (a vanishing fraction of the top-k for k much
+    smaller than the population); reproducibility across engines,
+    runs, and partitionings is worth more to a corpus-selection
+    pipeline than the last 1e-6 of sampling exactness.
+
     Rows with weight <= 0 are EXCLUDED before ranking (their E-S
     selection probability is zero; without the filter a zero weight
     divides by zero into a NULL key that sorts unpredictably, and a
@@ -336,16 +368,9 @@ def weighted_topk_sample(
     valid row). Callers wanting different semantics clamp the
     weight expression first.
     """
-    from dot_spark.operators.text import hash_unit
-
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = (hash_unit(F.col(key_col).cast("string")).cast("double") + 1.0) / F.lit(
-        4294967296.0
-    )
-    key = F.log(u) / w
     return (
         df.filter(w > 0)
-        .withColumn("es_key", F.round(key, 6))
-        .orderBy(F.col("es_key").desc(), F.col(key_col))
+        .orderBy(es_key(key_col, weight_col).desc(), F.col(key_col))
         .limit(k)
     )

@@ -157,26 +157,34 @@ def fingerprint(
     the pass O(len²) per document (measured ~5x at sf0.1, and
     unboundedly worse on long documents at scale).
     """
+    # collision-proof staging names: the operator keeps the caller's
+    # full width, so a fixed "__norm"/"__toks" would silently
+    # overwrite-and-drop a caller column with that name — extend the
+    # prefix until both names are free (deterministic, never raises)
+    base = "__fp"
+    while f"{base}_norm" in df.columns or f"{base}_toks" in df.columns:
+        base += "_"
+    norm_c, toks_c = f"{base}_norm", f"{base}_toks"
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), " +", " "))
-    # two stages, not one: deriving __toks from the STAGED __norm
-    # column evaluates the lower/regexp/trim chain once per row
-    # (inlining `norm` into both columns would run it twice)
-    staged = df.withColumn("__norm", norm).withColumn(
-        "__toks", F.split(F.col("__norm"), " ")
+    # two stages, not one: deriving the token array from the STAGED
+    # normalized column evaluates the lower/regexp/trim chain once
+    # per row (inlining `norm` into both columns would run it twice)
+    staged = df.withColumn(norm_c, norm).withColumn(
+        toks_c, F.split(F.col(norm_c), " ")
     )
     idx = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.size("__toks") - (window - 1))
+        F.lit(1), F.greatest(F.lit(1), F.size(toks_c) - (window - 1))
     )
     shingle_hashes = F.transform(
         idx,
-        lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, window), " ")),
+        lambda i: F.md5(F.array_join(F.slice(F.col(toks_c), i, window), " ")),
     )
     return staged.withColumns(
         {
-            "fp_full": F.md5(F.col("__norm")),
+            "fp_full": F.md5(F.col(norm_c)),
             "fp_rolling": F.array_min(shingle_hashes),
         }
-    ).drop("__norm", "__toks")
+    ).drop(norm_c, toks_c)
 
 
 def repetition_ratio(

@@ -8642,19 +8642,19 @@ def p21_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical k rows even where ln() differs by an ulp. Plan:
     TakeOrderedAndProject — per-partition top-k then a k-row driver
     merge; no global sort, no shuffle."""
-    from dot_spark.operators.sampling import weighted_topk_sample
+    from dot_spark.operators.sampling import es_key, weighted_topk_sample
 
     docs = load_table(spark, "documents", sf_dir)
-    out = weighted_topk_sample(
-        docs, "doc_id", F.least(F.col("n_chars"), F.lit(2000)) / 2000.0, k=100
-    )
+    weight = F.least(F.col("n_chars"), F.lit(2000)) / 2000.0
+    out = weighted_topk_sample(docs, "doc_id", weight, k=100)
+    # the operator's output schema is its input schema (the ranking
+    # key is an ordering expression, never a column) — recompute the
+    # identical es_key expression for the oracle-mirrored output
     return out.select(
         "doc_id",
         "n_chars",
-        F.round(F.least(F.col("n_chars"), F.lit(2000)) / 2000.0, 4).alias(
-            "keep_weight"
-        ),
-        "es_key",
+        F.round(weight, 4).alias("keep_weight"),
+        es_key("doc_id", weight).alias("es_key"),
     )
 
 

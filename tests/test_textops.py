@@ -1111,3 +1111,20 @@ def test_ngram_jaccard_unmaterialized_plan_pin(spark, docs):
     }
     b = {tuple(r) for r in ngram_jaccard_pairs(docs, shingle_maxdf=50).collect()}
     assert a == b
+
+
+def test_fingerprint_preserves_colliding_caller_columns(spark):
+    """fingerprint stages temp columns over the caller's full width;
+    a caller column named like a staging temp must survive untouched
+    (the round-11 ADVICE collision)."""
+    from dot_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i", "keep-n", "keep-t")],
+        "doc_id long, text string, __fp_norm string, __fp_toks string",
+    )
+    out = fingerprint(df)
+    assert set(df.columns) <= set(out.columns)
+    row = out.first()
+    assert row["__fp_norm"] == "keep-n" and row["__fp_toks"] == "keep-t"
+    assert row["fp_full"] is not None and row["fp_rolling"] is not None

@@ -140,3 +140,23 @@ def test_pack_sequences_is_gapless_complete_and_partition_invariant(spark):
         for r in pack_sequences(df.repartition(13), window=512).collect()
     )
     assert again == [(s, d) for s, d, *_ in out]
+
+
+def test_weighted_topk_output_schema_is_input_schema(spark):
+    """The E-S ranking key is an ordering expression, never a column:
+    the output schema equals the input schema exactly, and a caller
+    column literally named ``es_key`` survives untouched (the round-11
+    ADVICE leak)."""
+    from dot_spark.operators.sampling import es_key, weighted_topk_sample
+
+    df = _docs(spark).withColumn("es_key", F.lit("mine"))
+    out = weighted_topk_sample(df, "doc_id", F.lit(1.0), k=10)
+    assert out.columns == df.columns
+    assert {r["es_key"] for r in out.collect()} == {"mine"}
+    # and the exposed expression matches an independent replay
+    import hashlib
+    import math
+
+    row = out.select("doc_id", es_key("doc_id", F.lit(1.0)).alias("k")).first()
+    h = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:8], 16)
+    assert row["k"] == round(math.log((h + 1.0) / 4294967296.0), 6)
