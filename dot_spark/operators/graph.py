@@ -136,6 +136,39 @@ def cap_degree(edges: DataFrame, max_degree: int) -> DataFrame:
     ).select("src", "dst")
 
 
+def _pagerank_round(
+    edges_deg: DataFrame,
+    ranks: DataFrame,
+    nodes: DataFrame,
+    base: float,
+    damping: float,
+    small: bool,
+) -> DataFrame:
+    """One PageRank iteration, UN-checkpointed: contributions
+    aggregate per destination, then every node's rank updates as
+    base + damping * mass. Extracted so the twin plan pin in
+    tests/test_plans.py can watch the per-round shape (broadcast
+    regime: the rank side broadcasts and the contribution aggregate
+    runs inside the cached dst partitioning with no edge-sized
+    exchange) — the production loop checkpoints each round's ranks,
+    truncating this subtree to a LogicalRDD stub."""
+    rank_side = F.broadcast(ranks) if small else ranks
+    contrib = (
+        edges_deg.join(rank_side, on=(edges_deg["src"] == ranks["node"]))
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("mass"))
+    )
+    return nodes.join(
+        contrib, on=(nodes["node"] == contrib["dst"]), how="left"
+    ).select(
+        "node",
+        (
+            F.lit(base)
+            + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+        ).alias("rank"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -209,20 +242,9 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     try:
         for _ in range(iterations):
-            rank_side = F.broadcast(ranks) if small else ranks
-            contrib = (
-                edges_deg.join(rank_side, on=(edges_deg["src"] == ranks["node"]))
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("mass"))
-            )
-            ranks = (
-                nodes.join(contrib, on=(nodes["node"] == contrib["dst"]), how="left")
-                .select(
-                    "node",
-                    (F.lit(base) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            ranks = _pagerank_round(
+                edges_deg, ranks, nodes, base, damping, small
+            ).localCheckpoint(eager=True)
     finally:
         # every iteration's output is checkpointed, so the caches are
         # no longer reachable from the returned plan

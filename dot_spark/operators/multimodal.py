@@ -1032,7 +1032,9 @@ def image_phash(media: DataFrame) -> DataFrame:
 
 
 def phash_neardup(
-    hashes: DataFrame, max_hamming: int = 12, max_bucket: int | None = None
+    hashes: DataFrame,
+    max_hamming: int = 12,
+    max_bucket: int | str | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from phash band buckets: two
     images are CANDIDATES when any of their four 16-bit bands is
@@ -1054,7 +1056,12 @@ def phash_neardup(
     once before the self-join (one partial-agg over the 2-int bucket
     projection) and the HOT list broadcasts into an anti-join, so the
     quadratic stage never sees the hot bucket. cap >= the true max
-    bucket size is the identity (law test in tests/test_multimodal.py)."""
+    bucket size is the identity (law test in tests/test_multimodal.py).
+    ``max_bucket="auto"`` derives the cap from the measured band-
+    bucket-size distribution (textdedup.derived_bucket_cap: slack x
+    the 0.1%-from-the-top order statistic — never fires on an
+    un-degenerate distribution, excludes the all-dark band)."""
+    from dot_spark.operators.textdedup import derived_bucket_cap
     bands = hashes.select(
         "media_id",
         "b0",
@@ -1064,11 +1071,16 @@ def phash_neardup(
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_idx", "band_val"),
     )
     if max_bucket is not None:
-        hot = (
+        sizes = (
             bands.select("band_idx", "band_val")
             .groupBy("band_idx", "band_val")
             .agg(F.count(F.lit(1)).alias("__bs"))
-            .filter(F.col("__bs") > max_bucket)
+        )
+        cap = (
+            derived_bucket_cap(sizes) if max_bucket == "auto" else max_bucket
+        )
+        hot = (
+            sizes.filter(F.col("__bs") > (cap if cap is not None else 1))
             .select("band_idx", "band_val")
             # both self-join branches derive from `bands`: checkpoint
             # the tiny hot list so the size agg compiles/runs once

@@ -444,7 +444,8 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, public
     arXiv:2303.09540): within each embedding cell, near-duplicate
@@ -474,6 +475,10 @@ def semdedup(
     )
 
     scored = cosine_to_cell_centroid(emb, cell_col, id_col, vec_col)
+    # materialize=False threads to the pair miner's hot-list
+    # checkpoint ONLY (the twin plan pin path); the clustering loop
+    # below always checkpoints — its per-round truncation is
+    # load-bearing for constant plan depth
     pairs = bucketed_neardup_pairs(
         emb,
         cell_col,
@@ -481,6 +486,7 @@ def semdedup(
         vec_col=vec_col,
         threshold=threshold,
         max_bucket=max_bucket,
+        materialize=materialize,
     )
     cc = connected_components(pairs.select("id_a", "id_b"))
     labeled = scored.join(

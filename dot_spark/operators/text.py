@@ -756,6 +756,7 @@ def dsir_importance(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    materialize: bool = True,
 ) -> DataFrame:
     """DSIR (Xie et al., NeurIPS 2023) data selection via importance
     resampling: estimate target and raw unigram distributions over
@@ -792,17 +793,16 @@ def dsir_importance(
     bucketed = terms.withColumn(
         "bkt", hash_unit(F.col("term")) % F.lit(n_buckets)
     )
-    counts = (
-        bucketed.groupBy("bkt")
-        .agg(
-            F.count(F.lit(1)).alias("raw_c"),
-            F.count(F.when(F.col("__tgt"), 1)).alias("tgt_c"),
-        )
+    counts = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count(F.when(F.col("__tgt"), 1)).alias("tgt_c"),
+    )
+    if materialize:
         # n_buckets rows feeding two consumers (join build side +
         # totals) — materialize so neither branch re-runs the corpus
-        # explode under the aggregation
-        .localCheckpoint(eager=False)
-    )
+        # explode under the aggregation (materialize=False exists
+        # ONLY for the un-truncated twin plan pin, the t24 pattern)
+        counts = counts.localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
     )

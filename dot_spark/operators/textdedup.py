@@ -464,6 +464,45 @@ def embedding_neardup_pairs(
     )
 
 
+def derived_bucket_cap(
+    sizes: DataFrame, size_col: str = "__bs", slack: int = 8
+) -> int | None:
+    """Auto-derive a hot-bucket cap from the MEASURED bucket-size
+    distribution instead of a hardcoded constant: cap = slack * s_k,
+    where s_k is the k-th LARGEST bucket size and
+    k = max(2, ceil(n_buckets / 1000)) — i.e. slack x the 0.1 %-from-
+    the-top order statistic, skipping at least the single largest
+    bucket so one degenerate cell can never set its own cap. On an
+    un-degenerate distribution the top sizes are close together, so
+    cap >= the true max and the cap never fires (the identity law);
+    a mode-collapsed cell sitting slack x above the rest of the top
+    tail is excluded.
+
+    The k-th largest VALUE of a multiset is tie-break-free, so both
+    engines of an oracle pair derive the identical cap, and slack
+    stays an integer multiplier so the cap is exact integer math
+    end-to-end (no float-boundary drift between engines).
+
+    Cost: two driver scalars (bucket count + a top-k min — the
+    TakeOrderedAndProject path), the documented 1-row-collect
+    exception class (t23's |V|, pl2's watermark). Returns None on an
+    empty sizes table (no buckets — nothing to cap)."""
+    import math
+
+    n = sizes.count()
+    if n == 0:
+        return None
+    k = max(2, math.ceil(n / 1000))
+    s_k = (
+        sizes.select(size_col)
+        .orderBy(F.col(size_col).desc())
+        .limit(k)
+        .agg(F.min(size_col))
+        .first()[0]
+    )
+    return slack * int(s_k)
+
+
 def bucketed_neardup_pairs(
     df: DataFrame,
     bucket_col: str,
@@ -471,7 +510,8 @@ def bucketed_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     broadcast_build: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Bucket-pruned embedding near-dup: only pairs within the same
     coarse bucket (IVF cell id, LSH hyperplane signature, cluster
@@ -509,6 +549,13 @@ def bucketed_neardup_pairs(
     hot cell; cap >= the true max cell size is the identity (law
     test in tests/test_dedup.py). One-shot semantics: sizes are
     measured once on the input, like cap_degree.
+
+    ``max_bucket="auto"`` derives the cap from the measured cell-size
+    distribution instead of a hardcoded constant — see
+    :func:`derived_bucket_cap` (slack x the 0.1%-from-the-top order
+    statistic; never fires on an un-degenerate distribution, excludes
+    a mode-collapsed cell). Costs two driver scalars before the plan
+    builds.
     """
     from dot_spark.operators.similarity import dot as vdot
     from dot_spark.operators.similarity import norm
@@ -526,19 +573,28 @@ def bucketed_neardup_pairs(
         # construction (buckets above the cap are the pathology, not
         # the population; broadcasting the ok-list would ship every
         # bucket id)
-        hot = (
+        sizes = (
             pre.select("bkt")
             .groupBy("bkt")
             .agg(F.count(F.lit(1)).alias("__bs"))
-            .filter(F.col("__bs") > max_bucket)
-            .select("bkt")
+        )
+        cap = (
+            derived_bucket_cap(sizes) if max_bucket == "auto" else max_bucket
+        )
+        # cap is None only when the input has no buckets at all
+        # (derived_bucket_cap on an empty table) — nothing to cap
+        hot = sizes.filter(F.col("__bs") > (cap if cap is not None else 1)).select(
+            "bkt"
+        )
+        if materialize:
             # both self-join branches derive from `pre`, so Catalyst
             # would compile (and run) the size aggregation once per
             # branch; a lazy checkpoint of the tiny hot list makes
             # the second branch read materialized blocks instead
-            # (the copurchase_edges pair-orientation pattern)
-            .localCheckpoint(eager=False)
-        )
+            # (the copurchase_edges pair-orientation pattern).
+            # materialize=False exists ONLY for the un-truncated twin
+            # plan pin in tests (the t24 pattern).
+            hot = hot.localCheckpoint(eager=False)
         pre = pre.join(F.broadcast(hot), "bkt", "left_anti")
     a = spread_small_input(pre).select(
         "bkt",
@@ -778,6 +834,30 @@ def dedup_corpus(
     )
 
 
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation + pointer-jumping round of
+    connected_components, UN-checkpointed: (1) every node takes the
+    min of its own and its neighbors' labels, (2) labels shortcut
+    through their own label (path halving). Extracted so the twin
+    plan pin in tests/test_plans.py can watch the per-round shape —
+    the production loop checkpoints each round's output (load-bearing
+    for constant plan depth), which truncates this subtree to a
+    LogicalRDD stub in every executed plan."""
+    msgs = edges.join(labels, edges["b"] == labels["node"]).select(
+        F.col("a").alias("node"), "label"
+    )
+    labels = (
+        labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+    )
+    lk = labels.select(
+        F.col("node").alias("__ln"), F.col("label").alias("__ll")
+    )
+    return (
+        labels.join(lk, labels["label"] == lk["__ln"], "left")
+        .select("node", F.coalesce("__ll", "label").alias("label"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -835,23 +915,7 @@ def connected_components(
     try:
         state = probe(labels)
         for _ in range(max_iterations):
-            # (1) min over self + neighborhood labels
-            msgs = edges.join(labels, edges["b"] == labels["node"]).select(
-                F.col("a").alias("node"), "label"
-            )
-            labels = (
-                labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-            )
-            # (2) pointer jump: label <- label(label); every label value
-            # is itself a node in `labels`, so the lookup always hits
-            lk = labels.select(
-                F.col("node").alias("__ln"), F.col("label").alias("__ll")
-            )
-            labels = (
-                labels.join(lk, labels["label"] == lk["__ln"], "left")
-                .select("node", F.coalesce("__ll", "label").alias("label"))
-                .localCheckpoint()
-            )
+            labels = _cc_round(edges, labels).localCheckpoint()
             new_state = probe(labels)
             if new_state == state:
                 break

@@ -6992,12 +6992,17 @@ def dd12_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     """,
 )
-def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t15_unigram_lm_score(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Unigram language-model quality scoring (the KenLM-shaped
     signal without a trained LM): token log-probabilities from the
     corpus's own unigram distribution, averaged per doc as a
     perplexity proxy — high avg negative log-prob = rare-token-heavy
-    (noisy) text. Scale shape: the corpus is tokenized TWICE — once
+    (noisy) text. ``materialize=False`` skips the checkpoint ONLY so
+    the un-truncated plan twin can be pinned (the t24 pattern); the
+    production path always checkpoints. Scale shape: the corpus is
+    tokenized TWICE — once
     materializing the |vocab|-row frequency table (broadcast back,
     grand total derived from it) and once as the scoring probe side;
     a broadcast probe shares no exchange, so ReuseExchange cannot
@@ -7015,11 +7020,9 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast join side and the grand total) — materialize it so
     # the corpus explode+aggregate compiles once, not per branch
     # (measured 1.7x at sf0.1; the t24/t26/dd4b pattern)
-    freq = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    if materialize:
+        freq = freq.localCheckpoint(eager=False)
     total = freq.agg(F.sum("cnt").alias("n"))
     scored = (
         terms.join(F.broadcast(freq), "term")
@@ -8414,7 +8417,9 @@ def ss10_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     """,
 )
-def t23_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t23_bigram_lm_score(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Bigram language-model scoring with add-k smoothing (k=0.5) —
     the sequence-aware upgrade of t15's unigram proxy: per-doc mean
     negative log-probability of each adjacent token pair under
@@ -8440,11 +8445,11 @@ def t23_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect: the collect is uc's first action, so the checkpoint
     # lands then and the scoring join below reads materialized rows
     # instead of re-compiling the corpus explode (t15's discipline)
-    uc = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint(eager=False)
-    )
+    # (materialize=False exists ONLY for the un-truncated twin plan
+    # pin in tests/test_plans.py — the t24 pattern)
+    uc = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    if materialize:
+        uc = uc.localCheckpoint(eager=False)
     # |V| is one scalar — collect it (the _zorder_rows extent
     # pattern); a crossJoin'd 1-row aggregate would replay the token
     # explode under the scoring branch
