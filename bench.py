@@ -221,11 +221,21 @@ def main() -> None:
     # row (an "err" entry), never the whole artifact — round 4 lost
     # its entire perf record to a single crashing query.
     n_rounds = int(os.environ.get("DOT_SPARK_BENCH_ROUNDS", "3"))
+    # STEAL-AWARE RETRY (r11 verdict task 3): a round that ran under
+    # non-trivial co-tenant CPU steal (>0.5% of ticks) is a tainted
+    # sample — its times measure the neighbors, not the engine. Each
+    # tainted round buys ONE replacement round (bounded by
+    # DOT_SPARK_BENCH_MAX_EXTRA, default 2, so a chronically noisy
+    # box still terminates); the per-query min then draws from at
+    # least n_rounds clean-ish samples instead of depending on
+    # driver-box luck. The artifact records how many retries fired.
+    max_extra = int(os.environ.get("DOT_SPARK_BENCH_MAX_EXTRA", "2"))
     names = [n for n in HEADLINE if n in QUERIES]
     best: dict[str, float] = {}
     errors: dict[str, str] = {}
     round_marks = [_box_snapshot()]  # box state before round 1
-    for _ in range(n_rounds):
+    planned, r = n_rounds, 0
+    while r < planned:
         for name in names:
             if name in errors:
                 continue
@@ -246,6 +256,10 @@ def main() -> None:
                 continue
             best[name] = min(best.get(name, dt), dt)
         round_marks.append(_box_snapshot())
+        steal = _steal_pct(round_marks[-2], round_marks[-1])
+        if steal is not None and steal > 0.5 and planned < n_rounds + max_extra:
+            planned += 1
+        r += 1
     timings: dict[str, object] = {n: round(best[n], 3) for n in names if n in best}
     for name, err in errors.items():
         timings[name] = {"err": err}
@@ -262,6 +276,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n": n_rounds,
+                "n_rounds_run": planned,
+                "steal_retries": planned - n_rounds,
                 "n_errors": len(errors),
                 # box-state telemetry: loadavg at the start and after
                 # each interleaved round, plus per-round CPU-steal %.

@@ -437,6 +437,33 @@ def _jpeg_bytes(width: int, height: int, gray: int, ac44: int = 0) -> bytes:
     return b"\xff\xd8" + dqt + sof0 + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
 
 
+def _progressive_jpeg_bytes(width: int, height: int, seed: int) -> bytes:
+    """Encode a structurally-valid PROGRESSIVE JPEG (SOF2): the
+    marker stream a real progressive encoder emits — SOI, DQT, SOF2
+    dims, DHT, a first (DC, spectral selection 0..0) scan with
+    deterministic entropy bytes, EOI. Pixel reconstruction of a
+    progressive stream needs the multi-scan accumulation path no
+    stdlib decoder provides; this synthesizer exists so the
+    DECODE-SIDE ERROR ACCOUNTING (decode_media's ok=false /
+    decoder='jpeg-progressive' row class) is exercised against real
+    SOF2 container structure instead of staying a dead branch."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
+    sof2 = seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht_dc = seg(0xFFC4, b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+    # progressive first scan: DC only (spectral selection Ss=0 Se=0,
+    # successive approximation Ah=0 Al=1)
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x00\x01")
+    entropy = bytes((seed + 17 * i) % 255 for i in range(16)).replace(
+        b"\xff", b"\xff\x00"
+    )
+    return b"\xff\xd8" + dqt + sof2 + dht_dc + sos + entropy + b"\xff\xd9"
+
+
 def _parse_jpeg(data: bytes) -> dict:
     """REAL JPEG marker walk: verify SOI/EOI framing, parse SOF dims
     and component count from the actual codestream (not trusted
@@ -456,7 +483,17 @@ def _parse_jpeg(data: bytes) -> dict:
             raise ValueError("JPEG segment truncated")
         if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
             h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
-            dims = {"width": w, "height": h, "n_components": data[pos + 9]}
+            dims = {
+                "width": w,
+                "height": h,
+                "n_components": data[pos + 9],
+                # SOF2 = progressive DCT: structurally parseable, but
+                # pixel reconstruction needs the multi-scan
+                # progressive path no stdlib decoder provides —
+                # decode_media turns this flag into ok=false
+                # error accounting instead of a silent stub
+                "progressive": marker == 0xC2,
+            }
         if marker == 0xDA:  # SOS: entropy follows; EOI must terminate
             saw_sos = True
             if data[-2:] != b"\xff\xd9":
@@ -701,11 +738,53 @@ def synthesize_real_media(
     return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
 
 
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bare-JPEG media table for the decode error-accounting audit
+    (mm9): even ids carry a REAL baseline grayscale JPEG (fully
+    entropy-decodable: _jpeg_bytes), odd ids a structurally-valid
+    PROGRESSIVE SOF2 JPEG (_progressive_jpeg_bytes — parseable
+    headers, pixels undecodable without the multi-scan progressive
+    path). Dims/gray/AC are deterministic functions of the id so the
+    oracle recomputes every decoded value closed-form."""
+    from pyspark.sql.types import StructType
+
+    out_ddl = f"media_id BIGINT, payload BINARY, meta STRUCT<{MEDIA_META_DDL}>"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                w, h = mid % 48 + 16, mid % 32 + 16
+                if mid % 2 == 0:
+                    payload = _jpeg_bytes(w, h, mid % 128 + 64, mid % 10)
+                    fmt = "jpeg"
+                else:
+                    payload = _progressive_jpeg_bytes(w, h, mid % 256)
+                    fmt = "jpeg-progressive"
+                meta = dict.fromkeys(
+                    ("kind", "format", "width", "height", "sample_rate", "duration_ms")
+                )
+                meta.update(kind="image", format=fmt, width=w, height=h)
+                rows.append((mid, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode step over (media_id, payload, meta) -> decoded metadata
     rows. Dispatches on the payload's MAGIC BYTES, as a real decoder
-    does: PNG and WAV parse for real (stdlib); anything else falls to
+    does: PNG, WAV, AVI (DIB + MJPEG) and bare baseline-grayscale
+    JPEG parse for real (stdlib); a bare PROGRESSIVE JPEG (SOF2)
+    parses structurally but its pixels need the multi-scan
+    progressive path no stdlib decoder provides, so it is reported
+    as ok=false / decoder='jpeg-progressive' with the SOF2 dims — a
+    real corpus pass needs that row class ACCOUNTED, not silently
+    stubbed; anything else falls to
     the deterministic STUB (`decoder` column records which ran).
+    ``ok`` is therefore per-row: true iff the payload's content was
+    actually reconstructable by the decoder that ran.
 
     mapInPandas: Arrow ships each partition's rows in pandas batches;
     the decode loop is per-batch Python, the only non-JVM stage in
@@ -714,9 +793,10 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas, decoders = [], []
+            metas, decoders, oks = [], [], []
             for p in pdf["payload"]:
                 p = bytes(p or b"")
+                ok = True
                 if p[:8] == b"\x89PNG\r\n\x1a\n":
                     metas.append(_decode_png(p))
                     decoders.append("png")
@@ -727,21 +807,53 @@ def decode_media(media: DataFrame) -> DataFrame:
                     m = _decode_avi(p)
                     decoders.append("mjpeg" if m.pop("codec") == "mjpeg" else "avi")
                     metas.append(m)
+                elif p[:2] == b"\xff\xd8":
+                    info = _parse_jpeg(p)
+                    if info.get("progressive"):
+                        # structural parse only: dims are real (SOF2),
+                        # pixels are NOT reconstructed — the audited
+                        # undecodable row class, never a silent stub
+                        metas.append(
+                            {
+                                "width": info["width"],
+                                "height": info["height"],
+                                "sample_rate": None,
+                                "n_bytes": None,
+                            }
+                        )
+                        decoders.append("jpeg-progressive")
+                        ok = False
+                    else:
+                        px = _jpeg_decode_gray(p)
+                        metas.append(
+                            {
+                                "width": px.shape[1],
+                                "height": px.shape[0],
+                                "sample_rate": None,
+                                "n_bytes": int(px.size),
+                            }
+                        )
+                        decoders.append("jpeg")
                 else:
                     metas.append(_fake_decode(p))
                     decoders.append("stub")
+                oks.append(ok)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": [m["kind"] for m in pdf["meta"]],
-                    "ok": True,
+                    "ok": oks,
                     "decoder": decoders,
                     "width": pd.array([m["width"] for m in metas], dtype="Int32"),
                     "height": pd.array([m["height"] for m in metas], dtype="Int32"),
                     "sample_rate": pd.array(
                         [m["sample_rate"] for m in metas], dtype="Int32"
                     ),
-                    "n_bytes": [m["n_bytes"] for m in metas],
+                    # nullable: the jpeg-progressive accounting row
+                    # class has no reconstructed pixel count
+                    "n_bytes": pd.array(
+                        [m["n_bytes"] for m in metas], dtype="Int32"
+                    ),
                 }
             )
 

@@ -2943,8 +2943,12 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd5b_bucketed_neardup",
     """
-    WITH ok_cells AS (
-      SELECT label FROM embeddings GROUP BY label HAVING COUNT(*) <= 1000),
+    WITH bsz AS (SELECT label, COUNT(*) AS bs FROM embeddings GROUP BY 1),
+    ranked AS (SELECT bs, ROW_NUMBER() OVER (ORDER BY bs DESC) AS rn,
+                      COUNT(*) OVER () AS nb FROM bsz),
+    cap AS (SELECT 8 * MIN(bs) AS cap FROM ranked
+            WHERE rn <= GREATEST(2, CAST(CEIL(nb / 1000.0) AS BIGINT))),
+    ok_cells AS (SELECT label FROM bsz WHERE bs <= (SELECT cap FROM cap)),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(
@@ -2967,16 +2971,23 @@ def dd5b_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here the label cell; in production an IVF cell or LSH signature,
     multi-probed for recall). The cross join becomes an equi-join on
     the bucket key: sum-of-m_b² work instead of n², one shuffle per
-    side. max_bucket=1000 is the hot-cell escape hatch (a degenerate
-    cell above the cap contributes no pairs — identity on every test
-    SF, where the densest cell is 218 rows at sf0.1, but bounds the
-    single-task m_b² blow-up a mode-collapsed cell would cause at
-    100 TB). The oracle mirrors BOTH the cell constraint and the cap
-    exactly."""
+    side. max_bucket="auto" derives the hot-cell cap from the
+    MEASURED cell-size distribution (derived_bucket_cap: 8 x the
+    0.1%-from-the-top order statistic, k >= 2 so the largest cell
+    never sets its own cap) instead of a hardcoded constant — a cap
+    that's right at any corpus scale. Identity on every test SF
+    (densest cell 218 rows at sf0.1 vs a derived cap of 1744 — the
+    cap-never-fires law test in tests/test_dedup.py) but it excludes
+    a mode-collapsed cell at 100 TB. The oracle computes the
+    IDENTICAL cap from the same distribution (the k-th largest value
+    of a multiset is tie-break-free, and the math is exact integers
+    end-to-end, so both engines derive the same literal)."""
     from dot_spark.operators.textdedup import bucketed_neardup_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return bucketed_neardup_pairs(emb, "label", threshold=0.45, max_bucket=1000)
+    return bucketed_neardup_pairs(
+        emb, "label", threshold=0.45, max_bucket="auto"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4503,6 +4514,44 @@ def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_media(synthesize_real_media(docs))
+
+
+@query(
+    "mm9_progressive_jpeg_audit",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0)
+    SELECT media_id, 'image' AS kind,
+           media_id % 2 = 0 AS ok,
+           CASE WHEN media_id % 2 = 0 THEN 'jpeg'
+                ELSE 'jpeg-progressive' END AS decoder,
+           CAST(media_id % 48 + 16 AS INT) AS width,
+           CAST(media_id % 32 + 16 AS INT) AS height,
+           CASE WHEN media_id % 2 = 0
+                THEN CAST((media_id % 48 + 16) * (media_id % 32 + 16) AS INT)
+           END AS n_bytes
+    FROM m
+    """,
+)
+def mm9_progressive_jpeg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode ERROR ACCOUNTING for the one marked stub class left in
+    the media path — progressive (SOF2) JPEG: bare-JPEG payloads
+    alternate real baseline grayscale streams (full entropy decode:
+    ok=true, decoder='jpeg', n_bytes = the reconstructed pixel
+    count) and structurally-valid progressive streams (ok=FALSE,
+    decoder='jpeg-progressive', dims from the SOF2 structural parse,
+    n_bytes NULL — pixels need the multi-scan progressive path no
+    stdlib decoder provides). A 100 TB corpus pass hits this row
+    class; it must be counted and routable, never silently stubbed.
+    The oracle recomputes every field closed-form from the synthesis
+    parameters, pinning the boundary's exact output."""
+    from dot_spark.operators.multimodal import decode_media, synthesize_jpeg_media
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
+    dec = decode_media(synthesize_jpeg_media(docs))
+    return dec.select(
+        "media_id", "kind", "ok", "decoder", "width", "height", "n_bytes"
+    )
 
 
 @query(
@@ -6270,9 +6319,10 @@ def pl9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dot_spark.operators.similarity import semdedup
 
     emb = load_table(spark, "embeddings", sf_dir)
-    # max_bucket mirrors dd5b's hot-cell cap (the oracle composes
-    # dd5b's capped pair SQL, so both sides carry it)
-    return semdedup(emb, "label", threshold=0.45, max_bucket=1000)
+    # max_bucket mirrors dd5b's derived hot-cell cap (the oracle
+    # composes dd5b's capped pair SQL, so both sides carry the same
+    # distribution-derived cap)
+    return semdedup(emb, "label", threshold=0.45, max_bucket="auto")
 
 
 _BPE_ORACLE_CACHE: dict[str, tuple[list, list] | None] = {}
@@ -9409,8 +9459,12 @@ def mm6_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm7_phash_neardup",
     f"""
     WITH {_PHASH_CELLS_SQL},
-    hot AS (
-      SELECT b, bv FROM bands GROUP BY b, bv HAVING COUNT(*) > 10000),
+    bsz AS (SELECT b, bv, COUNT(*) AS bs FROM bands GROUP BY 1, 2),
+    rankedmm AS (SELECT bs, ROW_NUMBER() OVER (ORDER BY bs DESC) AS rn,
+                        COUNT(*) OVER () AS nb FROM bsz),
+    capmm AS (SELECT 8 * MIN(bs) AS cap FROM rankedmm
+              WHERE rn <= GREATEST(2, CAST(CEIL(nb / 1000.0) AS BIGINT))),
+    hot AS (SELECT b, bv FROM bsz WHERE bs > (SELECT cap FROM capmm)),
     cand AS (
       SELECT a.media_id AS id_a, c.media_id AS id_b
       FROM bands a
@@ -9458,12 +9512,14 @@ def mm7_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
     hash_dir = _scratch("dot_spark_phash_") + "/hashes"
     image_phash(synthesize_real_media(docs)).write.parquet(hash_dir)
-    # max_bucket: the dd5b hot-cell cap on band buckets (identity on
-    # every test SF — a bucket can't exceed the image count — but
-    # bounds a screenshot corpus's all-dark band at 100 TB); the
-    # oracle mirrors the cap in its cand CTE
+    # max_bucket="auto": the dd5b derived hot-cell cap on band
+    # buckets (identity on every test SF — densest band bucket 46 at
+    # sf0.1 vs a derived cap of 320 — but bounds a screenshot
+    # corpus's all-dark band at 100 TB with a cap that scales with
+    # the measured distribution); the oracle computes the identical
+    # cap in its capmm CTE
     return phash_neardup(
-        spark.read.parquet(hash_dir), max_hamming=12, max_bucket=10000
+        spark.read.parquet(hash_dir), max_hamming=12, max_bucket="auto"
     )
 
 
@@ -11705,9 +11761,13 @@ assert not set(_WINDOW_PRIORITY) & set(_R11_WINDOW), "r12 overlaps r11"
 # newest green row will still be r8 after r12 lands (the 50-row r8
 # cohort minus pl9_semdedup, re-gated r11, minus the 14 r8 rows the
 # r12 window carries), then the 15 stalest r9 rows
-# (alphabetical within the r9 cohort; the remaining 34 r9 rows slide
-# to r14). If round 13 changes any query's semantics, swap it in and
-# push the tail to r14 staging — re-gating changed code beats
+# (alphabetical within the r9 cohort; the remaining r9 rows slide
+# to r14). One swap at staging time: mm9_progressive_jpeg_audit (NEW
+# in round 12 — the decode error-accounting audit) takes the last
+# slot and dd15_containment (r9-stale) slides to r14 — first-gating
+# new queries beats re-verifying green ones (the r10 n12-n17
+# principle). If round 13 changes any query's semantics, swap it in
+# and push the tail to r14 staging — re-gating changed code beats
 # re-verifying untouched code. tests/test_gate_window.py enforces
 # the staleness policy (no query's latest official row more than 4
 # rounds stale after this staged window executes) against the
@@ -11727,13 +11787,16 @@ _R13_WINDOW = [
     "t14_stopword_stem", "t15_unigram_lm_score", "t17_bpe_encode",
     "w10_funnel_steps", "w11_moving_zscore", "w7_moving_avg",
     "w8_topk_per_group", "w9_scd2_history",
-    # r9-stale (15, alphabetical within the r9 cohort)
+    # r9-stale (14, alphabetical within the r9 cohort)
     "a15_approx_distinct_audit", "a16_grouping_sets",
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
     "a26_frequent_pairs", "a27_event_transitions", "a28_wilson_ci",
     "a29_countmin_audit", "a30_k_anonymity", "a31_expectations_audit",
-    "dd14_substring_spans", "dd15_containment",
+    "dd14_substring_spans",
+    # new in round 12 (1): first-gate the decode error-accounting
+    # audit; dd15_containment slides to r14
+    "mm9_progressive_jpeg_audit",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]

@@ -553,3 +553,57 @@ def test_audio_energy_matches_rms_and_integer_exactness(spark, sf_dir):
         assert r.n_samples == n
         assert round(math.sqrt(r.sum_sq / n), 3) == expect
     real.unpersist()
+
+
+def test_phash_auto_cap_identity_on_fixture(spark, sf_dir):
+    """max_bucket='auto' equals max_bucket=None on the un-degenerate
+    image fixture (densest band bucket 5 at sf0.001 vs a derived cap
+    of 32), the identity law mm7's r11 gate row rests on under the
+    derived cap."""
+    from dot_spark.operators.multimodal import (
+        image_phash,
+        phash_neardup,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
+    hashes = image_phash(synthesize_real_media(docs)).cache()
+    auto = {
+        tuple(r)
+        for r in phash_neardup(hashes, max_hamming=12, max_bucket="auto").collect()
+    }
+    base = {
+        tuple(r) for r in phash_neardup(hashes, max_hamming=12).collect()
+    }
+    hashes.unpersist()
+    assert auto == base
+
+
+def test_progressive_jpeg_error_accounting(spark):
+    """The last marked stub class in the media path, oracle-visible:
+    a structurally-valid SOF2 stream decodes to ok=false /
+    decoder='jpeg-progressive' with real SOF2 dims and NULL n_bytes;
+    a baseline stream in the same frame fully entropy-decodes
+    (ok=true, n_bytes == w*h); and the progressive payload is a
+    genuine marker stream (_parse_jpeg walks it and flags it)."""
+    from dot_spark.operators.multimodal import (
+        _parse_jpeg,
+        _progressive_jpeg_bytes,
+        decode_media,
+        synthesize_jpeg_media,
+    )
+
+    info = _parse_jpeg(_progressive_jpeg_bytes(24, 18, 7))
+    assert info["width"] == 24 and info["height"] == 18
+    assert info["progressive"] is True
+
+    ids = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    rows = {
+        r["media_id"]: r for r in decode_media(synthesize_jpeg_media(ids)).collect()
+    }
+    base, prog = rows[2], rows[3]
+    assert base["ok"] and base["decoder"] == "jpeg"
+    assert base["n_bytes"] == base["width"] * base["height"]
+    assert not prog["ok"] and prog["decoder"] == "jpeg-progressive"
+    assert prog["width"] == 3 % 48 + 16 and prog["height"] == 3 % 32 + 16
+    assert prog["n_bytes"] is None

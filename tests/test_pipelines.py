@@ -543,3 +543,103 @@ def test_streaming_mv_replay_skip_and_merge_law(spark, tmp_path):
         for r in mv_merge(s1, s2).collect()
     }
     assert law == expect
+
+
+def test_streaming_mv_crash_replay_exactly_once(spark, tmp_path):
+    """Crash-replay proof of pl14's exactly-once claim (r11 verdict
+    task 6), both crash points injected by monkeypatching the
+    manifest claim:
+
+    (a) CRASH BETWEEN STAGE AND CLAIM — the merge output is staged
+        but the manifest commit never runs. The checkpoint cannot
+        advance (foreachBatch raised), so the restart REPLAYS the
+        batch id, finds no manifest record, and applies it once: the
+        MV equals the single-apply rollup, one version, and the
+        orphaned staged files are never referenced.
+    (b) CRASH AFTER CLAIM, BEFORE THE CHECKPOINT COMMITS — the
+        restart replays the batch id, finds it in the manifests, and
+        skips BEFORE any work: no double count, no new version.
+    """
+    import json
+
+    from dot_spark.pipelines import mv_partials, streaming_mv_maintain
+    from dot_spark.txlog import TxTable
+
+    ddl = "event_id BIGINT, user_id BIGINT, value DOUBLE, ts_us BIGINT"
+    rows1 = [(i, i % 3, float(i), 1000 + i) for i in range(10)]
+    rows2 = [(100 + i, i % 3, 10.0 + i, 2000 + i) for i in range(10)]
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    with open(drops / "d0.jsonl", "w") as fh:
+        for e, u, v, t in rows1:
+            fh.write(json.dumps({"event_id": e, "user_id": u, "value": v, "ts_us": t}) + "\n")
+
+    mv_table = TxTable(spark, str(tmp_path / "mv_tx"))
+    cp = str(tmp_path / "cp")
+    kwargs = dict(keys=["user_id"], value_col="value", ts_col="ts_us", schema=ddl)
+
+    def rollup(rs):
+        whole = spark.createDataFrame(rs, ddl)
+        return {
+            r.user_id: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+            for r in mv_partials(whole, ["user_id"], "value", "ts_us").collect()
+        }
+
+    def mv_state():
+        return {
+            r.user_id: (r.mv_n, r.mv_sum, r.mv_min_ts, r.mv_max_ts)
+            for r in mv_table.read().collect()
+        }
+
+    # ---- crash point (a): after stage, before claim -------------
+    real_claim = mv_table._try_claim
+
+    def crash_before_claim(version, manifest):
+        raise RuntimeError("injected crash between stage and claim")
+
+    mv_table._try_claim = crash_before_claim
+    q = streaming_mv_maintain(spark, str(drops), mv_table, cp, **kwargs)
+    try:
+        q.awaitTermination()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "injected crash did not propagate"
+    assert not mv_table.latest_version()  # nothing committed
+
+    mv_table._try_claim = real_claim  # "restart the process"
+    q = streaming_mv_maintain(spark, str(drops), mv_table, cp, **kwargs)
+    q.awaitTermination()
+    assert mv_table.latest_version() == 1  # replay applied exactly once
+    assert mv_state() == rollup(rows1)
+
+    # ---- crash point (b): after claim, before checkpoint ---------
+    with open(drops / "d1.jsonl", "w") as fh:
+        for e, u, v, t in rows2:
+            fh.write(json.dumps({"event_id": e, "user_id": u, "value": v, "ts_us": t}) + "\n")
+
+    def crash_after_claim(version, manifest):
+        ok = real_claim(version, manifest)
+        if ok:
+            raise RuntimeError("injected crash after manifest commit")
+        return ok
+
+    mv_table._try_claim = crash_after_claim
+    q = streaming_mv_maintain(spark, str(drops), mv_table, cp, **kwargs)
+    try:
+        q.awaitTermination()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    assert mv_table.latest_version() == 2  # the claim DID land
+    expect_both = rollup(rows1 + rows2)
+    assert mv_state() == expect_both
+
+    mv_table._try_claim = real_claim
+    q = streaming_mv_maintain(spark, str(drops), mv_table, cp, **kwargs)
+    q.awaitTermination()
+    # replayed batch id found in the manifests -> skipped before any
+    # work: no double count, no new version
+    assert mv_table.latest_version() == 2
+    assert mv_state() == expect_both

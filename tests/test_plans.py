@@ -32,6 +32,7 @@ from dot_spark.queries import QUERIES
 PYTHON_OK = {"mm1_decode_media", "mm2_media_features", "mm3_frame_sampling",
              "mm4_image_resize", "mm5_audio_rms", "mm8_silence_segments",
              "mm6_image_phash", "mm7_phash_neardup",
+             "mm9_progressive_jpeg_audit",
              "f8_hmac_sha256", "ss3_ivf_trained_topk", "ss4_lsh_topk",
              "ss9_pq_topk"}
 

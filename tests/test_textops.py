@@ -1128,3 +1128,74 @@ def test_fingerprint_preserves_colliding_caller_columns(spark):
     row = out.first()
     assert row["__fp_norm"] == "keep-n" and row["__fp_toks"] == "keep-t"
     assert row["fp_full"] is not None and row["fp_rolling"] is not None
+
+
+def test_derived_bucket_cap_formula(spark):
+    """derived_bucket_cap = slack * (k-th largest size) with
+    k = max(2, ceil(n/1000)): known distributions give known caps,
+    the largest bucket never sets its own cap (k >= 2), and an empty
+    sizes table yields None."""
+    from dot_spark.operators.textdedup import derived_bucket_cap
+
+    def cap_of(sizes):
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(sizes)],
+                                   "bkt long, __bs long")
+        return derived_bucket_cap(df.select("__bs"))
+
+    # uniform-ish: cap = 8 * second largest
+    assert cap_of([5, 7, 6, 7]) == 8 * 7
+    # one mode-collapsed outlier: the 1000 does NOT set its own cap
+    assert cap_of([1000, 9, 8, 7]) == 8 * 9
+    # single bucket: k=2 clamps to the only value -> identity regime
+    assert cap_of([42]) == 8 * 42
+    empty = spark.createDataFrame([], "__bs long")
+    assert derived_bucket_cap(empty) is None
+
+
+def test_auto_cap_never_fires_on_undegenerate_fixture(spark, sf_dir):
+    """The cap-never-fires identity law the gated queries rest on:
+    max_bucket='auto' equals max_bucket=None on the embeddings
+    fixture (its cell sizes are un-degenerate at every SF — measured
+    max 218 vs derived cap 1744 at sf0.1), so dd5b/pl9's r11 gate
+    rows remain byte-valid under the derived cap."""
+    from dot_spark.operators.textdedup import bucketed_neardup_pairs
+    from dot_spark.queries import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    auto = {
+        tuple(r)
+        for r in bucketed_neardup_pairs(
+            emb, "label", threshold=0.2, max_bucket="auto"
+        ).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in bucketed_neardup_pairs(
+            emb, "label", threshold=0.2
+        ).collect()
+    }
+    assert auto == uncapped and len(auto) > 0
+
+
+def test_auto_cap_excludes_mode_collapsed_cell(spark):
+    """On a DEGENERATE distribution the derived cap fires: one
+    mode-collapsed cell (40 identical vectors) against a population
+    of small cells contributes NO pairs, while the small cells still
+    pair normally — and the conservative failure mode holds (the hot
+    cell's members simply produce no candidates; nothing else
+    changes)."""
+    from dot_spark.operators.textdedup import bucketed_neardup_pairs
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(40)]          # hot cell
+    rows += [(100 + i, 1 + i // 2, [0.0, 1.0]) for i in range(8)]  # 4 cells of 2
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in bucketed_neardup_pairs(
+            emb, "label", threshold=0.9, max_bucket="auto"
+        ).collect()
+    }
+    # derived cap = 8 * s_2 = 8 * 2 = 16 < 40 -> hot cell excluded
+    assert got == {(100 + 2 * j, 101 + 2 * j) for j in range(4)}

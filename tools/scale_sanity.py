@@ -43,6 +43,7 @@ from dot_spark.operators.textdedup import (
     connected_components,
     contamination_flags,
     dedup_corpus,
+    exact_dedup,
     lsh_bands,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -170,6 +171,11 @@ def main() -> None:
                 "label",
             )
         )
+        # dd1: the exact-dedup hash-groupBy — the cheapest family
+        # member, in the grid so the dedup family's scaling curve
+        # (dd1/dd2/dd4b/dd5b/pl9, the r11 verdict's stretch receipt)
+        # is complete end-to-end
+        grid[("dd1_exact_dedup", k)] = exact_dedup(docs)
         grid[("dd2_minhash_lsh", k)] = lsh_candidate_pairs(
             lsh_bands(minhash_signatures(docs))
         )
@@ -291,21 +297,25 @@ def main() -> None:
         # components -> centroid scoring), not just its stages —
         # upsampled cells keep per-copy cluster structure so the
         # component iteration count stays constant.
-        # production knob (the gated pl9 query's max_bucket=1000):
+        # production knob (the gated pl9 query's max_bucket="auto",
+        # the r12 derived cap — 8 x the 0.1%-from-the-top cell size;
+        # on these un-degenerate upsampled cells it never fires since
+        # the derived cap grows K-fold with s_k):
         # upsampled cells grow K-fold, so UNCAPPED within-cell pair
         # volume grows ~K² by construction — measured alpha 0.99 at
         # K=10 uncapped (r11 NOTES); the cap is exactly what bounds
         # that at 100 TB (finer cells being the recall-preserving
         # control). Both variants pinned.
-        grid[("pl9_semdedup", k)] = lambda e=emb: semdedup(e, max_bucket=1000)
+        grid[("pl9_semdedup", k)] = lambda e=emb: semdedup(e, max_bucket="auto")
         grid[("pl9_semdedup_uncapped", k)] = lambda e=emb: semdedup(e)
         # dd5b hot-cell stress (r10 verdict task 2): re-label HALF the
         # K-scaled vectors into ONE mode-collapsed cell on top of the
         # normal cells. Uncapped, that single bucket pays (n/2)² in
         # one task and the cell's time would blow up quadratically in
-        # K; with max_bucket=1000 (the dd5b query's production knob,
-        # smaller than the hot cell at every K here since half of
-        # sf0.1 is ≥1000 vectors) the hot cell contributes no pairs,
+        # K; with max_bucket="auto" (the dd5b query's production
+        # knob: derived cap = 8 x the second-largest cell, far below
+        # the (n/2)-member hot cell at every K) the hot cell
+        # contributes no pairs,
         # so this cell's alpha must track the plain dd5b cell's (the
         # cap costs one partial-agg size pass + a broadcast
         # anti-join). A regression here means the cap stopped
@@ -317,10 +327,10 @@ def main() -> None:
             F.when(F.col("vec_id") % 2 == 0, F.lit(-1)).otherwise(F.col("label")),
         )
         grid[("dd5b_bucketed_neardup", k)] = lambda e=emb: bucketed_neardup_pairs(
-            e, "label", threshold=0.45, max_bucket=1000
+            e, "label", threshold=0.45, max_bucket="auto"
         )
         grid[("dd5b_hot_cell_capped", k)] = lambda e=emb_hot: bucketed_neardup_pairs(
-            e, "label", threshold=0.45, max_bucket=1000
+            e, "label", threshold=0.45, max_bucket="auto"
         )
         # j18: snapshot diff old-vs-new where both sides scale K-fold
         # (new = old with ~1/13 updated, ~1/17 deleted) — the
