@@ -152,65 +152,66 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-11 rotation: the 26 r6-stale backfill rows first, then
-    the 14 stalest r7 rows (j7/j8/dd5/j1 were displaced mid-round to
-    the r12 staging for the four new queries), then the ten
-    changed-in-r11 slots (pl9/mm7 max_bucket, mm3 full-JPEG oracle,
-    n13/n14 woo semantics, the new t13b/t24/t25/t26/p21) — an
-    accidental registration reorder silently drops operators out of
-    the official artifact."""
+    the round-12 rotation BY NAME, independently of the
+    _WINDOW_PRIORITY constant (tests/test_gate_window.py asserts the
+    registry leads with that constant; this hand-written set catches
+    an accidental edit of the constant itself): the staged r11
+    backfill executed VERBATIM — 36 r7-stale rows + the 14 stalest
+    r8 rows, zero swaps."""
     window = list(QUERIES)[:50]
     must_have = {
-        "j2_union_distinct",
-        "j3_union_all",
-        "n1_struct_extract",
-        "n3_kv_pivot",
-        "n4_element_first_last",
-        "n6_json_stringify",
-        "p2_positional_projection",
-        "p4_filter_gate",
-        "p5_status_route",
-        "p6_isin_filter",
-        "p8_coalesce_defaults",
-        "p9_string_norm",
-        "pl2_woo_incremental",
-        "pl2b_woo_incremental_by_store",
-        "s10_object_store_export",
-        "s6_sql_source",
-        "s9_csv_checkpoint",
-        "st1_windowed_agg",
-        "st2_superseded_stream",
-        "t3_language_id",
-        "t4_fingerprint",
-        "t5_length_histogram",
-        "t6_sequence_packing",
-        "w2_distinct_rows",
-        "w3_sort_limit_top1",
-        "w5_rank_lattice",
-        "dd4b_ngram_jaccard_capped",
-        "c1_classify_runs",
-        "dd1_exact_dedup",
-        "dd2_minhash_lsh_candidates",
-        "dd3_simhash",
-        "dd5b_bucketed_neardup",
-        "dd6_decontamination",
-        "dd7_embedding_decontamination",
-        "dd8_dedup_clusters",
-        "j5_parent_child_join",
-        "mm1_decode_media",
-        "mm2_media_features",
-        "n2_explode_tokens",
-        "n5_sticky_carry",
-        "pl9_semdedup",
-        "mm7_phash_neardup",
-        "mm3_frame_sampling",
-        "t13b_bpe_merges_batched",
-        "n13_woo_flat_order_items",
-        "n14_woo_flat_products",
-        "t24_perplexity_prune",
-        "t25_hashed_linear_quality",
-        "t26_dsir_importance",
-        "p21_weighted_topk_sample",
+        # r7-stale (36)
+        "a1_group_having",
+        "c2_webhook_route",
+        "c3_quality_filter",
+        "dd5_embedding_neardup",
+        "f8_hmac_sha256",
+        "j1_anti_join",
+        "j7_star_join_rollup",
+        "j8_asof_join",
+        "p10_deterministic_sample",
+        "p11_stratified_sample",
+        "p1_schema_align",
+        "p7_sentinel_null",
+        "pl1_okta_refresh",
+        "pl3_event_retry_pipeline",
+        "pl5_corpus_dedup_pipeline",
+        "s13_jsonl_roundtrip",
+        "s14_orc_roundtrip",
+        "s1_scan_projection",
+        "s2_paged_rest_scan",
+        "s4_csv_parse",
+        "ss1_cosine_topk",
+        "ss2_ivf_topk",
+        "ss3_ivf_trained_topk",
+        "ss4_lsh_topk",
+        "st3_stream_corpus_dedup",
+        "st4_attribute_fanout",
+        "st7_drain_machine",
+        "t10_doc_chunking",
+        "t1_token_stats",
+        "t2_quality_score",
+        "t7_repetition_ratio",
+        "t8_pii_scrub",
+        "t9_tfidf_topterms",
+        "w1_dedup_keep_latest",
+        "w4_superseded_dedup",
+        "w6_sessionize",
+        # r8-stale (14)
+        "a12_cube_lattice",
+        "a13_pivot_wide",
+        "a14_gapfill_locf",
+        "a17_global_topk",
+        "a18_winsorize",
+        "a19_percentile_sketch_audit",
+        "a20_share_of_total",
+        "c4_quality_ensemble",
+        "dd10_edit_distance_verify",
+        "dd11_lsh_quality_eval",
+        "dd12_url_dedup",
+        "dd13_minhash_estimator_audit",
+        "dd9_chunk_dedup",
+        "f11_higher_order_arrays",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50
