@@ -110,6 +110,11 @@ HEADLINE = [
     "t24_perplexity_prune",
     "t25_hashed_linear_quality",
     "t26_dsir_importance",
+    # round-12 addition: interpolated Kneser-Ney scoring — the
+    # bigram-type table's single materialization feeding four
+    # consumers is the cost center; a lost checkpoint re-runs the
+    # pair explode per branch and only wall-time notices
+    "t27_kneser_ney_score",
 ]
 
 # Queries whose BUILDER executes the heavy work EAGERLY (iterative

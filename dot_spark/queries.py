@@ -8543,6 +8543,123 @@ def t23_bigram_lm_score(
     )
 
 
+@query(
+    "t27_kneser_ney_score",
+    f"""
+    WITH tk AS (SELECT doc_id, {_NORM_TOKS_SQL} AS toks FROM documents),
+    pr AS (
+      SELECT doc_id, UNNEST(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS s
+      FROM tk WHERE len(toks) >= 2),
+    pairs AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM pr),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM pairs GROUP BY 1, 2),
+    h AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1dot,
+                 CAST(COUNT(*) AS BIGINT) AS n1p_w1 FROM bc GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_w2
+             FROM bc GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bc),
+    scored AS (
+      SELECT p.doc_id, COUNT(*) AS n_pairs,
+             SUM(ln(
+               greatest(bc.c12 - 0.75, 0) / h.c1dot
+               + (0.75 * h.n1p_w1 / h.c1dot)
+                 * (cont.n1p_w2 / (SELECT n_types FROM tot))
+             )) AS logp
+      FROM pairs p
+      JOIN bc ON p.w1 = bc.w1 AND p.w2 = bc.w2
+      JOIN h ON p.w1 = h.w1
+      JOIN cont ON p.w2 = cont.w2
+      GROUP BY 1)
+    SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(-logp / n_pairs, 3) AS avg_neg_logp
+    FROM scored
+    """,
+)
+def t27_kneser_ney_score(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the industry-standard
+    n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1998's
+    interpolated form, the smoothing KenLM defaults to), upgrading
+    t23's add-k:
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                      + (D * N1+(w1 .) / c(w1 .)) * N1+(. w2) / N1+(. .)
+
+    with discount D = 0.75 (exactly representable in binary, so the
+    discounted numerator is exact), c(w1 .) the bigram-history count,
+    N1+ the distinct-continuation / distinct-context counts, and the
+    continuation distribution N1+(. w2)/N1+(. .) replacing the raw
+    unigram (the KN insight: "Francisco" is frequent but follows only
+    "San", so its continuation probability is tiny).
+
+    Shape: ONE pair explode feeds everything. The bigram-TYPE table
+    bc materializes once (checkpoint gated on `materialize`, the
+    t24/dd4b pattern — it feeds the scoring join plus THREE derived
+    stats) and is |types|-bounded; the history (h) and continuation
+    (cont) tables derive from bc with map-side partials and broadcast
+    back onto the pair stream (hints gated on the collected type
+    count, t23's discipline); N1+(. .) is one collected scalar. Every
+    probability is a fixed-parenthesization expression over exact
+    integer counts, so both engines take ln of identical doubles; the
+    per-doc mean rounds to 3 dp (t15's summation-order discipline).
+    Every pair is seen in its own corpus, so c12 >= 1 and the first
+    term >= 0.25/c(w1 .) — ln is always finite."""
+    from dot_spark.operators.textdedup import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(normalize_text(F.col("text")), " ")
+    tk = docs.select("doc_id", toks.alias("toks"))
+    pairs = tk.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if materialize:
+        # |bigram types| rows feeding four consumers (scoring join,
+        # h, cont, the type-count scalar) — materialize so the pair
+        # explode+aggregate compiles once, not per branch
+        bc = bc.localCheckpoint(eager=False)
+    n_types = bc.agg(F.count(F.lit(1))).first()[0]
+    h = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1dot"), F.count(F.lit(1)).alias("n1p_w1")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    # type/vocab tables are corpus-unbounded: broadcast hints gated
+    # on the collected scalar (t23's discipline)
+    small = n_types <= 1_000_000
+    bc_j = F.broadcast(bc) if small else bc
+    h_j = F.broadcast(h) if small else h
+    cont_j = F.broadcast(cont) if small else cont
+    p_kn = (
+        F.greatest(F.col("c12") - F.lit(0.75), F.lit(0.0)) / F.col("c1dot")
+        + (F.lit(0.75) * F.col("n1p_w1") / F.col("c1dot"))
+        * (F.col("n1p_w2") / F.lit(float(n_types)))
+    )
+    scored = (
+        pairs.join(bc_j, ["w1", "w2"])
+        .join(h_j, "w1")
+        .join(cont_j, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.log(p_kn)).alias("logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        F.round(-F.col("logp") / F.col("n_pairs"), 3).alias("avg_neg_logp"),
+    )
+
+
 # Portable hashed weight / uniform used by t25/t26's oracles: the
 # DuckDB replay of operators.text.hash_unit (first 32 md5 bits as an
 # unsigned int; bit-exact parity with conv(substr(md5,1,8),16,10)
@@ -11762,11 +11879,14 @@ assert not set(_WINDOW_PRIORITY) & set(_R11_WINDOW), "r12 overlaps r11"
 # cohort minus pl9_semdedup, re-gated r11, minus the 14 r8 rows the
 # r12 window carries), then the 15 stalest r9 rows
 # (alphabetical within the r9 cohort; the remaining r9 rows slide
-# to r14). One swap at staging time: mm9_progressive_jpeg_audit (NEW
-# in round 12 — the decode error-accounting audit) takes the last
-# slot and dd15_containment (r9-stale) slides to r14 — first-gating
-# new queries beats re-verifying green ones (the r10 n12-n17
-# principle). If round 13 changes any query's semantics, swap it in
+# to r14). Two swaps at staging time for queries NEW in round 12:
+# mm9_progressive_jpeg_audit (the decode error-accounting audit) and
+# t27_kneser_ney_score (interpolated-KN bigram scoring) take the
+# last two slots; dd15_containment and dd14_substring_spans
+# (r9-stale) slide to r14 — first-gating new queries beats
+# re-verifying green ones (the r10 n12-n17 principle), and the
+# displaced rows stay inside the 4-round staleness bound at the r13
+# horizon. If round 13 changes any query's semantics, swap it in
 # and push the tail to r14 staging — re-gating changed code beats
 # re-verifying untouched code. tests/test_gate_window.py enforces
 # the staleness policy (no query's latest official row more than 4
@@ -11787,16 +11907,16 @@ _R13_WINDOW = [
     "t14_stopword_stem", "t15_unigram_lm_score", "t17_bpe_encode",
     "w10_funnel_steps", "w11_moving_zscore", "w7_moving_avg",
     "w8_topk_per_group", "w9_scd2_history",
-    # r9-stale (14, alphabetical within the r9 cohort)
+    # r9-stale (13, alphabetical within the r9 cohort)
     "a15_approx_distinct_audit", "a16_grouping_sets",
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
     "a26_frequent_pairs", "a27_event_transitions", "a28_wilson_ci",
     "a29_countmin_audit", "a30_k_anonymity", "a31_expectations_audit",
-    "dd14_substring_spans",
-    # new in round 12 (1): first-gate the decode error-accounting
-    # audit; dd15_containment slides to r14
-    "mm9_progressive_jpeg_audit",
+    # new in round 12 (2): first-gate the decode error-accounting
+    # audit and the KN bigram scorer; dd15_containment and
+    # dd14_substring_spans slide to r14
+    "mm9_progressive_jpeg_audit", "t27_kneser_ney_score",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]

@@ -803,3 +803,23 @@ def test_pagerank_round_unmaterialized_twin(spark):
     finally:
         edges_deg.unpersist()
         nodes.unpersist()
+
+
+def test_t27_kneser_ney_unmaterialized_twin(spark, sf_dir):
+    """t27's production checkpoint hides the bigram-type table that
+    feeds the scoring join plus three derived stats. Twin shape: the
+    pair explode compiles once per bc-branch (4 scans total), all
+    three stat tables broadcast (no nested loop — N1+(..) is a
+    collected scalar, not a crossJoin), zero Python."""
+    from dot_spark.queries import t27_kneser_ney_score
+    from tools.plan_baseline import plan_counts
+
+    twin = t27_kneser_ney_score(spark, sf_dir, materialize=False)
+    counts = plan_counts(twin)
+    assert counts["scans"] <= 4, counts
+    assert counts["exchanges"] <= 9, counts
+    assert counts["py_eval"] == 0, counts
+    assert counts["nested_loop"] == 0, counts
+    a = {tuple(r) for r in twin.collect()}
+    b = {tuple(r) for r in t27_kneser_ney_score(spark, sf_dir).collect()}
+    assert a == b

@@ -1199,3 +1199,56 @@ def test_auto_cap_excludes_mode_collapsed_cell(spark):
     }
     # derived cap = 8 * s_2 = 8 * 2 = 16 < 40 -> hot cell excluded
     assert got == {(100 + 2 * j, 101 + 2 * j) for j in range(4)}
+
+
+def test_kneser_ney_matches_python_replay(spark, sf_dir):
+    """t27's interpolated-KN probabilities against an independent
+    pure-Python replay (shared tokenizer contract via norm_toks, no
+    engine code): per-doc n_pairs and 3-dp mean negative log-prob
+    must match exactly, and the scores are partitioning-invariant."""
+    import math
+    from collections import Counter, defaultdict
+
+    from dot_spark.queries import load_table, t27_kneser_ney_score
+    from tests.conftest import norm_toks
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = docs.select("doc_id", "text").collect()
+    bc: Counter = Counter()
+    doc_pairs: dict[int, list] = {}
+    for r in rows:
+        t = norm_toks(r["text"])
+        ps = list(zip(t, t[1:]))
+        if ps:
+            doc_pairs[r["doc_id"]] = ps
+            bc.update(ps)
+    c1dot: Counter = Counter()
+    n1p_w1: Counter = Counter()
+    n1p_w2: Counter = Counter()
+    for (w1, w2), c in bc.items():
+        c1dot[w1] += c
+        n1p_w1[w1] += 1
+        n1p_w2[w2] += 1
+    n_types = len(bc)
+    expect = {}
+    for d, ps in doc_pairs.items():
+        logp = sum(
+            math.log(
+                max(bc[p] - 0.75, 0) / c1dot[p[0]]
+                + (0.75 * n1p_w1[p[0]] / c1dot[p[0]])
+                * (n1p_w2[p[1]] / float(n_types))
+            )
+            for p in ps
+        )
+        expect[d] = (len(ps), round(-logp / len(ps), 3))
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logp"])
+        for r in t27_kneser_ney_score(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # partitioning invariance (the oracle-parity property)
+    one = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logp"])
+        for r in t27_kneser_ney_score(spark, sf_dir).coalesce(1).collect()
+    }
+    assert one == got
