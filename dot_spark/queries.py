@@ -8667,6 +8667,133 @@ def t27_kneser_ney_score(
 _HASH_UNIT_SQL = "('0x' || substr(md5({x}), 1, 8))::UBIGINT"
 
 
+
+@query(
+    "t28_gopher_rules",
+    f"""
+    WITH tk AS (SELECT doc_id, text, {_NORM_TOKS_SQL} AS toks,
+                       string_split(text, chr(10)) AS lines FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, w -> length(w))) AS sum_len,
+             len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+               AS n_alpha,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               AS n_sym,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> trim(l) LIKE '- %'
+                   OR trim(l) LIKE '* %' OR trim(l) LIKE '•%')) AS n_bullet,
+             len(list_filter(lines, l -> trim(l) LIKE '%...')) AS n_ellip,
+             CAST(list_contains(toks, 'the') AS INT)
+               + CAST(list_contains(toks, 'be') AS INT)
+               + CAST(list_contains(toks, 'to') AS INT)
+               + CAST(list_contains(toks, 'of') AS INT)
+               + CAST(list_contains(toks, 'and') AS INT)
+               + CAST(list_contains(toks, 'that') AS INT)
+               + CAST(list_contains(toks, 'have') AS INT)
+               + CAST(list_contains(toks, 'with') AS INT) AS n_stop
+      FROM tk)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(sum_len * 1.0 / n_words, 4) AS mean_word_len,
+           ROUND(n_sym * 1.0 / n_words, 4) AS symbol_ratio,
+           ROUND(n_bullet * 1.0 / n_lines, 4) AS bullet_frac,
+           ROUND(n_ellip * 1.0 / n_lines, 4) AS ellipsis_frac,
+           ROUND(n_alpha * 1.0 / n_words, 4) AS alpha_frac,
+           CAST(n_stop AS BIGINT) AS n_stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND sum_len * 1.0 / n_words BETWEEN 3 AND 10
+            AND n_sym * 1.0 / n_words <= 0.1
+            AND n_bullet * 1.0 / n_lines <= 0.9
+            AND n_ellip * 1.0 / n_lines <= 0.3
+            AND n_alpha * 1.0 / n_words >= 0.8
+            AND n_stop >= 2) AS kept
+    FROM m
+    """,
+)
+def t28_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446
+    Table A1 — the canonical published heuristic filter set every
+    modern corpus pipeline starts from): word count in [50, 100k],
+    mean word length in [3, 10], symbol-to-word ratio (# and ...)
+    <= 0.1, <= 90% bullet-started lines, <= 30% ellipsis-ended
+    lines, >= 80% words with an alphabetic character, and >= 2 of
+    the 8 Gopher stopwords present. Shared contract both engines
+    compute verbatim: words are the normalized tokens (the norm_toks
+    tokenizer every text operator uses), lines split on raw NEWLINE,
+    bullets/ellipses tested on trimmed lines, symbols counted on raw
+    text (non-overlapping replace), and every KEEP decision compares
+    the identical unrounded double (integer/integer division — same
+    IEEE result on both engines); the reported ratios round to 4 dp.
+    Scale shape: ZERO shuffle — one scan, staged __toks/__lines
+    projections (the repetition_ratio discipline: an unstaged HOF
+    lambda re-evaluates the split per element), then row-local folds
+    inside whole-stage codegen."""
+    docs = load_table(spark, "documents", sf_dir)
+    from dot_spark.operators.textdedup import normalize_text
+
+    tk = docs.select(
+        "doc_id",
+        "text",
+        F.split(normalize_text(F.col("text")), " ").alias("__toks"),
+        F.split(F.col("text"), "\n").alias("__lines"),
+    )
+    m = tk.select(
+        "doc_id",
+        F.size("__toks").alias("n_words"),
+        F.expr("aggregate(__toks, 0L, (a, w) -> a + length(w))").alias(
+            "sum_len"
+        ),
+        F.expr("size(filter(__toks, w -> w rlike '[a-z]'))").alias("n_alpha"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+            + (
+                F.length("text")
+                - F.length(F.expr("replace(text, '...', '')"))
+            )
+            / F.lit(3)
+        ).alias("n_sym"),
+        F.size("__lines").alias("n_lines"),
+        F.expr(
+            "size(filter(__lines, l -> trim(l) LIKE '- %'"
+            " OR trim(l) LIKE '* %' OR trim(l) LIKE '•%'))"
+        ).alias("n_bullet"),
+        F.expr("size(filter(__lines, l -> trim(l) LIKE '%...'))").alias(
+            "n_ellip"
+        ),
+        sum(
+            F.array_contains("__toks", w).cast("int")
+            for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+        ).alias("n_stop"),
+    )
+    mean_len = F.col("sum_len") * 1.0 / F.col("n_words")
+    sym_r = F.col("n_sym") * 1.0 / F.col("n_words")
+    bul_r = F.col("n_bullet") * 1.0 / F.col("n_lines")
+    ell_r = F.col("n_ellip") * 1.0 / F.col("n_lines")
+    alp_r = F.col("n_alpha") * 1.0 / F.col("n_words")
+    kept = (
+        F.col("n_words").between(50, 100000)
+        & mean_len.between(3, 10)
+        & (sym_r <= 0.1)
+        & (bul_r <= 0.9)
+        & (ell_r <= 0.3)
+        & (alp_r >= 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(sym_r, 4).alias("symbol_ratio"),
+        F.round(bul_r, 4).alias("bullet_frac"),
+        F.round(ell_r, 4).alias("ellipsis_frac"),
+        F.round(alp_r, 4).alias("alpha_frac"),
+        F.col("n_stop").cast("bigint").alias("n_stop_hits"),
+        kept.alias("kept"),
+    )
+
+
 @query(
     "t24_perplexity_prune",
     f"""
@@ -11907,16 +12034,20 @@ _R13_WINDOW = [
     "t14_stopword_stem", "t15_unigram_lm_score", "t17_bpe_encode",
     "w10_funnel_steps", "w11_moving_zscore", "w7_moving_avg",
     "w8_topk_per_group", "w9_scd2_history",
-    # r9-stale (13, alphabetical within the r9 cohort)
+    # r9-stale (12, alphabetical within the r9 cohort)
     "a15_approx_distinct_audit", "a16_grouping_sets",
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
     "a26_frequent_pairs", "a27_event_transitions", "a28_wilson_ci",
-    "a29_countmin_audit", "a30_k_anonymity", "a31_expectations_audit",
-    # new in round 12 (2): first-gate the decode error-accounting
-    # audit and the KN bigram scorer; dd15_containment and
-    # dd14_substring_spans slide to r14
+    "a29_countmin_audit", "a30_k_anonymity",
+    # new in round 12 (3): first-gate the decode error-accounting
+    # audit, the KN bigram scorer, and the Gopher rule filter;
+    # dd15_containment, dd14_substring_spans and
+    # a31_expectations_audit slide to r14 (all r9-stale — still
+    # exactly at the 4-round bound at the r13 horizon, enforced by
+    # tests/test_gate_window.py)
     "mm9_progressive_jpeg_audit", "t27_kneser_ney_score",
+    "t28_gopher_rules",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]

@@ -823,3 +823,19 @@ def test_t27_kneser_ney_unmaterialized_twin(spark, sf_dir):
     a = {tuple(r) for r in twin.collect()}
     b = {tuple(r) for r in t27_kneser_ney_score(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_t28_gopher_rules_zero_shuffle(spark, sf_dir):
+    """t28 must stay a single scan-fused zero-exchange projection
+    (the t25 discipline): any shuffle or Python boundary here is a
+    regression — the whole point of a heuristic pre-filter is that
+    it rides the ingest scan for free at 100 TB."""
+    from tools.plan_baseline import plan_counts
+
+    counts = plan_counts(QUERIES["t28_gopher_rules"](spark, sf_dir))
+    assert counts == {
+        "exchanges": 0,
+        "scans": 1,
+        "py_eval": 0,
+        "nested_loop": 0,
+    }, counts

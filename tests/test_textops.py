@@ -1252,3 +1252,41 @@ def test_kneser_ney_matches_python_replay(spark, sf_dir):
         for r in t27_kneser_ney_score(spark, sf_dir).coalesce(1).collect()
     }
     assert one == got
+
+
+def test_gopher_rules_constructed_fixture(spark):
+    """Rule-by-rule behavior of t28 on constructed documents: a
+    clean doc passes every Gopher rule; each crafted failure doc
+    trips exactly the intended rule (word count, stopword presence,
+    bullet lines, ellipsis lines, symbol ratio, mean word length)."""
+    from dot_spark.queries import t28_gopher_rules
+
+    base = ("the cat and the dog have been walking to market with "
+            "friends that carry baskets of bread ") * 3  # 51 words, stopwords
+    docs = [
+        (1, base.strip()),                                   # passes
+        (2, "short text with the and that"),                 # < 50 words
+        (3, ("zorp blarg kwyjibo flumox " * 13).strip()),    # no stopwords
+        (4, "\n".join(["- " + base.strip()] * 10)),          # 100% bullets
+        (5, "\n".join([base.strip() + "..."] * 10)),         # 100% ellipsis
+        (6, base.strip() + " " + "#" * 40),                  # symbol ratio
+        (7, ("a " * 60).strip() + " the of"),                # mean len < 3
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gopher_fixture_")
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = {r["doc_id"]: r for r in t28_gopher_rules(spark, d).collect()}
+    assert out[1]["kept"] is True
+    assert out[1]["n_stop_hits"] >= 2 and out[1]["n_words"] >= 50
+    assert out[2]["kept"] is False and out[2]["n_words"] < 50
+    assert out[3]["kept"] is False and out[3]["n_stop_hits"] < 2
+    assert out[4]["kept"] is False and out[4]["bullet_frac"] > 0.9
+    assert out[5]["kept"] is False and out[5]["ellipsis_frac"] > 0.3
+    assert out[6]["kept"] is False and out[6]["symbol_ratio"] > 0.1
+    assert out[7]["kept"] is False and out[7]["mean_word_len"] < 3
