@@ -212,6 +212,56 @@ def mixture_resample(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — the alpha-sampling
+    data-mixing rule (mC4 / XLM-R, Conneau et al. 2020: sample
+    sources with probability q_i proportional to p_i^alpha, so
+    low-resource sources are up-weighted relative to their natural
+    share). Sampling WITHOUT replacement pins the realized budget at
+    N = min_j total_j / q_j (the largest output where no source is
+    oversampled), and the normalizer cancels into the closed form
+
+        keep_rate_i = (min_total / total_i) ^ (1 - alpha)
+
+    alpha=0 degenerates to mixture_resample's equal-budget rule,
+    alpha=1 to the natural mixture (keep everything). The default
+    alpha=0.5 evaluates as sqrt(min_total/total_i): IEEE 754 requires
+    division AND sqrt correctly rounded, so both engines of an oracle
+    pair derive bit-identical rates with no pow-ulp or
+    summation-order exposure — which is why 0.5 is the gated value.
+
+    Scale shape: identical to mixture_resample — one partial-agg
+    shuffle for per-group totals, the min via a window over the
+    |groups|-row aggregate (the a20 rule), the tiny rate table
+    broadcast back, and the keep decision the deterministic 16-bit
+    hash fraction (pure pushable filter). Returns kept rows with
+    (id, group, n_toks, keep_rate)."""
+    from pyspark.sql import Window
+
+    from dot_spark.operators.textdedup import normalize_text
+
+    toks = docs.select(
+        id_col,
+        group_col,
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("n_toks"),
+    )
+    totals = toks.groupBy(group_col).agg(F.sum("n_toks").alias("total_toks"))
+    ratio = F.min("total_toks").over(Window.partitionBy()) / F.col(
+        "total_toks"
+    )
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, 1.0 - alpha)
+    rates = totals.select(group_col, rate.alias("keep_rate"))
+    return weighted_hash_sample(
+        toks.join(F.broadcast(rates), on=group_col), id_col, "keep_rate"
+    )
+
+
 def weighted_hash_sample(df: DataFrame, key_col: str, weight_col) -> DataFrame:
     """Importance-weighted deterministic sampling: keep each row with
     probability `weight` (a column expression in [0, 1]) by comparing

@@ -9226,6 +9226,59 @@ def n11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p22_temperature_mixture",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len({_NORM_TOKS_SQL}) AS n_toks
+      FROM documents),
+    tot AS (
+      SELECT source, CAST(SUM(n_toks) AS BIGINT) AS total_toks
+      FROM toks GROUP BY 1),
+    rates AS (
+      SELECT source,
+             sqrt((SELECT MIN(total_toks) FROM tot) / total_toks)
+               AS keep_rate
+      FROM tot),
+    h AS (
+      SELECT t.source, t.n_toks, r.keep_rate,
+             md5(CAST(t.doc_id AS VARCHAR)) AS h
+      FROM toks t JOIN rates r USING (source))
+    SELECT source, ROUND(keep_rate, 6) AS keep_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept
+    FROM h
+    WHERE ({_byte_sql('h', 0)}) * 256 + ({_byte_sql('h', 1)})
+          < keep_rate * 65536
+    GROUP BY 1, 2
+    """,
+)
+def p22_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (alpha-sampling, the
+    mC4/XLM-R data-mixing rule): target share q_i proportional to
+    p_i^alpha with alpha=0.5; without-replacement budgeting
+    collapses to keep_rate_i = sqrt(min_total/total_i) — p18's
+    equal-budget rule is the alpha=0 end of this knob, the natural
+    mixture the alpha=1 end. Division and sqrt are both
+    IEEE-correctly-rounded, so Spark and DuckDB derive bit-identical
+    rates (no pow ulp, no summation order). Same scale shape as p18:
+    one partial-agg shuffle, |sources|-row window min, broadcast rate
+    table, deterministic 16-bit-hash keep filter. Output: realized
+    per-source accounting — flatter than p18 (big sources keep more
+    than the equal-budget rule, small sources keep everything)."""
+    from dot_spark.operators.sampling import temperature_mixture
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = temperature_mixture(docs)
+    return kept.groupBy(
+        "source", F.round("keep_rate", 6).alias("keep_rate")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_toks").alias("n_tokens_kept"),
+    )
+
+
+@query(
     "p18_mixture_resample",
     f"""
     WITH toks AS (
@@ -12039,15 +12092,16 @@ _R13_WINDOW = [
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
     "a26_frequent_pairs", "a27_event_transitions", "a28_wilson_ci",
-    "a29_countmin_audit", "a30_k_anonymity",
-    # new in round 12 (3): first-gate the decode error-accounting
-    # audit, the KN bigram scorer, and the Gopher rule filter;
-    # dd15_containment, dd14_substring_spans and
-    # a31_expectations_audit slide to r14 (all r9-stale — still
-    # exactly at the 4-round bound at the r13 horizon, enforced by
+    "a29_countmin_audit",
+    # new in round 12 (4): first-gate the decode error-accounting
+    # audit, the KN bigram scorer, the Gopher rule filter, and the
+    # temperature mixture sampler; dd15_containment,
+    # dd14_substring_spans, a31_expectations_audit and
+    # a30_k_anonymity slide to r14 (all r9-stale — still exactly at
+    # the 4-round bound at the r13 horizon, enforced by
     # tests/test_gate_window.py)
     "mm9_progressive_jpeg_audit", "t27_kneser_ney_score",
-    "t28_gopher_rules",
+    "t28_gopher_rules", "p22_temperature_mixture",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]

@@ -160,3 +160,32 @@ def test_weighted_topk_output_schema_is_input_schema(spark):
     row = out.select("doc_id", es_key("doc_id", F.lit(1.0)).alias("k")).first()
     h = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:8], 16)
     assert row["k"] == round(math.log((h + 1.0) / 4294967296.0), 6)
+
+
+def test_temperature_mixture_endpoints_and_nesting(spark):
+    """alpha endpoints and the flattening law: alpha=0 reproduces
+    mixture_resample's equal-budget keep set exactly, alpha=1 keeps
+    everything, and the default alpha=0.5 keep set NESTS between
+    them (sqrt(r) >= r for r <= 1, and the per-row hash threshold is
+    fixed, so every equal-budget survivor also survives
+    temperature sampling)."""
+    from dot_spark.operators.sampling import mixture_resample, temperature_mixture
+
+    rows = [
+        (i, "big" if i < 300 else ("mid" if i < 380 else "small"),
+         "tok " * (5 + i % 7))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    eq = {r["doc_id"] for r in mixture_resample(docs).collect()}
+    a0 = {r["doc_id"] for r in temperature_mixture(docs, alpha=0.0).collect()}
+    assert a0 == eq
+    a1 = {r["doc_id"] for r in temperature_mixture(docs, alpha=1.0).collect()}
+    assert a1 == {r[0] for r in rows}
+    a5 = {r["doc_id"] for r in temperature_mixture(docs).collect()}
+    assert eq <= a5 <= a1
+    assert len(eq) < len(a5) < len(a1)
+    # the smallest source keeps everything at every alpha
+    small = {r[0] for r in rows if r[1] == "small"}
+    assert small <= a5 and small <= eq
