@@ -2749,6 +2749,82 @@ def _dd8_oracle_sql() -> str:
     """
 
 
+def _dd18_oracle_sql() -> str:
+    """dd18's oracle: dd2's pair SQL -> recursive closure (the dd8
+    pattern) -> LEFT join onto ALL documents (singletons cluster as
+    themselves) -> window count per cluster -> weight 1/size."""
+    dd2 = ORACLE["dd2_minhash_lsh_candidates"]
+    return f"""
+    WITH RECURSIVE cand AS ({dd2}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    closure AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN closure c ON d.doc_id = c.node),
+    sz AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM lab)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           ROUND(1.0 / cluster_size, 6) AS keep_weight
+    FROM sz
+    """
+
+
+@query("dd18_soft_dedup", _dd18_oracle_sql())
+def dd18_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication — reweight near-duplicate clusters instead
+    of dropping them (the D4 / SoftDeDup family, Tirumala et al.
+    2023 arXiv:2308.12284; He et al. 2024): every document gets
+    keep_weight = 1/|cluster|, so each near-dup cluster contributes
+    one document's worth of sampling mass while unique text keeps
+    weight 1 — the gentler alternative to dd8's hard canonical-drop
+    when duplicates still carry signal (boilerplate variants,
+    templated pages).
+
+    Shape: dd2 pair mining + dd8 component closure (both existing
+    scale shapes), then ONE window count over the cluster_id
+    partitioning (no join-back — the t23 single-exchange discipline);
+    singleton docs never enter the closure and cluster as themselves
+    via the left join + coalesce. Weight rounds to 6 dp (exact
+    1/int — both engines produce identical doubles)."""
+    from pyspark.sql import Window as W
+
+    from dot_spark.operators.textdedup import (
+        connected_components,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
+    cc = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    size = F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("keep_weight"),
+    )
+
+
 @query("dd8_dedup_clusters", _dd8_oracle_sql())
 def dd8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation over dd2's MinHash+LSH candidate
@@ -12092,16 +12168,15 @@ _R13_WINDOW = [
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
     "a26_frequent_pairs", "a27_event_transitions", "a28_wilson_ci",
-    "a29_countmin_audit",
-    # new in round 12 (4): first-gate the decode error-accounting
-    # audit, the KN bigram scorer, the Gopher rule filter, and the
-    # temperature mixture sampler; dd15_containment,
-    # dd14_substring_spans, a31_expectations_audit and
-    # a30_k_anonymity slide to r14 (all r9-stale — still exactly at
-    # the 4-round bound at the r13 horizon, enforced by
-    # tests/test_gate_window.py)
+    # new in round 12 (5): first-gate the decode error-accounting
+    # audit, the KN bigram scorer, the Gopher rule filter, the
+    # temperature mixture sampler, and the soft-dedup reweighter;
+    # dd15_containment, dd14_substring_spans, a31_expectations_audit,
+    # a30_k_anonymity and a29_countmin_audit slide to r14 (all
+    # r9-stale — still exactly at the 4-round bound at the r13
+    # horizon, enforced by tests/test_gate_window.py)
     "mm9_progressive_jpeg_audit", "t27_kneser_ney_score",
-    "t28_gopher_rules", "p22_temperature_mixture",
+    "t28_gopher_rules", "p22_temperature_mixture", "dd18_soft_dedup",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]

@@ -1304,3 +1304,79 @@ def test_dsir_importance_matches_replay(spark, texts, flags):
         n_t, glw, acc = got[i]
         assert n_t == len(toks) and acc == (u <= ap), (i, t)
         assert abs(glw - lw) < 1e-9, (i, t, glw, lw)
+
+
+# ---- corpus-scoring parity properties (round 12) ----------------
+
+# texts over a 4-word alphabet with punctuation/newline structure:
+# tiny domains force shared bigrams, degenerate docs (single token,
+# all-same-token), bullet/ellipsis lines — where smoothing math and
+# rule edge cases live
+_words_st = st.lists(
+    st.sampled_from(["the", "cat", "sat", "zz"]), min_size=1, max_size=12
+)
+_texts_st = st.lists(
+    _words_st.map(" ".join), min_size=1, max_size=8
+)
+
+
+def _docs_dir(spark, texts):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="prop_docs_")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+@given(texts=_texts_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kneser_ney_parity_on_generated_corpora(spark, texts):
+    """t27's interpolated-KN scores equal an independent pure-Python
+    replay on ANY corpus over a tiny colliding alphabet — the
+    smoothing algebra (discount clipping, continuation counts, type
+    totals) holds beyond the fixed fixture."""
+    import math
+    from collections import Counter
+
+    from dot_spark.queries import t27_kneser_ney_score
+    from tests.conftest import norm_toks
+
+    d = _docs_dir(spark, texts)
+    bc: Counter = Counter()
+    doc_pairs = {}
+    for i, t in enumerate(texts):
+        toks = norm_toks(t)
+        ps = list(zip(toks, toks[1:]))
+        if ps:
+            doc_pairs[i] = ps
+            bc.update(ps)
+    c1dot: Counter = Counter()
+    n1p_w1: Counter = Counter()
+    n1p_w2: Counter = Counter()
+    for (w1, w2), c in bc.items():
+        c1dot[w1] += c
+        n1p_w1[w1] += 1
+        n1p_w2[w2] += 1
+    n_types = len(bc)
+    expect = {}
+    for i, ps in doc_pairs.items():
+        logp = sum(
+            math.log(
+                max(bc[p] - 0.75, 0) / c1dot[p[0]]
+                + (0.75 * n1p_w1[p[0]] / c1dot[p[0]])
+                * (n1p_w2[p[1]] / float(n_types))
+            )
+            for p in ps
+        )
+        expect[i] = (len(ps), round(-logp / len(ps), 3))
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logp"])
+        for r in t27_kneser_ney_score(spark, d).collect()
+    }
+    assert got == expect

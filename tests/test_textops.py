@@ -1290,3 +1290,31 @@ def test_gopher_rules_constructed_fixture(spark):
     assert out[5]["kept"] is False and out[5]["ellipsis_frac"] > 0.3
     assert out[6]["kept"] is False and out[6]["symbol_ratio"] > 0.1
     assert out[7]["kept"] is False and out[7]["mean_word_len"] < 3
+
+
+def test_soft_dedup_mass_conservation_and_dd8_consistency(spark, sf_dir):
+    """dd18 laws: (a) every cluster's keep_weights sum to exactly 1
+    (each near-dup cluster contributes one document of sampling
+    mass); (b) cluster assignments agree with dd8's hard clustering
+    for every doc dd8 clusters, and every OTHER doc is a weight-1
+    singleton clustering as itself."""
+    from dot_spark.queries import dd18_soft_dedup, dd8_dedup_clusters
+
+    soft = dd18_soft_dedup(spark, sf_dir).collect()
+    mass: dict = {}
+    for r in soft:
+        mass[r["cluster_id"]] = mass.get(r["cluster_id"], 0.0) + r["keep_weight"]
+        assert r["keep_weight"] == round(1.0 / r["cluster_size"], 6)
+    for cid, m in mass.items():
+        assert abs(m - 1.0) < 1e-4, (cid, m)
+
+    hard = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd8_dedup_clusters(spark, sf_dir).collect()
+    }
+    soft_by_doc = {r["doc_id"]: r for r in soft}
+    for d, cid in hard.items():
+        assert soft_by_doc[d]["cluster_id"] == cid
+    for d, r in soft_by_doc.items():
+        if d not in hard:
+            assert r["cluster_id"] == d and r["cluster_size"] == 1
