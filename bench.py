@@ -130,6 +130,11 @@ EAGER_BUILD = {
     "t13_bpe_merges",
     "t13b_bpe_merges_batched",
     "pl9_semdedup",
+    # t27's builder collects the bigram-type count, which forces the
+    # pair-explode aggregation AND materializes the type-table
+    # checkpoint before the sink write — timing only the write would
+    # measure a cached-scan scoring pass, not the count build
+    "t27_kneser_ney_score",
 }
 
 # Round-over-round comparison target: the NEWEST BENCH_r*.json in
