@@ -115,6 +115,10 @@ HEADLINE = [
     # consumers is the cost center; a lost checkpoint re-runs the
     # pair explode per branch and only wall-time notices
     "t27_kneser_ney_score",
+    # round-12 addition: the composed soft corpus build (t25 gate ->
+    # dd18 soft dedup -> p22 sqrt mixture) — the end-to-end pipeline
+    # cost, incl. the eager closure loop over survivor pairs
+    "pl17_soft_corpus_build",
 ]
 
 # Queries whose BUILDER executes the heavy work EAGERLY (iterative
@@ -135,6 +139,8 @@ EAGER_BUILD = {
     # checkpoint before the sink write — timing only the write would
     # measure a cached-scan scoring pass, not the count build
     "t27_kneser_ney_score",
+    # pl17's builder runs the survivor-pair closure loop eagerly
+    "pl17_soft_corpus_build",
 }
 
 # Round-over-round comparison target: the NEWEST BENCH_r*.json in

@@ -6338,6 +6338,180 @@ def ss5_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ss11_multiprobe_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 5),
+    cents AS (
+      SELECT label AS cell, s.i AS dim,
+             ROUND(AVG(CAST(s.v AS DOUBLE)), 4) AS cv
+      FROM (SELECT label,
+                   UNNEST(list_transform(generate_series(1, len(embedding)),
+                          i -> {{'i': i, 'v': embedding[i]}})) AS s
+            FROM embeddings)
+      GROUP BY 1, 2),
+    carr AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM cents GROUP BY 1),
+    dist AS (
+      SELECT q.query_id, c.cell,
+             ROUND(list_sum(list_transform(
+               generate_series(1, len(q.query_vec)),
+               i -> (CAST(q.query_vec[i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(q.query_vec[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2
+      FROM q CROSS JOIN carr c),
+    ranked_cells AS (
+      SELECT query_id, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d2, cell) AS cell_rank
+      FROM dist),
+    probes AS (
+      SELECT r.query_id, r.cell, np.nprobe
+      FROM ranked_cells r, (SELECT UNNEST([1, 2, 3]) AS nprobe) np
+      WHERE r.cell_rank <= np.nprobe),
+    scored AS (
+      SELECT p.query_id, p.nprobe, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM probes p
+      JOIN q ON q.query_id = p.query_id
+      JOIN embeddings e ON e.label = p.cell),
+    topk AS (
+      SELECT query_id, nprobe, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id, nprobe
+          ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10),
+    bs AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS cos_sim
+      FROM q CROSS JOIN embeddings e),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM bs) WHERE rn <= 10)
+    SELECT b.query_id, CAST(np.nprobe AS INT) AS nprobe,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(t.vec_id) / 10.0, 2) AS recall_at_10
+    FROM brute b
+    CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS nprobe) np
+    LEFT JOIN topk t ON t.query_id = b.query_id
+                    AND t.nprobe = np.nprobe AND t.vec_id = b.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def ss11_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 as a FUNCTION of nprobe (1..3) — the multi-probe
+    recall curve every IVF deployment tunes before trading exactness
+    for scan cost (Jegou et al.'s IVF convention: probe the R cells
+    whose centroids are nearest the query, not just the home cell).
+    ss5 fixes nprobe at the query's own cell; this query quantifies
+    the knob: candidates from the R nearest cells by centroid
+    distance, top-10 by cosine, overlap vs the brute-force truth.
+
+    Determinism: centroids round to 4 dp before distances (ss6's
+    rule), distances to 6 dp with a cell-id tiebreak, cosines to 6 dp
+    with a vec_id tiebreak — both engines select identical probe sets
+    and identical top-k. The per-(query,cell) distance is a row-local
+    SEQUENTIAL zip_with fold, the same left-to-right order DuckDB's
+    list_sum replays. Scale shape: the centroid table is |cells| x
+    dim (tiny — broadcast everywhere), the candidate join is the ss2
+    broadcast-probe equi-join on the cell key, and brute-force truth
+    is the documented-quadratic gold standard confined to 5 queries.
+    Expected shape on the fixture: recall rises (weakly) with nprobe
+    — the law test pins monotonicity."""
+    from pyspark.sql import Window as W
+
+    from dot_spark.operators.similarity import brute_force_topk
+    from dot_spark.operators.textdedup import spread_small_input
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    comp = emb.select("label", F.posexplode("embedding").alias("dim", "c"))
+    cents = (
+        comp.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("c").cast("double")), 4).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    # |queries| x |cells| is tiny — the nested loop is bounded by
+    # construction (the ss1 documented exception class); the distance
+    # is a sequential fold so both engines sum in identical order
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "query_vec",
+                "cvec",
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    dist = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "query_vec", F.col("label").alias("cell"), d2.alias("d2")
+    )
+    wc = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    ranked = dist.withColumn("cell_rank", F.row_number().over(wc))
+    probes = ranked.select(
+        "query_id",
+        "query_vec",
+        "cell",
+        "cell_rank",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("nprobe"),
+    ).filter(F.col("cell_rank") <= F.col("nprobe"))
+    from dot_spark.operators.similarity import dot as vdot
+    from dot_spark.operators.similarity import norm
+
+    c = spread_small_input(emb)
+    scored = (
+        F.broadcast(probes)
+        .join(c, probes["cell"] == c["label"])
+        .withColumn(
+            "cos_sim",
+            F.round(
+                vdot(F.col("query_vec"), F.col("embedding"))
+                / (norm(F.col("query_vec")) * norm(F.col("embedding"))),
+                6,
+            ),
+        )
+    )
+    wt = W.partitionBy("query_id", "nprobe").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "nprobe", F.col("vec_id").alias("hit_id"))
+    )
+    brute = brute_force_topk(q, emb, k=10).select(
+        F.col("query_id").alias("b_qid"), F.col("vec_id").alias("b_vid")
+    )
+    bn = brute.crossJoin(
+        F.broadcast(
+            spark.range(1, 4).select(F.col("id").cast("int").alias("nprobe"))
+        )
+    )
+    hits = bn.join(
+        topk,
+        (bn["b_qid"] == topk["query_id"])
+        & (bn["nprobe"] == topk["nprobe"])
+        & (bn["b_vid"] == topk["hit_id"]),
+        "left",
+    )
+    return hits.groupBy(
+        F.col("b_qid").alias("query_id"), bn["nprobe"].alias("nprobe")
+    ).agg(
+        F.count("hit_id").alias("n_overlap"),
+        F.round(F.count("hit_id") / 10.0, 2).alias("recall_at_10"),
+    )
+
+
 def _pl9_oracle_sql() -> str:
     """pl9's oracle composes dd5b's pair SQL (same cell constraint and
     threshold) inside the dd8 recursive-closure pattern, rebuilds the
@@ -12302,18 +12476,19 @@ _R13_WINDOW = [
     "a15_approx_distinct_audit", "a16_grouping_sets",
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
-    "a26_frequent_pairs", "a27_event_transitions",
-    # new in round 12 (6): first-gate the decode error-accounting
+    "a26_frequent_pairs",
+    # new in round 12 (7): first-gate the decode error-accounting
     # audit, the KN bigram scorer, the Gopher rule filter, the
-    # temperature mixture sampler, the soft-dedup reweighter, and
-    # the composed soft-corpus-build pipeline; dd15_containment,
-    # dd14_substring_spans, a31_expectations_audit, a30_k_anonymity,
-    # a29_countmin_audit and a28_wilson_ci slide to r14 (all
+    # temperature mixture sampler, the soft-dedup reweighter, the
+    # composed soft-corpus-build pipeline, and the multi-probe
+    # recall curve; dd15_containment, dd14_substring_spans,
+    # a31_expectations_audit, a30_k_anonymity, a29_countmin_audit,
+    # a28_wilson_ci and a27_event_transitions slide to r14 (all
     # r9-stale — still exactly at the 4-round bound at the r13
     # horizon, enforced by tests/test_gate_window.py)
     "mm9_progressive_jpeg_audit", "t27_kneser_ney_score",
     "t28_gopher_rules", "p22_temperature_mixture", "dd18_soft_dedup",
-    "pl17_soft_corpus_build",
+    "pl17_soft_corpus_build", "ss11_multiprobe_recall",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]

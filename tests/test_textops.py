@@ -1318,3 +1318,42 @@ def test_soft_dedup_mass_conservation_and_dd8_consistency(spark, sf_dir):
     for d, r in soft_by_doc.items():
         if d not in hard:
             assert r["cluster_id"] == d and r["cluster_size"] == 1
+
+
+def test_multiprobe_recall_monotone_and_saturates(spark, sf_dir):
+    """ss11 laws: recall@10 is weakly MONOTONE in nprobe for every
+    query (probing more cells can only add candidates, and the top-k
+    over a superset can only match the brute truth at least as
+    well... for a FIXED truth set, overlap of the candidate top-k is
+    monotone because candidates nest), and probing every cell equals
+    brute force exactly (recall 1.0 for all queries)."""
+    from dot_spark.queries import load_table, ss11_multiprobe_recall
+    from dot_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rows = ss11_multiprobe_recall(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["recall_at_10"]
+    assert by_q
+    for q, curve in by_q.items():
+        assert set(curve) == {1, 2, 3}
+        assert curve[1] <= curve[2] <= curve[3], (q, curve)
+
+    # full-probe saturation: candidates from ALL cells == brute force
+    emb = load_table(spark, "embeddings", sf_dir)
+    n_cells = emb.select("label").distinct().count()
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # every (query, cell) pair probed -> ivf over the full corpus
+    q_all = q.crossJoin(emb.select("label").distinct())
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(q_all, emb, "label", k=10).collect()
+    }
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(q, emb, k=10).collect()
+    }
+    assert full == brute, n_cells
