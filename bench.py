@@ -115,10 +115,13 @@ HEADLINE = [
     # consumers is the cost center; a lost checkpoint re-runs the
     # pair explode per branch and only wall-time notices
     "t27_kneser_ney_score",
-    # round-12 addition: the composed soft corpus build (t25 gate ->
-    # dd18 soft dedup -> p22 sqrt mixture) — the end-to-end pipeline
-    # cost, incl. the eager closure loop over survivor pairs
-    "pl17_soft_corpus_build",
+    # pl17 (the composed soft corpus build) is deliberately NOT a
+    # headline row: its survivor-pair closure loop runs ~19 s at
+    # sf0.1 (the LSH pair graph chains deep — the same reason dd8
+    # itself was never in the headline), which would make the suite
+    # total mostly one query and break round-over-round
+    # comparability. Its cost rides the dd8/pl9 cells in
+    # tools/scale_sanity.py; correctness rides the gate.
 ]
 
 # Queries whose BUILDER executes the heavy work EAGERLY (iterative
@@ -140,6 +143,7 @@ EAGER_BUILD = {
     # measure a cached-scan scoring pass, not the count build
     "t27_kneser_ney_score",
     # pl17's builder runs the survivor-pair closure loop eagerly
+    # (kept here so the timing is honest if it ever joins HEADLINE)
     "pl17_soft_corpus_build",
 }
 
