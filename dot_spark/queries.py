@@ -12442,12 +12442,13 @@ assert not set(_WINDOW_PRIORITY) & set(_R11_WINDOW), "r12 overlaps r11"
 # 12 from CORRECTNESS_r01-r11 + the r12 window): the 35 queries whose
 # newest green row will still be r8 after r12 lands (the 50-row r8
 # cohort minus pl9_semdedup, re-gated r11, minus the 14 r8 rows the
-# r12 window carries), then the 15 stalest r9 rows
+# r12 window carries), then the 8 stalest r9 rows
 # (alphabetical within the r9 cohort; the remaining r9 rows slide
-# to r14). Two swaps at staging time for queries NEW in round 12:
-# mm9_progressive_jpeg_audit (the decode error-accounting audit) and
-# t27_kneser_ney_score (interpolated-KN bigram scoring) take the
-# last two slots; dd15_containment and dd14_substring_spans
+# to r14). Seven swaps at staging time for queries NEW in round 12 —
+# mm9 (decode error accounting), t27 (interpolated-KN scoring), t28
+# (Gopher rules), p22 (temperature mixture), dd18 (soft dedup), pl17
+# (the composed soft corpus build) and ss11 (multi-probe recall
+# curve) take the last seven slots; dd15/dd14/a31/a30/a29/a28/a27
 # (r9-stale) slide to r14 — first-gating new queries beats
 # re-verifying green ones (the r10 n12-n17 principle), and the
 # displaced rows stay inside the 4-round staleness bound at the r13
@@ -12472,7 +12473,7 @@ _R13_WINDOW = [
     "t14_stopword_stem", "t15_unigram_lm_score", "t17_bpe_encode",
     "w10_funnel_steps", "w11_moving_zscore", "w7_moving_avg",
     "w8_topk_per_group", "w9_scd2_history",
-    # r9-stale (12, alphabetical within the r9 cohort)
+    # r9-stale (8, alphabetical within the r9 cohort)
     "a15_approx_distinct_audit", "a16_grouping_sets",
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
