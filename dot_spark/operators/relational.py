@@ -127,11 +127,18 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join (beyond-reference operator Spark lacks natively):
     each left row is matched to the LATEST right row with
     right_ts <= left_ts for the same key — inclusive on ties, like
-    DuckDB/kdb ASOF JOIN.
+    DuckDB/kdb ASOF JOIN. ``direction="forward"`` flips the match to
+    the EARLIEST right row with right_ts >= left_ts (the
+    next-event-after join: click -> next purchase, alert -> next
+    deploy), implemented as the SAME single-shuffle sorted carry with
+    the traversal reversed — ts DESCENDING with right rows still
+    first on ties, so the carried struct is always the nearest
+    future right row and ties stay inclusive.
 
     Scale shape: the naive range-join formulation (join on key with
     an inequality, then keep the max right ts per left row) explodes
@@ -159,6 +166,10 @@ def asof_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join supports backward/forward, got {direction!r}"
+        )
     rcols = [c for c in right.columns if c != on]
     lcols = [c for c in left.columns]
 
@@ -178,9 +189,12 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
         F.struct(*[F.col(c) for c in rcols]).alias("__r"),
     )
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # one ignorenulls carry of the WHOLE right struct: a struct built

@@ -894,6 +894,44 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, on="user_id")
 
 
+@query(
+    "j20_asof_forward",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      FROM events WHERE event_type = 'click'),
+    r AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts,
+             ROUND(MAX(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS asof_ts, r.purchase_value AS asof_purchase_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def j20_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — every click matched to the user's NEXT
+    purchase at-or-after the click (the time-to-conversion /
+    next-event-after join; j8 is the backward twin). Oracle is
+    DuckDB's native ASOF JOIN with the inequality flipped
+    (l.ts <= r.ts); the Spark side is the same single-shuffle sorted
+    window carry with the traversal reversed
+    (operators/relational.py:asof_join, direction='forward') —
+    linear, no range-join explosion, inclusive on ties."""
+    from dot_spark.operators.relational import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, on="user_id", direction="forward")
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Aggregations (A1-A5, + rollup extension)
 # ---------------------------------------------------------------------------
@@ -12442,7 +12480,7 @@ assert not set(_WINDOW_PRIORITY) & set(_R11_WINDOW), "r12 overlaps r11"
 # 12 from CORRECTNESS_r01-r11 + the r12 window): the 35 queries whose
 # newest green row will still be r8 after r12 lands (the 50-row r8
 # cohort minus pl9_semdedup, re-gated r11, minus the 14 r8 rows the
-# r12 window carries), then the 8 stalest r9 rows
+# r12 window carries), then the 7 stalest r9 rows
 # (alphabetical within the r9 cohort; the remaining r9 rows slide
 # to r14). Seven swaps at staging time for queries NEW in round 12 —
 # mm9 (decode error accounting), t27 (interpolated-KN scoring), t28
@@ -12473,23 +12511,24 @@ _R13_WINDOW = [
     "t14_stopword_stem", "t15_unigram_lm_score", "t17_bpe_encode",
     "w10_funnel_steps", "w11_moving_zscore", "w7_moving_avg",
     "w8_topk_per_group", "w9_scd2_history",
-    # r9-stale (8, alphabetical within the r9 cohort)
+    # r9-stale (7, alphabetical within the r9 cohort)
     "a15_approx_distinct_audit", "a16_grouping_sets",
     "a21_cumulative_distinct", "a22_cohort_retention",
     "a23_activity_streaks", "a24_mad_robust", "a25_table_profile",
-    "a26_frequent_pairs",
-    # new in round 12 (7): first-gate the decode error-accounting
+    # new in round 12 (8): first-gate the decode error-accounting
     # audit, the KN bigram scorer, the Gopher rule filter, the
     # temperature mixture sampler, the soft-dedup reweighter, the
-    # composed soft-corpus-build pipeline, and the multi-probe
-    # recall curve; dd15_containment, dd14_substring_spans,
-    # a31_expectations_audit, a30_k_anonymity, a29_countmin_audit,
-    # a28_wilson_ci and a27_event_transitions slide to r14 (all
-    # r9-stale — still exactly at the 4-round bound at the r13
-    # horizon, enforced by tests/test_gate_window.py)
+    # composed soft-corpus-build pipeline, the multi-probe recall
+    # curve, and the forward as-of join; dd15_containment,
+    # dd14_substring_spans, a31_expectations_audit, a30_k_anonymity,
+    # a29_countmin_audit, a28_wilson_ci, a27_event_transitions and
+    # a26_frequent_pairs slide to r14 (all r9-stale — still exactly
+    # at the 4-round bound at the r13 horizon, enforced by
+    # tests/test_gate_window.py)
     "mm9_progressive_jpeg_audit", "t27_kneser_ney_score",
     "t28_gopher_rules", "p22_temperature_mixture", "dd18_soft_dedup",
     "pl17_soft_corpus_build", "ss11_multiprobe_recall",
+    "j20_asof_forward",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]

@@ -164,6 +164,38 @@ def test_asof_join_matches_reference_model(spark, lrows, rrows):
 
 
 @given(
+    lrows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+                   min_size=1, max_size=12),
+    rrows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+                   min_size=1, max_size=12),
+)
+@settings(**SETTINGS)
+def test_asof_forward_matches_reference_model(spark, lrows, rrows):
+    """forward asof_join == per-row python argmin of right ts >=
+    left ts (the next-event-after model), inclusive on ties — the
+    mirror of the backward law above."""
+    from dot_spark.operators.relational import asof_join
+
+    rrows = list({(k, ts) for k, ts in rrows})  # unique per (key, ts)
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)], "lid INT, k INT, ts INT"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, ts * 10) for k, ts in rrows], "k INT, ts INT, v INT"
+    )
+    got = {r.lid: (r.asof_ts, r.asof_v)
+           for r in asof_join(left, right, on="k",
+                              direction="forward").collect()}
+    for i, (k, ts) in enumerate(lrows):
+        cand = [rt for rk, rt in rrows if rk == k and rt >= ts]
+        if cand:
+            best = min(cand)
+            assert got[i] == (best, best * 10), (i, k, ts)
+        else:
+            assert i not in got, (i, k, ts)
+
+
+@given(
     pts=st.lists(st.integers(0, 40), min_size=1, max_size=10),
     ivs=st.lists(st.tuples(st.integers(0, 40), st.integers(1, 15)),
                  min_size=1, max_size=8),
