@@ -863,6 +863,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster candidate pairs into connected components: the step a
     real dedup pipeline runs AFTER pair mining (dd2/dd4/dd5 emit
@@ -914,7 +915,7 @@ def connected_components(
 
     try:
         state = probe(labels)
-        for _ in range(max_iterations):
+        for rounds in range(1, max_iterations + 1):
             labels = _cc_round(edges, labels).localCheckpoint()
             new_state = probe(labels)
             if new_state == state:
@@ -924,9 +925,71 @@ def connected_components(
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} iterations"
             )
+        if stats is not None:
+            # observability hand-back for harnesses (tools/
+            # scale_sanity.py pins that round count stays K-constant
+            # under upsampling); never read by query logic.
+            stats["rounds"] = rounds
     finally:
         edges.unpersist()
     return labels
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    carry: tuple[str, ...] = (),
+    cc_stats: dict | None = None,
+) -> DataFrame:
+    """SOFT deduplication — reweight near-duplicate clusters instead
+    of dropping them (the D4 / SoftDeDup family, Tirumala et al.
+    2023 arXiv:2308.12284): every document gets
+    keep_weight = 1/|cluster|, so each near-dup cluster contributes
+    one document's worth of sampling mass while unique text keeps
+    weight 1.
+
+    Shape: dd2 pair mining + dd8 component closure (both existing
+    scale shapes), then ONE window count over the cluster_id
+    partitioning (no join-back); singleton docs never enter the
+    closure and cluster as themselves via the left join + coalesce.
+    Shared by the dd18 query AND tools/scale_sanity.py's grid cell,
+    so the measured cell can never drift from the shipped query.
+    ``carry`` names extra doc columns to ride through the window
+    (pl17 carries source/n_toks so the composed build keeps the
+    single-exchange shape — no doc_id join-back). ``cc_stats`` hands
+    back the closure round count (see connected_components).
+
+    Returns (doc_id, *carry, cluster_id, cluster_size, keep_weight).
+    """
+    from pyspark.sql import Window as W
+
+    sig = minhash_signatures(docs, num_hashes=num_hashes, shingle_n=shingle_n)
+    pairs = lsh_candidate_pairs(
+        lsh_bands(sig, bands=bands, rows_per_band=rows_per_band),
+        id_col=id_col,
+    )
+    cc = connected_components(pairs, stats=cc_stats)
+    labeled = (
+        docs.select(id_col, *carry)
+        .join(cc, docs[id_col] == cc["node"], "left")
+        .select(
+            id_col,
+            *carry,
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    size = F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    return labeled.select(
+        id_col,
+        *carry,
+        "cluster_id",
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("keep_weight"),
+    )
 
 
 def lsh_candidate_pairs_incremental(

@@ -539,3 +539,64 @@ def streaming_mv_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def soft_corpus_build(
+    docs: DataFrame, cc_stats: dict | None = None
+) -> DataFrame:
+    """End-to-end SOFT corpus build — quality gate (t25 hashed linear
+    classifier, kept = score > 0) -> soft dedup over the SURVIVORS
+    (dd18: MinHash+LSH pairs, component closure, keep_weight =
+    1/|cluster|) -> temperature mixture over the weighted per-source
+    token mass (p22's alpha=0.5 sqrt rule).
+
+    Engine-parity discipline: the token mass is EXACT DECIMAL
+    arithmetic (bigint tokens x 6-dp weights — sums are exact, so
+    summation order cannot drift), and the mixture rate divides the
+    identical doubles before a correctly-rounded sqrt. Shared by the
+    pl17 query AND tools/scale_sanity.py's grid cell so the measured
+    cell can never drift from the shipped query; ``cc_stats`` hands
+    back the closure round count.
+
+    Returns (source, n_docs_kept, weighted_tokens, keep_rate).
+    """
+    from pyspark.sql import Window as W
+
+    from dot_spark.operators.text import hashed_linear_quality
+    from dot_spark.operators.textdedup import (
+        normalize_text,
+        soft_dedup_weights,
+    )
+
+    surv_ids = hashed_linear_quality(docs).filter("kept").select("doc_id")
+    survivors = docs.join(surv_ids, "doc_id").withColumn(
+        "n_toks", F.size(F.split(normalize_text(F.col("text")), " "))
+    )
+    weighted = soft_dedup_weights(
+        survivors, carry=("source", "n_toks"), cc_stats=cc_stats
+    )
+    mass_rows = weighted.select(
+        "source",
+        (
+            F.col("n_toks").cast("decimal(20,6)")
+            * F.col("keep_weight").cast("decimal(12,6)")
+        ).alias("__mass"),
+    )
+    tot = mass_rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("__mass").alias("__mass_total"),
+    )
+    min_mass = F.min("__mass_total").over(W.partitionBy())
+    return tot.select(
+        "source",
+        "n_docs_kept",
+        F.round(F.col("__mass_total").cast("double"), 4).alias(
+            "weighted_tokens"
+        ),
+        F.round(
+            F.sqrt(
+                min_mass.cast("double") / F.col("__mass_total").cast("double")
+            ),
+            6,
+        ).alias("keep_rate"),
+    )

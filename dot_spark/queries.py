@@ -932,6 +932,46 @@ def j20_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, on="user_id", direction="forward")
 
 
+@query(
+    "j21_asof_left",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      FROM events WHERE event_type = 'click'),
+    r AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts,
+             ROUND(MAX(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS asof_ts, r.purchase_value AS asof_purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j21_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join — j8's match rule (latest prior-or-
+    simultaneous purchase per click) but KEEPING clicks with no
+    earlier purchase, NULL-extended: the attribution variant users
+    reach for first (unconverted clicks are the denominator of any
+    conversion rate). Oracle is DuckDB's native ASOF LEFT JOIN; the
+    Spark side is the identical single-shuffle sorted window carry —
+    how='left' only skips the final match filter, so the left plan
+    is strictly cheaper than the inner one (one less filter, same
+    one exchange). Previously how='left' had only a unit test
+    (tests/test_relational.py) and no oracle row — this gates it."""
+    from dot_spark.operators.relational import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    return asof_join(clicks, purchases, on="user_id", how="left")
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Aggregations (A1-A5, + rollup extension)
 # ---------------------------------------------------------------------------
@@ -2832,35 +2872,14 @@ def dd18_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (no join-back — the t23 single-exchange discipline);
     singleton docs never enter the closure and cluster as themselves
     via the left join + coalesce. Weight rounds to 6 dp (exact
-    1/int — both engines produce identical doubles)."""
-    from pyspark.sql import Window as W
-
-    from dot_spark.operators.textdedup import (
-        connected_components,
-        lsh_bands,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    1/int — both engines produce identical doubles). Body lives in
+    operators/textdedup.py::soft_dedup_weights, shared with the
+    tools/scale_sanity.py grid cell so the measured cell can never
+    drift from the shipped query."""
+    from dot_spark.operators.textdedup import soft_dedup_weights
 
     docs = load_table(spark, "documents", sf_dir)
-    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
-    pairs = lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
-    cc = connected_components(pairs)
-    labeled = (
-        docs.select("doc_id")
-        .join(cc, docs["doc_id"] == cc["node"], "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
-        )
-    )
-    size = F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
-    return labeled.select(
-        "doc_id",
-        "cluster_id",
-        size.alias("cluster_size"),
-        F.round(F.lit(1.0) / size, 6).alias("keep_weight"),
-    )
+    return soft_dedup_weights(docs)
 
 
 @query("dd8_dedup_clusters", _dd8_oracle_sql())
@@ -9440,64 +9459,15 @@ def pl17_soft_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor endpoints (LSH candidacy is pairwise bucket-local),
     which is how the oracle composes dd2's SQL. Scale shapes are the
     components' own: zero-shuffle scoring, band-bucket equi-join,
-    pointer-jumping closure, one window count, one |sources|-row
-    aggregate."""
-    from pyspark.sql import Window as W
-
-    from dot_spark.operators.text import hashed_linear_quality
-    from dot_spark.operators.textdedup import (
-        connected_components,
-        lsh_bands,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        normalize_text,
-    )
+    pointer-jumping closure, one window count (source/n_toks CARRIED
+    through it — no doc_id join-back), one |sources|-row aggregate.
+    Body lives in pipelines.py::soft_corpus_build, shared with the
+    tools/scale_sanity.py grid cell so the measured cell can never
+    drift from the shipped query."""
+    from dot_spark.pipelines import soft_corpus_build
 
     docs = load_table(spark, "documents", sf_dir)
-    surv_ids = hashed_linear_quality(docs).filter("kept").select("doc_id")
-    survivors = docs.join(surv_ids, "doc_id")
-    sig = minhash_signatures(survivors, num_hashes=16, shingle_n=3)
-    pairs = lsh_candidate_pairs(lsh_bands(sig, bands=4, rows_per_band=4))
-    cc = connected_components(pairs)
-    tk = survivors.select(
-        "doc_id",
-        "source",
-        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_toks"),
-    )
-    labeled = (
-        tk.join(cc, tk["doc_id"] == cc["node"], "left")
-        .select(
-            "doc_id",
-            "source",
-            "n_toks",
-            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
-        )
-    )
-    weight = F.round(
-        F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("cluster_id")), 6
-    ).cast("decimal(12,6)")
-    mass_rows = labeled.select(
-        "source",
-        (F.col("n_toks").cast("decimal(20,6)") * weight).alias("__mass"),
-    )
-    tot = mass_rows.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs_kept"),
-        F.sum("__mass").alias("__mass_total"),
-    )
-    min_mass = F.min("__mass_total").over(W.partitionBy())
-    return tot.select(
-        "source",
-        "n_docs_kept",
-        F.round(F.col("__mass_total").cast("double"), 4).alias(
-            "weighted_tokens"
-        ),
-        F.round(
-            F.sqrt(
-                min_mass.cast("double") / F.col("__mass_total").cast("double")
-            ),
-            6,
-        ).alias("keep_rate"),
-    )
+    return soft_corpus_build(docs)
 
 
 @query(
@@ -12448,7 +12418,7 @@ assert set(_R11_WINDOW) & set(_R10_WINDOW) == {
 # executing the staged backfill verbatim is strictly more
 # information (the r11 verdict's watch item 3: the staged window
 # must actually run or staleness ratchets).
-_WINDOW_PRIORITY = [
+_R12_WINDOW = [
     # r7-stale (36)
     "a1_group_having", "c2_webhook_route", "c3_quality_filter",
     "dd5_embedding_neardup", "f8_hmac_sha256", "j1_anti_join",
@@ -12471,12 +12441,14 @@ _WINDOW_PRIORITY = [
     "dd12_url_dedup", "dd13_minhash_estimator_audit", "dd9_chunk_dedup",
     "f11_higher_order_arrays",
 ]
-assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
-_r12_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+_r12_missing = [n for n in _R12_WINDOW if n not in QUERIES]
 assert not _r12_missing, f"r12 window names not registered: {_r12_missing}"
-assert not set(_WINDOW_PRIORITY) & set(_R11_WINDOW), "r12 overlaps r11"
-# The r13 rotation, MACHINE-READABLE — next round, swap this list
-# into _WINDOW_PRIORITY. Composition (computed at the start of round
+assert not set(_R12_WINDOW) & set(_R11_WINDOW), "r12 overlaps r11"
+# ROUND-13 WINDOW (ACTIVE — swapped in as the first commit of round
+# 13, exactly the list staged at the end of round 12; CORRECTNESS_r12
+# is 50/50 green on _R12_WINDOW above). Composition (computed at the
+# start of round
 # 12 from CORRECTNESS_r01-r11 + the r12 window): the 35 queries whose
 # newest green row will still be r8 after r12 lands (the 50-row r8
 # cohort minus pl9_semdedup, re-gated r11, minus the 14 r8 rows the
@@ -12496,7 +12468,7 @@ assert not set(_WINDOW_PRIORITY) & set(_R11_WINDOW), "r12 overlaps r11"
 # the staleness policy (no query's latest official row more than 4
 # rounds stale after this staged window executes) against the
 # committed CORRECTNESS receipts.
-_R13_WINDOW = [
+_WINDOW_PRIORITY = [
     # r8-stale (35, alphabetical)
     "f12_bitwise_aggs", "f13_calendar_arith", "f14_map_functions",
     "f15_array_sort_comparator", "j13_interval_overlap_join",
@@ -12530,10 +12502,63 @@ _R13_WINDOW = [
     "pl17_soft_corpus_build", "ss11_multiprobe_recall",
     "j20_asof_forward",
 ]
-assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
-_r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+_r13_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
 assert not _r13_missing, f"r13 window names not registered: {_r13_missing}"
-assert not set(_R13_WINDOW) & set(_WINDOW_PRIORITY), "r13 overlaps r12"
+assert not set(_WINDOW_PRIORITY) & set(_R12_WINDOW), "r13 overlaps r12"
+# The r14 rotation, MACHINE-READABLE — next round, swap this list
+# into _WINDOW_PRIORITY. Composition (computed at the start of round
+# 13 from CORRECTNESS_r01-r12 + the r13 window above): after the r13
+# window lands, exactly 42 queries' newest green row is r9 — ALL of
+# them must be here (they would be 5 rounds stale at the r14
+# horizon, past the 4-round bound tests/test_gate_window.py
+# enforces) — followed by the 8 stalest r10 rows (alphabetical
+# within the r10 cohort; the remaining 39 r10 rows slide to r15,
+# where they sit exactly at the bound). If round 13 adds new
+# queries or changes any query's semantics, swap them into the
+# LAST slots here (displacing the r10 fills, never the r9 cohort —
+# the r9 rows are bound-critical, the r10 fills are not) — # first-
+# gating new/changed code beats re-verifying untouched green code
+# (the r10 n12-n17 principle).
+_R14_WINDOW = [
+    # r9-stale (42, alphabetical) — bound-critical: every one of
+    # these must gate at r14 or it breaches the 4-round staleness
+    # bound. Never displace these.
+    "a26_frequent_pairs", "a27_event_transitions", "a28_wilson_ci",
+    "a29_countmin_audit", "a30_k_anonymity", "a31_expectations_audit",
+    "dd14_substring_spans", "dd15_containment", "g1_pagerank",
+    "g2_triangle_count", "g3_bfs_levels", "g4_link_prediction",
+    "j17_multihop_topk", "j18_snapshot_diff", "j19_bloom_prejoin",
+    "mm4_image_resize", "mm5_audio_rms", "mm6_image_phash",
+    "n11_xml_roundtrip", "n8_malformed_json_audit",
+    "p16_fixed_k_per_stratum", "p18_mixture_resample",
+    "p19_sequence_packing", "p20_zorder_layout", "pl12_dataset_card",
+    "pl8_merge_upsert", "s15_text_log_source", "s18_txlog_snapshot",
+    "s19_zorder_skipping", "ss6_label_centroids", "ss8_sq_topk",
+    "ss9_pq_topk", "st5_delayed_retry", "t16_langid_accuracy",
+    "t18_novelty_score", "t19_bm25_topterms", "t20_pmi_collocations",
+    "t21_readability", "t22_zipf_audit", "w12_ewma_smooth",
+    "w13_ohlc_resample", "w14_range_frame",
+    # r10-stale fills (7, alphabetical within the r10 cohort) —
+    # displaceable by new-in-round-13 queries per the policy above
+    # (a5_collect_sorted_list displaced to r15 staging by j21).
+    "a10_string_agg_ordered", "a11_group_percentiles",
+    "a2_watermark_max", "a32_linreg_trend", "a33_skyline",
+    "a3_conditional_agg", "a4_count_predicate",
+    # new in round 13 (first-gate at r14): the LEFT as-of join —
+    # j8/j20 gate how='inner' only; this gates how='left' (keep
+    # unconverted clicks) against DuckDB's ASOF LEFT JOIN.
+    "j21_asof_left",
+]
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+_r14_missing = [n for n in _R14_WINDOW if n not in QUERIES]
+assert not _r14_missing, f"r14 window names not registered: {_r14_missing}"
+assert not set(_R14_WINDOW) & set(_WINDOW_PRIORITY), "r14 overlaps r13"
+# Generic alias so tests/test_gate_window.py reads "the staged
+# next-round window" without hardcoding a round number — next
+# round's swap renames _R14_WINDOW to _WINDOW_PRIORITY and repoints
+# this alias at the freshly staged _R15_WINDOW.
+_STAGED_WINDOW = _R14_WINDOW
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},

@@ -152,66 +152,67 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-12 rotation BY NAME, independently of the
+    the round-13 rotation BY NAME, independently of the
     _WINDOW_PRIORITY constant (tests/test_gate_window.py asserts the
     registry leads with that constant; this hand-written set catches
-    an accidental edit of the constant itself): the staged r11
-    backfill executed VERBATIM — 36 r7-stale rows + the 14 stalest
-    r8 rows, zero swaps."""
+    an accidental edit of the constant itself): the staged r12
+    backfill executed VERBATIM — 35 r8-stale rows + the 7 stalest r9
+    rows + the 8 round-12 additions first-gated here."""
     window = list(QUERIES)[:50]
     must_have = {
-        # r7-stale (36)
-        "a1_group_having",
-        "c2_webhook_route",
-        "c3_quality_filter",
-        "dd5_embedding_neardup",
-        "f8_hmac_sha256",
-        "j1_anti_join",
-        "j7_star_join_rollup",
-        "j8_asof_join",
-        "p10_deterministic_sample",
-        "p11_stratified_sample",
-        "p1_schema_align",
-        "p7_sentinel_null",
-        "pl1_okta_refresh",
-        "pl3_event_retry_pipeline",
-        "pl5_corpus_dedup_pipeline",
-        "s13_jsonl_roundtrip",
-        "s14_orc_roundtrip",
-        "s1_scan_projection",
-        "s2_paged_rest_scan",
-        "s4_csv_parse",
-        "ss1_cosine_topk",
-        "ss2_ivf_topk",
-        "ss3_ivf_trained_topk",
-        "ss4_lsh_topk",
-        "st3_stream_corpus_dedup",
-        "st4_attribute_fanout",
-        "st7_drain_machine",
-        "t10_doc_chunking",
-        "t1_token_stats",
-        "t2_quality_score",
-        "t7_repetition_ratio",
-        "t8_pii_scrub",
-        "t9_tfidf_topterms",
-        "w1_dedup_keep_latest",
-        "w4_superseded_dedup",
-        "w6_sessionize",
-        # r8-stale (14)
-        "a12_cube_lattice",
-        "a13_pivot_wide",
-        "a14_gapfill_locf",
-        "a17_global_topk",
-        "a18_winsorize",
-        "a19_percentile_sketch_audit",
-        "a20_share_of_total",
-        "c4_quality_ensemble",
-        "dd10_edit_distance_verify",
-        "dd11_lsh_quality_eval",
-        "dd12_url_dedup",
-        "dd13_minhash_estimator_audit",
-        "dd9_chunk_dedup",
-        "f11_higher_order_arrays",
+        # r8-stale (35)
+        "f12_bitwise_aggs",
+        "f13_calendar_arith",
+        "f14_map_functions",
+        "f15_array_sort_comparator",
+        "j13_interval_overlap_join",
+        "j14_attribution_join",
+        "j16_tree_flatten",
+        "n10_variant_access",
+        "n7_unpivot",
+        "n9_nested_json_explode",
+        "p12_train_val_test_split",
+        "p13_token_budget_sample",
+        "p14_weighted_sample",
+        "p15_corpus_shuffle",
+        "p17_leakproof_split",
+        "pl10_record_linkage",
+        "pl11_incremental_lsh",
+        "pl6_verified_dedup_pipeline",
+        "pl7_corpus_build_pipeline",
+        "s16_file_lineage",
+        "s17_bucketed_join",
+        "ss5_recall_eval",
+        "ss7_mmr_topk",
+        "st8_session_window",
+        "t11_bigram_counts",
+        "t12_domain_stats",
+        "t13_bpe_merges",
+        "t14_stopword_stem",
+        "t15_unigram_lm_score",
+        "t17_bpe_encode",
+        "w10_funnel_steps",
+        "w11_moving_zscore",
+        "w7_moving_avg",
+        "w8_topk_per_group",
+        "w9_scd2_history",
+        # r9-stale (7)
+        "a15_approx_distinct_audit",
+        "a16_grouping_sets",
+        "a21_cumulative_distinct",
+        "a22_cohort_retention",
+        "a23_activity_streaks",
+        "a24_mad_robust",
+        "a25_table_profile",
+        # new in round 12, first-gated in round 13 (8)
+        "mm9_progressive_jpeg_audit",
+        "t27_kneser_ney_score",
+        "t28_gopher_rules",
+        "p22_temperature_mixture",
+        "dd18_soft_dedup",
+        "pl17_soft_corpus_build",
+        "ss11_multiprobe_recall",
+        "j20_asof_forward",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50
