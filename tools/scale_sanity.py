@@ -159,6 +159,10 @@ def main() -> None:
     # build the whole (query, K) grid lazily up front, then time it
     # in interleaved rounds: grid order q1k1 q2k1 ... q3k10, twice
     grid: dict[tuple[str, int], object] = {}
+    # (cell, K) -> {"rounds": n} handed back by connected_components
+    # for the closure-bearing cells (dd18/pl17); reported in the
+    # summary so round-count growth across K is a first-class receipt
+    cc_rounds: dict[tuple[str, int], dict] = {}
     for k in ks:
         docs = upsampled_docs(spark, k)
         emb = upsampled_embeddings(spark, k)
@@ -739,6 +743,60 @@ def main() -> None:
             lambda d=docs: dsir_importance(d, F.col("doc_id") % 5 == 0)
         )
 
+        # r13 additions (r12 verdict task 3): the soft-dedup
+        # reweighter and the composed soft corpus build — previously
+        # the one family whose scale behavior rode the dd8/pl9 cells
+        # by inference (pl17's survivor LSH pair graph chains deeper
+        # than pl9's: 19.3 s eager closure at sf0.1, NOTES_r12 §14).
+        # Both cells run the SHIPPED bodies (textdedup.py::
+        # soft_dedup_weights / pipelines.py::soft_corpus_build — the
+        # same functions the dd18/pl17 queries call), and both hand
+        # back the closure ROUND COUNT via cc_stats. Copies never
+        # bridge (disjoint suffixed shingles), but each copy's pair
+        # GRAPH differs — LSH candidacy hashes the suffixed shingle
+        # text, so copy i's chains are a fresh draw — and the loop
+        # runs to the max diameter over copies: expect rounds to
+        # drift up slowly with K (max of K draws; measured r13:
+        # dd18 13->16 for K=1->3, pl17 flat at 8 — the quality gate
+        # breaks long chains), while a JUMP toward max_iterations=25
+        # means copies bridged (harness bug) or pointer jumping
+        # stopped shortcutting (engine bug). Rounds land in the
+        # summary JSON as cc_rounds per (cell, K).
+        from dot_spark.operators.textdedup import soft_dedup_weights
+        from dot_spark.pipelines import soft_corpus_build
+
+        def _dd18_cell(d, name, k):
+            st: dict = {}
+            out = soft_dedup_weights(d, cc_stats=st)
+            cc_rounds[(name, k)] = st
+            return out
+
+        def _pl17_cell(d, name, k):
+            st: dict = {}
+            out = soft_corpus_build(d, cc_stats=st)
+            cc_rounds[(name, k)] = st
+            return out
+
+        grid[("dd18_soft_dedup", k)] = (
+            lambda d=docs, k=k: _dd18_cell(d, "dd18_soft_dedup", k)
+        )
+        # pl17 needs a source column for the mixture accounting; the
+        # upsampled docs carry only (doc_id, text), so rejoin source
+        # from the base table by base-id (copy i of doc d keeps d's
+        # source — per-source mass scales K-fold, structure constant).
+        src = load_table(spark, "documents", SF_DIR).select(
+            F.col("doc_id").alias("base_id"), "source"
+        )
+        n_base = src.count()
+        docs_src = (
+            docs.withColumn("base_id", F.col("doc_id") % n_base)
+            .join(F.broadcast(src), "base_id")
+            .drop("base_id")
+        )
+        grid[("pl17_soft_corpus_build", k)] = (
+            lambda d=docs_src, k=k: _pl17_cell(d, "pl17_soft_corpus_build", k)
+        )
+
     # SCALE_SANITY_ONLY=<substr>[,<substr>...] restricts the grid to
     # matching cell names — targeted re-receipts without paying for
     # the full grid (interleaving discipline unchanged within the
@@ -773,6 +831,13 @@ def main() -> None:
             "times": by_k,
             "alpha": round(alpha, 2) if alpha is not None else None,
         }
+        rounds_by_k = {
+            k: st["rounds"]
+            for (n, k), st in cc_rounds.items()
+            if n == name and "rounds" in st
+        }
+        if rounds_by_k:
+            summary[name]["cc_rounds"] = rounds_by_k
     print(json.dumps({"summary": summary}), flush=True)
 
 
