@@ -220,7 +220,136 @@ def _steal_pct(before: dict, after: dict) -> float | None:
         return None
 
 
+def _run_ab(ref: str) -> None:
+    """Interleaved same-box A/B vs another committed tree — the NOTES
+    §9 adjudication protocol as one command (r12 verdict task 4).
+
+    Protocol: check `ref` out into a throwaway git worktree, then run
+    the bench suite in ALTERNATING subprocesses (HEAD, ref, ref,
+    HEAD, HEAD, ref, ... — the leader flips each pair so slow host
+    drift cancels instead of loading one side), symmetric sample
+    counts, per-query MIN across a side's processes, and a
+    common-subset ratio over queries BOTH trees ran clean. A pair
+    either of whose runs saw >0.5% CPU steal is re-run once (bounded
+    by DOT_SPARK_BENCH_MAX_EXTRA pairs) — both sides re-run together
+    so counts stay symmetric. Child processes run the normal bench
+    entrypoint with DOT_SPARK_BENCH_ROUNDS=2 / MAX_EXTRA=0 (steal
+    handling lives up here where symmetry can be preserved), so the
+    compared numbers are exactly what the per-round driver bench
+    measures.
+
+    Prints ONE JSON line with an "ab" block: per-query {head, ref}
+    mins, the common-subset totals and ratio, per-run steal
+    telemetry, and the run order — a machine-readable noise
+    adjudication receipt instead of a NOTES narrative.
+    """
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", ref],
+        cwd=here, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    tree = os.path.join(tempfile.gettempdir(), f"dot_spark_ab_{sha}")
+    if not os.path.isdir(tree):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", tree, sha],
+            cwd=here, capture_output=True, text=True, check=True,
+        )
+
+    env = dict(os.environ)
+    env["DOT_SPARK_BENCH_ROUNDS"] = env.get("DOT_SPARK_AB_CHILD_ROUNDS", "2")
+    env["DOT_SPARK_BENCH_MAX_EXTRA"] = "0"
+
+    def one_run(side_dir: str) -> tuple[dict[str, float], float | None]:
+        before = _box_snapshot()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(side_dir, "bench.py")],
+            cwd=side_dir, env=env, capture_output=True, text=True,
+        )
+        steal = _steal_pct(before, _box_snapshot())
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench child in {side_dir} rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}"
+            )
+        line = next(
+            ln for ln in reversed(proc.stdout.splitlines())
+            if ln.startswith("{")
+        )
+        q = json.loads(line)["queries"]
+        return {k: v for k, v in q.items() if isinstance(v, (int, float))}, steal
+
+    pairs = int(os.environ.get("DOT_SPARK_AB_PAIRS", "3"))
+    max_extra = int(os.environ.get("DOT_SPARK_BENCH_MAX_EXTRA", "2"))
+    best: dict[str, dict[str, float]] = {"head": {}, "ref": {}}
+    steal_log: list[dict] = []
+    order: list[str] = []
+    planned, p, extra_used = pairs, 0, 0
+    while p < planned:
+        leader = "head" if p % 2 == 0 else "ref"
+        trailer = "ref" if leader == "head" else "head"
+        pair_steal = []
+        for side in (leader, trailer):
+            side_dir = here if side == "head" else tree
+            q, steal = one_run(side_dir)
+            for name, sec in q.items():
+                cur = best[side].get(name)
+                best[side][name] = sec if cur is None else min(cur, sec)
+            order.append(side)
+            steal_log.append({"side": side, "steal_pct": steal})
+            pair_steal.append(steal)
+        if (
+            any(s is not None and s > 0.5 for s in pair_steal)
+            and extra_used < max_extra
+        ):
+            planned += 1
+            extra_used += 1
+        p += 1
+
+    common = sorted(set(best["head"]) & set(best["ref"]))
+    head_total = round(sum(best["head"][n] for n in common), 3)
+    ref_total = round(sum(best["ref"][n] for n in common), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dot_spark interleaved A/B",
+                "unit": "sec",
+                "ab": {
+                    "ref": sha,
+                    "ref_arg": ref,
+                    "pairs_planned": pairs,
+                    "pairs_run": planned,
+                    "steal_retries": extra_used,
+                    "child_rounds": int(env["DOT_SPARK_BENCH_ROUNDS"]),
+                    "order": order,
+                    "queries": {
+                        n: {"head": best["head"][n], "ref": best["ref"][n]}
+                        for n in common
+                    },
+                    "head_only": sorted(set(best["head"]) - set(best["ref"])),
+                    "ref_only": sorted(set(best["ref"]) - set(best["head"])),
+                    "common_subset": {
+                        "n_queries": len(common),
+                        "head_total": head_total,
+                        "ref_total": ref_total,
+                        "ratio_head_over_ref": (
+                            round(head_total / ref_total, 3)
+                            if ref_total else None
+                        ),
+                    },
+                    "steal_pct_per_run": steal_log,
+                },
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        _run_ab(sys.argv[2])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("dot_spark_bench")
