@@ -437,6 +437,114 @@ def _jpeg_bytes(width: int, height: int, gray: int, ac44: int = 0) -> bytes:
     return b"\xff\xd8" + dqt + sof0 + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
 
 
+def _jpeg_color_bytes(
+    width: int,
+    height: int,
+    y0: int,
+    cb0: int,
+    cr0: int,
+    ac44: int = 0,
+    subsample: str = "4:2:0",
+) -> bytes:
+    """Encode a REAL interleaved 3-component (YCbCr) baseline JPEG,
+    stdlib-only — the color twin of _jpeg_bytes. Spec-valid JFIF:
+    SOF0 with per-component sampling factors (4:2:0 = Y 2x2 +
+    Cb/Cr 1x1, or 4:4:4 = all 1x1), SEPARATE Huffman table ids for
+    luma (0) and chroma (1) so a decoder must honor the SOS Td/Ta
+    component mapping, and an interleaved MCU entropy stream with
+    per-component DC predictors.
+
+    Content is the closed-form class an independent oracle can
+    recompute without running a DCT: Cb/Cr are FLAT fields (cb0/cr0
+    — so chroma upsampling is value-invariant and 4:2:0 and 4:4:4
+    payloads decode to identical pixels), and Y carries the
+    _jpeg_bytes pattern y0 + 2*ac44*s(x%8)*s(y%8) with
+    s = [+,-,-,+,+,-,-,+] (AC(4,4) rides every Y block, entropy-coded
+    through ZRL/run machinery inside the interleaved scan).
+    """
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    if not 0 <= ac44 <= 9:
+        raise ValueError("ac44 must be in 0..9 (keeps pixels clamp-free)")
+    if subsample not in ("4:2:0", "4:4:4"):
+        raise ValueError("subsample must be '4:2:0' or '4:4:4'")
+    hy = vy = 2 if subsample == "4:2:0" else 1
+    # quant table 0: Q[0]=8 so quantized DC == value-128 exactly;
+    # rest 16 (zigzag 39 = (4,4) -> dequantized coefficient 16*ac44)
+    dqt = seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, hy << 4 | vy, 0])  # Y: sampling (hy, vy), qtab 0
+        + bytes([2, 0x11, 0])  # Cb: 1x1, qtab 0
+        + bytes([3, 0x11, 0]),  # Cr: 1x1, qtab 0
+    )
+    # same canonical tables as _jpeg_bytes, registered TWICE: ids 0
+    # (luma) and 1 (chroma), so the SOS component->table mapping is a
+    # real code path, not a constant
+    dc_body = bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    ac_syms = bytes([0x00, 0xF0, 0x61, 0x62, 0x63, 0x64])
+    ac_body = bytes([0, 0, 0, len(ac_syms)] + [0] * 12) + ac_syms
+    dht = seg(
+        0xFFC4,
+        b"\x00" + dc_body + b"\x01" + dc_body  # DC ids 0, 1
+        + b"\x10" + ac_body + b"\x11" + ac_body,  # AC ids 0, 1
+    )
+    sos = seg(
+        0xFFDA,
+        b"\x03"
+        + bytes([1, 0x00])  # Y  -> DC 0 / AC 0
+        + bytes([2, 0x11])  # Cb -> DC 1 / AC 1
+        + bytes([3, 0x11])  # Cr -> DC 1 / AC 1
+        + b"\x00\x3f\x00",
+    )
+
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
+
+    ac_code = {s: i for i, s in enumerate(ac_syms)}  # canonical 4-bit
+
+    def put_block(dc_diff: int, with_ac: bool) -> None:
+        cat = abs(dc_diff).bit_length()
+        put(cat, 4)  # DC category code (canonical: category == code)
+        if cat:  # magnitude bits, JPEG one's-complement convention
+            put(dc_diff if dc_diff >= 0 else dc_diff + (1 << cat) - 1, cat)
+        if with_ac and ac44:
+            put(ac_code[0xF0], 4)  # ZRL: 16 zeros (scan pos 1-16)
+            put(ac_code[0xF0], 4)  # ZRL: 16 zeros (scan pos 17-32)
+            size = ac44.bit_length()
+            put(ac_code[0x60 | size], 4)  # run 6 (pos 33-38), then (4,4)
+            put(ac44, size)  # positive magnitude bits
+        put(ac_code[0x00], 4)  # EOB
+
+    mcus_x = (width + 8 * hy - 1) // (8 * hy)
+    mcus_y = (height + 8 * vy - 1) // (8 * vy)
+    pred = {1: 0, 2: 0, 3: 0}  # per-component DC predictors
+
+    def comp_block(comp: int, dc_value: int, with_ac: bool) -> None:
+        put_block(dc_value - pred[comp], with_ac)
+        pred[comp] = dc_value
+
+    for _ in range(mcus_x * mcus_y):
+        for _ in range(hy * vy):  # Y blocks, raster order in the MCU
+            comp_block(1, y0 - 128, True)
+        comp_block(2, cb0 - 128, False)
+        comp_block(3, cr0 - 128, False)
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    raw = bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
+        for p in range(0, len(bits), 8)
+    )
+    entropy = raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
 def _progressive_jpeg_bytes(width: int, height: int, seed: int) -> bytes:
     """Encode a structurally-valid PROGRESSIVE JPEG (SOF2): the
     marker stream a real progressive encoder emits — SOI, DQT, SOF2
@@ -510,17 +618,29 @@ def _parse_jpeg(data: bytes) -> dict:
     return dims
 
 
-def _jpeg_decode_gray(data: bytes) -> np.ndarray:
-    """REAL baseline-JPEG decode to the (h, w) grayscale pixel grid:
-    marker walk, DQT/SOF/DHT/SOS parse, FULL canonical-Huffman
-    entropy decode (DC categories + AC run/size symbols including
-    ZRL and EOB, JPEG extend rule, byte destuffing), dezigzag,
-    dequantize, exact 2-D IDCT per block, level shift, clamp,
-    assemble MCUs, crop. Grayscale single-component baseline only
-    (SOF0 with one component) — multi-component color and
-    progressive scans still raise, but the entropy layer is the
-    complete spec machinery: any baseline grayscale stream decodes,
-    not just the DC-only class the r9-r10 decoder accepted."""
+def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
+    """REAL baseline-JPEG decode: marker walk, DQT/SOF/DHT/SOS parse
+    (multi-table segments, per-component quant/Huffman table ids),
+    FULL canonical-Huffman entropy decode (DC categories + AC
+    run/size symbols including ZRL and EOB, JPEG extend rule, byte
+    destuffing), dezigzag, dequantize, exact 2-D IDCT per block,
+    level shift, clamp, MCU assembly, crop.
+
+    Grayscale (1 component) returns the (h, w) pixel grid.
+    THREE-component YCbCr (the color class — r12 verdict task 6)
+    decodes the interleaved scan with per-component sampling factors
+    (4:4:4 and subsampled 4:2:0/4:2:2 alike), per-component DC
+    predictors and SOS-mapped table ids, upsamples chroma by sample
+    replication, and converts to RGB (h, w, 3) with the fixed-point
+    JFIF transform at 10^-6 precision (libjpeg-style integer
+    arithmetic — R = (10^6*Y + 1402000*(Cr-128) + 5*10^5) // 10^6
+    etc., floor-div after +half): every step is integer-exact, so an
+    independent oracle recomputes decoded pixels closed-form with no
+    float rounding ambiguity.
+
+    Still out of scope (raise, and decode_media error-accounts):
+    progressive SOF2, non-baseline SOF1/3, restart markers (DRI),
+    component counts other than 1/3 (e.g. 4 = Adobe CMYK)."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -529,6 +649,8 @@ def _jpeg_decode_gray(data: bytes) -> np.ndarray:
     qtab: dict[int, bytes] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (td, ta)
     entropy = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -536,36 +658,62 @@ def _jpeg_decode_gray(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + length]
-        if marker == 0xDB:  # DQT (8-bit precision only)
-            qtab[body[0] & 0x0F] = body[1:65]
+        if marker == 0xDB:  # DQT: 1+ tables per segment, 8-bit only
+            p = 0
+            while p < len(body):
+                if body[p] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtab[body[p] & 0x0F] = body[p + 1 : p + 65]
+                p += 65
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack(">HH", body[1:5])
-            if body[5] != 1:
-                raise ValueError("multi-component JPEG unsupported (gray only)")
+            n_comp = body[5]
+            if n_comp not in (1, 3):
+                raise ValueError(
+                    f"JPEG component count {n_comp} unsupported (gray/YCbCr only)"
+                )
+            for c in range(n_comp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("non-baseline JPEG unsupported")
-        elif marker == 0xC4:  # DHT: canonical code assignment
-            tclass, tid = body[0] >> 4, body[0] & 0x0F
-            counts = body[1:17]
-            syms = body[17 : 17 + sum(counts)]
-            table: dict[tuple[int, int], int] = {}
-            code, si = 0, 0
-            for bitlen in range(1, 17):
-                for _ in range(counts[bitlen - 1]):
-                    table[(bitlen, code)] = syms[si]
-                    code += 1
-                    si += 1
-                code <<= 1
-            huff[(tclass, tid)] = table
+        elif marker == 0xC4:  # DHT: 1+ canonical tables per segment
+            p = 0
+            while p < len(body):
+                tclass, tid = body[p] >> 4, body[p] & 0x0F
+                counts = body[p + 1 : p + 17]
+                n_syms = sum(counts)
+                syms = body[p + 17 : p + 17 + n_syms]
+                table: dict[tuple[int, int], int] = {}
+                code, si = 0, 0
+                for bitlen in range(1, 17):
+                    for _ in range(counts[bitlen - 1]):
+                        table[(bitlen, code)] = syms[si]
+                        code += 1
+                        si += 1
+                    code <<= 1
+                huff[(tclass, tid)] = table
+                p += 17 + n_syms
+        elif marker == 0xDD:
+            raise ValueError("restart markers (DRI) unsupported")
         elif marker == 0xDA:  # SOS: entropy follows until EOI
+            ns = body[0]
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan_tables[cid] = (tdta >> 4, tdta & 0x0F)
             if data[-2:] != b"\xff\xd9":
                 raise ValueError("JPEG missing EOI")
             entropy = data[pos + 2 + length : -2].replace(b"\xff\x00", b"\xff")
             break
         pos += 2 + length
-    if w is None or entropy is None or (0, 0) not in huff or (1, 0) not in huff:
+    if w is None or entropy is None or not comps:
         raise ValueError("JPEG missing SOF/SOS/DHT")
-    q = np.frombuffer(qtab.get(0, bytes([1] * 64)), dtype=np.uint8).astype(np.int32)
+    if set(scan_tables) != {c[0] for c in comps}:
+        raise ValueError("non-interleaved multi-scan baseline unsupported")
+    for cid, _, _, tq in comps:
+        td, ta = scan_tables[cid]
+        if (0, td) not in huff or (1, ta) not in huff or tq not in qtab:
+            raise ValueError("JPEG missing SOF/SOS/DHT")
 
     bitpos = 0
     nbits = len(entropy) * 8
@@ -605,38 +753,92 @@ def _jpeg_decode_gray(data: bytes) -> np.ndarray:
     A = np.cos((2 * xx + 1) * uu * np.pi / 16) / 2.0
     A[0, :] /= np.sqrt(2.0)
 
-    mcus_x, mcus_y = (w + 7) // 8, (h + 7) // 8
-    dc_table, ac_table = huff[(0, 0)], huff[(1, 0)]
-    dc = 0
-    out = np.empty((mcus_y * 8, mcus_x * 8), dtype=np.uint8)
-    for m in range(mcus_x * mcus_y):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.empty((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.uint8)
+        for cid, hs, vs, _ in comps
+    }
+    pred = {cid: 0 for cid, _, _, _ in comps}
+
+    def decode_block(q, dc_table, ac_table, cid) -> np.ndarray:
         coef = np.zeros(64, dtype=np.int32)  # linear (row*8+col) order
         cat = read_symbol(dc_table)
         if cat:
-            dc += extend(read_bits(cat), cat)
-        coef[0] = dc * q[0]
-        pos = 1  # zigzag scan position
-        while pos < 64:
+            pred[cid] += extend(read_bits(cat), cat)
+        coef[0] = pred[cid] * q[0]
+        zpos = 1  # zigzag scan position
+        while zpos < 64:
             sym = read_symbol(ac_table)
             if sym == 0x00:  # EOB: rest of the block is zero
                 break
             if sym == 0xF0:  # ZRL: sixteen zero coefficients
-                pos += 16
+                zpos += 16
                 continue
             run, size = sym >> 4, sym & 0x0F
             if size == 0:
                 raise ValueError("invalid AC symbol (size 0, not ZRL/EOB)")
-            pos += run
-            if pos >= 64:
+            zpos += run
+            if zpos >= 64:
                 raise ValueError("AC run overflows the block")
-            coef[_JPEG_ZIGZAG[pos]] = extend(read_bits(size), size) * q[pos]
-            pos += 1
+            coef[_JPEG_ZIGZAG[zpos]] = extend(read_bits(size), size) * q[zpos]
+            zpos += 1
         block = A.T @ coef.reshape(8, 8).astype(np.float64) @ A
+        return np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
+
+    qarr = {
+        t: np.frombuffer(tb, dtype=np.uint8).astype(np.int32)
+        for t, tb in qtab.items()
+    }
+    for m in range(mcus_x * mcus_y):
         my, mx = divmod(m, mcus_x)
-        out[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
-            np.round(block) + 128, 0, 255
-        ).astype(np.uint8)
-    return out[:h, :w]
+        for cid, hs, vs, tq in comps:
+            td, ta = scan_tables[cid]
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = decode_block(qarr[tq], huff[(0, td)], huff[(1, ta)], cid)
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+
+    if len(comps) == 1:
+        return planes[comps[0][0]][:h, :w]
+
+    # chroma upsampling by sample replication (box/nearest — exact
+    # integers, no interpolation ambiguity for the oracle), then the
+    # fixed-point JFIF YCbCr->RGB at 10^-6 precision. All-integer:
+    # floor-div after +500000 equals round-half-up, and the only
+    # values where floor-vs-truncate semantics could differ are
+    # outside [0, 255] and clamp identically either way.
+    up = {}
+    for cid, hs, vs, _ in comps:
+        up[cid] = np.repeat(
+            np.repeat(planes[cid], vmax // vs, axis=0), hmax // hs, axis=1
+        )[:h, :w].astype(np.int64)
+    yy, cb, cr = (up[c[0]] for c in comps)
+    m = 1_000_000
+    r = np.clip((m * yy + 1_402_000 * (cr - 128) + m // 2) // m, 0, 255)
+    g = np.clip(
+        (m * yy - 344_136 * (cb - 128) - 714_136 * (cr - 128) + m // 2) // m,
+        0,
+        255,
+    )
+    b = np.clip((m * yy + 1_772_000 * (cb - 128) + m // 2) // m, 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _jpeg_decode_gray(data: bytes) -> np.ndarray:
+    """Single-component (grayscale) baseline decode — the (h, w)
+    pixel grid. Thin wrapper over _jpeg_decode_baseline kept for the
+    MJPEG frame path (AVI frames are always 1-component here);
+    raises on color streams so callers that require a 2-D grid
+    cannot silently receive an RGB cube."""
+    px = _jpeg_decode_baseline(data)
+    if px.ndim != 2:
+        raise ValueError("expected grayscale JPEG, got multi-component")
+    return px
 
 
 def _wav_bytes(sample_rate: int, n_frames: int, seed: int) -> bytes:
@@ -740,11 +942,21 @@ def synthesize_real_media(
 
 def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Bare-JPEG media table for the decode error-accounting audit
-    (mm9): even ids carry a REAL baseline grayscale JPEG (fully
-    entropy-decodable: _jpeg_bytes), odd ids a structurally-valid
-    PROGRESSIVE SOF2 JPEG (_progressive_jpeg_bytes — parseable
-    headers, pixels undecodable without the multi-scan progressive
-    path). Dims/gray/AC are deterministic functions of the id so the
+    (mm9), three row classes keyed by cls = (id // 3) % 3 (the mm9
+    fixture ids are always multiples of 3, so cls cycles evenly):
+
+    - cls 0: REAL baseline grayscale JPEG (fully entropy-decodable:
+      _jpeg_bytes).
+    - cls 1: structurally-valid PROGRESSIVE SOF2 JPEG
+      (_progressive_jpeg_bytes — parseable headers, pixels
+      undecodable without the multi-scan progressive path: the
+      audited ok=false class).
+    - cls 2: REAL interleaved COLOR (YCbCr) baseline JPEG
+      (_jpeg_color_bytes), alternating 4:2:0 and 4:4:4 sampling by
+      (id // 9) % 2 — both decode to identical pixels (flat chroma),
+      so one oracle pins both decoder paths.
+
+    Dims/levels/AC are deterministic functions of the id so the
     oracle recomputes every decoded value closed-form."""
     from pyspark.sql.types import StructType
 
@@ -756,12 +968,24 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf[id_col].astype("int64"):
                 mid = int(mid)
                 w, h = mid % 48 + 16, mid % 32 + 16
-                if mid % 2 == 0:
+                cls = (mid // 3) % 3
+                if cls == 0:
                     payload = _jpeg_bytes(w, h, mid % 128 + 64, mid % 10)
                     fmt = "jpeg"
-                else:
+                elif cls == 1:
                     payload = _progressive_jpeg_bytes(w, h, mid % 256)
                     fmt = "jpeg-progressive"
+                else:
+                    payload = _jpeg_color_bytes(
+                        w,
+                        h,
+                        mid % 128 + 64,
+                        (mid * 7) % 256,
+                        (mid * 13) % 256,
+                        mid % 10,
+                        "4:2:0" if (mid // 9) % 2 == 0 else "4:4:4",
+                    )
+                    fmt = "jpeg-color"
                 meta = dict.fromkeys(
                     ("kind", "format", "width", "height", "sample_rate", "duration_ms")
                 )
@@ -770,6 +994,57 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
     return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
+
+
+def jpeg_rgb_sums(media: DataFrame) -> DataFrame:
+    """Pixel-CONTENT pin for the color-JPEG decode path (mm10): fully
+    decode each 3-component baseline payload to RGB and emit exact
+    integer per-channel pixel sums. Dims/ok flags alone (mm9) can't
+    distinguish a correct chroma upsample + color transform from a
+    plausible-looking wrong one; three channel sums over the
+    closed-form fixture class can — the oracle recomputes them
+    without running any DCT (the Y pattern takes exactly two values
+    whose counts follow from the ±1 basis sign grid, and chroma is
+    flat). mapInPandas like the rest of the media path (per-row
+    Python decode is the family's documented non-JVM stage)."""
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                px = _jpeg_decode_baseline(bytes(p))
+                if px.ndim != 3:
+                    raise ValueError("jpeg_rgb_sums expects color payloads")
+                h, w, _ = px.shape
+                ch = px.astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        w * h,
+                        int(ch[:, :, 0].sum()),
+                        int(ch[:, :, 1].sum()),
+                        int(ch[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_px",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    from pyspark.sql.types import StructType
+
+    return media.mapInPandas(
+        sums,
+        StructType.fromDDL(
+            "media_id BIGINT, width INT, height INT, n_px BIGINT, "
+            "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+        ),
+    )
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -823,8 +1098,23 @@ def decode_media(media: DataFrame) -> DataFrame:
                         )
                         decoders.append("jpeg-progressive")
                         ok = False
+                    elif info["n_components"] not in (1, 3):
+                        # CMYK/unknown layouts: structurally parsed,
+                        # pixels not reconstructed — accounted like
+                        # the progressive class so one exotic payload
+                        # can never crash a corpus-wide decode pass
+                        metas.append(
+                            {
+                                "width": info["width"],
+                                "height": info["height"],
+                                "sample_rate": None,
+                                "n_bytes": None,
+                            }
+                        )
+                        decoders.append("jpeg-multicomponent")
+                        ok = False
                     else:
-                        px = _jpeg_decode_gray(p)
+                        px = _jpeg_decode_baseline(p)
                         metas.append(
                             {
                                 "width": px.shape[1],
@@ -833,7 +1123,11 @@ def decode_media(media: DataFrame) -> DataFrame:
                                 "n_bytes": int(px.size),
                             }
                         )
-                        decoders.append("jpeg")
+                        # color rows get their own decoder label so
+                        # the audit can slice the two classes apart;
+                        # n_bytes = w*h*3 for RGB (px.size counts
+                        # every channel sample)
+                        decoders.append("jpeg" if px.ndim == 2 else "jpeg-color")
                 else:
                     metas.append(_fake_decode(p))
                     decoders.append("stub")

@@ -4653,31 +4653,37 @@ def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm9_progressive_jpeg_audit",
     """
     WITH m AS (
-      SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0)
+      SELECT doc_id AS media_id, (doc_id // 3) % 3 AS cls
+      FROM documents WHERE doc_id % 3 = 0)
     SELECT media_id, 'image' AS kind,
-           media_id % 2 = 0 AS ok,
-           CASE WHEN media_id % 2 = 0 THEN 'jpeg'
-                ELSE 'jpeg-progressive' END AS decoder,
+           cls <> 1 AS ok,
+           CASE cls WHEN 0 THEN 'jpeg' WHEN 1 THEN 'jpeg-progressive'
+                ELSE 'jpeg-color' END AS decoder,
            CAST(media_id % 48 + 16 AS INT) AS width,
            CAST(media_id % 32 + 16 AS INT) AS height,
-           CASE WHEN media_id % 2 = 0
+           CASE WHEN cls = 0
                 THEN CAST((media_id % 48 + 16) * (media_id % 32 + 16) AS INT)
+                WHEN cls = 2
+                THEN CAST((media_id % 48 + 16) * (media_id % 32 + 16) * 3 AS INT)
            END AS n_bytes
     FROM m
     """,
 )
 def mm9_progressive_jpeg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode ERROR ACCOUNTING for the one marked stub class left in
-    the media path — progressive (SOF2) JPEG: bare-JPEG payloads
-    alternate real baseline grayscale streams (full entropy decode:
-    ok=true, decoder='jpeg', n_bytes = the reconstructed pixel
-    count) and structurally-valid progressive streams (ok=FALSE,
-    decoder='jpeg-progressive', dims from the SOF2 structural parse,
-    n_bytes NULL — pixels need the multi-scan progressive path no
-    stdlib decoder provides). A 100 TB corpus pass hits this row
-    class; it must be counted and routable, never silently stubbed.
-    The oracle recomputes every field closed-form from the synthesis
-    parameters, pinning the boundary's exact output."""
+    """Decode outcome accounting across the JPEG codec surface, three
+    row classes (cls = media_id//3 % 3): real baseline GRAYSCALE
+    streams (full entropy decode: ok=true, decoder='jpeg', n_bytes =
+    reconstructed pixel count), structurally-valid PROGRESSIVE
+    streams (ok=FALSE, decoder='jpeg-progressive', dims from the
+    SOF2 structural parse, n_bytes NULL — pixels need the multi-scan
+    progressive path no stdlib decoder provides), and — new in r13 —
+    real interleaved COLOR (YCbCr) baseline streams alternating
+    4:2:0/4:4:4 subsampling (ok=true, decoder='jpeg-color', n_bytes
+    = w*h*3 RGB samples). A 100 TB corpus pass hits all three
+    classes; each must be counted and routable, never silently
+    stubbed (pixel CONTENT for the color class is pinned separately
+    by mm10). The oracle recomputes every field closed-form from the
+    synthesis parameters, pinning the boundary's exact output."""
     from dot_spark.operators.multimodal import decode_media, synthesize_jpeg_media
 
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
@@ -4685,6 +4691,80 @@ def mm9_progressive_jpeg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select(
         "media_id", "kind", "ok", "decoder", "width", "height", "n_bytes"
     )
+
+
+@query(
+    "mm10_jpeg_color_pixels",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 48 + 16 AS w, doc_id % 32 + 16 AS h,
+             doc_id % 128 + 64 AS y0, (doc_id * 7) % 256 AS cb0,
+             (doc_id * 13) % 256 AS cr0, doc_id % 10 AS ac
+      FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 3 = 2),
+    -- the Y plane takes exactly two values y0 +- 2*ac on the +-1
+    -- basis sign grid s = [+,-,-,+,+,-,-,+]: count the +1 cells per
+    -- axis, no per-pixel explosion
+    cnt AS (
+      SELECT *,
+             len(list_filter(generate_series(0, w - 1),
+                             x -> (x % 8) IN (0, 3, 4, 7))) AS npx,
+             len(list_filter(generate_series(0, h - 1),
+                             y -> (y % 8) IN (0, 3, 4, 7))) AS npy
+      FROM m),
+    cls AS (
+      SELECT media_id, w, h, cb0, cr0,
+             npx * npy + (w - npx) * (h - npy) AS n_plus,
+             w * h - (npx * npy + (w - npx) * (h - npy)) AS n_minus,
+             y0 + 2 * ac AS yp, y0 - 2 * ac AS ym
+      FROM cnt),
+    -- the decoder's fixed-point JFIF transform, mirrored at 10^-6:
+    -- channel(Y) = clamp((10^6*Y + coeff*(C-128) + 5*10^5) // 10^6)
+    px AS (
+      SELECT media_id, w, h, n_plus, n_minus,
+             GREATEST(0, LEAST(255, (1000000 * yp + 1402000 * (cr0 - 128)
+                                     + 500000) // 1000000)) AS rp,
+             GREATEST(0, LEAST(255, (1000000 * ym + 1402000 * (cr0 - 128)
+                                     + 500000) // 1000000)) AS rm,
+             GREATEST(0, LEAST(255, (1000000 * yp - 344136 * (cb0 - 128)
+                                     - 714136 * (cr0 - 128)
+                                     + 500000) // 1000000)) AS gp,
+             GREATEST(0, LEAST(255, (1000000 * ym - 344136 * (cb0 - 128)
+                                     - 714136 * (cr0 - 128)
+                                     + 500000) // 1000000)) AS gm,
+             GREATEST(0, LEAST(255, (1000000 * yp + 1772000 * (cb0 - 128)
+                                     + 500000) // 1000000)) AS bp,
+             GREATEST(0, LEAST(255, (1000000 * ym + 1772000 * (cb0 - 128)
+                                     + 500000) // 1000000)) AS bm
+      FROM cls)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(n_plus * rp + n_minus * rm AS BIGINT) AS sum_r,
+           CAST(n_plus * gp + n_minus * gm AS BIGINT) AS sum_g,
+           CAST(n_plus * bp + n_minus * bm AS BIGINT) AS sum_b
+    FROM px
+    """,
+)
+def mm10_jpeg_color_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-JPEG pixel-CONTENT pin: fully decode the mm9 fixture's
+    color class (interleaved YCbCr baseline, 4:2:0 and 4:4:4) to RGB
+    and emit exact integer per-channel pixel sums. mm9 pins
+    dims/ok/n_bytes; this pins the decoded VALUES — a wrong chroma
+    upsample, a swapped Cb/Cr, a drifting DC predictor or a
+    wrong-rounded color transform all move a channel sum. The
+    decoder's YCbCr->RGB is integer fixed-point at 10^-6 precision
+    exactly so this oracle can recompute every sum closed-form (the
+    flat-chroma fixture collapses each channel to two values whose
+    counts follow from the ±1 DCT basis sign grid — no per-pixel
+    explosion, no DCT, no float rounding ambiguity; clamped-region
+    floor-vs-truncate differences cannot matter because both engines
+    clamp those to the same bound)."""
+    from dot_spark.operators.multimodal import jpeg_rgb_sums, synthesize_jpeg_media
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 3 == 0) & ((F.col("doc_id") / 3).cast("long") % 3 == 2)
+    )
+    return jpeg_rgb_sums(synthesize_jpeg_media(docs))
 
 
 @query(
@@ -12539,16 +12619,20 @@ _R14_WINDOW = [
     "t18_novelty_score", "t19_bm25_topterms", "t20_pmi_collocations",
     "t21_readability", "t22_zipf_audit", "w12_ewma_smooth",
     "w13_ohlc_resample", "w14_range_frame",
-    # r10-stale fills (7, alphabetical within the r10 cohort) —
+    # r10-stale fills (6, alphabetical within the r10 cohort) —
     # displaceable by new-in-round-13 queries per the policy above
-    # (a5_collect_sorted_list displaced to r15 staging by j21).
+    # (a4_count_predicate and a5_collect_sorted_list displaced to
+    # r15 staging by the two round-13 additions below).
     "a10_string_agg_ordered", "a11_group_percentiles",
     "a2_watermark_max", "a32_linreg_trend", "a33_skyline",
-    "a3_conditional_agg", "a4_count_predicate",
+    "a3_conditional_agg",
     # new in round 13 (first-gate at r14): the LEFT as-of join —
     # j8/j20 gate how='inner' only; this gates how='left' (keep
-    # unconverted clicks) against DuckDB's ASOF LEFT JOIN.
+    # unconverted clicks) against DuckDB's ASOF LEFT JOIN — and the
+    # color-JPEG pixel-content pin (exact per-channel sums over the
+    # closed-form YCbCr fixture class).
     "j21_asof_left",
+    "mm10_jpeg_color_pixels",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 _r14_missing = [n for n in _R14_WINDOW if n not in QUERIES]

@@ -607,3 +607,149 @@ def test_progressive_jpeg_error_accounting(spark):
     assert not prog["ok"] and prog["decoder"] == "jpeg-progressive"
     assert prog["width"] == 3 % 48 + 16 and prog["height"] == 3 % 32 + 16
     assert prog["n_bytes"] is None
+
+
+def test_color_jpeg_roundtrip_both_subsamplings():
+    """_jpeg_decode_baseline reconstructs the exact RGB field
+    _jpeg_color_bytes encoded — interleaved YCbCr MCUs, per-component
+    DC predictors, SOS-mapped chroma table ids, chroma upsampling,
+    and the 10^-6 fixed-point JFIF transform — and 4:2:0 / 4:4:4
+    payloads of the same content decode to IDENTICAL pixels (flat
+    chroma makes subsampling value-invariant, which is what lets one
+    oracle pin both paths)."""
+    import numpy as np
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_color_bytes,
+        _jpeg_decode_baseline,
+    )
+
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    m = 1_000_000
+    for w, h, y0, cb0, cr0, ac in [
+        (16, 16, 100, 90, 160, 0),
+        (17, 23, 70, 200, 30, 5),
+        (63, 47, 191, 7, 255, 9),
+        (9, 1, 128, 128, 128, 3),
+    ]:
+        yy = (
+            y0 + 2 * ac * np.outer(s[np.arange(h) % 8], s[np.arange(w) % 8])
+        ).astype(np.int64)
+        cb, cr = np.int64(cb0), np.int64(cr0)
+        want = np.stack(
+            [
+                np.clip((m * yy + 1_402_000 * (cr - 128) + m // 2) // m, 0, 255),
+                np.clip(
+                    (m * yy - 344_136 * (cb - 128) - 714_136 * (cr - 128) + m // 2)
+                    // m,
+                    0,
+                    255,
+                ),
+                np.clip((m * yy + 1_772_000 * (cb - 128) + m // 2) // m, 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        px420 = _jpeg_decode_baseline(
+            _jpeg_color_bytes(w, h, y0, cb0, cr0, ac, "4:2:0")
+        )
+        px444 = _jpeg_decode_baseline(
+            _jpeg_color_bytes(w, h, y0, cb0, cr0, ac, "4:4:4")
+        )
+        assert px420.shape == (h, w, 3)
+        assert np.array_equal(px420, want)
+        assert np.array_equal(px444, want)
+
+
+def test_gray_wrapper_refuses_color():
+    """Callers that require a 2-D grid (the MJPEG frame path) must
+    never silently receive an RGB cube."""
+    import pytest
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_color_bytes,
+        _jpeg_decode_gray,
+    )
+
+    with pytest.raises(ValueError, match="multi-component"):
+        _jpeg_decode_gray(_jpeg_color_bytes(16, 16, 100, 90, 160))
+
+
+def test_decode_media_color_and_multicomponent_classes(spark):
+    """decode_media dispatch across the full JPEG surface: color
+    baseline decodes for real (ok=true, decoder='jpeg-color',
+    n_bytes = w*h*3), and an exotic component count (4 = Adobe CMYK
+    layout) is ACCOUNTED (ok=false, decoder='jpeg-multicomponent',
+    structural dims, NULL n_bytes) — one exotic payload can never
+    crash a corpus-wide decode pass."""
+    import struct
+
+    import pandas as pd
+
+    from dot_spark.operators.multimodal import decode_media, synthesize_jpeg_media
+
+    # id 6 -> cls (6//3)%3 = 2 -> color
+    ids = spark.createDataFrame([(6,)], "doc_id long")
+    row = decode_media(synthesize_jpeg_media(ids)).collect()[0]
+    assert row["ok"] and row["decoder"] == "jpeg-color"
+    assert row["width"] == 6 % 48 + 16 and row["height"] == 6 % 32 + 16
+    assert row["n_bytes"] == row["width"] * row["height"] * 3
+
+    # hand-built 4-component SOF0 (CMYK-shaped): structurally valid
+    # marker stream, no decodable scan
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, 10, 12, 4)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]),
+    )
+    sos = seg(0xFFDA, b"\x04" + bytes([1, 0, 2, 0, 3, 0, 4, 0]) + b"\x00\x3f\x00")
+    cmyk = b"\xff\xd8" + sof + sos + b"\x12\x34" + b"\xff\xd9"
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "payload": [cmyk],
+                "meta": [
+                    {
+                        "kind": "image",
+                        "format": "jpeg",
+                        "width": 12,
+                        "height": 10,
+                        "sample_rate": None,
+                        "duration_ms": None,
+                    }
+                ],
+            }
+        )
+    )
+    r = decode_media(media).collect()[0]
+    assert not r["ok"] and r["decoder"] == "jpeg-multicomponent"
+    assert r["width"] == 12 and r["height"] == 10 and r["n_bytes"] is None
+
+
+def test_jpeg_rgb_sums_match_decoded_pixels(spark):
+    """jpeg_rgb_sums' channel sums equal a direct numpy sum of the
+    decoded RGB cube for both subsampling classes (ids 6 and 15:
+    (6//9)%2=0 -> 4:2:0, (15//9)%2=1 -> 4:4:4)."""
+    import numpy as np
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_decode_baseline,
+        jpeg_rgb_sums,
+        synthesize_jpeg_media,
+    )
+
+    ids = spark.createDataFrame([(6,), (15,)], "doc_id long")
+    media = synthesize_jpeg_media(ids)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["media_id"]: r for r in jpeg_rgb_sums(media).collect()}
+    for mid, p in payloads.items():
+        px = _jpeg_decode_baseline(p).astype(np.int64)
+        r = out[mid]
+        assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+        assert r["n_px"] == px.shape[0] * px.shape[1]
+        assert r["sum_r"] == int(px[:, :, 0].sum())
+        assert r["sum_g"] == int(px[:, :, 1].sum())
+        assert r["sum_b"] == int(px[:, :, 2].sum())
