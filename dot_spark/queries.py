@@ -10352,6 +10352,64 @@ def dd14_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd19_suffix_array_spans",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 25),
+    win AS (
+      SELECT doc_id, i.i AS pos, substr(text, i.i, 25) AS sfx
+      FROM d, UNNEST(generate_series(1, length(text) - 24)) AS i(i)),
+    dup AS (
+      SELECT sfx FROM win GROUP BY sfx HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (sfx)),
+    lagd AS (
+      SELECT doc_id, pos,
+             MAX(pos + 25) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM hits),
+    marked AS (
+      SELECT *, CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS isnew
+      FROM lagd),
+    sess AS (
+      SELECT *, SUM(isnew) OVER (
+        PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM marked)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 25 AS BIGINT) AS span_end_excl,
+           CAST(MAX(pos) + 25 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM sess GROUP BY doc_id, sidx
+    """,
+)
+def dd19_suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup via a DISTRIBUTED SUFFIX ARRAY — the
+    published Lee et al. ACL'22 ExactSubstr formulation, closing the
+    gap dd14 left: dd14 re-expresses it as a 64-bit fingerprint
+    index (hash-groupBy, collision odds ~n²/2⁶⁵); this sorts the
+    literal window-prefixed suffixes into suffix-array order
+    (256-bucket leading-byte discipline from layout.ranked_by: one
+    exchange carries the suffix text, runs of equal neighbors never
+    straddle buckets) and marks cross-document equal-neighbor runs —
+    hash-free, the collision-free gold standard, the same
+    gold-vs-production pairing as dd5 vs dd5b. The oracle groups the
+    literal grams (no hashing on either side), and a law test pins
+    dd19 == dd14 span-for-span on the fixture
+    (tests/test_dedup.py). Output matches dd14's schema."""
+    from dot_spark.operators.textdedup import suffix_array_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    spans = suffix_array_spans(docs, window=25, min_docs=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end_excl").cast("long").alias("span_end_excl"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
 _WILSON_LO_SQL = (
     "((CAST(n_conv AS DOUBLE) / n_users + 1.96e0 * 1.96e0 / (2e0 * n_users))"
     " - 1.96e0 * sqrt((CAST(n_conv AS DOUBLE) / n_users"
@@ -12619,20 +12677,22 @@ _R14_WINDOW = [
     "t18_novelty_score", "t19_bm25_topterms", "t20_pmi_collocations",
     "t21_readability", "t22_zipf_audit", "w12_ewma_smooth",
     "w13_ohlc_resample", "w14_range_frame",
-    # r10-stale fills (6, alphabetical within the r10 cohort) —
+    # r10-stale fills (5, alphabetical within the r10 cohort) —
     # displaceable by new-in-round-13 queries per the policy above
-    # (a4_count_predicate and a5_collect_sorted_list displaced to
-    # r15 staging by the two round-13 additions below).
+    # (a3_conditional_agg, a4_count_predicate and
+    # a5_collect_sorted_list displaced to r15 staging by the three
+    # round-13 additions below).
     "a10_string_agg_ordered", "a11_group_percentiles",
     "a2_watermark_max", "a32_linreg_trend", "a33_skyline",
-    "a3_conditional_agg",
     # new in round 13 (first-gate at r14): the LEFT as-of join —
     # j8/j20 gate how='inner' only; this gates how='left' (keep
-    # unconverted clicks) against DuckDB's ASOF LEFT JOIN — and the
+    # unconverted clicks) against DuckDB's ASOF LEFT JOIN — the
     # color-JPEG pixel-content pin (exact per-channel sums over the
-    # closed-form YCbCr fixture class).
+    # closed-form YCbCr fixture class) — and the exact suffix-array
+    # substring dedup (dd14's collision-free gold standard).
     "j21_asof_left",
     "mm10_jpeg_color_pixels",
+    "dd19_suffix_array_spans",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 _r14_missing = [n for n in _R14_WINDOW if n not in QUERIES]

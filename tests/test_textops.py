@@ -1357,3 +1357,57 @@ def test_multiprobe_recall_monotone_and_saturates(spark, sf_dir):
         for r in brute_force_topk(q, emb, k=10).collect()
     }
     assert full == brute, n_cells
+
+
+def test_suffix_array_spans_match_constructed_corpus(spark):
+    """suffix_array_spans (the exact suffix-sort formulation)
+    reproduces the dd14 semantics on the constructed corpus: shared
+    regions fuse to maximal spans, within-doc-only repeats are
+    excluded by the cross-doc rule, unrelated docs report nothing."""
+    from dot_spark.operators.textdedup import suffix_array_spans
+
+    shared = "the quick brown fox jumps over the lazy dog!"  # 44 chars
+    rows = [
+        (1, "AAAA;" + shared + ";unique tail one here"),
+        (2, "something else leads in:" + shared + ":zz"),
+        (3, "x" * 30 + "y" * 30 + "x" * 30),
+        (4, "completely different text with no repeats at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end_excl"]): (
+            r["span_len"],
+            r["n_windows"],
+        )
+        for r in suffix_array_spans(df, window=25, min_docs=2).collect()
+    }
+    assert (1, 6, 50) in got, got
+    assert (2, 25, 69) in got, got
+    assert got[(1, 6, 50)] == (44, 20)
+    assert all(doc not in (3, 4) for doc, _, _ in got), got
+
+
+def test_suffix_array_spans_equal_fingerprint_spans_law(spark, sf_dir):
+    """LAW (r12 verdict task 7): the exact suffix-array pass (dd19)
+    and the fingerprint-index pass (dd14) must produce IDENTICAL
+    span sets on the fixture corpus — the fingerprint path is a
+    lossy-in-principle (64-bit collision) re-expression of the same
+    ground truth, so any divergence here is a bug in one of them,
+    not an acceptable approximation gap."""
+    from dot_spark.operators.textdedup import (
+        duplicated_spans,
+        suffix_array_spans,
+    )
+    from dot_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    key = ["doc_id", "span_start", "span_end_excl", "span_len", "n_windows"]
+    exact = {tuple(r[c] for c in key)
+             for r in suffix_array_spans(docs, window=25, min_docs=2).collect()}
+    fp = {tuple(r[c] for c in key)
+          for r in duplicated_spans(docs, window=25, min_docs=2).collect()}
+    assert exact == fp, (
+        f"suffix-array vs fingerprint span divergence: "
+        f"only_exact={sorted(exact - fp)[:5]} only_fp={sorted(fp - exact)[:5]}"
+    )
+    assert exact, "law test vacuous: fixture produced no spans"

@@ -368,6 +368,15 @@ def main() -> None:
         # copy, so dup-fp group sizes stay constant and the whole
         # path must scale with the explode (linear).
         grid[("dd14_substring_spans", k)] = duplicated_spans(docs)
+        # dd19: the exact suffix-array twin (r13) — window text rides
+        # ONE leading-byte-bucketed sort exchange instead of dd14's
+        # fingerprint hash shuffle; suffixed-token upsampling keeps
+        # equal-suffix runs per-copy, so the sort + run agg must
+        # scale with the explode (linear), at a window-fold byte
+        # premium over dd14 (the documented exactness price).
+        from dot_spark.operators.textdedup import suffix_array_spans
+
+        grid[("dd19_suffix_array_spans", k)] = suffix_array_spans(docs)
         # dd16: content-defined chunking — boundary hashing is the
         # linear term (O(tokens x window) codegen); chunk-hash groups
         # stay per-copy under the suffixed upsampling.
