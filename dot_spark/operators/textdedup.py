@@ -834,15 +834,79 @@ def dedup_corpus(
     )
 
 
+def _cc_star_round(edges: DataFrame, materialize: bool = True) -> DataFrame:
+    """One alternating LARGE-STAR + SMALL-STAR contraction round
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14), UN-checkpointed, over a symmetric edge list (a, b):
+
+    - large-star: per node a, m = min(neighbors ∪ {a}); every
+      neighbor b > a is rewired to m, neighbors b <= a keep their
+      edge — hangs heavy nodes under local minima.
+    - small-star: per node a of the rewired graph, m = min
+      neighbors; every neighbor is hung directly under m (a itself
+      replaces the edge to m) — flattens toward stars.
+
+    Each half is a groupBy-min + equi-join + distinct; the round
+    returns the re-symmetrized edge set. The edge set CONTRACTS
+    geometrically toward one star per component centered at its
+    minimum, so the loop converges in O(log diameter) rounds with
+    the published proof behind it (the r13 rewrite: the previous
+    static-edge min-label propagation was measured growing 13 -> 22
+    rounds on K=1 -> 10 upsampled corpora — diameter-driven, headed
+    for the iteration cap; star rounds measure 6 flat on the same
+    graphs, NOTES_r13). Extracted so the twin plan pin in
+    tests/test_plans.py can watch the per-round shape — the
+    production loop checkpoints each round's output (load-bearing
+    for constant plan depth), which truncates this subtree to a
+    LogicalRDD stub in every executed plan.
+
+    ``materialize`` (production default): each half's distinct()
+    output gets a LAZY localCheckpoint — it materializes once inside
+    the round's action and both its consumers (the next half's
+    groupBy-min and its join probe side) read the shared RDD, where
+    the pure dataflow would recompile and re-execute the half per
+    consumer (static plans do not reuse these exchanges — measured
+    ~10% of round wall at sf0.1, growing with scale). The twin pin
+    passes False to see the full unmaterialized shape; the dataflow
+    is identical either way."""
+    nbr_min = edges.groupBy("a").agg(F.min("b").alias("__m")).select(
+        "a", F.least(F.col("a"), F.col("__m")).alias("m")
+    )
+    j = edges.join(nbr_min, "a")
+    e2 = (
+        j.filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(j.filter(F.col("b") <= F.col("a")).select("a", "b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if materialize:
+        e2 = e2.localCheckpoint(eager=False)
+    nbr_min2 = e2.groupBy("a").agg(F.min("b").alias("m"))
+    e3 = (
+        e2.join(nbr_min2, "a")
+        .select(
+            F.when(F.col("b") == F.col("m"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("a"),
+            F.col("m").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if materialize:
+        e3 = e3.localCheckpoint(eager=False)
+    return e3.union(e3.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
 def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One min-label-propagation + pointer-jumping round of
-    connected_components, UN-checkpointed: (1) every node takes the
+    _cc_label_propagation, UN-checkpointed: (1) every node takes the
     min of its own and its neighbors' labels, (2) labels shortcut
-    through their own label (path halving). Extracted so the twin
-    plan pin in tests/test_plans.py can watch the per-round shape —
-    the production loop checkpoints each round's output (load-bearing
-    for constant plan depth), which truncates this subtree to a
-    LogicalRDD stub in every executed plan."""
+    through their own label (path halving). Retained (with its
+    driver loop below) as the INDEPENDENT REFERENCE implementation
+    the law tests replay against the production star-contraction
+    closure — the two share no per-round code."""
     msgs = edges.join(labels, edges["b"] == labels["node"]).select(
         F.col("a").alias("node"), "label"
     )
@@ -870,27 +934,102 @@ def connected_components(
     pairs; dropping duplicates needs one canonical doc per CLUSTER,
     and clusters are transitive closures, not pairs).
 
-    Min-label propagation WITH pointer jumping: every node starts
-    labeled with itself; each round (1) takes the min of its own and
-    its neighbors' labels, then (2) shortcuts, replacing each label
-    with the label's own label (path halving). Step 1 alone needs
-    O(component diameter) rounds — real LSH pair graphs chain (A~B~C
-    ~…), and the sf0.1 corpus already produces chains past 25 hops —
-    the shortcut step makes progress multiplicative, so convergence
-    is O(log diameter) rounds, the same bound as the alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14). Each round is two
-    keyed shuffles; localCheckpoint truncates lineage so plan depth
-    stays constant. The per-round convergence probe collects one
-    scalar row (the documented iterative-algorithm exception to
-    no-driver-collects). Fixpoint = component minimum: at a fixpoint
-    neighbors share labels (step 1) and labels are self-owned
-    (step 2), which forces the one label per component to be its min
-    node id.
+    Alternating large-star/small-star EDGE CONTRACTION (Kiveris et
+    al., SoCC'14 — see _cc_star_round): the edge set itself is
+    rewired toward one star per component centered at the component
+    minimum, converging in O(log diameter) rounds by the published
+    proof. This replaced the r8-r12 static-edge min-label
+    propagation in round 13: propagation moves labels one hop per
+    round (its pointer-jumping shortcut compresses the label forest
+    but cannot shortcut GRAPH distance — measured: extra halvings
+    changed nothing), so its round count grew with the deepest
+    LSH-chain draw (13 -> 22 across K=1 -> 10 upsampled corpora,
+    heading for the iteration cap); star rounds measure 6 flat on
+    the same graphs and the contracted edge set SHRINKS geometrically
+    (later rounds are near-free). Outputs are byte-identical — the
+    law tests in tests/test_dedup.py replay the retained
+    _cc_label_propagation reference on the fixture corpora and
+    random graphs, and the dd8/dd18/pl17 oracles pin the closure
+    against DuckDB's recursive CTE ground truth at two SFs.
+
+    Each round's output is localCheckpointed so plan depth stays
+    constant; the per-round convergence probe collects one scalar
+    row (the documented iterative-algorithm exception to
+    no-driver-collects), hash-based so it works for ANY id type
+    (string doc hashes, URLs). Fixpoint: every edge connects a leaf
+    to its star center; a stable center under min-rewiring is its
+    component's minimum.
 
     Returns (node, label): one row per node appearing in any pair,
-    label = min node id reachable from it.
+    label = min node id reachable from it (centers label themselves).
     """
+    base = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        base.select(F.col("a").alias("node"))
+        .union(base.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = base.union(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+
+    # fixpoint probe: the (count, sum-of-row-hashes) pair changes
+    # whenever the edge set changes. Hash-based so it works for ANY
+    # id type — a numeric cast would crash on ANSI builds and
+    # silently return NULL==NULL "convergence" on non-ANSI ones.
+    def probe(df):
+        return df.agg(
+            F.count("*"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+        ).first()
+
+    state = probe(edges)
+    for rounds in range(1, max_iterations + 1):
+        edges = _cc_star_round(edges).localCheckpoint()
+        new_state = probe(edges)
+        if new_state == state:
+            break
+        state = new_state
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    if stats is not None:
+        # observability hand-back for harnesses (tools/
+        # scale_sanity.py pins round counts across upsampled scales);
+        # never read by query logic.
+        stats["rounds"] = rounds
+    lab = edges.filter(F.col("a") > F.col("b")).select(
+        F.col("a").alias("node"), F.col("b").alias("label")
+    )
+    # assemble the complete labeling (leaves from the star edges,
+    # centers/self-pair nodes self-labeled via the left join) and
+    # checkpoint it — the operator's contract since r8: consumers
+    # get a flat materialized table, paid once here inside the
+    # eager-iterative boundary, never re-joined per downstream plan
+    # branch
+    return (
+        nodes.join(lab, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+        .localCheckpoint()
+    )
+
+
+def _cc_label_propagation(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """The r8-r12 production closure, retained VERBATIM as the
+    independent reference implementation for the law tests: min-label
+    propagation with pointer jumping over a STATIC edge set (see
+    _cc_round). Shares no per-round code with the star-contraction
+    path above; both must return identical (node, label) sets on any
+    input. Propagation reach grows one graph hop per round, so round
+    count tracks component diameter — the measured 13 -> 22 growth
+    that motivated the r13 star rewrite."""
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -902,11 +1041,6 @@ def connected_components(
         .localCheckpoint()
     )
 
-    # fixpoint probe: the (count, sum-of-row-hashes) pair changes
-    # whenever any (node, label) assignment changes. Hash-based so it
-    # works for ANY id type (string doc hashes, URLs, composite keys
-    # cast to string) — a numeric cast would crash on ANSI builds and
-    # silently return NULL==NULL "convergence" on non-ANSI ones.
     def probe(df):
         return df.agg(
             F.count("*"),
@@ -915,7 +1049,7 @@ def connected_components(
 
     try:
         state = probe(labels)
-        for rounds in range(1, max_iterations + 1):
+        for _ in range(max_iterations):
             labels = _cc_round(edges, labels).localCheckpoint()
             new_state = probe(labels)
             if new_state == state:
@@ -923,13 +1057,8 @@ def connected_components(
             state = new_state
         else:
             raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} iterations"
+                f"_cc_label_propagation did not converge in {max_iterations} iterations"
             )
-        if stats is not None:
-            # observability hand-back for harnesses (tools/
-            # scale_sanity.py pins that round count stays K-constant
-            # under upsampling); never read by query logic.
-            stats["rounds"] = rounds
     finally:
         edges.unpersist()
     return labels

@@ -258,3 +258,78 @@ def test_cdc_chunks_exact_dup_fully_flagged(spark):
     assert out[11].dup_chunk_ratio == 1.0
     assert out[11].dup_token_ratio == 1.0
     assert out[12].dup_chunk_ratio == 0.0
+
+
+def test_cc_star_equals_label_propagation_reference(spark, sf_dir):
+    """LAW (r13 closure rewrite): the production star-contraction
+    closure and the retained r8-r12 min-label-propagation reference
+    (_cc_label_propagation — zero shared per-round code) must return
+    IDENTICAL (node, label) sets on the fixture corpus pair graph
+    and on adversarial synthetic graphs (deep chain, random sparse /
+    dense, string ids). Any divergence is a bug in one of them."""
+    import random
+
+    from dot_spark.operators.textdedup import (
+        _cc_label_propagation,
+        connected_components,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dot_spark.sources.registry import load_table
+
+    def both(pairs):
+        new = {(r["node"], r["label"])
+               for r in connected_components(pairs).collect()}
+        old = {(r["node"], r["label"])
+               for r in _cc_label_propagation(pairs, max_iterations=64).collect()}
+        return new, old
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    fixture_pairs = lsh_candidate_pairs(
+        lsh_bands(sig, bands=4, rows_per_band=4)
+    ).localCheckpoint()
+    cases = {"fixture": fixture_pairs}
+    cases["chain60"] = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    for n, m, seed in ((300, 200, 1), (300, 450, 2)):
+        rnd = random.Random(seed)
+        es = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
+        cases[f"rand{seed}"] = spark.createDataFrame(
+            [(a, b) for a, b in es if a != b], "id_a long, id_b long"
+        )
+    cases["strings"] = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d9", "d3"), ("d4", "d5")],
+        "id_a string, id_b string",
+    )
+    for name, pairs in cases.items():
+        new, old = both(pairs)
+        assert new == old, (
+            f"{name}: star vs propagation divergence "
+            f"new-old={sorted(new - old)[:5]} old-new={sorted(old - new)[:5]}"
+        )
+        assert new or name != "fixture", "fixture law vacuous"
+
+
+def test_cc_star_round_count_logarithmic(spark):
+    """The r13 rewrite's reason made checkable: star-contraction
+    round counts stay small and near-flat as chain diameter grows
+    10x (O(log d) by the Kiveris proof) — the propagation reference
+    measurably cannot do this (13 -> 22 rounds across K=1 -> 10
+    corpora, NOTES_r13), which is what was ratcheting toward the
+    iteration cap."""
+    from dot_spark.operators.textdedup import connected_components
+
+    rounds_at = {}
+    for n in (30, 300):
+        st: dict = {}
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        labels = connected_components(chain, stats=st)
+        assert {r["label"] for r in labels.collect()} == {0}
+        rounds_at[n] = st["rounds"]
+    assert rounds_at[300] <= rounds_at[30] + 4, rounds_at
+    assert rounds_at[300] <= 12, rounds_at

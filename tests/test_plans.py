@@ -141,22 +141,24 @@ def test_topk_ranks_map_side_first(spark, sf_dir, name):
 
 def test_connected_components_plan_stays_constant_depth(spark):
     """dd8's iterative loop must not grow lineage: localCheckpoint
-    truncates every round, so each round's input — and the returned
-    labels — is a flat scan of a materialized RDD with a bounded plan,
-    regardless of how many rounds ran. A dropped checkpoint turns
-    round N's plan into a 2N-join tree (the classic iterative-Spark
-    driver blowup); this pins the truncation, so that regression
-    fails CI instead of the bench."""
+    truncates every contraction round, so the returned labels plan is
+    one bounded join of two materialized RDD scans (node list x
+    converged star edges), regardless of how many rounds ran. A
+    dropped checkpoint turns round N's plan into a 2N-join tree (the
+    classic iterative-Spark driver blowup); this pins the truncation,
+    so that regression fails CI instead of the bench."""
     from dot_spark.operators.textdedup import connected_components
 
-    # a 12-node chain: diameter forces several propagation rounds
+    # a 12-node chain: diameter forces several contraction rounds
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
     )
     labels = connected_components(pairs)
     plan = _plan(labels)
     assert "Scan ExistingRDD" in plan, plan
-    assert len(plan.splitlines()) <= 6, plan
+    # bounded (round-count-independent): the final assembly join only
+    assert len(plan.splitlines()) <= 24, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
     # and the closure is right: one component labeled by its min node
     rows = labels.collect()
     assert {r.node for r in rows} == set(range(13))
@@ -724,13 +726,17 @@ def test_dd5b_hot_cap_unmaterialized_twin(spark, sf_dir):
 
 
 def test_cc_round_unmaterialized_twin(spark):
-    """dd8's per-round body (_cc_round), un-checkpointed: two keyed
-    shuffles' worth of exchanges (min-label join+agg, pointer-jump
-    self-join), no file scan, no Python, no nested loop — and two
-    manual un-checkpointed rounds reach the same fixpoint the
-    production loop (checkpointed rounds) returns on a fixture that
-    converges in two rounds."""
-    from dot_spark.operators.textdedup import _cc_round, connected_components
+    """dd8's per-round body (_cc_star_round), un-checkpointed: the
+    large-star/small-star halves are groupBy-min + equi-join +
+    distinct — keyed exchanges only, no file scan, no Python, no
+    nested loop, no cartesian — and one manual un-checkpointed round
+    already reaches the star fixpoint the production loop
+    (checkpointed rounds) returns on a fixture that converges in one
+    round."""
+    from dot_spark.operators.textdedup import (
+        _cc_star_round,
+        connected_components,
+    )
     from tools.plan_baseline import plan_counts
 
     pairs = spark.createDataFrame(
@@ -740,20 +746,30 @@ def test_cc_round_unmaterialized_twin(spark):
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    twin = _cc_round(edges, labels)
+    # materialize=False: the full unmaterialized dataflow (production
+    # lazily checkpoints each half so its two consumers share one
+    # materialization; the dataflow is identical)
+    twin = _cc_star_round(edges, materialize=False)
     counts = plan_counts(twin)
     assert counts["scans"] == 0, counts
-    assert counts["exchanges"] <= 10, counts
+    # the static plan compiles each half once per consumer (no
+    # ReusedExchange on these subtrees — why production materializes
+    # them); the bound pins "keyed exchanges only", no scan/python/
+    # nested-loop, at the duplicated-subtree count
+    assert counts["exchanges"] <= 26, counts
     assert counts["py_eval"] == 0, counts
     assert counts["nested_loop"] == 0, counts
-    manual = {tuple(r) for r in _cc_round(edges, twin).collect()}
-    prod = {tuple(r) for r in connected_components(pairs).collect()}
-    assert manual == prod == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+    # the twin's star edges name exactly the production components
+    manual = {
+        (r["a"], r["b"])
+        for r in twin.filter(F.col("a") > F.col("b")).collect()
+    }
+    prod = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs).collect()
+        if r["node"] != r["label"]
+    }
+    assert manual == prod == {(2, 1), (3, 1), (6, 5)}
 
 
 def test_pagerank_round_unmaterialized_twin(spark):
