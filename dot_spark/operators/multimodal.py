@@ -445,6 +445,7 @@ def _jpeg_color_bytes(
     cr0: int,
     ac44: int = 0,
     subsample: str = "4:2:0",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a REAL interleaved 3-component (YCbCr) baseline JPEG,
     stdlib-only — the color twin of _jpeg_bytes. Spec-valid JFIF:
@@ -461,6 +462,12 @@ def _jpeg_color_bytes(
     _jpeg_bytes pattern y0 + 2*ac44*s(x%8)*s(y%8) with
     s = [+,-,-,+,+,-,-,+] (AC(4,4) rides every Y block, entropy-coded
     through ZRL/run machinery inside the interleaved scan).
+
+    ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
+    every that-many MCUs (bit-padded to byte alignment, DC
+    predictors reset — what camera/libjpeg output does for error
+    resilience). Restarts never change decoded pixels, so the same
+    closed-form oracle pins the restart decode path.
     """
     import struct
 
@@ -530,19 +537,38 @@ def _jpeg_color_bytes(
         put_block(dc_value - pred[comp], with_ac)
         pred[comp] = dc_value
 
-    for _ in range(mcus_x * mcus_y):
+    def flush_segment() -> bytes:
+        nonlocal bits
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        raw = bytes(
+            sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
+            for p in range(0, len(bits), 8)
+        )
+        bits = []
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    entropy = b""
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            # close the segment, emit RSTn (n cycles 0-7), reset preds
+            entropy += flush_segment()
+            entropy += bytes(
+                [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+            )
+            pred.update({1: 0, 2: 0, 3: 0})
         for _ in range(hy * vy):  # Y blocks, raster order in the MCU
             comp_block(1, y0 - 128, True)
         comp_block(2, cb0 - 128, False)
         comp_block(3, cr0 - 128, False)
-    while len(bits) % 8:
-        bits.append(1)  # pad with 1s per spec
-    raw = bytes(
-        sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
-        for p in range(0, len(bits), 8)
+    entropy += flush_segment()
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
     )
-    entropy = raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
-    return b"\xff\xd8" + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof0 + dht + dri + sos + entropy + b"\xff\xd9"
 
 
 def _progressive_jpeg_bytes(width: int, height: int, seed: int) -> bytes:
@@ -638,9 +664,13 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
     independent oracle recomputes decoded pixels closed-form with no
     float rounding ambiguity.
 
-    Still out of scope (raise, and decode_media error-accounts):
-    progressive SOF2, non-baseline SOF1/3, restart markers (DRI),
+    Restart markers decode for real (DRI interval + RST0-7: segment
+    split on the unstuffed marker bytes, byte re-alignment and DC
+    predictor reset per segment — the camera/libjpeg error-resilience
+    layout). Still out of scope (raise, and decode_media
+    error-accounts): progressive SOF2, non-baseline SOF1/3,
     component counts other than 1/3 (e.g. 4 = Adobe CMYK)."""
+    import re as _re
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -652,6 +682,8 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (td, ta)
     entropy = None
+    dri = 0  # restart interval in MCUs (0 = no restarts)
+    segments: list[bytes] = []
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -694,8 +726,8 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
                     code <<= 1
                 huff[(tclass, tid)] = table
                 p += 17 + n_syms
-        elif marker == 0xDD:
-            raise ValueError("restart markers (DRI) unsupported")
+        elif marker == 0xDD:  # DRI: restart interval
+            (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: entropy follows until EOI
             ns = body[0]
             for c in range(ns):
@@ -703,7 +735,17 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
                 scan_tables[cid] = (tdta >> 4, tdta & 0x0F)
             if data[-2:] != b"\xff\xd9":
                 raise ValueError("JPEG missing EOI")
-            entropy = data[pos + 2 + length : -2].replace(b"\xff\x00", b"\xff")
+            # RSTn bytes sit UNSTUFFED in the raw scan (stuffed data
+            # FF is always FF 00), so split on them first, destuff
+            # each restart segment after
+            raw = data[pos + 2 + length : -2]
+            segments = [
+                s.replace(b"\xff\x00", b"\xff")
+                for s in _re.split(b"\xff[\xd0-\xd7]", raw)
+            ]
+            if len(segments) > 1 and not dri:
+                raise ValueError("RST marker without a DRI interval")
+            entropy = segments[0]
             break
         pos += 2 + length
     if w is None or entropy is None or not comps:
@@ -793,6 +835,16 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
         for t, tb in qtab.items()
     }
     for m in range(mcus_x * mcus_y):
+        if dri and m and m % dri == 0:
+            # restart: next segment, byte re-alignment (segments are
+            # independent byte-aligned streams), DC predictors reset
+            seg_idx = m // dri
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing expected RST marker")
+            entropy = segments[seg_idx]
+            bitpos, nbits = 0, len(entropy) * 8
+            for cid in pred:
+                pred[cid] = 0
         my, mx = divmod(m, mcus_x)
         for cid, hs, vs, tq in comps:
             td, ta = scan_tables[cid]
@@ -976,6 +1028,11 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payload = _progressive_jpeg_bytes(w, h, mid % 256)
                     fmt = "jpeg-progressive"
                 else:
+                    # alternate the two real decode-path variants:
+                    # plain 4:2:0 vs 4:4:4 WITH restart markers every
+                    # 2 MCUs (restarts never change pixels, so the
+                    # same closed-form oracle pins both)
+                    sub = "4:2:0" if (mid // 9) % 2 == 0 else "4:4:4"
                     payload = _jpeg_color_bytes(
                         w,
                         h,
@@ -983,7 +1040,8 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         (mid * 7) % 256,
                         (mid * 13) % 256,
                         mid % 10,
-                        "4:2:0" if (mid // 9) % 2 == 0 else "4:4:4",
+                        sub,
+                        restart_interval=0 if sub == "4:2:0" else 2,
                     )
                     fmt = "jpeg-color"
                 meta = dict.fromkeys(

@@ -753,3 +753,36 @@ def test_jpeg_rgb_sums_match_decoded_pixels(spark):
         assert r["sum_r"] == int(px[:, :, 0].sum())
         assert r["sum_g"] == int(px[:, :, 1].sum())
         assert r["sum_b"] == int(px[:, :, 2].sum())
+
+
+def test_jpeg_restart_markers_roundtrip_and_reject():
+    """DRI/RSTn decode (the camera/libjpeg error-resilience layout):
+    a color stream with restart markers every N MCUs decodes to
+    EXACTLY the pixels of its restart-free twin (per-segment byte
+    re-alignment + DC predictor reset), for several intervals and
+    both subsamplings; RST markers without a DRI declaration are
+    refused, not guessed through."""
+    import numpy as np
+    import pytest
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_color_bytes,
+        _jpeg_decode_baseline,
+    )
+
+    for w, h, sub in [(17, 23, "4:2:0"), (33, 18, "4:4:4")]:
+        plain = _jpeg_decode_baseline(
+            _jpeg_color_bytes(w, h, 70, 200, 30, 5, sub)
+        )
+        for dri in (1, 2, 5):
+            rst = _jpeg_decode_baseline(
+                _jpeg_color_bytes(w, h, 70, 200, 30, 5, sub, restart_interval=dri)
+            )
+            assert np.array_equal(plain, rst), (w, h, sub, dri)
+    with_dri = _jpeg_color_bytes(16, 16, 100, 90, 160, 3, "4:4:4", restart_interval=2)
+    import struct
+
+    dri_seg = struct.pack(">HH", 0xFFDD, 4) + struct.pack(">H", 2)
+    assert dri_seg in with_dri
+    with pytest.raises(ValueError, match="RST marker without"):
+        _jpeg_decode_baseline(with_dri.replace(dri_seg, b""))
