@@ -2885,7 +2885,7 @@ def dd18_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dd8_dedup_clusters", _dd8_oracle_sql())
 def dd8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation over dd2's MinHash+LSH candidate
-    pairs: connected components by min-label propagation, one
+    pairs: connected components by star contraction, one
     canonical doc per cluster (is_canonical = keep this one, drop the
     rest). Pairs alone cannot drive dropping — transitivity chains
     A~B~C must collapse to one survivor, which is exactly the
