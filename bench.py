@@ -116,12 +116,12 @@ HEADLINE = [
     # pair explode per branch and only wall-time notices
     "t27_kneser_ney_score",
     # pl17 (the composed soft corpus build) is deliberately NOT a
-    # headline row: its survivor-pair closure loop runs ~19 s at
-    # sf0.1 (the LSH pair graph chains deep — the same reason dd8
-    # itself was never in the headline), which would make the suite
-    # total mostly one query and break round-over-round
-    # comparability. Its cost rides the dd8/pl9 cells in
-    # tools/scale_sanity.py; correctness rides the gate.
+    # headline row. r13 cut it from ~31 s to ~7 s at sf0.1 (the
+    # quality-gate pushdown barrier + the star-contraction closure),
+    # but 7 s would still be ~25% of the suite total and dominate
+    # round-over-round comparability the way dd8 would. It has its
+    # OWN scale cell now (tools/scale_sanity.py: alpha 0.2 across
+    # K=1..10, closure rounds 4-5 flat); correctness rides the gate.
 ]
 
 # Queries whose BUILDER executes the heavy work EAGERLY (iterative

@@ -568,7 +568,18 @@ def soft_corpus_build(
         soft_dedup_weights,
     )
 
-    surv_ids = hashed_linear_quality(docs).filter("kept").select("doc_id")
+    # BARRIER (lazy localCheckpoint) between scoring and the kept
+    # filter: predicate pushdown otherwise re-inlines the scorer's
+    # staged HOF chain into the Filter node — the split lands inside
+    # the per-gram lambda and gram construction goes O(len²), the
+    # exact disease hashed_linear_quality's staging exists to avoid
+    # (measured 11.5 s -> 3.6 s for the gate at sf0.1, and the
+    # materialized score table is read once instead of recomputed by
+    # both downstream consumers). The table is (id, n_grams, score,
+    # kept) — numeric-narrow; real pipelines persist gate scores
+    # anyway.
+    scored = hashed_linear_quality(docs).localCheckpoint(eager=False)
+    surv_ids = scored.filter("kept").select("doc_id")
     survivors = docs.join(surv_ids, "doc_id").withColumn(
         "n_toks", F.size(F.split(normalize_text(F.col("text")), " "))
     )
