@@ -5965,9 +5965,17 @@ def pl7_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # quality_filter only ADDS columns, so the keep set is a zero-
     # shuffle map-only projection — no corpus self-join to restore
-    # the original columns
+    # the original columns. BARRIER (lazy localCheckpoint) between
+    # scoring and the verdict filter: pushdown otherwise re-inlines
+    # the staged stats chain into the Filter predicate (the pl17
+    # O(len²) pathology, NOTES_r13 §13 — measured 9.3 s vs 1.9 s for
+    # the gate at sf0.1), and the materialized table feeds the
+    # pipeline's several downstream readers once instead of
+    # re-scoring per consumer — the stage checkpoint a real corpus
+    # build writes between filter and dedup anyway.
+    scored = quality_filter(docs).localCheckpoint(eager=False)
     kept = (
-        quality_filter(docs)
+        scored
         .filter(F.col("verdict") == "keep")
         .select(*docs.columns)
     )

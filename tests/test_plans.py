@@ -857,3 +857,32 @@ def test_t28_gopher_rules_zero_shuffle(spark, sf_dir):
         "py_eval": 0,
         "nested_loop": 0,
     }, counts
+
+
+def test_no_hof_chain_inlined_into_filters(spark, sf_dir):
+    """The pl17/pl7 r13 pathology as a checked-for CLASS: filtering
+    on a column derived from a staged higher-order-function chain
+    lets predicate pushdown re-inline the whole chain into the
+    Filter node — array-producing subexpressions land inside
+    per-element lambdas and the interpreted HOF path re-evaluates
+    them per element (O(len²) per row; measured 10x on the pl17
+    quality gate). Operator-level plan pins cover the UNFILTERED
+    form only, so this walks every registered query's executed plan
+    and fails on any Filter that swallowed a transform()/aggregate()
+    chain. The fix pattern is a lazy localCheckpoint barrier between
+    scoring and filter (pipelines.soft_corpus_build, pl7)."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        for line in plan.splitlines():
+            ls = line.strip()
+            if (
+                "Filter" in ls[:30]
+                and ("transform(" in ls or "aggregate(" in ls)
+                and len(ls) > 400
+            ):
+                offenders[name] = len(ls)
+    assert not offenders, (
+        f"staged-HOF chain re-inlined into a Filter (the pl17/pl7 "
+        f"O(len²) class — barrier the gate): {offenders}"
+    )
