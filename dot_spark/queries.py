@@ -12591,9 +12591,9 @@ assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 _r12_missing = [n for n in _R12_WINDOW if n not in QUERIES]
 assert not _r12_missing, f"r12 window names not registered: {_r12_missing}"
 assert not set(_R12_WINDOW) & set(_R11_WINDOW), "r12 overlaps r11"
-# ROUND-13 WINDOW (ACTIVE — swapped in as the first commit of round
-# 13, exactly the list staged at the end of round 12; CORRECTNESS_r12
-# is 50/50 green on _R12_WINDOW above). Composition (computed at the
+# ROUND-13 WINDOW (HISTORICAL — executed verbatim as CORRECTNESS_r13,
+# 50/50 green; kept for the no-overlap assertion chain).
+# Composition (computed at the
 # start of round
 # 12 from CORRECTNESS_r01-r11 + the r12 window): the 35 queries whose
 # newest green row will still be r8 after r12 lands (the 50-row r8
@@ -12614,7 +12614,7 @@ assert not set(_R12_WINDOW) & set(_R11_WINDOW), "r12 overlaps r11"
 # the staleness policy (no query's latest official row more than 4
 # rounds stale after this staged window executes) against the
 # committed CORRECTNESS receipts.
-_WINDOW_PRIORITY = [
+_R13_WINDOW = [
     # r8-stale (35, alphabetical)
     "f12_bitwise_aggs", "f13_calendar_arith", "f14_map_functions",
     "f15_array_sort_comparator", "j13_interval_overlap_join",
@@ -12648,25 +12648,24 @@ _WINDOW_PRIORITY = [
     "pl17_soft_corpus_build", "ss11_multiprobe_recall",
     "j20_asof_forward",
 ]
-assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
-_r13_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+_r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]
 assert not _r13_missing, f"r13 window names not registered: {_r13_missing}"
-assert not set(_WINDOW_PRIORITY) & set(_R12_WINDOW), "r13 overlaps r12"
-# The r14 rotation, MACHINE-READABLE — next round, swap this list
-# into _WINDOW_PRIORITY. Composition (computed at the start of round
+assert not set(_R13_WINDOW) & set(_R12_WINDOW), "r13 overlaps r12"
+# ROUND-14 WINDOW (ACTIVE — swapped in as the first commit of round
+# 14, exactly the list staged at the end of round 13, zero swaps;
+# CORRECTNESS_r13 is 50/50 green on _R13_WINDOW above). Composition
+# (computed at the start of round
 # 13 from CORRECTNESS_r01-r12 + the r13 window above): after the r13
 # window lands, exactly 42 queries' newest green row is r9 — ALL of
 # them must be here (they would be 5 rounds stale at the r14
 # horizon, past the 4-round bound tests/test_gate_window.py
-# enforces) — followed by the 8 stalest r10 rows (alphabetical
-# within the r10 cohort; the remaining 39 r10 rows slide to r15,
-# where they sit exactly at the bound). If round 13 adds new
-# queries or changes any query's semantics, swap them into the
-# LAST slots here (displacing the r10 fills, never the r9 cohort —
-# the r9 rows are bound-critical, the r10 fills are not) — # first-
-# gating new/changed code beats re-verifying untouched green code
-# (the r10 n12-n17 principle).
-_R14_WINDOW = [
+# enforces) — followed by 5 r10 fills (alphabetical within the r10
+# cohort) and the three round-13 additions (j21/mm10/dd19, which
+# displaced three r10 fills per the first-gate-new-code policy —
+# first-gating new/changed code beats re-verifying untouched green
+# code, the r10 n12-n17 principle).
+_WINDOW_PRIORITY = [
     # r9-stale (42, alphabetical) — bound-critical: every one of
     # these must gate at r14 or it breaches the 4-round staleness
     # bound. Never displace these.
@@ -12702,15 +12701,59 @@ _R14_WINDOW = [
     "mm10_jpeg_color_pixels",
     "dd19_suffix_array_spans",
 ]
-assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
-_r14_missing = [n for n in _R14_WINDOW if n not in QUERIES]
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+_r14_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
 assert not _r14_missing, f"r14 window names not registered: {_r14_missing}"
-assert not set(_R14_WINDOW) & set(_WINDOW_PRIORITY), "r14 overlaps r13"
+assert not set(_WINDOW_PRIORITY) & set(_R13_WINDOW), "r14 overlaps r13"
+# The r15 rotation, MACHINE-READABLE — next round, swap this list
+# into _WINDOW_PRIORITY. Composition (computed mechanically at the
+# start of round 14 from CORRECTNESS_r01-r13 + the r14 window above):
+# after the r14 window lands, exactly 42 queries' newest green row is
+# r10 — ALL of them must be here (they would be 5 rounds stale at the
+# r15 horizon, past the 4-round bound tests/test_gate_window.py
+# enforces) — followed by the 8 stalest r11 rows (alphabetical within
+# the r11 cohort; the remaining 42 r11 rows slide to r16, where they
+# sit exactly at the bound). NOTE: the r13 verdict's "47 r10 rows"
+# was approximate — the mechanical count from the committed receipts
+# is 42 (the r13-verdict distribution r10:47 included the 5 fills the
+# r14 window itself carries). If round 14 adds new queries or changes
+# any query's semantics, swap them into the LAST slots here
+# (displacing the r11 fills, never the r10 cohort — the r10 rows are
+# bound-critical, the r11 fills are not).
+_R15_WINDOW = [
+    # r10-stale (42, alphabetical) — bound-critical: every one of
+    # these must gate at r15 or it breaches the 4-round staleness
+    # bound. Never displace these.
+    "a3_conditional_agg", "a4_count_predicate", "a5_collect_sorted_list",
+    "a6_rollup_subtotals", "a7_distribution_stats", "a8_count_distinct",
+    "a9_hypertable_rollup", "dd16_cdc_chunks", "dd17_bloom_history_dedup",
+    "dd4_ngram_jaccard", "f10_try_cast_coerce", "f1_regex_match",
+    "f2_ts_format", "f3_epoch_seconds", "f4_decimal_negate",
+    "f5_string_ops", "f6_hour_gate", "f7_flag_coerce", "f9_json_access",
+    "g5_label_propagation", "j10_intersect_except", "j11_null_safe_join",
+    "j12_exists_semi_join", "j4_broadcast_lookup", "j6_salted_skew_join",
+    "j9_range_join", "mm8_silence_segments", "n12_woo_flat_orders",
+    "n15_woo_flat_refunds", "n16_woo_flat_refund_items",
+    "n17_woo_flat_product_attributes", "pl13_incremental_mv",
+    "pl14_streaming_mv", "pl15_incremental_zorder", "pl16_incremental_ivf",
+    "pl4_corpus_ingest_dedup", "s11_attributed_publish",
+    "s20_manifest_skipping", "s21_fixed_width_source", "ss10_rrf_fusion",
+    "t23_bigram_lm_score", "w15_drawdown",
+    # r11-stale fills (8, alphabetical within the r11 cohort) —
+    # displaceable by new-in-round-14 queries per the policy above.
+    "c1_classify_runs", "dd1_exact_dedup", "dd2_minhash_lsh_candidates",
+    "dd3_simhash", "dd4b_ngram_jaccard_capped", "dd5b_bucketed_neardup",
+    "dd6_decontamination", "dd7_embedding_decontamination",
+]
+assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
+_r15_missing = [n for n in _R15_WINDOW if n not in QUERIES]
+assert not _r15_missing, f"r15 window names not registered: {_r15_missing}"
+assert not set(_R15_WINDOW) & set(_WINDOW_PRIORITY), "r15 overlaps r14"
 # Generic alias so tests/test_gate_window.py reads "the staged
 # next-round window" without hardcoding a round number — next
-# round's swap renames _R14_WINDOW to _WINDOW_PRIORITY and repoints
-# this alias at the freshly staged _R15_WINDOW.
-_STAGED_WINDOW = _R14_WINDOW
+# round's swap renames _R15_WINDOW to _WINDOW_PRIORITY and repoints
+# this alias at the freshly staged _R16_WINDOW.
+_STAGED_WINDOW = _R15_WINDOW
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},
