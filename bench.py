@@ -243,6 +243,7 @@ def _run_ab(ref: str) -> None:
     telemetry, and the run order — a machine-readable noise
     adjudication receipt instead of a NOTES narrative.
     """
+    import shutil
     import subprocess
     import tempfile
 
@@ -252,6 +253,24 @@ def _run_ab(ref: str) -> None:
         cwd=here, capture_output=True, text=True, check=True,
     ).stdout.strip()
     tree = os.path.join(tempfile.gettempdir(), f"dot_spark_ab_{sha}")
+    # validate a cached tree before trusting it: an interrupted
+    # `git worktree add` leaves a partial directory that would be
+    # silently benchmarked as the ref side
+    if os.path.isdir(tree):
+        probe = subprocess.run(
+            ["git", "-C", tree, "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        )
+        full = subprocess.run(
+            ["git", "rev-parse", sha],
+            cwd=here, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if probe.returncode != 0 or probe.stdout.strip() != full:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", tree],
+                cwd=here, capture_output=True, text=True,
+            )
+            shutil.rmtree(tree, ignore_errors=True)
     if not os.path.isdir(tree):
         subprocess.run(
             ["git", "worktree", "add", "--detach", tree, sha],
@@ -274,9 +293,11 @@ def _run_ab(ref: str) -> None:
                 f"bench child in {side_dir} rc={proc.returncode}: "
                 f"{proc.stderr[-500:]}"
             )
+        # anchor on the bench result's known key — a bare "{" prefix
+        # could match an unrelated JSON log line in the child output
         line = next(
             ln for ln in reversed(proc.stdout.splitlines())
-            if ln.startswith("{")
+            if ln.startswith("{") and '"queries"' in ln
         )
         q = json.loads(line)["queries"]
         return {k: v for k, v in q.items() if isinstance(v, (int, float))}, steal

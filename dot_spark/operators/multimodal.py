@@ -1172,20 +1172,43 @@ def decode_media(media: DataFrame) -> DataFrame:
                         decoders.append("jpeg-multicomponent")
                         ok = False
                     else:
-                        px = _jpeg_decode_baseline(p)
-                        metas.append(
-                            {
-                                "width": px.shape[1],
-                                "height": px.shape[0],
-                                "sample_rate": None,
-                                "n_bytes": int(px.size),
-                            }
-                        )
-                        # color rows get their own decoder label so
-                        # the audit can slice the two classes apart;
-                        # n_bytes = w*h*3 for RGB (px.size counts
-                        # every channel sample)
-                        decoders.append("jpeg" if px.ndim == 2 else "jpeg-color")
+                        try:
+                            px = _jpeg_decode_baseline(p)
+                        except ValueError:
+                            # any decoder refusal BEYOND the two
+                            # classified boundaries above (16-bit DQT,
+                            # truncated entropy, invalid Huffman code,
+                            # RST without DRI, ...): account it like
+                            # the progressive class — one exotic
+                            # payload must never crash a corpus-wide
+                            # decode pass. Dims come from the
+                            # structural parse that already succeeded.
+                            metas.append(
+                                {
+                                    "width": info["width"],
+                                    "height": info["height"],
+                                    "sample_rate": None,
+                                    "n_bytes": None,
+                                }
+                            )
+                            decoders.append("jpeg-undecodable")
+                            ok = False
+                        else:
+                            metas.append(
+                                {
+                                    "width": px.shape[1],
+                                    "height": px.shape[0],
+                                    "sample_rate": None,
+                                    "n_bytes": int(px.size),
+                                }
+                            )
+                            # color rows get their own decoder label
+                            # so the audit can slice the two classes
+                            # apart; n_bytes = w*h*3 for RGB (px.size
+                            # counts every channel sample)
+                            decoders.append(
+                                "jpeg" if px.ndim == 2 else "jpeg-color"
+                            )
                 else:
                     metas.append(_fake_decode(p))
                     decoders.append("stub")

@@ -841,7 +841,17 @@ def _cc_star_round(edges: DataFrame, materialize: bool = True) -> DataFrame:
 
     - large-star: per node a, m = min(neighbors ∪ {a}); every
       neighbor b > a is rewired to m, neighbors b <= a keep their
-      edge — hangs heavy nodes under local minima.
+      edge — hangs heavy nodes under local minima. DEVIATION from
+      the published Kiveris large-star: the paper emits (a, m) for
+      the b <= a side; keeping the original (a, b) edges instead
+      preserves connectivity equally (both connect a's component to
+      m's) and the combined round still contracts, but the
+      fixpoint-is-a-star-forest property the final filter(a > b)
+      labeling relies on is then covered EMPIRICALLY, not by the
+      cited proof: the law test asserts one-label-per-node on every
+      case (plus a 4000-random-graph simulation at review time found
+      no divergence), so a non-star fixpoint fails loudly instead of
+      silently fanning out downstream label joins.
     - small-star: per node a of the rewired graph, m = min
       neighbors; every neighbor is hung directly under m (a itself
       replaces the edge to m) — flattens toward stars.

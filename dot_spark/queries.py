@@ -4761,9 +4761,10 @@ def mm10_jpeg_color_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamp those to the same bound)."""
     from dot_spark.operators.multimodal import jpeg_rgb_sums, synthesize_jpeg_media
 
-    docs = load_table(spark, "documents", sf_dir).filter(
-        (F.col("doc_id") % 3 == 0) & ((F.col("doc_id") / 3).cast("long") % 3 == 2)
-    )
+    # doc_id % 3 == 0 and (doc_id // 3) % 3 == 2 collapse to one pure
+    # integer congruence (doc_id = 3k with k ≡ 2 mod 3 ⟺ doc_id ≡ 6
+    # mod 9) — no float-division exactness assumption
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 9 == 6)
     return jpeg_rgb_sums(synthesize_jpeg_media(docs))
 
 

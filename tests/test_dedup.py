@@ -311,6 +311,16 @@ def test_cc_star_equals_label_propagation_reference(spark, sf_dir):
             f"new-old={sorted(new - old)[:5]} old-new={sorted(old - new)[:5]}"
         )
         assert new or name != "fixture", "fixture law vacuous"
+        # the final labeling's filter(a > b) assumes the star
+        # fixpoint is a star FOREST (one center per leaf). The
+        # production large-star half deviates from the published
+        # Kiveris formulation (it keeps b <= a edges instead of
+        # emitting (a, m) — see _cc_star_round), so a non-star
+        # fixpoint must fail LOUDLY here rather than silently fan
+        # out downstream joins: every node gets exactly one label.
+        from collections import Counter
+        multi = {n for n, c in Counter(n for n, _ in new).items() if c > 1}
+        assert not multi, f"{name}: nodes with multiple labels: {sorted(multi)[:5]}"
 
 
 def test_cc_star_round_count_logarithmic(spark):
