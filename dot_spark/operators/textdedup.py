@@ -834,6 +834,14 @@ def dedup_corpus(
     )
 
 
+# symmetric-edge count below which a star round skips its half-round
+# sharing checkpoints: the shared distinct() is recomputed once per
+# consumer instead, which is cheaper than two RDD materializations
+# for small graphs (pl9's capped pair graphs are the motivating case;
+# dd2-scale graphs at sf0.1 sit well above this and keep the sharing)
+_CC_SHARE_MIN_EDGES = 100_000
+
+
 def _cc_star_round(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """One alternating LARGE-STAR + SMALL-STAR contraction round
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -973,16 +981,27 @@ def connected_components(
     Returns (node, label): one row per node appearing in any pair,
     label = min node id reachable from it (centers label themselves).
     """
-    base = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # ONE lazy checkpoint of the caller's pair plan: nodes and edges
+    # both derive from the cached base, so upstream pair mining
+    # executes once (the r8-r13 shape ran it once per eager
+    # checkpoint — twice). All initial checkpoints are lazy: the
+    # first probe's job materializes base + edges together, and
+    # nodes rides the final labeling's job (base is cached by then).
+    # r14 consolidation pass (r13 verdict watch item: pl9's
+    # fixed-cost creep) — one job per round instead of two, zero
+    # dataflow change, outputs byte-identical (law tests + oracles).
+    base = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         base.select(F.col("a").alias("node"))
         .union(base.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges = base.union(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     # fixpoint probe: the (count, sum-of-row-hashes) pair changes
     # whenever the edge set changes. Hash-based so it works for ANY
@@ -996,7 +1015,16 @@ def connected_components(
 
     state = probe(edges)
     for rounds in range(1, max_iterations + 1):
-        edges = _cc_star_round(edges).localCheckpoint()
+        # lazy outer checkpoint: the round's probe is the action that
+        # materializes it (one job per round, not checkpoint-then-
+        # probe). Below _CC_SHARE_MIN_EDGES the half-round sharing
+        # checkpoints are elided too — recomputing a tiny distinct()
+        # per consumer is cheaper than two extra RDD materializations
+        # (shallow graphs pay the star constant, deep graphs keep the
+        # measured ~10% sharing win and the O(log d) bound).
+        edges = _cc_star_round(
+            edges, materialize=state[0] > _CC_SHARE_MIN_EDGES
+        ).localCheckpoint(eager=False)
         new_state = probe(edges)
         if new_state == state:
             break
