@@ -1411,3 +1411,60 @@ def test_suffix_array_spans_equal_fingerprint_spans_law(spark, sf_dir):
         f"only_exact={sorted(exact - fp)[:5]} only_fp={sorted(fp - exact)[:5]}"
     )
     assert exact, "law test vacuous: fixture produced no spans"
+
+
+def test_suffix_array_sampled_bounds_spread_skewed_prefixes(spark):
+    """The r14 fan-out fix (r13 verdict Missing #3): sampled range
+    boundaries must spread a corpus whose docs ALL start with the
+    same token across many sort buckets — the leading-code-point
+    scheme this replaced collapses the first-position suffixes of
+    such a corpus into one bucket and tops out ~30-way on natural
+    English. Also re-pins correctness on the skew fixture: spans from
+    the bucketed sort must match the shared-region construction."""
+    import string
+
+    from dot_spark.operators.textdedup import (
+        _range_bucket,
+        _sampled_suffix_bounds,
+        _sfx_prefix_key,
+        suffix_array_spans,
+    )
+
+    shared = "this exact sentence appears in both documents verbatim"
+    letters = string.ascii_lowercase
+    rows = [
+        (
+            i,
+            "SAMETOKEN "
+            + " ".join(
+                f"{letters[(i * 7 + j) % 26] * 3}{i:03d}"
+                f"{letters[(i + 5 * j) % 26] * 3}"
+                for j in range(12)
+            )
+            + (" " + shared if i % 4 == 0 else f" doc{i:05d} end"),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    bounds = _sampled_suffix_bounds(df, "text", 25, n_buckets=64)
+    sfx = df.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 24),"
+                " i -> substring(text, i, 25))"
+            )
+        ).alias("sfx")
+    )
+    dist = (
+        sfx.select(_range_bucket(_sfx_prefix_key("sfx"), bounds).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert len(dist) >= 16, f"only {len(dist)} buckets on the skew fixture"
+    spans = suffix_array_spans(df, window=25, min_docs=2).collect()
+    sharers = {r["doc_id"] for r in spans}
+    assert sharers == {i for i in range(120) if i % 4 == 0}, sorted(sharers)[:8]
+    # every sharer's span covers the shared sentence end-of-doc region
+    for r in spans:
+        assert r["span_len"] >= len(shared), r
