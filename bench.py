@@ -115,6 +115,13 @@ HEADLINE = [
     # consumers is the cost center; a lost checkpoint re-runs the
     # pair explode per branch and only wall-time notices
     "t27_kneser_ney_score",
+    # round-14 re-admission (r13 verdict task 6): the end-to-end
+    # corpus build is the engine's user story and sat at ~52 s
+    # OUTSIDE the headline for multiple rounds before the r13 cost
+    # sweep caught its pushdown pathology (now ~7-9 s, mid-pack and
+    # CI-gated). Driver-tracked round-over-round from here on; the
+    # common-subset comparison block absorbs the composition change.
+    "pl7_corpus_build_pipeline",
     # pl17 (the composed soft corpus build) is deliberately NOT a
     # headline row. r13 cut it from ~31 s to ~7 s at sf0.1 (the
     # quality-gate pushdown barrier + the star-contraction closure),
@@ -145,6 +152,10 @@ EAGER_BUILD = {
     # pl17's builder runs the survivor-pair closure loop eagerly
     # (kept here so the timing is honest if it ever joins HEADLINE)
     "pl17_soft_corpus_build",
+    # pl7's dedup stage runs the closure loop (probe actions) during
+    # plan construction — time the build too or the headline would
+    # measure a cached-scan tail
+    "pl7_corpus_build_pipeline",
 }
 
 # Round-over-round comparison target: the NEWEST BENCH_r*.json in
