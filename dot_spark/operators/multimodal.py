@@ -577,6 +577,7 @@ def _progressive_jpeg_bytes(
     gray: int,
     ac44: int = 0,
     color: tuple[int, int] | None = None,
+    subsample: str = "4:4:4",
 ) -> bytes:
     """Encode a REAL decodable PROGRESSIVE JPEG (SOF2), stdlib-only —
     the multi-scan successive-approximation stream a real progressive
@@ -601,10 +602,14 @@ def _progressive_jpeg_bytes(
        already-significant ones (ac44 >= 2: the low bit rides an
        EOBRUN, appended after the EOBn symbol in block order).
 
-    ``color`` = (cb0, cr0) emits a 3-component 4:4:4 stream with
-    FLAT chroma (separate luma/chroma table ids, per-component DC
+    ``color`` = (cb0, cr0) emits a 3-component stream with FLAT
+    chroma (separate luma/chroma table ids, per-component DC
     predictors) whose decoded pixels are identical to the baseline
     color twin — one closed-form oracle pins both codec paths.
+    ``subsample`` ('4:4:4' or '4:2:0') sets the Y sampling factors:
+    4:2:0 interleaves four Y blocks per MCU in the DC scans while
+    the non-interleaved AC scans cover each component's own ceil
+    block grid — the dominant real-world progressive layout.
     """
     import struct
 
@@ -613,15 +618,21 @@ def _progressive_jpeg_bytes(
 
     if not 0 <= ac44 <= 9:
         raise ValueError("ac44 must be in 0..9 (keeps pixels clamp-free)")
+    if subsample not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsample must be '4:4:4' or '4:2:0'")
+    hy = vy = 2 if (color is not None and subsample == "4:2:0") else 1
     dqt = seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
-    comps = [(1, gray - 128, ac44)]
+    # (cid, dc, ac, hs, vs)
+    comps = [(1, gray - 128, ac44, hy, vy)]
     if color is not None:
         cb0, cr0 = color
-        comps += [(2, cb0 - 128, 0), (3, cr0 - 128, 0)]
+        comps += [(2, cb0 - 128, 0, 1, 1), (3, cr0 - 128, 0, 1, 1)]
     sof2 = seg(
         0xFFC2,
         struct.pack(">BHHB", 8, height, width, len(comps))
-        + b"".join(bytes([cid, 0x11, 0]) for cid, _, _ in comps),
+        + b"".join(
+            bytes([cid, (hs << 4) | vs, 0]) for cid, _, _, hs, vs in comps
+        ),
     )
     # DC table: 12 4-bit canonical category codes. AC table: 4-bit
     # canonical symbols — EOB0-EOB5 (EOBRUN up to 63 blocks), ZRL,
@@ -663,8 +674,17 @@ def _progressive_jpeg_bytes(
         if cat:
             put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
 
-    n_bx, n_by = (width + 7) // 8, (height + 7) // 8
-    n_blocks = n_bx * n_by
+    hmax = max(hs for _, _, _, hs, _ in comps)
+    vmax = max(vs for _, _, _, _, vs in comps)
+    n_mcus = ((width + 8 * hmax - 1) // (8 * hmax)) * (
+        (height + 8 * vmax - 1) // (8 * vmax)
+    )
+
+    def comp_blocks(hs: int, vs: int) -> int:
+        # non-interleaved scans cover the component's own ceil grid
+        return (
+            (width * hs + 8 * hmax - 1) // (8 * hmax)
+        ) * ((height * vs + 8 * vmax - 1) // (8 * vmax))
 
     def sos_header(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
         body = bytes([len(scan_comps)])
@@ -675,38 +695,48 @@ def _progressive_jpeg_bytes(
 
     out = b"\xff\xd8" + dqt + sof2 + dht
 
-    # scan 1: DC first, Al=1, interleaved across all components.
+    # scan 1: DC first, Al=1, interleaved across all components (each
+    # MCU carries hs*vs blocks per component — 4 Y blocks in 4:2:0).
     # Every block of a component has the same DC, so only the first
-    # MCU carries nonzero diffs.
+    # blocks carry nonzero diffs.
     out += sos_header([c[0] for c in comps], 0, 0, 0, 1)
-    pred = {cid: 0 for cid, _, _ in comps}
-    for m in range(n_blocks):
-        for cid, dc, _ in comps:
-            v1 = dc >> 1  # arithmetic shift: the Al=1 approximation
-            put_dc_diff(v1 - pred[cid])
-            pred[cid] = v1
+    pred = {cid: 0 for cid, _, _, _, _ in comps}
+    for m in range(n_mcus):
+        for cid, dc, _, hs, vs in comps:
+            for _ in range(hs * vs):
+                v1 = dc >> 1  # arithmetic shift: the Al=1 approximation
+                put_dc_diff(v1 - pred[cid])
+                pred[cid] = v1
     out += flush()
 
     # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
     out += sos_header([c[0] for c in comps], 0, 0, 1, 0)
-    for m in range(n_blocks):
-        for cid, dc, _ in comps:
-            put(dc & 1, 1)
+    for m in range(n_mcus):
+        for cid, dc, _, hs, vs in comps:
+            for _ in range(hs * vs):
+                put(dc & 1, 1)
     out += flush()
 
     def put_eobrun(run: int, pending: list[int]) -> None:
-        """EOBn symbol covering `run` blocks + appended correction
-        bits (AC-refinement only)."""
-        if run:
-            r = run.bit_length() - 1  # 2^r <= run < 2^(r+1)
+        """EOBn symbol(s) covering `run` blocks + appended correction
+        bits (AC-refinement only: one pending bit per covered block).
+        Runs beyond 63 split into chained EOBn chunks — the table
+        carries EOB0-EOB5 — with each chunk's correction bits."""
+        done = 0
+        while run:
+            c = min(run, 63)
+            r = c.bit_length() - 1  # 2^r <= c < 2^(r+1)
             put(ac_code[r << 4], 4)
             if r:
-                put(run - (1 << r), r)
-        for b in pending:
-            put(b, 1)
+                put(c - (1 << r), r)
+            for b in pending[done : done + c]:
+                put(b, 1)
+            done += c
+            run -= c
         pending.clear()
 
-    for cid, _, ac in comps:
+    for cid, _, ac, hs, vs in comps:
+        n_blocks = comp_blocks(hs, vs)
         # AC first scan (Al=1), non-interleaved
         out += sos_header([cid], 1, 63, 0, 1)
         a1 = ac >> 1
@@ -1485,9 +1515,11 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payload = _jpeg_bytes(w, h, mid % 128 + 64, mid % 10)
                     fmt = "jpeg"
                 elif cls == 1:
-                    # alternate grayscale / 4:4:4 color progressive;
-                    # same content parameters as the baseline classes
-                    # so one closed-form oracle pins both codecs
+                    # alternate grayscale / color progressive (color
+                    # rows further alternate 4:2:0 and 4:4:4 — flat
+                    # chroma makes subsampling value-invariant); same
+                    # content parameters as the baseline classes so
+                    # one closed-form oracle pins both codecs
                     payload = _progressive_jpeg_bytes(
                         w,
                         h,
@@ -1496,6 +1528,7 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         color=None
                         if (mid // 9) % 2 == 0
                         else ((mid * 7) % 256, (mid * 13) % 256),
+                        subsample="4:2:0" if (mid // 18) % 2 == 0 else "4:4:4",
                     )
                     fmt = "jpeg-progressive"
                 else:

@@ -643,14 +643,17 @@ def test_progressive_equals_baseline_pixels_law():
     for y0, cb0, cr0, ac in (
         (100, 90, 160, 0), (150, 30, 200, 1), (191, 255, 0, 9)
     ):
-        b = _jpeg_decode_baseline(
-            _jpeg_color_bytes(33, 21, y0, cb0, cr0, ac, "4:4:4")
-        )
-        p = _jpeg_decode_progressive(
-            _progressive_jpeg_bytes(33, 21, y0, ac, color=(cb0, cr0))
-        )
-        assert p.shape == (21, 33, 3)
-        assert (p == b).all(), (y0, cb0, cr0, ac)
+        for sub in ("4:4:4", "4:2:0"):
+            b = _jpeg_decode_baseline(
+                _jpeg_color_bytes(33, 21, y0, cb0, cr0, ac, sub)
+            )
+            p = _jpeg_decode_progressive(
+                _progressive_jpeg_bytes(
+                    33, 21, y0, ac, color=(cb0, cr0), subsample=sub
+                )
+            )
+            assert p.shape == (21, 33, 3)
+            assert (p == b).all(), (y0, cb0, cr0, ac, sub)
     assert isinstance(b, np.ndarray)
 
 
