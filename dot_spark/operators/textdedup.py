@@ -1516,6 +1516,59 @@ def suffix_array_spans(
     return _windows_to_spans(hits, window, id_col)
 
 
+def self_repetition_spans(
+    df: DataFrame,
+    window: int = 12,
+    min_repeats: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INTRA-document repeated-substring spans — the within-example
+    half of exact substring dedup (Lee et al. ACL'22 remove repeats
+    inside a single example as well as across examples; dd14/dd19
+    cover the cross-document half, this covers self-repetition:
+    boilerplate runs, copy-pasted paragraphs, degenerate generation
+    loops). A span is maximal coverage by `window`-char substrings
+    occurring >= `min_repeats` times in the SAME document.
+
+    Scale shape — ONE exchange: the codegen fingerprint explode
+    (xxhash64 over transform/sequence/substring, bodies never
+    shuffle — the dd14 discipline) is repartitioned by doc once;
+    the per-(doc, fp) occurrence count, the hit filter, the
+    gaps-and-islands span chain and the final span aggregation are
+    all doc-clustered, so HashPartitioning(doc) satisfies every
+    downstream ClusteredDistribution and no further exchange
+    appears (window partitionBy(doc, fp) accepts the doc-only
+    partitioning: equal (doc, fp) rows share a doc). Per-doc state
+    is bounded by doc length — no global sort, no skew coupling
+    across documents.
+
+    Returns the dd14 span schema: (id, span_start, span_end_excl,
+    span_len, n_windows), 1-based character positions."""
+    from pyspark.sql import Window as W
+
+    docs = spread_small_input(
+        df.filter(F.length(text_col) >= window).select(id_col, text_col)
+    )
+    fps = docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {window} + 1), "
+                f"i -> xxhash64(substring({text_col}, i, {window})))"
+            )
+        ).alias("idx", "fp"),
+    ).select(id_col, (F.col("idx") + 1).alias("pos"), "fp")
+    keyed = fps.repartition(id_col)
+    cnt = F.count(F.lit(1)).over(W.partitionBy(id_col, "fp"))
+    hits = (
+        keyed.withColumn("__c", cnt)
+        .filter(F.col("__c") >= min_repeats)
+        .select(id_col, "pos")
+    )
+    return _windows_to_spans(hits, window, id_col)
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -10475,9 +10475,9 @@ def dd19_suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap dd14 left: dd14 re-expresses it as a 64-bit fingerprint
     index (hash-groupBy, collision odds ~n²/2⁶⁵); this sorts the
     literal window-prefixed suffixes into suffix-array order
-    (256-bucket leading-byte discipline from layout.ranked_by: one
-    exchange carries the suffix text, runs of equal neighbors never
-    straddle buckets) and marks cross-document equal-neighbor runs —
+    (sampled range boundaries on a monotone byte-prefix key, r14:
+    one exchange carries the suffix text, runs of equal neighbors
+    never straddle buckets) and marks cross-document equal-neighbor runs —
     hash-free, the collision-free gold standard, the same
     gold-vs-production pairing as dd5 vs dd5b. The oracle groups the
     literal grams (no hashing on either side), and a law test pins
@@ -10487,6 +10487,68 @@ def dd19_suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     spans = suffix_array_spans(docs, window=25, min_docs=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end_excl").cast("long").alias("span_end_excl"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+@query(
+    "dd20_self_repetition_spans",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 12),
+    win AS (
+      SELECT doc_id, i.i AS pos, substr(text, i.i, 12) AS gram
+      FROM d, UNNEST(generate_series(1, length(text) - 11)) AS i(i)),
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY doc_id, gram) AS c
+        FROM win)
+      WHERE c >= 2),
+    lagd AS (
+      SELECT doc_id, pos,
+             MAX(pos + 12) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM hits),
+    marked AS (
+      SELECT *, CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS isnew
+      FROM lagd),
+    sess AS (
+      SELECT *, SUM(isnew) OVER (
+        PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM marked)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 12 AS BIGINT) AS span_end_excl,
+           CAST(MAX(pos) + 12 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM sess GROUP BY doc_id, sidx
+    """,
+)
+def dd20_self_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repeated-substring spans — the within-example
+    half of exact substring dedup (Lee et al. ACL'22 trim repeats
+    inside a single example as well as across examples): maximal
+    spans covered by 12-char windows occurring >= 2 times in the
+    SAME document — boilerplate runs, copy-pasted paragraphs,
+    degenerate generation loops. Complements dd14/dd19 (cross-doc);
+    window=12 is the fixture-scale knob (the fixture corpus has no
+    25-char self-repeats; a token-level production run uses the
+    paper's 50-token window). ONE exchange: the fingerprint explode
+    repartitions by doc once and the occurrence count, hit filter
+    and span chain all reuse the doc clustering (see
+    operators/textdedup.py:self_repetition_spans). The oracle
+    counts literal grams per (doc, gram) — no hashing — and replays
+    the identical gaps-and-islands merge."""
+    from dot_spark.operators.textdedup import self_repetition_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    spans = self_repetition_spans(docs, window=12, min_repeats=2)
     return spans.select(
         "doc_id",
         F.col("span_start").cast("long").alias("span_start"),
@@ -12817,19 +12879,21 @@ _R15_WINDOW = [
     "pl4_corpus_ingest_dedup", "s11_attributed_publish",
     "s20_manifest_skipping", "s21_fixed_width_source", "ss10_rrf_fusion",
     "t23_bigram_lm_score", "w15_drawdown",
-    # r11-stale fills (6, alphabetical within the r11 cohort) —
+    # r11-stale fills (5, alphabetical within the r11 cohort) —
     # displaceable by new-in-round-14 queries per the policy above
-    # (dd6_decontamination and dd7_embedding_decontamination
-    # displaced to r16 staging by the two round-14 media entries
-    # below).
+    # (dd5b_bucketed_neardup, dd6_decontamination and
+    # dd7_embedding_decontamination displaced to r16 staging by the
+    # three round-14 entries below).
     "c1_classify_runs", "dd1_exact_dedup", "dd2_minhash_lsh_candidates",
-    "dd3_simhash", "dd4b_ngram_jaccard_capped", "dd5b_bucketed_neardup",
+    "dd3_simhash", "dd4b_ngram_jaccard_capped",
     # round-14 swaps: mm9's SEMANTICS changed (the progressive class
     # flips from accounted ok=false to a real multi-scan decode), so
-    # it must re-gate; mm11 is the new progressive pixel-content pin
-    # (first-gate-new-code policy).
+    # it must re-gate; mm11 (progressive pixel-content pin) and dd20
+    # (intra-document repeated-substring spans) are new — the
+    # first-gate-new-code policy.
     "mm9_progressive_jpeg_audit",
     "mm11_jpeg_progressive_pixels",
+    "dd20_self_repetition_spans",
 ]
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 _r15_missing = [n for n in _R15_WINDOW if n not in QUERIES]

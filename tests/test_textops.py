@@ -1413,7 +1413,40 @@ def test_suffix_array_spans_equal_fingerprint_spans_law(spark, sf_dir):
     assert exact, "law test vacuous: fixture produced no spans"
 
 
-def test_suffix_array_sampled_bounds_spread_skewed_prefixes(spark):
+def test_self_repetition_spans_constructed_corpus(spark):
+    """self_repetition_spans (dd20) flags WITHIN-document repeats
+    only: a doc repeating a 20-char phrase reports the merged span
+    over both occurrences' windows, a doc whose phrase appears once
+    reports nothing even when ANOTHER doc shares it (cross-doc is
+    dd14/dd19's job), and adjacent repeated windows fuse into one
+    maximal span."""
+    from dot_spark.operators.textdedup import self_repetition_spans
+
+    phrase = "repeat me twenty char"  # 21 chars >= window 12
+    rows = [
+        # doc 1: phrase at pos 11 and pos 41 (0-based 10/40)
+        (1, "x" * 10 + phrase + "y" * 9 + phrase + "z" * 6),
+        # doc 2: same phrase ONCE — cross-doc only, must not report
+        # (tail is 20 DISTINCT chars: a char run >= 12 would itself
+        # be a legitimate self-repeat)
+        (2, "a" * 10 + phrase + "0123456789!@#$%^&*()"),
+        # doc 3: no 12-char repeats at all
+        (3, "cdefghijklmnopqrstuvwxyz0123456789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end_excl"]): (
+            r["span_len"],
+            r["n_windows"],
+        )
+        for r in self_repetition_spans(df, window=12, min_repeats=2).collect()
+    }
+    # doc 1's two phrase copies: windows at 1-based starts 11..20 and
+    # 41..50 (10 windows each); the x-run (10 chars) is too short to
+    # self-repeat at window 12, the gap "y"*9 keeps the spans apart
+    assert set(got) == {(1, 11, 32), (1, 41, 62)}, got
+    assert got[(1, 11, 32)] == (21, 10), got
+    assert got[(1, 41, 62)] == (21, 10), got
     """The r14 fan-out fix (r13 verdict Missing #3): sampled range
     boundaries must spread a corpus whose docs ALL start with the
     same token across many sort buckets — the leading-code-point
