@@ -241,10 +241,19 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     try:
-        for _ in range(iterations):
+        # r14 fixed-cost consolidation (the connected_components
+        # pattern): intermediate rounds checkpoint LAZILY — each
+        # still truncates to a LogicalRDD at plan time (constant
+        # depth) but materializes inside the FINAL round's one
+        # eager job instead of paying a driver-synchronized job per
+        # round. The last round must be eager: the caches unpersist
+        # in finally, so the returned plan may not lazily reference
+        # them. No probes read intermediate rounds (fixed iteration
+        # count), so laziness is observationally identical.
+        for i in range(iterations):
             ranks = _pagerank_round(
                 edges_deg, ranks, nodes, base, damping, small
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=(i == iterations - 1))
     finally:
         # every iteration's output is checkpointed, so the caches are
         # no longer reachable from the returned plan
@@ -277,6 +286,11 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
     ).localCheckpoint(eager=True)
     frontier = visited
     try:
+        # NOTE: bfs keeps EAGER per-round checkpoints — the r14 lazy
+        # consolidation (see pagerank) was measured neutral-to-
+        # slightly-negative here (nxt feeds three consumers across
+        # rounds; the interleaved A/B leaned 1.04x), so the simpler
+        # eager contract stays.
         for d in range(1, max_depth + 1):
             nxt = (
                 frontier.join(edges, frontier["node"] == edges["src"])
@@ -477,7 +491,11 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(rounds):
+        # intermediate rounds lazy, final eager (the r14
+        # consolidation — see pagerank): labels is read twice per
+        # round (gather join + keep-label left join), sharing the
+        # cached RDD on first materialization inside the final job.
+        for r in range(rounds):
             gathered = (
                 edges.join(labels, edges["dst"] == labels["node"])
                 .select(F.col("src").alias("node"), "label")
@@ -503,7 +521,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
                     "node",
                     F.coalesce(F.col("__new"), F.col("label")).alias("label"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=(r == rounds - 1))
             )
     finally:
         edges.unpersist()

@@ -152,67 +152,67 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-13 rotation BY NAME, independently of the
+    the round-14 rotation BY NAME, independently of the
     _WINDOW_PRIORITY constant (tests/test_gate_window.py asserts the
     registry leads with that constant; this hand-written set catches
-    an accidental edit of the constant itself): the staged r12
-    backfill executed VERBATIM — 35 r8-stale rows + the 7 stalest r9
-    rows + the 8 round-12 additions first-gated here."""
+    an accidental edit of the constant itself): the staged r13
+    backfill executed VERBATIM — the 42 bound-critical r9-stale rows
+    + 5 r10 fills + the 3 round-13 additions first-gated here."""
     window = list(QUERIES)[:50]
     must_have = {
-        # r8-stale (35)
-        "f12_bitwise_aggs",
-        "f13_calendar_arith",
-        "f14_map_functions",
-        "f15_array_sort_comparator",
-        "j13_interval_overlap_join",
-        "j14_attribution_join",
-        "j16_tree_flatten",
-        "n10_variant_access",
-        "n7_unpivot",
-        "n9_nested_json_explode",
-        "p12_train_val_test_split",
-        "p13_token_budget_sample",
-        "p14_weighted_sample",
-        "p15_corpus_shuffle",
-        "p17_leakproof_split",
-        "pl10_record_linkage",
-        "pl11_incremental_lsh",
-        "pl6_verified_dedup_pipeline",
-        "pl7_corpus_build_pipeline",
-        "s16_file_lineage",
-        "s17_bucketed_join",
-        "ss5_recall_eval",
-        "ss7_mmr_topk",
-        "st8_session_window",
-        "t11_bigram_counts",
-        "t12_domain_stats",
-        "t13_bpe_merges",
-        "t14_stopword_stem",
-        "t15_unigram_lm_score",
-        "t17_bpe_encode",
-        "w10_funnel_steps",
-        "w11_moving_zscore",
-        "w7_moving_avg",
-        "w8_topk_per_group",
-        "w9_scd2_history",
-        # r9-stale (7)
-        "a15_approx_distinct_audit",
-        "a16_grouping_sets",
-        "a21_cumulative_distinct",
-        "a22_cohort_retention",
-        "a23_activity_streaks",
-        "a24_mad_robust",
-        "a25_table_profile",
-        # new in round 12, first-gated in round 13 (8)
-        "mm9_progressive_jpeg_audit",
-        "t27_kneser_ney_score",
-        "t28_gopher_rules",
-        "p22_temperature_mixture",
-        "dd18_soft_dedup",
-        "pl17_soft_corpus_build",
-        "ss11_multiprobe_recall",
-        "j20_asof_forward",
+        # r9-stale (42)
+        "a26_frequent_pairs",
+        "a27_event_transitions",
+        "a28_wilson_ci",
+        "a29_countmin_audit",
+        "a30_k_anonymity",
+        "a31_expectations_audit",
+        "dd14_substring_spans",
+        "dd15_containment",
+        "g1_pagerank",
+        "g2_triangle_count",
+        "g3_bfs_levels",
+        "g4_link_prediction",
+        "j17_multihop_topk",
+        "j18_snapshot_diff",
+        "j19_bloom_prejoin",
+        "mm4_image_resize",
+        "mm5_audio_rms",
+        "mm6_image_phash",
+        "n11_xml_roundtrip",
+        "n8_malformed_json_audit",
+        "p16_fixed_k_per_stratum",
+        "p18_mixture_resample",
+        "p19_sequence_packing",
+        "p20_zorder_layout",
+        "pl12_dataset_card",
+        "pl8_merge_upsert",
+        "s15_text_log_source",
+        "s18_txlog_snapshot",
+        "s19_zorder_skipping",
+        "ss6_label_centroids",
+        "ss8_sq_topk",
+        "ss9_pq_topk",
+        "st5_delayed_retry",
+        "t16_langid_accuracy",
+        "t18_novelty_score",
+        "t19_bm25_topterms",
+        "t20_pmi_collocations",
+        "t21_readability",
+        "t22_zipf_audit",
+        "w12_ewma_smooth",
+        "w13_ohlc_resample",
+        "w14_range_frame",
+        # r10 fills (5)
+        "a10_string_agg_ordered",
+        "a11_group_percentiles",
+        "a2_watermark_max",
+        "a32_linreg_trend",
+        "a33_skyline",
+        # new in round 13, first-gated in round 14 (3)
+        "j21_asof_left",
+        "mm10_jpeg_color_pixels",
+        "dd19_suffix_array_spans",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50
