@@ -4846,6 +4846,108 @@ def mm11_jpeg_progressive_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm12_png_pixels",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, ((doc_id - 1) // 4) % 7 AS cls,
+             doc_id % 40 + 8 AS w, doc_id % 24 + 8 AS h, doc_id % 256 AS s
+      FROM documents
+      WHERE doc_id % 4 = 1 AND ((doc_id - 1) // 4) % 7 <> 6),
+    -- the four closed-form channel grids, flattened per image
+    px AS (
+      SELECT media_id, cls, w, h,
+        flatten(list_transform(generate_series(0, h - 1), y ->
+          list_transform(generate_series(0, w - 1),
+                         x -> (7*x + 13*y + s) % 256))) AS gv,
+        flatten(list_transform(generate_series(0, h - 1), y ->
+          list_transform(generate_series(0, w - 1),
+                         x -> (11*x + 5*y + 3*s) % 256))) AS g2v,
+        flatten(list_transform(generate_series(0, h - 1), y ->
+          list_transform(generate_series(0, w - 1),
+                         x -> (3*x + 17*y + 5*s) % 256))) AS bv,
+        flatten(list_transform(generate_series(0, h - 1), y ->
+          list_transform(generate_series(0, w - 1),
+                         x -> (9*x + y + s) % 256))) AS av
+      FROM m),
+    -- palette classes compose palette[i] over the index grid gv
+    sums AS (
+      SELECT media_id, cls, w, h,
+             list_sum(gv) AS sg0, list_sum(g2v) AS sg2,
+             list_sum(bv) AS sb0, list_sum(av) AS sa0,
+             list_sum(list_transform(gv, v -> (3*v + 17) % 256)) AS spr,
+             list_sum(list_transform(gv, v -> (5*v + 29) % 256)) AS spg,
+             list_sum(list_transform(gv, v -> (7*v + 43) % 256)) AS spb
+      FROM px)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(CASE WHEN cls = 2 THEN spr ELSE sg0 END AS BIGINT) AS sum_r,
+           CAST(CASE WHEN cls IN (0, 4) THEN sg0 WHEN cls = 2 THEN spg
+                     ELSE sg2 END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN cls IN (0, 4) THEN sg0 WHEN cls = 2 THEN spb
+                     ELSE sb0 END AS BIGINT) AS sum_b,
+           CAST(CASE WHEN cls IN (3, 4) THEN sa0
+                     ELSE 255 * w * h END AS BIGINT) AS sum_a
+    FROM sums
+    """,
+)
+def mm12_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG pixel-CONTENT pin (the mm10 of the PNG path, r14): fully
+    decode the six decodable fixture classes — gray, RGB, palette,
+    RGBA, gray+alpha, Adam7-interlaced RGB, every scanline cycling
+    all five filter types — and emit exact integer per-channel pixel
+    sums. A wrong Sub/Up/Average/Paeth inversion, a swapped palette
+    column, a misplaced interlace pass or a dropped alpha plane all
+    move a channel sum; the oracle recomputes every sum closed-form
+    from the synthesis formulas (gray/R = (7x+13y+s)%256, G, B, A
+    linear grids; palette composes palette[i] over the index grid) —
+    no codec, no float ambiguity. Images without an alpha channel
+    report the opaque sum 255*n_px by definition."""
+    from dot_spark.operators.multimodal import png_rgb_sums, synthesize_png_media
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") % 4 == 1)
+        & (F.expr("((doc_id - 1) div 4) % 7") != 6)
+    )
+    return png_rgb_sums(synthesize_png_media(docs))
+
+
+@query(
+    "mm13_png_audit",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, ((doc_id - 1) // 4) % 7 AS cls,
+             doc_id % 40 + 8 AS w, doc_id % 24 + 8 AS h
+      FROM documents WHERE doc_id % 4 = 1)
+    SELECT media_id, 'image' AS kind, cls <> 6 AS ok,
+           CASE WHEN cls = 6 THEN 'png-bitdepth' ELSE 'png' END AS decoder,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CASE WHEN cls = 6 THEN NULL
+                ELSE CAST(w * h * (CASE cls WHEN 0 THEN 1 WHEN 4 THEN 2
+                                   WHEN 3 THEN 4 ELSE 3 END) AS INT)
+           END AS n_bytes
+    FROM m
+    """,
+)
+def mm13_png_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode outcome accounting across the PNG codec surface (the
+    mm9 of the PNG path): six fully-decoded row classes (ok=true,
+    decoder='png', n_bytes = decoded samples — pixels x channels
+    after palette expansion) plus the classified honest boundary —
+    a VALID 16-bit RGB stream reported ok=false /
+    decoder='png-bitdepth' with dims from the structural IHDR parse,
+    never a task-crashing exception (a 100 TB corpus pass hits deep
+    PNGs and must account them, not die). The oracle recomputes
+    every field closed-form from the synthesis parameters."""
+    from dot_spark.operators.multimodal import decode_media, synthesize_png_media
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 4 == 1)
+    dec = decode_media(synthesize_png_media(docs))
+    return dec.select(
+        "media_id", "kind", "ok", "decoder", "width", "height", "n_bytes"
+    )
+
+
+@query(
     "mm2_media_features",
     """
     WITH m AS (SELECT doc_id AS media_id,
@@ -12879,21 +12981,25 @@ _R15_WINDOW = [
     "pl4_corpus_ingest_dedup", "s11_attributed_publish",
     "s20_manifest_skipping", "s21_fixed_width_source", "ss10_rrf_fusion",
     "t23_bigram_lm_score", "w15_drawdown",
-    # r11-stale fills (5, alphabetical within the r11 cohort) —
+    # r11-stale fills (3, alphabetical within the r11 cohort) —
     # displaceable by new-in-round-14 queries per the policy above
-    # (dd5b_bucketed_neardup, dd6_decontamination and
-    # dd7_embedding_decontamination displaced to r16 staging by the
-    # three round-14 entries below).
+    # (dd5b_bucketed_neardup, dd6_decontamination,
+    # dd7_embedding_decontamination, dd3_simhash and
+    # dd4b_ngram_jaccard_capped displaced to r16 staging by the five
+    # round-14 entries below).
     "c1_classify_runs", "dd1_exact_dedup", "dd2_minhash_lsh_candidates",
-    "dd3_simhash", "dd4b_ngram_jaccard_capped",
     # round-14 swaps: mm9's SEMANTICS changed (the progressive class
     # flips from accounted ok=false to a real multi-scan decode), so
-    # it must re-gate; mm11 (progressive pixel-content pin) and dd20
-    # (intra-document repeated-substring spans) are new — the
+    # it must re-gate; mm11 (progressive pixel-content pin), dd20
+    # (intra-document repeated-substring spans), mm12 (full-PNG
+    # pixel-content pin: filters/palette/alpha/Adam7) and mm13 (PNG
+    # decode accounting incl. the 16-bit boundary) are new — the
     # first-gate-new-code policy.
     "mm9_progressive_jpeg_audit",
     "mm11_jpeg_progressive_pixels",
     "dd20_self_repetition_spans",
+    "mm12_png_pixels",
+    "mm13_png_audit",
 ]
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 _r15_missing = [n for n in _R15_WINDOW if n not in QUERIES]

@@ -658,10 +658,11 @@ def test_progressive_equals_baseline_pixels_law():
 
 
 def test_progressive_refusals_are_accounted(spark):
-    """Decoder refusals inside the progressive path (restart markers
-    in a progressive scan) surface as the accounted
-    ok=false/'jpeg-undecodable' row class, never an exception out of
-    the corpus pass."""
+    """Decoder refusals inside the progressive path (r14: restarts
+    now DECODE — the refusal class is a declared restart interval
+    whose RSTn markers are missing, i.e. layout desync) surface as
+    the accounted ok=false/'jpeg-undecodable' row class, never an
+    exception out of the corpus pass."""
     import struct
 
     from dot_spark.operators.multimodal import (
@@ -672,8 +673,9 @@ def test_progressive_refusals_are_accounted(spark):
     import pytest as _pytest
 
     good = _progressive_jpeg_bytes(24, 18, 100, 3)
-    # splice a DRI segment (interval 1) right after SOI: the decoder
-    # must refuse rather than mis-decode
+    # splice a DRI segment (interval 1) right after SOI: the stream
+    # declares a restart every MCU but carries no RSTn markers — the
+    # decoder must refuse rather than mis-decode
     dri = struct.pack(">HHH", 0xFFDD, 4, 1)
     bad = good[:2] + dri + good[2:]
     with _pytest.raises(ValueError):
@@ -867,3 +869,227 @@ def test_jpeg_restart_markers_roundtrip_and_reject():
     assert dri_seg in with_dri
     with pytest.raises(ValueError, match="RST marker without"):
         _jpeg_decode_baseline(with_dri.replace(dri_seg, b""))
+
+
+def test_png_full_codec_roundtrip_law():
+    """Exhaustive PNG codec law: every 8-bit color type x every
+    scanline filter (incl. a cycling mix) x straight/Adam7 x dims
+    down to 1x1 (empty interlace passes) round-trips to the exact
+    raw pixels. The decoder must INVERT the encoder's spec-forward
+    filters; any off-by-one in the Sub/Average/Paeth byte stride or
+    a misplaced interlace pass breaks equality."""
+    import numpy as np
+
+    from dot_spark.operators.multimodal import _png_decode_full, _png_encode
+
+    rng = np.random.RandomState(7)
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for w, h in [(1, 1), (3, 2), (7, 5), (8, 8), (13, 9), (47, 31)]:
+            arr = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+            planes = arr[:, :, 0] if ch == 1 else arr
+            want = arr[:, :, 0] if ch == 1 else arr
+            for fmode in (
+                lambda i: 0, lambda i: 1, lambda i: 2,
+                lambda i: 3, lambda i: 4, lambda i: i % 5,
+            ):
+                for interlace in (False, True):
+                    dec = _png_decode_full(
+                        _png_encode(planes, ct, filters=fmode, interlace=interlace)
+                    )
+                    assert dec.shape == want.shape and (dec == want).all(), (
+                        ct, w, h, interlace,
+                    )
+
+
+def test_png_palette_and_interlace_laws():
+    """Palette decode composes PLTE over the index grid exactly;
+    Adam7 and straight encodings of the same planes decode to
+    identical pixels (interlacing is a layout, never a value
+    change)."""
+    import numpy as np
+
+    from dot_spark.operators.multimodal import _png_decode_full, _png_encode
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (9, 13)).astype(np.uint8)
+    dec = _png_decode_full(_png_encode(idx, 3, palette=pal, filters=lambda i: i % 5))
+    assert (dec == pal[idx]).all()
+
+    rgb = rng.randint(0, 256, (21, 17, 3)).astype(np.uint8)
+    straight = _png_decode_full(_png_encode(rgb, 2, filters=lambda i: (i * 3) % 5))
+    adam7 = _png_decode_full(
+        _png_encode(rgb, 2, filters=lambda i: (i * 3) % 5, interlace=True)
+    )
+    assert (straight == adam7).all() and (straight == rgb).all()
+
+
+def test_png_pixels_luma_and_alpha_laws():
+    """_png_pixels reduces color payloads with the integer Rec.601
+    luma (299R+587G+114B)//1000 and drops alpha planes; gray
+    payloads pass through untouched."""
+    import numpy as np
+
+    from dot_spark.operators.multimodal import (
+        _png_encode,
+        _png_pixels,
+    )
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (6, 8, 3)).astype(np.int64)
+    lum = _png_pixels(_png_encode(rgb.astype(np.uint8), 2, filters=lambda i: 4))
+    want = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    assert (lum.astype(np.int64) == want).all()
+
+    ga = rng.randint(0, 256, (5, 4, 2)).astype(np.uint8)
+    assert (_png_pixels(_png_encode(ga, 4)) == ga[:, :, 0]).all()
+
+
+def test_decode_media_png_boundary_and_undecodable_accounting(spark):
+    """decode_media accounting across the PNG surface: a VALID
+    16-bit stream is the classified boundary (ok=false,
+    decoder='png-bitdepth', dims from IHDR, NULL n_bytes); a
+    truncated IDAT is accounted ok=false/'png-undecodable'; a real
+    filtered RGBA payload decodes (ok=true, n_bytes = w*h*4) — one
+    exotic payload can never crash a corpus-wide decode pass."""
+    import numpy as np
+    import pandas as pd
+    import struct
+    import zlib
+
+    from dot_spark.operators.multimodal import (
+        _png_chunk,
+        _png_encode,
+        decode_media,
+    )
+
+    rng = np.random.RandomState(5)
+    deep = _png_encode(
+        rng.randint(0, 65536, (10, 12, 3)).astype(np.uint16), 2, bitdepth=16
+    )
+    good = _png_encode(
+        rng.randint(0, 256, (10, 12, 4)).astype(np.uint8), 6,
+        filters=lambda i: (i + 2) % 5,
+    )
+    # one scanline too few: inflates fine, fails reconstruction
+    trunc = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 12, 10, 8, 0, 0, 0, 0))
+        + _png_chunk(
+            b"IDAT", zlib.compress(b"".join(b"\x00" + bytes(12) for _ in range(9)))
+        )
+        + _png_chunk(b"IEND", b"")
+    )
+    meta = {
+        "kind": "image", "format": "png", "width": 12, "height": 10,
+        "sample_rate": None, "duration_ms": None,
+    }
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "payload": [deep, trunc, good],
+                "meta": [meta, meta, meta],
+            }
+        )
+    )
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert not rows[1]["ok"] and rows[1]["decoder"] == "png-bitdepth"
+    assert rows[1]["width"] == 12 and rows[1]["height"] == 10
+    assert rows[1]["n_bytes"] is None
+    assert not rows[2]["ok"] and rows[2]["decoder"] == "png-undecodable"
+    assert rows[2]["width"] == 12 and rows[2]["height"] == 10
+    assert rows[3]["ok"] and rows[3]["decoder"] == "png"
+    assert rows[3]["n_bytes"] == 12 * 10 * 4
+
+
+def test_png_rgb_sums_match_decoded_pixels(spark):
+    """png_rgb_sums' channel sums equal a direct numpy sum of the
+    decoded planes for one fixture id per decodable class (ids 1, 5,
+    9, 13, 17, 21 -> cls 0..5), including the defined opaque alpha
+    for alpha-less classes."""
+    import numpy as np
+
+    from dot_spark.operators.multimodal import (
+        _png_decode_full,
+        png_rgb_sums,
+        synthesize_png_media,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (1, 5, 9, 13, 17, 21)], "doc_id long")
+    media = synthesize_png_media(ids)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    got = {r["media_id"]: r for r in png_rgb_sums(media).collect()}
+    assert set(got) == set(payloads)
+    for mid, p in payloads.items():
+        px = _png_decode_full(p).astype(np.int64)
+        r = got[mid]
+        n = r["width"] * r["height"]
+        if px.ndim == 2:
+            assert r["sum_r"] == r["sum_g"] == r["sum_b"] == int(px.sum())
+            assert r["sum_a"] == 255 * n
+        elif px.shape[2] == 2:
+            assert r["sum_r"] == int(px[:, :, 0].sum())
+            assert r["sum_a"] == int(px[:, :, 1].sum())
+        else:
+            assert r["sum_r"] == int(px[:, :, 0].sum())
+            assert r["sum_g"] == int(px[:, :, 1].sum())
+            assert r["sum_b"] == int(px[:, :, 2].sum())
+            want_a = (
+                int(px[:, :, 3].sum()) if px.shape[2] == 4 else 255 * n
+            )
+            assert r["sum_a"] == want_a
+
+
+def test_progressive_restart_markers_roundtrip_and_reject():
+    """Restart markers in PROGRESSIVE scans (r14): streams with a
+    DRI + per-scan RSTn splits decode to pixels IDENTICAL to their
+    restart-free twins across gray/color, both subsamplings, every
+    AC class and several intervals; desync forms (RST without DRI,
+    an EOBRUN forced across a boundary via a wrong DRI value) are
+    refused, never mis-decoded."""
+    import struct
+
+    import pytest as _pytest
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_decode_progressive,
+        _progressive_jpeg_bytes,
+    )
+
+    for w, h in [(16, 16), (21, 13)]:
+        for ac in (0, 1, 2, 9):
+            for color, sub in [
+                (None, "4:4:4"), ((40, 200), "4:4:4"), ((40, 200), "4:2:0"),
+            ]:
+                base = _jpeg_decode_progressive(
+                    _progressive_jpeg_bytes(w, h, 130, ac, color=color, subsample=sub)
+                )
+                for ri in (1, 2, 7):
+                    got = _jpeg_decode_progressive(
+                        _progressive_jpeg_bytes(
+                            w, h, 130, ac, color=color,
+                            subsample=sub, restart_interval=ri,
+                        )
+                    )
+                    assert got.shape == base.shape and (got == base).all(), (
+                        w, h, ac, color, sub, ri,
+                    )
+
+    # RST markers present but the DRI declares interval 0: refuse
+    with_rst = _progressive_jpeg_bytes(24, 18, 100, 3, restart_interval=2)
+    i = with_rst.find(struct.pack(">HHH", 0xFFDD, 4, 2))
+    assert i >= 0
+    no_dri = with_rst.replace(
+        struct.pack(">HHH", 0xFFDD, 4, 2), struct.pack(">HHH", 0xFFDD, 4, 0)
+    )
+    with _pytest.raises(ValueError):
+        _jpeg_decode_progressive(no_dri)
+
+    # DRI rewritten to a larger interval than the stream's actual
+    # RST cadence: segment layout desyncs and must raise
+    wrong_dri = with_rst.replace(
+        struct.pack(">HHH", 0xFFDD, 4, 2), struct.pack(">HHH", 0xFFDD, 4, 5)
+    )
+    with _pytest.raises(ValueError):
+        _jpeg_decode_progressive(wrong_dri)
