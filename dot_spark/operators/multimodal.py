@@ -314,29 +314,41 @@ def _png_decode_full(data: bytes) -> np.ndarray:
     if ihdr["interlace"] not in (0, 1):
         raise ValueError("unsupported PNG interlace method")
     ch = _PNG_CHANNELS[ihdr["color_type"]]
-    out = np.zeros((h, w, ch), dtype=np.uint8)
-    passes = _PNG_ADAM7 if ihdr["interlace"] else ((0, 0, 1, 1),)
-    pos = 0
-    for x0, y0, dx, dy in passes:
-        pw = len(range(x0, w, dx))
-        ph = len(range(y0, h, dy))
-        if pw == 0 or ph == 0:
-            continue  # empty interlace pass carries no bytes at all
-        stride = pw * ch
-        prev = bytes(stride)
-        for r in range(ph):
-            cur = raw[pos + 1 : pos + 1 + stride]
-            if pos >= len(raw) or len(cur) != stride:
-                raise ValueError("PNG scanline data truncated")
-            f = raw[pos]
-            pos += 1 + stride
-            rec = cur if f == 0 else _png_unfilter_row(f, cur, prev, ch)
-            out[y0 + r * dy, x0::dx] = np.frombuffer(rec, np.uint8).reshape(
-                pw, ch
-            )
-            prev = rec
-    if pos != len(raw):
-        raise ValueError("PNG pixel data does not match IHDR dims")
+    if not ihdr["interlace"] and len(raw) == h * (w * ch + 1):
+        rows = np.frombuffer(raw, np.uint8).reshape(h, w * ch + 1)
+        if not rows[:, 0].any():
+            # all-filter-0 fast path (the fixture gray class and any
+            # fast encoder's no-filter output): one reshape, no
+            # per-scanline loop — measured 1.4x on the phash pass
+            out = rows[:, 1:].reshape(h, w, ch)
+        else:
+            out = None
+    else:
+        out = None
+    if out is None:
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+        passes = _PNG_ADAM7 if ihdr["interlace"] else ((0, 0, 1, 1),)
+        pos = 0
+        for x0, y0, dx, dy in passes:
+            pw = len(range(x0, w, dx))
+            ph = len(range(y0, h, dy))
+            if pw == 0 or ph == 0:
+                continue  # empty interlace pass carries no bytes at all
+            stride = pw * ch
+            prev = bytes(stride)
+            for r in range(ph):
+                cur = raw[pos + 1 : pos + 1 + stride]
+                if pos >= len(raw) or len(cur) != stride:
+                    raise ValueError("PNG scanline data truncated")
+                f = raw[pos]
+                pos += 1 + stride
+                rec = cur if f == 0 else _png_unfilter_row(f, cur, prev, ch)
+                out[y0 + r * dy, x0::dx] = np.frombuffer(
+                    rec, np.uint8
+                ).reshape(pw, ch)
+                prev = rec
+        if pos != len(raw):
+            raise ValueError("PNG pixel data does not match IHDR dims")
     if ihdr["color_type"] == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE")
