@@ -583,11 +583,17 @@ _JPEG_ZIGZAG = [
 ]
 
 
-def _jpeg_bytes(width: int, height: int, gray: int, ac44: int = 0) -> bytes:
+def _jpeg_bytes(
+    width: int, height: int, gray: int, ac44: int = 0, extended: bool = False
+) -> bytes:
     """Encode a REAL baseline JPEG (stdlib-only). Spec-valid JFIF:
     quant table, SOF0 dims, custom canonical Huffman tables, and a
     correct entropy stream for the two-coefficient block class
-    {DC = gray-128, quantized (4,4) coefficient = ac44}:
+    {DC = gray-128, quantized (4,4) coefficient = ac44}.
+    ``extended`` emits the frame as SOF1 (extended sequential DCT):
+    at 8-bit precision the scan machinery is IDENTICAL to baseline —
+    SOF1 only widens the allowed precision/table ids — so the same
+    closed-form oracle pins both markers:
 
     - ac44 == 0: a flat gray field (DC-only MCUs).
     - ac44 in 1..9: every MCU additionally carries AC coefficient
@@ -610,7 +616,10 @@ def _jpeg_bytes(width: int, height: int, gray: int, ac44: int = 0) -> bytes:
     # quant: Q[0]=8 so quantized DC == gray-128 exactly; rest flat 16
     # (zigzag pos 39 = (4,4) -> dequantized coefficient 16*ac44)
     dqt = seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
-    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    sof0 = seg(
+        0xFFC1 if extended else 0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00",
+    )
     # DC table 0: 12 symbols (categories 0-11), all 4-bit canonical ->
     # category c encodes as the 4-bit value c. AC table 0: six 4-bit
     # canonical symbols [EOB, ZRL, (6,1), (6,2), (6,3), (6,4)] ->
@@ -1197,8 +1206,10 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
     Restart markers decode for real (DRI interval + RST0-7: segment
     split on the unstuffed marker bytes, byte re-alignment and DC
     predictor reset per segment — the camera/libjpeg error-resilience
-    layout). Still out of scope (raise, and decode_media
-    error-accounts): progressive SOF2, non-baseline SOF1/3,
+    layout), and SOF1 (extended sequential) frames decode on the
+    same path at 8-bit precision (r14). Still out of scope (raise,
+    and decode_media error-accounts): progressive SOF2 (routed to
+    the progressive decoder upstream), 12-bit SOF1, lossless SOF3,
     component counts other than 1/3 (e.g. 4 = Adobe CMYK)."""
     import re as _re
     import struct
@@ -1222,7 +1233,14 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
         body = data[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT: 1+ tables per segment, 8-bit only
             _parse_dqt_segment(body, qtab)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            # SOF1 at 8-bit precision decodes on the identical
+            # Huffman path (it only widens the ALLOWED precision and
+            # table ids); 12-bit stays the honest accounted boundary
+            if marker == 0xC1 and body[0] != 8:
+                raise ValueError(
+                    f"{body[0]}-bit extended sequential JPEG unsupported"
+                )
             h, w = struct.unpack(">HH", body[1:5])
             n_comp = body[5]
             if n_comp not in (1, 3):
@@ -1232,7 +1250,7 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
             for c in range(n_comp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker in (0xC2, 0xC3):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:  # DHT: 1+ canonical tables per segment
             _parse_dht_segment(body, huff)
@@ -1809,7 +1827,9 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     fixture ids are always multiples of 3, so cls cycles evenly):
 
     - cls 0: REAL baseline grayscale JPEG (fully entropy-decodable:
-      _jpeg_bytes).
+      _jpeg_bytes), alternating SOF0 and SOF1 (extended sequential)
+      frame markers by (id // 9) % 2 — identical 8-bit scan path,
+      identical pixels (r14).
     - cls 1: REAL PROGRESSIVE SOF2 JPEG (_progressive_jpeg_bytes —
       since r14 a fully decodable multi-scan successive-approximation
       stream, alternating GRAYSCALE and 4:4:4 COLOR by (id // 9) % 2;
@@ -1836,7 +1856,13 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = mid % 48 + 16, mid % 32 + 16
                 cls = (mid // 3) % 3
                 if cls == 0:
-                    payload = _jpeg_bytes(w, h, mid % 128 + 64, mid % 10)
+                    # alternate SOF0 baseline / SOF1 extended
+                    # sequential (r14: identical 8-bit scan path,
+                    # pixels unchanged — one oracle pins both markers)
+                    payload = _jpeg_bytes(
+                        w, h, mid % 128 + 64, mid % 10,
+                        extended=(mid // 9) % 2 == 1,
+                    )
                     fmt = "jpeg"
                 elif cls == 1:
                     # alternate grayscale / color progressive (color

@@ -1093,3 +1093,44 @@ def test_progressive_restart_markers_roundtrip_and_reject():
     )
     with _pytest.raises(ValueError):
         _jpeg_decode_progressive(wrong_dri)
+
+
+def test_sof1_extended_sequential_decodes_and_12bit_refused(spark):
+    """SOF1 (extended sequential) frames decode on the baseline path
+    at 8-bit precision with pixels IDENTICAL to their SOF0 twins
+    (the marker only widens allowed precision/table ids); a 12-bit
+    SOF1 frame is refused and accounted, never mis-decoded."""
+    import struct
+
+    import pytest as _pytest
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _jpeg_decode_baseline,
+        decode_media,
+    )
+
+    for w, h in [(16, 16), (21, 13)]:
+        for ac in (0, 3, 9):
+            base = _jpeg_decode_baseline(_jpeg_bytes(w, h, 130, ac))
+            ext = _jpeg_decode_baseline(_jpeg_bytes(w, h, 130, ac, extended=True))
+            assert ext.shape == base.shape and (ext == base).all()
+
+    # rewrite the SOF1 precision byte to 12: refusal, accounted
+    good = _jpeg_bytes(24, 18, 100, 2, extended=True)
+    sof1 = struct.pack(">HH", 0xFFC1, 11) + struct.pack(">BHHB", 8, 18, 24, 1)
+    assert sof1 in good
+    deep = good.replace(
+        sof1, struct.pack(">HH", 0xFFC1, 11) + struct.pack(">BHHB", 12, 18, 24, 1)
+    )
+    with _pytest.raises(ValueError):
+        _jpeg_decode_baseline(deep)
+    media = spark.createDataFrame(
+        [(1, bytearray(deep), ("image", "jpeg", 24, 18, None, None))],
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "sample_rate:int,duration_ms:int>",
+    )
+    row = decode_media(media).collect()[0]
+    assert not row["ok"] and row["decoder"] == "jpeg-undecodable"
+    assert row["width"] == 24 and row["n_bytes"] is None
