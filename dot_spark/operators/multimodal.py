@@ -798,6 +798,110 @@ def _jpeg_color_bytes(
     return b"\xff\xd8" + dqt + sof0 + dht + dri + sos + entropy + b"\xff\xd9"
 
 
+def _jpeg_cmyk_bytes(
+    width: int,
+    height: int,
+    c1: int,
+    c2: int,
+    c3: int,
+    k0: int,
+    ac44: int = 0,
+    transform: int = 2,
+) -> bytes:
+    """Encode a REAL 4-component Adobe baseline JPEG (stdlib-only) —
+    the print/Photoshop corpus class: SOF0 with four 1x1 components,
+    an Adobe APP14 segment carrying the color-transform flag, and an
+    interleaved scan with per-component DC predictors.
+
+    ``transform`` = 2 emits YCCK (channel 1 = Y with the _jpeg_bytes
+    AC pattern c1 ± 2*ac44 on the sign grid, channels 2/3 = flat
+    Cb/Cr, channel 4 = flat K); ``transform`` = 0 emits direct CMYK
+    (all four stored as-is, channel 1 carrying the pattern). Both
+    follow Adobe's INVERTED-ink convention (stored 255 = no ink), so
+    the decoder's composite is channel * K / 255 — every value
+    closed-form for the oracle. Channels 1/4 use Huffman table id 0
+    (luma-like per libjpeg YCCK), 2/3 table id 1."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    if not 0 <= ac44 <= 9:
+        raise ValueError("ac44 must be in 0..9 (keeps pixels clamp-free)")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    dqt = seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
+    app14 = seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform))
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 4)
+        + bytes([1, 0x11, 0])
+        + bytes([2, 0x11, 0])
+        + bytes([3, 0x11, 0])
+        + bytes([4, 0x11, 0]),
+    )
+    dc_body = bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    ac_syms = bytes([0x00, 0xF0, 0x61, 0x62, 0x63, 0x64])
+    ac_body = bytes([0, 0, 0, len(ac_syms)] + [0] * 12) + ac_syms
+    dht = seg(
+        0xFFC4,
+        b"\x00" + dc_body + b"\x01" + dc_body
+        + b"\x10" + ac_body + b"\x11" + ac_body,
+    )
+    sos = seg(
+        0xFFDA,
+        b"\x04"
+        + bytes([1, 0x00])  # pattern channel -> DC 0 / AC 0
+        + bytes([2, 0x11])
+        + bytes([3, 0x11])
+        + bytes([4, 0x00])  # K -> luma tables (libjpeg YCCK layout)
+        + b"\x00\x3f\x00",
+    )
+
+    bits: list[int] = []
+
+    def put(value: int, n: int) -> None:
+        bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
+
+    ac_code = {s: i for i, s in enumerate(ac_syms)}
+
+    def put_block(dc_diff: int, with_ac: bool) -> None:
+        cat = abs(dc_diff).bit_length()
+        put(cat, 4)
+        if cat:
+            put(dc_diff if dc_diff >= 0 else dc_diff + (1 << cat) - 1, cat)
+        if with_ac and ac44:
+            put(ac_code[0xF0], 4)
+            put(ac_code[0xF0], 4)
+            size = ac44.bit_length()
+            put(ac_code[0x60 | size], 4)
+            put(ac44, size)
+        put(ac_code[0x00], 4)
+
+    pred = {1: 0, 2: 0, 3: 0, 4: 0}
+
+    def comp_block(comp: int, dc_value: int, with_ac: bool) -> None:
+        put_block(dc_value - pred[comp], with_ac)
+        pred[comp] = dc_value
+
+    n_mcus = ((width + 7) // 8) * ((height + 7) // 8)
+    for _ in range(n_mcus):
+        comp_block(1, c1 - 128, True)
+        comp_block(2, c2 - 128, False)
+        comp_block(3, c3 - 128, False)
+        comp_block(4, k0 - 128, False)
+    while len(bits) % 8:
+        bits.append(1)
+    raw = bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
+        for p in range(0, len(bits), 8)
+    )
+    entropy = raw.replace(b"\xff", b"\xff\x00")
+    return (
+        b"\xff\xd8" + app14 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
 def _progressive_jpeg_bytes(
     width: int,
     height: int,
@@ -1147,31 +1251,13 @@ def _idct_matrix() -> np.ndarray:
     return A
 
 
-def _planes_to_pixels(
-    planes: dict[int, np.ndarray],
-    comps: list[tuple[int, int, int, int]],
-    hmax: int,
-    vmax: int,
-    w: int,
-    h: int,
-) -> np.ndarray:
-    """Crop/upsample decoded component planes to final pixels: the
-    (h, w) grid for 1 component, or chroma upsampling by sample
-    replication + the fixed-point JFIF YCbCr->RGB transform at 10^-6
-    precision for 3 (all-integer: floor-div after +half equals
-    round-half-up, and the only values where floor-vs-truncate
-    semantics could differ clamp to the same bound in both engines —
-    so an independent oracle recomputes every decoded pixel with
-    ZERO float-rounding ambiguity). Shared by the baseline and
-    progressive decoders."""
-    if len(comps) == 1:
-        return planes[comps[0][0]][:h, :w]
-    up = {}
-    for cid, hs, vs, _ in comps:
-        up[cid] = np.repeat(
-            np.repeat(planes[cid], vmax // vs, axis=0), hmax // hs, axis=1
-        )[:h, :w].astype(np.int64)
-    yy, cb, cr = (up[c[0]] for c in comps)
+def _ycc_to_rgb(
+    yy: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fixed-point JFIF YCbCr->RGB at 10^-6 precision (libjpeg-style
+    integer arithmetic, floor-div after +half = round-half-up):
+    integer-exact, so an independent oracle recomputes every value
+    closed-form with zero float-rounding ambiguity."""
     m = 1_000_000
     r = np.clip((m * yy + 1_402_000 * (cr - 128) + m // 2) // m, 0, 255)
     g = np.clip(
@@ -1180,6 +1266,50 @@ def _planes_to_pixels(
         255,
     )
     b = np.clip((m * yy + 1_772_000 * (cb - 128) + m // 2) // m, 0, 255)
+    return r, g, b
+
+
+def _planes_to_pixels(
+    planes: dict[int, np.ndarray],
+    comps: list[tuple[int, int, int, int]],
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+    adobe_transform: int | None = None,
+) -> np.ndarray:
+    """Crop/upsample decoded component planes to final pixels: the
+    (h, w) grid for 1 component; chroma upsampling by sample
+    replication + the fixed-point YCbCr->RGB transform for 3; the
+    Adobe 4-component path (r14) for CMYK/YCCK — transform 2 runs
+    the YCbCr transform on the first three channels, transform 0
+    takes them directly, and both composite against the K channel
+    with Adobe's INVERTED-ink convention, channel * K rounded at
+    1/255 — ((v * k + 127) // 255), again integer-exact. Shared by
+    the baseline and progressive decoders."""
+    if len(comps) == 1:
+        return planes[comps[0][0]][:h, :w]
+    up = {}
+    for cid, hs, vs, _ in comps:
+        up[cid] = np.repeat(
+            np.repeat(planes[cid], vmax // vs, axis=0), hmax // hs, axis=1
+        )[:h, :w].astype(np.int64)
+    if len(comps) == 4:
+        p1, p2, p3, k = (up[c[0]] for c in comps)
+        if adobe_transform == 2:  # YCCK
+            r, g, b = _ycc_to_rgb(p1, p2, p3)
+        elif adobe_transform == 0:  # direct (inverted) CMYK
+            r, g, b = p1, p2, p3
+        else:
+            raise ValueError(
+                "4-component JPEG without an Adobe APP14 transform"
+            )
+        r = (r * k + 127) // 255
+        g = (g * k + 127) // 255
+        b = (b * k + 127) // 255
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+    yy, cb, cr = (up[c[0]] for c in comps)
+    r, g, b = _ycc_to_rgb(yy, cb, cr)
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
@@ -1206,11 +1336,14 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
     Restart markers decode for real (DRI interval + RST0-7: segment
     split on the unstuffed marker bytes, byte re-alignment and DC
     predictor reset per segment — the camera/libjpeg error-resilience
-    layout), and SOF1 (extended sequential) frames decode on the
-    same path at 8-bit precision (r14). Still out of scope (raise,
+    layout), SOF1 (extended sequential) frames decode on the same
+    path at 8-bit precision (r14), and Adobe 4-component CMYK/YCCK
+    frames decode through the APP14 transform flag + inverted-ink K
+    composite (r14, _planes_to_pixels). Still out of scope (raise,
     and decode_media error-accounts): progressive SOF2 (routed to
     the progressive decoder upstream), 12-bit SOF1, lossless SOF3,
-    component counts other than 1/3 (e.g. 4 = Adobe CMYK)."""
+    4-component streams with no APP14 transform, component counts
+    other than 1/3/4."""
     import re as _re
     import struct
 
@@ -1224,6 +1357,7 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
     scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (td, ta)
     entropy = None
     dri = 0  # restart interval in MCUs (0 = no restarts)
+    adobe_transform: int | None = None  # APP14 flag (4-comp decode)
     segments: list[bytes] = []
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1243,15 +1377,19 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
                 )
             h, w = struct.unpack(">HH", body[1:5])
             n_comp = body[5]
-            if n_comp not in (1, 3):
+            if n_comp not in (1, 3, 4):
                 raise ValueError(
-                    f"JPEG component count {n_comp} unsupported (gray/YCbCr only)"
+                    f"JPEG component count {n_comp} unsupported"
                 )
             for c in range(n_comp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker in (0xC2, 0xC3):
             raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xEE and body[:5] == b"Adobe":
+            # APP14: the color-transform flag a 4-component decode
+            # needs (0 = direct CMYK, 2 = YCCK), Adobe convention
+            adobe_transform = body[11] if len(body) >= 12 else None
         elif marker == 0xC4:  # DHT: 1+ canonical tables per segment
             _parse_dht_segment(body, huff)
         elif marker == 0xDD:  # DRI: restart interval
@@ -1377,7 +1515,9 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
                     x0 = (mx * hs + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
 
-    return _planes_to_pixels(planes, comps, hmax, vmax, w, h)
+    return _planes_to_pixels(
+        planes, comps, hmax, vmax, w, h, adobe_transform=adobe_transform
+    )
 
 
 def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
@@ -2005,6 +2145,50 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
 
 
+def synthesize_cmyk_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Adobe 4-component JPEG media table (the mm14 fixture): rows
+    alternate YCCK (transform 2) and direct CMYK (transform 0) by
+    ((id - 2) // 5) % 2 — fixture ids are always ≡ 2 mod 5, so the
+    classes cycle evenly. Channel parameters are deterministic
+    functions of the id (pattern channel c1 = id%128+64 with
+    ac = id%10 riding the ±1 sign grid; flat c2/c3/K), so the oracle
+    recomputes every decoded RGB sum closed-form through the
+    documented inverted-ink composite."""
+    from pyspark.sql.types import StructType
+
+    out_ddl = f"media_id BIGINT, payload BINARY, meta STRUCT<{MEDIA_META_DDL}>"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].astype("int64"):
+                mid = int(mid)
+                w, h = mid % 48 + 16, mid % 32 + 16
+                transform = 2 if ((mid - 2) // 5) % 2 == 0 else 0
+                payload = _jpeg_cmyk_bytes(
+                    w, h,
+                    mid % 128 + 64,
+                    (mid * 7) % 256,
+                    (mid * 13) % 256,
+                    (mid * 11) % 256,
+                    mid % 10,
+                    transform=transform,
+                )
+                meta = dict.fromkeys(
+                    ("kind", "format", "width", "height", "sample_rate", "duration_ms")
+                )
+                meta.update(
+                    kind="image",
+                    format="jpeg-ycck" if transform == 2 else "jpeg-cmyk",
+                    width=w,
+                    height=h,
+                )
+                rows.append((mid, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
+
+
 def png_rgb_sums(media: DataFrame) -> DataFrame:
     """Pixel-CONTENT pin for the PNG decode surface (mm12, the mm10
     of the PNG path): fully decode each payload — filters inverted,
@@ -2120,15 +2304,17 @@ def jpeg_rgb_sums(media: DataFrame) -> DataFrame:
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode step over (media_id, payload, meta) -> decoded metadata
     rows. Dispatches on the payload's MAGIC BYTES, as a real decoder
-    does: PNG, WAV, AVI (DIB + MJPEG), bare baseline JPEG
-    (grayscale + interleaved color) and — since r14 — bare
-    PROGRESSIVE JPEG (SOF2), fully entropy-decoded through the
-    multi-scan spectral-selection + successive-approximation path
-    (ok=true / decoder='jpeg-progressive' / n_bytes = reconstructed
+    does: PNG (full codec surface since r14: filters, five color
+    types, Adam7), WAV, AVI (DIB + MJPEG), bare baseline JPEG
+    (grayscale + interleaved color + SOF1 + Adobe CMYK/YCCK) and —
+    since r14 — bare PROGRESSIVE JPEG (SOF2), fully entropy-decoded
+    through the multi-scan spectral-selection +
+    successive-approximation path (ok=true /
+    decoder='jpeg-progressive' / n_bytes = reconstructed
     sample count, restart-marker streams included since r14).
     Decoder refusals (RST/DRI layout desync inside
-    progressive scans, 16-bit DQT, truncated entropy, CMYK-shaped
-    component layouts, ...) are ACCOUNTED ok=false row classes with
+    progressive scans, 16-bit DQT, truncated entropy, APP14-less
+    4-component layouts, ...) are ACCOUNTED ok=false row classes with
     dims from the structural parse, never task-crashing exceptions;
     anything else falls to
     the deterministic STUB (`decoder` column records which ran).
@@ -2230,8 +2416,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                                 }
                             )
                             decoders.append("jpeg-progressive")
-                    elif info["n_components"] not in (1, 3):
-                        # CMYK/unknown layouts: structurally parsed,
+                    elif info["n_components"] not in (1, 3, 4):
+                        # unknown layouts: structurally parsed,
                         # pixels not reconstructed — accounted like
                         # the progressive class so one exotic payload
                         # can never crash a corpus-wide decode pass
@@ -2249,14 +2435,17 @@ def decode_media(media: DataFrame) -> DataFrame:
                         try:
                             px = _jpeg_decode_baseline(p)
                         except ValueError:
-                            # any decoder refusal BEYOND the two
+                            # any decoder refusal BEYOND the
                             # classified boundaries above (16-bit DQT,
                             # truncated entropy, invalid Huffman code,
-                            # RST without DRI, ...): account it like
-                            # the progressive class — one exotic
-                            # payload must never crash a corpus-wide
-                            # decode pass. Dims come from the
-                            # structural parse that already succeeded.
+                            # RST without DRI, a 4-component stream
+                            # with no Adobe APP14 transform, ...):
+                            # account it — one exotic payload must
+                            # never crash a corpus-wide decode pass.
+                            # Dims come from the structural parse
+                            # that already succeeded; undecodable
+                            # 4-component streams keep their own
+                            # label so the audit can slice them.
                             metas.append(
                                 {
                                     "width": info["width"],
@@ -2265,7 +2454,11 @@ def decode_media(media: DataFrame) -> DataFrame:
                                     "n_bytes": None,
                                 }
                             )
-                            decoders.append("jpeg-undecodable")
+                            decoders.append(
+                                "jpeg-multicomponent"
+                                if info["n_components"] == 4
+                                else "jpeg-undecodable"
+                            )
                             ok = False
                         else:
                             metas.append(
@@ -2276,12 +2469,18 @@ def decode_media(media: DataFrame) -> DataFrame:
                                     "n_bytes": int(px.size),
                                 }
                             )
-                            # color rows get their own decoder label
-                            # so the audit can slice the two classes
-                            # apart; n_bytes = w*h*3 for RGB (px.size
-                            # counts every channel sample)
+                            # color/cmyk rows get their own decoder
+                            # labels so the audit can slice the
+                            # classes apart; n_bytes = w*h*3 for RGB
+                            # (px.size counts every channel sample)
                             decoders.append(
-                                "jpeg" if px.ndim == 2 else "jpeg-color"
+                                "jpeg"
+                                if px.ndim == 2
+                                else (
+                                    "jpeg-cmyk"
+                                    if info["n_components"] == 4
+                                    else "jpeg-color"
+                                )
                             )
                 else:
                     metas.append(_fake_decode(p))

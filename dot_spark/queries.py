@@ -4846,6 +4846,84 @@ def mm11_jpeg_progressive_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm14_jpeg_cmyk_pixels",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, ((doc_id - 2) // 5) % 2 = 0 AS ycck,
+             doc_id % 48 + 16 AS w, doc_id % 32 + 16 AS h,
+             doc_id % 128 + 64 AS c1, (doc_id * 7) % 256 AS c2,
+             (doc_id * 13) % 256 AS c3, (doc_id * 11) % 256 AS k0,
+             doc_id % 10 AS ac
+      FROM documents WHERE doc_id % 5 = 2),
+    cnt AS (
+      SELECT *,
+             len(list_filter(generate_series(0, w - 1),
+                             x -> (x % 8) IN (0, 3, 4, 7))) AS npx,
+             len(list_filter(generate_series(0, h - 1),
+                             y -> (y % 8) IN (0, 3, 4, 7))) AS npy
+      FROM m),
+    cls AS (
+      SELECT media_id, ycck, w, h, c2, c3, k0,
+             npx * npy + (w - npx) * (h - npy) AS n_plus,
+             w * h - (npx * npy + (w - npx) * (h - npy)) AS n_minus,
+             c1 + 2 * ac AS yp, c1 - 2 * ac AS ym
+      FROM cnt),
+    -- pre-K channel values: YCCK rows run the decoder's fixed-point
+    -- YCbCr transform on (pattern, c2, c3); CMYK rows take the
+    -- stored planes directly
+    px AS (
+      SELECT media_id, w, h, n_plus, n_minus, k0,
+             CASE WHEN ycck THEN GREATEST(0, LEAST(255,
+                  (1000000 * yp + 1402000 * (c3 - 128) + 500000) // 1000000))
+                  ELSE GREATEST(0, LEAST(255, yp)) END AS rp,
+             CASE WHEN ycck THEN GREATEST(0, LEAST(255,
+                  (1000000 * ym + 1402000 * (c3 - 128) + 500000) // 1000000))
+                  ELSE GREATEST(0, LEAST(255, ym)) END AS rm,
+             CASE WHEN ycck THEN GREATEST(0, LEAST(255,
+                  (1000000 * yp - 344136 * (c2 - 128) - 714136 * (c3 - 128)
+                   + 500000) // 1000000))
+                  ELSE c2 END AS gp,
+             CASE WHEN ycck THEN GREATEST(0, LEAST(255,
+                  (1000000 * ym - 344136 * (c2 - 128) - 714136 * (c3 - 128)
+                   + 500000) // 1000000))
+                  ELSE c2 END AS gm,
+             CASE WHEN ycck THEN GREATEST(0, LEAST(255,
+                  (1000000 * yp + 1772000 * (c2 - 128) + 500000) // 1000000))
+                  ELSE c3 END AS bp,
+             CASE WHEN ycck THEN GREATEST(0, LEAST(255,
+                  (1000000 * ym + 1772000 * (c2 - 128) + 500000) // 1000000))
+                  ELSE c3 END AS bm
+      FROM cls)
+    -- Adobe inverted-ink composite: channel * K rounded at 1/255
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(n_plus * ((rp * k0 + 127) // 255)
+                + n_minus * ((rm * k0 + 127) // 255) AS BIGINT) AS sum_r,
+           CAST(n_plus * ((gp * k0 + 127) // 255)
+                + n_minus * ((gm * k0 + 127) // 255) AS BIGINT) AS sum_g,
+           CAST(n_plus * ((bp * k0 + 127) // 255)
+                + n_minus * ((bm * k0 + 127) // 255) AS BIGINT) AS sum_b
+    FROM px
+    """,
+)
+def mm14_jpeg_cmyk_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adobe 4-component JPEG pixel-CONTENT pin (r14, closing the
+    CMYK honest boundary): fully decode YCCK (APP14 transform 2) and
+    direct CMYK (transform 0) baseline streams to RGB through the
+    documented inverted-ink composite — channel (post-YCbCr for
+    YCCK) times K, rounded at 1/255, all integer fixed-point — and
+    emit exact per-channel pixel sums. A swapped transform flag, a
+    dropped K multiply or a wrong rounding all move a channel sum;
+    the oracle recomputes every value closed-form from the synthesis
+    parameters (the pattern channel is two-valued on the ±1 DCT sign
+    grid, c2/c3/K flat — no DCT, no float ambiguity)."""
+    from dot_spark.operators.multimodal import jpeg_rgb_sums, synthesize_cmyk_media
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 2)
+    return jpeg_rgb_sums(synthesize_cmyk_media(docs))
+
+
+@query(
     "mm12_png_pixels",
     """
     WITH m AS (
@@ -12981,25 +13059,26 @@ _R15_WINDOW = [
     "pl4_corpus_ingest_dedup", "s11_attributed_publish",
     "s20_manifest_skipping", "s21_fixed_width_source", "ss10_rrf_fusion",
     "t23_bigram_lm_score", "w15_drawdown",
-    # r11-stale fills (3, alphabetical within the r11 cohort) —
+    # r11-stale fills (2, alphabetical within the r11 cohort) —
     # displaceable by new-in-round-14 queries per the policy above
     # (dd5b_bucketed_neardup, dd6_decontamination,
-    # dd7_embedding_decontamination, dd3_simhash and
-    # dd4b_ngram_jaccard_capped displaced to r16 staging by the five
-    # round-14 entries below).
-    "c1_classify_runs", "dd1_exact_dedup", "dd2_minhash_lsh_candidates",
+    # dd7_embedding_decontamination, dd3_simhash,
+    # dd4b_ngram_jaccard_capped and dd2_minhash_lsh_candidates
+    # displaced to r16 staging by the six round-14 entries below).
+    "c1_classify_runs", "dd1_exact_dedup",
     # round-14 swaps: mm9's SEMANTICS changed (the progressive class
     # flips from accounted ok=false to a real multi-scan decode), so
     # it must re-gate; mm11 (progressive pixel-content pin), dd20
     # (intra-document repeated-substring spans), mm12 (full-PNG
-    # pixel-content pin: filters/palette/alpha/Adam7) and mm13 (PNG
-    # decode accounting incl. the 16-bit boundary) are new — the
-    # first-gate-new-code policy.
+    # pixel-content pin: filters/palette/alpha/Adam7), mm13 (PNG
+    # decode accounting incl. the 16-bit boundary) and mm14 (Adobe
+    # CMYK/YCCK pixel pin) are new — the first-gate-new-code policy.
     "mm9_progressive_jpeg_audit",
     "mm11_jpeg_progressive_pixels",
     "dd20_self_repetition_spans",
     "mm12_png_pixels",
     "mm13_png_audit",
+    "mm14_jpeg_cmyk_pixels",
 ]
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 _r15_missing = [n for n in _R15_WINDOW if n not in QUERIES]

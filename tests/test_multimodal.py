@@ -1134,3 +1134,85 @@ def test_sof1_extended_sequential_decodes_and_12bit_refused(spark):
     row = decode_media(media).collect()[0]
     assert not row["ok"] and row["decoder"] == "jpeg-undecodable"
     assert row["width"] == 24 and row["n_bytes"] is None
+
+
+def test_cmyk_ycck_decode_matches_composite_and_accounting(spark):
+    """Adobe 4-component decode law: YCCK (transform 2) runs the
+    fixed-point YCbCr transform then the inverted-ink K composite
+    ((v*k+127)//255); direct CMYK (transform 0) composites the stored
+    planes; both match a direct numpy recompute exactly. Through
+    decode_media: ok=true / decoder='jpeg-cmyk' / n_bytes = w*h*3;
+    a 4-component stream WITHOUT the APP14 transform stays the
+    accounted 'jpeg-multicomponent' class (pinned by the existing
+    multicomponent test as well)."""
+    import struct
+
+    import numpy as np
+
+    from dot_spark.operators.multimodal import (
+        _jpeg_cmyk_bytes,
+        _jpeg_decode_baseline,
+        decode_media,
+        synthesize_cmyk_media,
+    )
+
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    m = 1_000_000
+    for w, h in [(16, 16), (21, 13)]:
+        for ac in (0, 3, 9):
+            for c1, c2, c3, k0 in [(130, 40, 200, 255), (100, 128, 128, 77)]:
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                yy = (c1 + 2 * ac * (s[x % 8] * s[y % 8])).astype(np.int64)
+                # YCCK
+                px = _jpeg_decode_baseline(
+                    _jpeg_cmyk_bytes(w, h, c1, c2, c3, k0, ac, transform=2)
+                )
+                r = np.clip((m * yy + 1_402_000 * (c3 - 128) + m // 2) // m, 0, 255)
+                g = np.clip(
+                    (m * yy - 344_136 * (c2 - 128) - 714_136 * (c3 - 128) + m // 2)
+                    // m, 0, 255,
+                )
+                b = np.clip((m * yy + 1_772_000 * (c2 - 128) + m // 2) // m, 0, 255)
+                want = np.stack(
+                    [(r * k0 + 127) // 255, (g * k0 + 127) // 255,
+                     (b * k0 + 127) // 255], axis=-1,
+                )
+                assert (px == want).all()
+                # direct CMYK
+                px = _jpeg_decode_baseline(
+                    _jpeg_cmyk_bytes(w, h, c1, c2, c3, k0, ac, transform=0)
+                )
+                cp = np.clip(yy, 0, 255)
+                want = np.stack(
+                    [(cp * k0 + 127) // 255,
+                     (np.full((h, w), c2, np.int64) * k0 + 127) // 255,
+                     (np.full((h, w), c3, np.int64) * k0 + 127) // 255], axis=-1,
+                )
+                assert (px == want).all()
+
+    # through decode_media: real decode with the 'jpeg-cmyk' label
+    ids = spark.createDataFrame([(2,), (7,)], "doc_id long")  # YCCK, CMYK
+    rows = {r["media_id"]: r for r in
+            decode_media(synthesize_cmyk_media(ids)).collect()}
+    for mid in (2, 7):
+        r = rows[mid]
+        assert r["ok"] and r["decoder"] == "jpeg-cmyk"
+        assert r["n_bytes"] == r["width"] * r["height"] * 3
+
+    # stripping the APP14 flips a valid stream to the accounted class
+    raw = _jpeg_cmyk_bytes(16, 16, 130, 40, 200, 255, 2, transform=2)
+    app14 = struct.pack(">HH", 0xFFEE, 14) + b"Adobe" + struct.pack(
+        ">HHHB", 100, 0, 0, 2
+    )
+    assert app14 in raw
+    noapp = raw.replace(app14, b"")
+    media = spark.createDataFrame(
+        [(1, bytearray(noapp), ("image", "jpeg", 16, 16, None, None))],
+        "media_id long, payload binary, "
+        "meta struct<kind:string,format:string,width:int,height:int,"
+        "sample_rate:int,duration_ms:int>",
+    )
+    row = decode_media(media).collect()[0]
+    assert not row["ok"] and row["decoder"] == "jpeg-multicomponent"
+    assert row["n_bytes"] is None

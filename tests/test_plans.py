@@ -34,7 +34,7 @@ PYTHON_OK = {"mm1_decode_media", "mm2_media_features", "mm3_frame_sampling",
              "mm6_image_phash", "mm7_phash_neardup",
              "mm9_progressive_jpeg_audit", "mm10_jpeg_color_pixels",
              "mm11_jpeg_progressive_pixels",
-             "mm12_png_pixels", "mm13_png_audit",
+             "mm12_png_pixels", "mm13_png_audit", "mm14_jpeg_cmyk_pixels",
              "f8_hmac_sha256", "ss3_ivf_trained_topk", "ss4_lsh_topk",
              "ss9_pq_topk"}
 
