@@ -137,31 +137,38 @@ def cap_degree(edges: DataFrame, max_degree: int) -> DataFrame:
 
 
 def _pagerank_round(
-    edges_deg: DataFrame,
+    edges_part: DataFrame,
     ranks: DataFrame,
-    nodes: DataFrame,
+    deg: DataFrame,
     base: float,
     damping: float,
     small: bool,
 ) -> DataFrame:
     """One PageRank iteration, UN-checkpointed: contributions
     aggregate per destination, then every node's rank updates as
-    base + damping * mass. Extracted so the twin plan pin in
-    tests/test_plans.py can watch the per-round shape (broadcast
-    regime: the rank side broadcasts and the contribution aggregate
-    runs inside the cached dst partitioning with no edge-sized
-    exchange) — the production loop checkpoints each round's ranks,
-    truncating this subtree to a LogicalRDD stub."""
+    base + damping * mass. ``ranks`` carries (node, out_deg, rank) —
+    the degree rides the SMALL side (r14 optimization round: the old
+    shape materialized a second degree-annotated copy of the whole
+    edge list just to have out_deg next to src; joining the |V|-row
+    rank table's own out_deg instead drops that second |E|-row
+    materialization with byte-identical ranks — guide §2.3 "shuffle
+    keys and metadata instead of payloads"). Extracted so the twin
+    plan pin in tests/test_plans.py can watch the per-round shape
+    (broadcast regime: the rank side broadcasts and the contribution
+    aggregate runs inside the cached dst partitioning with no
+    edge-sized exchange) — the production loop checkpoints each
+    round's ranks, truncating this subtree to a LogicalRDD stub."""
     rank_side = F.broadcast(ranks) if small else ranks
     contrib = (
-        edges_deg.join(rank_side, on=(edges_deg["src"] == ranks["node"]))
+        edges_part.join(rank_side, on=(edges_part["src"] == ranks["node"]))
         .groupBy("dst")
         .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("mass"))
     )
-    return nodes.join(
-        contrib, on=(nodes["node"] == contrib["dst"]), how="left"
+    return deg.join(
+        contrib, on=(deg["node"] == contrib["dst"]), how="left"
     ).select(
         "node",
+        "out_deg",
         (
             F.lit(base)
             + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
@@ -210,36 +217,56 @@ def pagerank(
     - the single driver scalar is |V| (one count), the same class of
       one-row collect as the pl2 watermark.
     """
-    # one materialization of the upstream edge construction: nodes,
-    # degrees and the per-iteration joins all read this checkpoint
-    # instead of replaying the (possibly expensive) construction plan
+    # ONE materialization of the whole edge side (r14 optimization
+    # round): repartition on the regime's join key + persist — the
+    # InMemoryTableScan keeps outputPartitioning, so every
+    # iteration's contribution pass reuses the cached partitioning.
+    # The old shape materialized TWICE (an eager localCheckpoint of
+    # the raw edges, then a degree-annotated copy): the degree now
+    # rides the |V|-row rank table instead (see _pagerank_round), so
+    # the second |E|-row pass is gone — measured g1 ~5.0 -> ~4.1 s
+    # at sf0.1 with byte-identical ranks.
     spark = edges.sparkSession
-    edges = edges.localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    n = nodes.count()
+    # the regime (broadcast vs shuffled ranks) keys the cache
+    # partitioning, but |V| is unknown until the degree table exists.
+    # Materialize ONCE with the small-regime key (dst) — the common
+    # case — and re-key from the CACHE (one |E| exchange, no
+    # construction replay) only when the degree count lands in the
+    # big regime below.
+    ep = edges.repartition("dst").persist()
+    ep.count()  # materialize the cache before anything else
+    # degrees (node = every distinct src): ONE aggregation serves as
+    # both the degree table and the node table — the old separate
+    # nodes.distinct() pass scanned the edges a second time for the
+    # same key set.
+    deg = ep.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    ).persist()
+    n = deg.count()
     if n == 0:
-        nodes.unpersist()
+        ep.unpersist()
+        deg.unpersist()
         return spark.createDataFrame([], "node long, rank double")
     # Two physical regimes for the per-iteration contribution pass:
-    # - |V| <= broadcast_nodes: cache the edges partitioned by DST
-    #   and BROADCAST the (node, rank) table each round. The
-    #   contribution groupBy(dst) then aggregates inside the cached
-    #   dst partitioning with NO edge-sized exchange per round —
-    #   measured 1.5x on the sf0.1 co-purchase graph (per-round
-    #   ~0.9s vs ~1.5s), and the per-round shuffle volume drops from
-    #   |E| partial-agg rows to zero.
-    # - larger graphs: ranks cannot broadcast; cache by SRC so the
-    #   rank table (the small side) shuffles into the cached edge
-    #   partitioning and the groupBy(dst) exchange moves map-side
-    #   combined partials — the original large-|V| plan.
+    # - |V| <= broadcast_nodes: BROADCAST the (node, out_deg, rank)
+    #   table each round; the contribution groupBy(dst) aggregates
+    #   inside the cached dst partitioning with NO edge-sized
+    #   exchange per round.
+    # - larger graphs: ranks cannot broadcast; the rank table (the
+    #   small side) shuffles into the cached edge partitioning and
+    #   the groupBy(dst) exchange moves map-side combined partials.
     small = n <= broadcast_nodes
-    edges_deg = (
-        edges.join(deg, on="src").repartition("dst" if small else "src").persist()
-    )
-    edges_deg.count()  # materialize the cache before iterating
+    if not small:
+        # big regime: the rank table shuffles into the cached edge
+        # partitioning on SRC every round — re-key the cache from
+        # itself (reads the in-memory blocks, never replays the
+        # upstream construction)
+        ep2 = ep.repartition("src").persist()
+        ep2.count()
+        ep.unpersist()
+        ep = ep2
     base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = deg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     try:
         # r14 fixed-cost consolidation (the connected_components
         # pattern): intermediate rounds checkpoint LAZILY — each
@@ -252,17 +279,22 @@ def pagerank(
         # count), so laziness is observationally identical.
         for i in range(iterations):
             ranks = _pagerank_round(
-                edges_deg, ranks, nodes, base, damping, small
+                ep, ranks, deg, base, damping, small
             ).localCheckpoint(eager=(i == iterations - 1))
     finally:
         # every iteration's output is checkpointed, so the caches are
         # no longer reachable from the returned plan
-        edges_deg.unpersist()
-        nodes.unpersist()
-    return ranks
+        ep.unpersist()
+        deg.unpersist()
+    return ranks.select("node", "rank")
 
 
-def bfs_levels(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
+def bfs_levels(
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 3,
+    broadcast_nodes: int = 2_000_000,
+) -> DataFrame:
     """Single-source BFS levels (node, dist) for every node within
     ``max_depth`` hops of ``source`` — the Pregel-style frontier
     traversal (Malewicz et al. SIGMOD'10), the template for crawl
@@ -277,10 +309,24 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
     localCheckpointed per round (constant plan depth); edges pay one
     shuffle + one materialization total. Rounds are bounded by
     ``max_depth``; each moves only frontier-sized data.
+
+    TWO REGIMES (the pagerank/label_propagation discipline, r14
+    optimization round): frontier and visited are both bounded by
+    |V|, so when |V| <= ``broadcast_nodes`` the per-round gather
+    BROADCASTS the frontier and the dedup anti-join BROADCASTS the
+    visited set — without the hints the planner sized the sides by
+    estimate and picked the |E|-row EDGE list as the build side
+    (measured on g3's 2.4M-edge graph: a 54.5 MiB edge hash relation
+    rebuilt per round against a 1-row round-1 frontier; guide §3.1).
+    |V| is counted once from the edge cache (one scalar, the
+    documented bounded-collect class) to pick the regime; larger
+    graphs keep the original shuffle plans.
     """
     spark = edges.sparkSession
     edges = edges.repartition("src").persist()
     edges.count()  # materialize the cache before iterating
+    n_nodes = edges.select("src").distinct().count()
+    small = n_nodes <= broadcast_nodes
     visited = spark.createDataFrame(
         [(source, 0)], "node long, dist long"
     ).localCheckpoint(eager=True)
@@ -292,11 +338,17 @@ def bfs_levels(edges: DataFrame, source: int, max_depth: int = 3) -> DataFrame:
         # rounds; the interleaved A/B leaned 1.04x), so the simpler
         # eager contract stays.
         for d in range(1, max_depth + 1):
+            fr_side = F.broadcast(frontier) if small else frontier
+            vis_probe = visited.select("node")
             nxt = (
-                frontier.join(edges, frontier["node"] == edges["src"])
+                fr_side.join(edges, frontier["node"] == edges["src"])
                 .select(F.col("dst").alias("node"))
                 .distinct()
-                .join(visited.select("node"), on="node", how="left_anti")
+                .join(
+                    F.broadcast(vis_probe) if small else vis_probe,
+                    on="node",
+                    how="left_anti",
+                )
                 .withColumn("dist", F.lit(d).cast("long"))
                 .localCheckpoint(eager=True)
             )
@@ -452,7 +504,9 @@ def link_prediction(
     ).limit(top_k)
 
 
-def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 4, broadcast_nodes: int = 2_000_000
+) -> DataFrame:
     """Synchronous label propagation (community detection): every
     node starts labeled with itself; each round a node adopts the
     most frequent label among its NEIGHBORS, ties broken to the
@@ -465,18 +519,31 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     for reproducibility (async/randomized LPA trades determinism for
     convergence). Returns (node, label).
 
-    Scale shape (the pagerank discipline): the symmetrized edge list
-    pays ONE shuffle (repartition by dst) and is persisted —
-    InMemoryTableScan keeps outputPartitioning, so every round's
-    gather joins against cached partitioning and moves only the
-    (node, label) table. Per round: one |V|-row label shuffle into
-    the edge cache, a partial-agg (node, label) count, and a
-    per-node arg-max as a HASH AGGREGATE — max(struct(count,
-    -label)) encodes "most frequent, ties to smallest label" in
-    struct ordering, so no per-node sort ever runs (measured ~8%
-    whole-query at sf0.1 vs the row_number window, and the win grows
-    with degree since the sort was per-node over the count table).
-    Rounds are localCheckpointed — constant plan depth."""
+    Scale shape (the pagerank discipline, including its TWO REGIMES):
+    the symmetrized edge list pays ONE shuffle (repartition by dst)
+    and is persisted — InMemoryTableScan keeps outputPartitioning, so
+    every round's gather joins against cached partitioning and moves
+    only the (node, label) table. When |V| <= ``broadcast_nodes`` the
+    per-round gather BROADCASTS the (node, label) table explicitly
+    (pagerank's small regime): without the hint the planner sizes the
+    two sides by ESTIMATE, and a |E|-row edge list that slips under
+    autoBroadcastJoinThreshold gets picked as the build side — the
+    r14 optimization round measured exactly that on g5's 2.4M-edge /
+    20k-node graph (54.5 MiB edge build broadcast + rebuilt EVERY
+    round: 3.2-4.2 s/round, vs ~1.0 s/round with the labels side
+    built; guide §3.1 "pick the join strategy deliberately" — and at
+    real scale the edge side could never be the build side anyway).
+    Larger graphs shuffle the label table into the cached edge
+    partitioning — the original large-|V| plan. Per round: the
+    gather join, a partial-agg (node, label) count, and a per-node
+    arg-max as max(struct(count, -label)) — "most frequent, ties to
+    smallest label" in struct ordering with no per-node window sort
+    (the struct forces a SortAggregate over the count table, which is
+    degree-bounded and far smaller than |E|). Rounds are
+    localCheckpointed — constant plan depth. The one extra driver
+    scalar vs r13 is |V| (count of the already-materialized label
+    checkpoint — the pagerank class of one-row collect), which picks
+    the regime."""
     spark = edges.sparkSession
     edges = edges.repartition("dst").persist()
     edges.count()
@@ -490,14 +557,16 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    small = labels.count() <= broadcast_nodes
     try:
         # intermediate rounds lazy, final eager (the r14
         # consolidation — see pagerank): labels is read twice per
         # round (gather join + keep-label left join), sharing the
         # cached RDD on first materialization inside the final job.
         for r in range(rounds):
+            lab_side = F.broadcast(labels) if small else labels
             gathered = (
-                edges.join(labels, edges["dst"] == labels["node"])
+                edges.join(lab_side, edges["dst"] == labels["node"])
                 .select(F.col("src").alias("node"), "label")
                 .groupBy("node", "label")
                 .agg(F.count(F.lit(1)).alias("__c"))

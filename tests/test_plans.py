@@ -791,16 +791,21 @@ def test_pagerank_round_unmaterialized_twin(spark):
     sym = edges_in.union(
         edges_in.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    edges = sym.localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    n = nodes.count()
-    edges_deg = edges.join(deg, on="src").repartition("dst").persist()
-    edges_deg.count()
+    # the r14 production construction: ONE dst-partitioned cache of
+    # the edges, degree table doubling as the node table, out_deg
+    # riding the rank side
+    ep = sym.repartition("dst").persist()
+    ep.count()
+    deg = ep.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    ).persist()
+    n = deg.count()
     base = (1.0 - 0.85) / n
-    ranks0 = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks0 = deg.withColumn("rank", F.lit(1.0 / n))
     try:
-        twin = _pagerank_round(edges_deg, ranks0, nodes, base, 0.85, True)
+        twin = _pagerank_round(ep, ranks0, deg, base, 0.85, True).select(
+            "node", "rank"
+        )
         counts = plan_counts(twin)
         plan = _plan(twin)
         # the CONTRIBUTION join (edges x ranks) must be broadcast in
@@ -821,8 +826,8 @@ def test_pagerank_round_unmaterialized_twin(spark):
         }
         assert manual == prod
     finally:
-        edges_deg.unpersist()
-        nodes.unpersist()
+        ep.unpersist()
+        deg.unpersist()
 
 
 def test_t27_kneser_ney_unmaterialized_twin(spark, sf_dir):
