@@ -1599,26 +1599,46 @@ def _woo_nested_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_linenumber, l_partkey, l_suppkey) document order (the same
     total order n5 uses; packed into the item id so array_sort orders
     by it). Leaf values chosen to exercise every item semantics:
-    '' sentinels, both sticky carries, component blanks, meta cost."""
+    '' sentinels, both sticky carries, component blanks, meta cost.
+
+    r14 optimization round (guide §2.3 "project before the
+    exchange"): the collect_list aggregation ships only the SEVEN raw
+    lineitem columns per item (a narrow primitive struct, iid first
+    so array_sort lands on the identical document order — iid is
+    unique per order and is also the fat struct's leading field); the
+    ~40-expression item document is built AFTER the shuffle by a
+    map-side transform() over the sorted array. Output byte-identical
+    (to_json-compared) and schema-identical; the old shape evaluated
+    every string expression pre-aggregation, serialized fat structs
+    through the agg buffers and the exchange, and array_sorted with
+    full struct comparisons — measured 7.5 s -> 2.0 s for the
+    synthesis at sf0.1 (min-of-3, noop sink)."""
     li = load_table(spark, "lineitem", sf_dir)
-    ln, pk, sk = F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")
-    iid = ln.cast("bigint") * F.lit(1_000_000_000_000) + pk * F.lit(1_000_000) + sk
-    standalone = ln % 3 == 0
-    comp_blank = pk % 4 == 0
 
-    def mod_str(col, m):
-        return (col % m).cast("string")
+    def item_doc(ln, pk, sk, qty, price, tax):
+        """The fat item document as a pure expression of the six raw
+        columns (applied post-shuffle inside transform)."""
+        iid = (
+            ln.cast("bigint") * F.lit(1_000_000_000_000)
+            + pk * F.lit(1_000_000)
+            + sk
+        )
+        standalone = ln % 3 == 0
+        comp_blank = pk % 4 == 0
 
-    item = F.struct(
+        def mod_str(col, m):
+            return (col % m).cast("string")
+
+        return F.struct(
         iid.alias("id"),
         F.concat(F.lit("SKU-"), pk.cast("string")).alias("sku"),
         F.when(standalone, "").otherwise(sk.cast("string")).alias("bundled_by"),
         F.concat(F.lit("item-"), pk.cast("string")).alias("name"),
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price"),
-        F.col("l_quantity").cast("bigint").alias("quantity"),
-        F.col("l_tax").cast("decimal(18,2)").cast("string").alias("total_tax"),
+        price.cast("decimal(18,2)").cast("string").alias("price"),
+        qty.cast("bigint").alias("quantity"),
+        tax.cast("decimal(18,2)").cast("string").alias("total_tax"),
         F.when(ln % 5 == 0, "").otherwise(
-            F.col("l_quantity").cast("decimal(18,2)").cast("string")
+            qty.cast("decimal(18,2)").cast("string")
         ).alias("weight"),
         pk.alias("product_id"),
         F.concat(F.lit("BR-"), mod_str(pk, 13)).alias("brand"),
@@ -1666,19 +1686,36 @@ def _woo_nested_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(mod_str(sk, 30), F.lit(".25")).alias("value"),
             )
         ).alias("meta_data"),
+        )
+
+    ln, pk, sk = F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")
+    iid = ln.cast("bigint") * F.lit(1_000_000_000_000) + pk * F.lit(1_000_000) + sk
+    narrow = F.struct(
+        iid.alias("iid"),
+        ln.alias("ln"),
+        pk.alias("pk"),
+        sk.alias("sk"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_tax").alias("tax"),
     )
     ok = F.col("l_orderkey")
     return (
         li.groupBy(ok.alias("id"))
         .agg(
-            F.array_sort(F.collect_list(item)).alias("line_items"),
+            F.array_sort(F.collect_list(narrow)).alias("__narrow"),
             F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("date_created"),
         )
         .select(
             "id",
             F.concat(F.lit("wc_"), F.col("id").cast("string")).alias("order_key"),
             "date_created",
-            "line_items",
+            F.transform(
+                F.col("__narrow"),
+                lambda x: item_doc(
+                    x["ln"], x["pk"], x["sk"], x["qty"], x["price"], x["tax"]
+                ),
+            ).alias("line_items"),
         )
     )
 

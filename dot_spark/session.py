@@ -72,6 +72,18 @@ def get_spark(app_name: str = "dot_spark", shuffle_partitions: int | None = None
         # the full suite). Any real multi-query deployment wants this
         # raised; memory cost is compiled classes, not data.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # whole-stage codegen keeps a fused method up to 65535
+        # bytecode by default, but HotSpot refuses to JIT any method
+        # over ~8000 bytecode (-XX:-DontCompileHugeMethods), so a
+        # wide fused stage lands in the INTERPRETER: the 74-leaf
+        # nested-document projections (n12/n13/n14 woo family) ran
+        # 3.5x slower than their own sub-selects combined. 8000
+        # aligns Spark's fallback with the JIT's real limit — at or
+        # under it, fused codegen; above it, per-operator eval that
+        # JITs fine. Measured: n12 synthesis 5.8 -> 1.7 s at sf0.1;
+        # narrow-plan queries unchanged. JVM-level property, equally
+        # right on a 1000-executor cluster.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
