@@ -840,12 +840,20 @@ def dedup_corpus(
 # for small graphs (pl9's capped pair graphs are the motivating case;
 # dd2-scale graphs at sf0.1 sit well above this and keep the sharing)
 _CC_SHARE_MIN_EDGES = 100_000
+# target (a, b) pair rows per round partition: two ids per row, a few
+# MB per task — the divisor that turns the probed live edge count into
+# the round's repartition width (capped by spark.sql.shuffle.partitions)
+_CC_ROWS_PER_PARTITION = 250_000
 
 
-def _cc_star_round(edges: DataFrame, materialize: bool = True) -> DataFrame:
+def _cc_star_round(
+    edges: DataFrame, partitions: int = 0, materialize: bool = True
+) -> DataFrame:
     """One alternating LARGE-STAR + SMALL-STAR contraction round
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14), UN-checkpointed, over a symmetric edge list (a, b):
+    SoCC'14), UN-checkpointed, over an ASYMMETRIC edge list (a, b)
+    — one row per undirected edge in either orientation; the round
+    symmetrizes internally (a narrow union, no shuffle):
 
     - large-star: per node a, m = min(neighbors ∪ {a}); every
       neighbor b > a is rewired to m, neighbors b <= a keep their
@@ -864,39 +872,65 @@ def _cc_star_round(edges: DataFrame, materialize: bool = True) -> DataFrame:
       neighbors; every neighbor is hung directly under m (a itself
       replaces the edge to m) — flattens toward stars.
 
-    Each half is a groupBy-min + equi-join + distinct; the round
-    returns the re-symmetrized edge set. The edge set CONTRACTS
-    geometrically toward one star per component centered at its
-    minimum, so the loop converges in O(log diameter) rounds with
-    the published proof behind it (the r13 rewrite: the previous
-    static-edge min-label propagation was measured growing 13 -> 22
-    rounds on K=1 -> 10 upsampled corpora — diameter-driven, headed
-    for the iteration cap; star rounds measure 6 flat on the same
-    graphs, NOTES_r13). Extracted so the twin plan pin in
-    tests/test_plans.py can watch the per-round shape — the
-    production loop checkpoints each round's output (load-bearing
-    for constant plan depth), which truncates this subtree to a
-    LogicalRDD stub in every executed plan.
+    PARTITIONING-AWARE (r14 optimization round, guide §2.4): each
+    half pays exactly ONE exchange — an explicit repartition(p, "a")
+    whose HashPartitioning(a) then satisfies every downstream
+    distribution requirement in the half: the dedup
+    (dropDuplicates(["a","b"]) needs ClusteredDistribution(a,b) —
+    a-partitioning colocates it), the groupBy("a")-min, and the
+    rewire equi-join on "a" (both sides carry the same partitioning,
+    so the join plans with zero exchanges). The r13 shape paid a
+    distinct-keyed exchange PLUS a groupBy exchange PLUS join
+    exchanges per half (~6 shuffles/round at the session's static
+    shuffle partition count); this one pays 2/round, each sized by
+    ``partitions`` — derived by the caller from the PROBED edge
+    count, so a contracted tail round on a 100-edge remnant runs
+    1-partition stages instead of 32 scheduler-bound micro-tasks
+    (scale-adaptive partitioning, guide §2.2/§2.5: the count grows
+    with the live edge set, never a constant tuned for one box).
+    0 = use the session's shuffle partition count.
 
-    ``materialize`` (production default): each half's distinct()
-    output gets a LAZY localCheckpoint — it materializes once inside
-    the round's action and both its consumers (the next half's
-    groupBy-min and its join probe side) read the shared RDD, where
-    the pure dataflow would recompile and re-execute the half per
-    consumer (static plans do not reuse these exchanges — measured
-    ~10% of round wall at sf0.1, growing with scale). The twin pin
-    passes False to see the full unmaterialized shape; the dataflow
-    is identical either way."""
-    nbr_min = edges.groupBy("a").agg(F.min("b").alias("__m")).select(
+    The edge set CONTRACTS geometrically toward one star per
+    component centered at its minimum, so the loop converges in
+    O(log diameter) rounds with the published proof behind it (the
+    r13 rewrite: the previous static-edge min-label propagation was
+    measured growing 13 -> 22 rounds on K=1 -> 10 upsampled corpora
+    — diameter-driven, headed for the iteration cap; star rounds
+    measure 6 flat on the same graphs, NOTES_r13). Extracted so the
+    twin plan pin in tests/test_plans.py can watch the per-round
+    shape — the production loop checkpoints each round's output
+    (load-bearing for constant plan depth), which truncates this
+    subtree to a LogicalRDD stub in every executed plan.
+
+    ``materialize`` (production default above the caller's size
+    threshold): the large-star half's dedup output gets a LAZY
+    localCheckpoint — it materializes once inside the round's action
+    and both its consumers (the small-star groupBy-min and its join
+    probe side) read the shared RDD (localCheckpoint preserves the
+    half's HashPartitioning(a), so the sharing costs no exchange);
+    un-materialized, ReuseExchange still dedupes the half's shuffle
+    and only the cheap post-exchange aggregation replays per
+    consumer — why tiny tail rounds skip the two extra RDD
+    materializations. The twin pin passes False to see the full
+    unmaterialized shape; the dataflow is identical either way."""
+    if partitions <= 0:
+        partitions = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    e = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).repartition(partitions, "a")
+    nbr_min = e.groupBy("a").agg(F.min("b").alias("__m")).select(
         "a", F.least(F.col("a"), F.col("__m")).alias("m")
     )
-    j = edges.join(nbr_min, "a")
+    j = e.join(nbr_min, "a")
     e2 = (
         j.filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .union(j.filter(F.col("b") <= F.col("a")).select("a", "b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .repartition(partitions, "a")
+        .dropDuplicates(["a", "b"])
     )
     if materialize:
         e2 = e2.localCheckpoint(eager=False)
@@ -910,11 +944,10 @@ def _cc_star_round(edges: DataFrame, materialize: bool = True) -> DataFrame:
             F.col("m").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .repartition(partitions, "a")
+        .dropDuplicates(["a", "b"])
     )
-    if materialize:
-        e3 = e3.localCheckpoint(eager=False)
-    return e3.union(e3.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return e3
 
 
 def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -981,15 +1014,12 @@ def connected_components(
     Returns (node, label): one row per node appearing in any pair,
     label = min node id reachable from it (centers label themselves).
     """
-    # ONE lazy checkpoint of the caller's pair plan: nodes and edges
-    # both derive from the cached base, so upstream pair mining
-    # executes once (the r8-r13 shape ran it once per eager
-    # checkpoint — twice). All initial checkpoints are lazy: the
-    # first probe's job materializes base + edges together, and
-    # nodes rides the final labeling's job (base is cached by then).
-    # r14 consolidation pass (r13 verdict watch item: pl9's
-    # fixed-cost creep) — one job per round instead of two, zero
-    # dataflow change, outputs byte-identical (law tests + oracles).
+    # ONE lazy checkpoint of the caller's pair plan: nodes and the
+    # round state both derive from the cached base, so upstream pair
+    # mining executes once. The round state is the ASYMMETRIC edge
+    # list (r14 optimization round): half the checkpoint bytes and
+    # half the probe rows of the r13 symmetric state; each round
+    # symmetrizes internally with a narrow union (no shuffle).
     base = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=False
     )
@@ -999,31 +1029,50 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    edges = base.union(
-        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    edges = base
 
     # fixpoint probe: the (count, sum-of-row-hashes) pair changes
     # whenever the edge set changes. Hash-based so it works for ANY
     # id type — a numeric cast would crash on ANSI builds and
     # silently return NULL==NULL "convergence" on non-ANSI ones.
+    # (Orientation flips between probes are indistinguishable from
+    # convergence only through the SYMMETRIZED view; probing the
+    # asymmetric set can at most add one extra no-op round before
+    # the fixpoint re-probes equal — the round is a deterministic
+    # function of the symmetrized input. Round counts measured
+    # identical on the scale grid; outputs are oracle/law-pinned.)
     def probe(df):
         return df.agg(
             F.count("*"),
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
         ).first()
 
+    # round partition count derived from the PROBED live edge count
+    # (guide §2: scale-adaptive, never a constant tuned for one box):
+    # the contracted tail of the closure runs 1-partition stages
+    # instead of shuffle.partitions scheduler-bound micro-tasks; the
+    # session's shuffle partition setting stays the upper cap, which
+    # is the conf a cluster submission sizes to its parallelism.
+    cap = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
     state = probe(edges)
     for rounds in range(1, max_iterations + 1):
         # lazy outer checkpoint: the round's probe is the action that
         # materializes it (one job per round, not checkpoint-then-
         # probe). Below _CC_SHARE_MIN_EDGES the half-round sharing
-        # checkpoints are elided too — recomputing a tiny distinct()
-        # per consumer is cheaper than two extra RDD materializations
-        # (shallow graphs pay the star constant, deep graphs keep the
-        # measured ~10% sharing win and the O(log d) bound).
+        # checkpoint is elided too — ReuseExchange already dedupes
+        # the half's single shuffle, and recomputing a tiny
+        # post-exchange dedup per consumer is cheaper than an extra
+        # RDD materialization (shallow graphs pay the star constant,
+        # deep graphs keep the sharing win and the O(log d) bound).
+        n_sym = state[0] * 2
+        parts = max(1, min(cap, -(-n_sym // _CC_ROWS_PER_PARTITION)))
         edges = _cc_star_round(
-            edges, materialize=state[0] > _CC_SHARE_MIN_EDGES
+            edges,
+            partitions=parts,
+            materialize=n_sym > _CC_SHARE_MIN_EDGES,
         ).localCheckpoint(eager=False)
         new_state = probe(edges)
         if new_state == state:
@@ -1038,8 +1087,16 @@ def connected_components(
         # scale_sanity.py pins round counts across upsampled scales);
         # never read by query logic.
         stats["rounds"] = rounds
+    # the converged star edges are stored asymmetric; the complete
+    # labeling reads both orientations (identical to the r13
+    # symmetric-view filter(a > b) — at the star fixpoint every row
+    # already has a > b, so the second branch is empty insurance)
     lab = edges.filter(F.col("a") > F.col("b")).select(
         F.col("a").alias("node"), F.col("b").alias("label")
+    ).union(
+        edges.filter(F.col("a") < F.col("b")).select(
+            F.col("b").alias("node"), F.col("a").alias("label")
+        )
     )
     # assemble the complete labeling (leaves from the star edges,
     # centers/self-pair nodes self-labeled via the left join) and

@@ -746,21 +746,28 @@ def test_cc_round_unmaterialized_twin(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
     )
+    # the round takes the ASYMMETRIC edge list (one row per
+    # undirected edge) and symmetrizes internally with a narrow union
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
     # materialize=False: the full unmaterialized dataflow (production
-    # lazily checkpoints each half so its two consumers share one
-    # materialization; the dataflow is identical)
-    twin = _cc_star_round(edges, materialize=False)
+    # lazily checkpoints the large-star half so its two consumers
+    # share one materialization; the dataflow is identical)
+    twin = _cc_star_round(edges, partitions=2, materialize=False)
     counts = plan_counts(twin)
     assert counts["scans"] == 0, counts
-    # the static plan compiles each half once per consumer (no
-    # ReusedExchange on these subtrees — why production materializes
-    # them); the bound pins "keyed exchanges only", no scan/python/
-    # nested-loop, at the duplicated-subtree count
-    assert counts["exchanges"] <= 26, counts
+    # r14 partitioning-aware round: the round's THREE explicit
+    # repartition(p, "a") exchanges are the only shuffles — the
+    # dedups, groupBy-mins and both rewire joins all ride
+    # HashPartitioning(a) and add ZERO exchanges of their own. The
+    # static pre-AQE plan duplicates unmaterialized subtrees per
+    # consumer, so those 3 print as exactly 1 + 2 + (4 x 2) = 11
+    # occurrences (e3's once; e2's under both small-star consumers;
+    # e's under the two j-branches x the two e2 copies); at runtime
+    # AQE's shuffle-stage cache collapses identical exchanges, and
+    # production materializes the large-star half anyway. A 12th
+    # exchange would mean an operator stopped riding the
+    # partitioning. (r13 bound on the distinct/groupBy shape: 26.)
+    assert counts["exchanges"] <= 11, counts
     assert counts["py_eval"] == 0, counts
     assert counts["nested_loop"] == 0, counts
     # the twin's star edges name exactly the production components
