@@ -549,33 +549,44 @@ def label_propagation(
     convergence). Returns (node, label).
 
     Scale shape (the pagerank discipline, including its TWO REGIMES):
-    the symmetrized edge list pays ONE shuffle (repartition by dst)
-    and is persisted — InMemoryTableScan keeps outputPartitioning, so
-    every round's gather joins against cached partitioning and moves
-    only the (node, label) table. When |V| <= ``broadcast_nodes`` the
-    per-round gather BROADCASTS the (node, label) table explicitly
-    (pagerank's small regime): without the hint the planner sizes the
-    two sides by ESTIMATE, and a |E|-row edge list that slips under
-    autoBroadcastJoinThreshold gets picked as the build side — the
-    r14 optimization round measured exactly that on g5's 2.4M-edge /
-    20k-node graph (54.5 MiB edge build broadcast + rebuilt EVERY
-    round: 3.2-4.2 s/round, vs ~1.0 s/round with the labels side
-    built; guide §3.1 "pick the join strategy deliberately" — and at
-    real scale the edge side could never be the build side anyway).
-    Larger graphs shuffle the label table into the cached edge
-    partitioning — the original large-|V| plan. Per round: the
-    gather join, a partial-agg (node, label) count, and a per-node
-    arg-max as max(struct(count, -label)) — "most frequent, ties to
-    smallest label" in struct ordering with no per-node window sort
-    (the struct forces a SortAggregate over the count table, which is
-    degree-bounded and far smaller than |E|). Rounds are
-    localCheckpointed — constant plan depth. The one extra driver
-    scalar vs r13 is |V| (count of the already-materialized label
-    checkpoint — the pagerank class of one-row collect), which picks
-    the regime."""
-    spark = edges.sparkSession
-    edges = edges.repartition("dst").persist()
-    edges.count()
+    the caller's edge plan materializes ONCE (lazy eager checkpoint),
+    the node set and the regime scalar |V| read those blocks, and the
+    edge list is then persisted keyed FOR its regime —
+    InMemoryTableScan keeps outputPartitioning, so every round rides
+    the cached partitioning.
+
+    Small regime (|V| <= ``broadcast_nodes``) — a ZERO-EXCHANGE
+    round (r14 optimization round, guide §2.4): edges cached
+    hash-partitioned by SRC; the gather join BROADCASTS the
+    (node, label) table (without the hint the planner sizes the two
+    sides by ESTIMATE, and a |E|-row edge list that slips under
+    autoBroadcastJoinThreshold gets picked as the build side — r14
+    measured exactly that on g5's 2.4M-edge / 20k-node graph:
+    54.5 MiB edge build re-broadcast EVERY round, 3.2-4.2 s/round);
+    the broadcast join preserves the streamed side's partitioning,
+    so the per-node vote aggregation rides hashpartitioning(src)
+    with no exchange, and the keep-label left join broadcasts the
+    |V|-row voted table. Nothing larger than the label table moves,
+    through zero shuffles. Large graphs shuffle the label table into
+    the cached dst partitioning instead — the original large-|V|
+    plan, where broadcasting |V| rows is off the table.
+
+    The vote itself (r14): ONE aggregation — collect_list of
+    neighbor labels per node, then the deterministic mode as an
+    ascending sort_array fold ("most frequent, ties to smallest" =
+    first label among equal-count runs in ascending order). The
+    previous two-level shape (partial-agg (node,label) counts, then
+    arg-max via max(struct)) shuffled less in theory but paid a
+    second exchange plus a SortAggregate (struct max is not
+    hash-aggregable) every round; the array ships one degree-bounded
+    label list per node (the cap_degree contract bounds it) and
+    measures 2x faster end-to-end on g5's graph with byte-identical
+    labels. Rounds are localCheckpointed — constant plan depth;
+    intermediate rounds lazy, final eager (the r14 consolidation —
+    see pagerank)."""
+    # one materialization of the caller's plan; |V|, the node set
+    # and the regime-keyed cache below all read these blocks
+    edges = edges.localCheckpoint(eager=True)
     # nodes = src UNION dst: on a directed edge list a pure-sink node
     # must still start self-labeled (and vote through its in-edges) —
     # src-only init would silently drop it from the output
@@ -587,28 +598,39 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= broadcast_nodes
+    edges = edges.repartition("src" if small else "dst").persist()
+    edges.count()
+    # deterministic mode of the sorted neighbor-label array: the
+    # ascending fold keeps the FIRST (= smallest) label among
+    # max-count runs — exactly "most frequent, ties to smallest"
+    # typed NULLs (IF(FALSE, __ls[0], NULL)) keep the fold — and the
+    # output label column — at the caller's id type, like the old
+    # struct arg-max did
+    mode_expr = (
+        "aggregate(sort_array(__ls), "
+        "named_struct('bl', IF(FALSE, __ls[0], NULL), 'bc', 0L, "
+        "             'cl', IF(FALSE, __ls[0], NULL), 'cc', 0L), "
+        "(s, x) -> CASE WHEN s.cl IS NOT NULL AND x = s.cl THEN "
+        "  named_struct('bl', IF(s.cc + 1L > s.bc, s.cl, s.bl), "
+        "               'bc', GREATEST(s.bc, s.cc + 1L), "
+        "               'cl', s.cl, 'cc', s.cc + 1L) "
+        "ELSE named_struct('bl', IF(1L > s.bc, x, s.bl), "
+        "                  'bc', GREATEST(s.bc, 1L), "
+        "                  'cl', x, 'cc', 1L) END, "
+        "s -> s.bl)"
+    )
     try:
-        # intermediate rounds lazy, final eager (the r14
-        # consolidation — see pagerank): labels is read twice per
-        # round (gather join + keep-label left join), sharing the
-        # cached RDD on first materialization inside the final job.
         for r in range(rounds):
             lab_side = F.broadcast(labels) if small else labels
-            gathered = (
+            voted = (
                 edges.join(lab_side, edges["dst"] == labels["node"])
                 .select(F.col("src").alias("node"), "label")
-                .groupBy("node", "label")
-                .agg(F.count(F.lit(1)).alias("__c"))
+                .groupBy("node")
+                .agg(F.collect_list("label").alias("__ls"))
+                .select("node", F.expr(mode_expr).alias("__new"))
             )
-            voted = (
-                gathered.groupBy("node")
-                .agg(
-                    F.max(
-                        F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))
-                    ).alias("__m")
-                )
-                .select("node", (-F.col("__m.__nl")).alias("__new"))
-            )
+            if small:
+                voted = F.broadcast(voted)
             # a node with no out-edges (directed input) receives no
             # votes this round — it KEEPS its label instead of
             # vanishing from the state (symmetrized graphs never hit
