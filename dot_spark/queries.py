@@ -6274,7 +6274,10 @@ def pl7_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("verdict") == "keep")
         .select(*docs.columns)
     )
-    canon = dedup_corpus(kept)
+    # canon feeds two consumers (the contamination shingle side and
+    # the anti-join's left side) — lazy stage barrier, same r14
+    # rationale as dedup_corpus's survivors checkpoint
+    canon = dedup_corpus(kept).localCheckpoint(eager=False)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = canon.filter(F.col("doc_id") % 97 != 0)
     flagged = contamination_flags(train, bench, n=4).select("doc_id")
