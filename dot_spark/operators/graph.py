@@ -483,10 +483,21 @@ def link_prediction(
     |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, keeping the global top_k by
     (common desc, jaccard desc, a, b) — a fully deterministic order.
 
-    Plan: wedges through each pivot w (w→a ⋈ w→b, a < b) — one
-    equi-join on the pivot — aggregated to pair counts; existing
-    edges leave via anti-join; degrees broadcast back. The edge list
-    feeds four consumers (two wedge sides, degrees, the anti-join),
+    Plan (r14 optimization round — the triangle_count adjacency
+    lesson, guide §1.2/§2.3): wedges are emitted from per-pivot
+    ADJACENCY ARRAYS instead of the self-join. One groupBy(src)
+    builds nb = sorted neighbor list per pivot (ONE exchange of the
+    edge list where the w⋈w self-join shuffled it twice and
+    sort-merged); each pivot's candidate pairs come out of a
+    vectorized higher-order expression over nb — every (i, j)
+    position pair with nb[i] < nb[j], which is EXACTLY the multiset
+    the self-join's a < b wedge filter counts (sorted array: value
+    order == position order; duplicate neighbors multiply both the
+    join rows and the position pairs identically; NULL-pivot rows
+    are excluded up front because an equi-join never matches NULL
+    keys, and NULL neighbors fail y > x just as they fail a < b).
+    Existing edges leave via anti-join; degrees join back. The edge
+    list feeds four consumers (adjacency, degrees, the anti-join),
     so it is localCheckpointed once (the triangle_count lesson:
     without the barrier Catalyst replays the upstream edge
     construction per consumer).
@@ -494,15 +505,26 @@ def link_prediction(
     Scale: wedge volume is sum(deg_w^2) — the caller bounds it by
     pruning hub nodes / weighting edges BEFORE this operator (the
     g4 query keeps co-purchase edges with support >= 2, the dd4b
-    stop-key discipline); top-k compiles to TakeOrderedAndProject
-    (per-partition bounded heaps, no global sort)."""
+    stop-key discipline); a per-pivot array holds deg_w elements
+    where the join materialized deg_w^2 wedge rows, so the array
+    form is strictly smaller per task than the join it replaces;
+    top-k compiles to TakeOrderedAndProject (per-partition bounded
+    heaps, no global sort)."""
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    e1 = edges.select(F.col("src").alias("w"), F.col("dst").alias("a"))
-    e2 = edges.select(F.col("src").alias("w"), F.col("dst").alias("b"))
+    adj = (
+        edges.where(F.col("src").isNotNull())
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nb"))
+    )
+    pairs_expr = (
+        "flatten(transform(nb, (x, i) -> "
+        "transform(filter(slice(nb, i + 2, greatest(size(nb) - i - 1, 0)), "
+        "y -> y > x), y -> struct(x AS a, y AS b))))"
+    )
     cn = (
-        e1.join(e2, "w")
-        .filter(F.col("a") < F.col("b"))
+        adj.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)

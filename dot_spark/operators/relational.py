@@ -464,10 +464,19 @@ def bloom_build(
     input before the exchange, which is where a shuffle join's cost
     lives. Size ``m_bits`` at ~10 bits per expected distinct key
     for ~1% false positives; false positives only cost unpruned
-    rows, never correctness (the downstream join stays exact)."""
+    rows, never correctness (the downstream join stays exact).
+
+    No distinct on the key side (r14 optimization round): setting a
+    Bloom bit is idempotent under bit_or, so duplicate keys produce
+    byte-identical words, and the partial (map-side) bit_or already
+    collapses every task's output to <= m_bits/64 rows — the ONLY
+    exchange this build pays is the bounded word table. A distinct
+    would put a full |keys|-row shuffle in front of it (and after a
+    localCheckpoint the upstream partitioning is opaque, so even a
+    pre-grouped key side re-shuffles); duplicates only cost k cheap
+    xxhash64 evaluations map-side."""
     bits = (
         keys.select(key_col)
-        .distinct()
         .select(
             F.explode(F.array(*[F.lit(s) for s in range(k)])).alias("__s"),
             F.col(key_col),

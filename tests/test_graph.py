@@ -251,6 +251,36 @@ def test_link_prediction_matches_bruteforce_on_random_graph(spark):
     assert got == exp
 
 
+def test_link_prediction_duplicate_edges_count_as_wedge_multiset(spark):
+    """The adjacency-array pair emission (r14) must count DUPLICATE
+    edge rows exactly like the wedge self-join it replaced: for a
+    sorted neighbor array both formulations count the multiset
+    #{(i, j): nb[i] < nb[j]}. A duplicated spoke (1-2 twice, 1-3
+    once) therefore gives the unlinked pair (2, 3) n_common = 2,
+    and NULL pivots/neighbors contribute nothing (equi-join
+    semantics)."""
+    from dot_spark.operators.graph import link_prediction
+
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (2, 1), (1, 3), (3, 1)],
+        "src bigint, dst bigint",
+    )
+    rows = link_prediction(dup, top_k=100, min_common=1).collect()
+    assert [(r["a"], r["b"], r["n_common"]) for r in rows] == [(2, 3, 2)]
+    # deg is measured on the raw (duplicated) out-edge list: deg(2)=2
+    assert (rows[0]["deg_a"], rows[0]["deg_b"]) == (2, 1)
+
+    nulled = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (None, 2), (None, 3), (1, None)],
+        "src bigint, dst bigint",
+    )
+    got = [
+        (r["a"], r["b"], r["n_common"])
+        for r in link_prediction(nulled, top_k=100, min_common=1).collect()
+    ]
+    assert got == [(2, 3, 1)]
+
+
 def test_link_prediction_topk_order_is_deterministic(spark):
     """top_k must cut on the documented (n_common desc, jaccard
     desc, a, b) order — re-running yields the identical pair set."""

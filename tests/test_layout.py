@@ -131,6 +131,20 @@ def test_bloom_has_no_false_negatives_and_prunes(spark):
     assert fp < 0.5, fp
 
 
+def test_bloom_build_words_are_duplicate_invariant(spark):
+    """bloom_build carries no distinct (r14): bit-setting is
+    idempotent under bit_or, so a key set with heavy duplication must
+    produce the byte-identical word table as its distinct form — the
+    exact property the removed |keys|-row exchange relied on."""
+    uniq = spark.createDataFrame([(i,) for i in range(800)], "k bigint")
+    dup = spark.createDataFrame(
+        [(i % 800,) for i in range(8000)], "k bigint"
+    )
+    w_uniq = bloom_filter_array(uniq, "k", m_bits=1 << 13, k=3)
+    w_dup = bloom_filter_array(dup, "k", m_bits=1 << 13, k=3)
+    assert w_uniq == w_dup
+
+
 def test_bloom_build_is_bounded_by_parameter(spark):
     keys = spark.createDataFrame([(i,) for i in range(5000)], "k bigint")
     n_words = bloom_build(keys, "k", m_bits=1 << 12, k=3).count()
