@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dot_spark.operators.textdedup import spread_small_input
+
 MEDIA_META_DDL = (
     "kind STRING, format STRING, width INT, height INT, "
     "sample_rate INT, duration_ms INT"
@@ -71,6 +73,10 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         .otherwise("video")
     )
     payload = F.unhex(F.sha2(F.col(text_col).cast("binary"), 256))
+    # the payloads feed per-row Python feature extractors downstream:
+    # spread the one-split local scan so those stages run full-width
+    # (no-op at warehouse scale — see the mapInPandas synthesizers)
+    df = spread_small_input(df)
     return df.select(
         F.col(id_col).alias("media_id"),
         payload.alias("payload"),
@@ -1240,6 +1246,115 @@ def _parse_dht_segment(
         p += 17 + n_syms
 
 
+def _jpeg_extend(v: int, size: int) -> int:
+    """JPEG extend rule (T.81 F.2.2.1): a received `size`-bit value
+    whose top bit is 0 maps to the negative branch."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _huff_fast(table: dict[tuple[int, int], int]):
+    """Prefix-expanded decode structure for one canonical table: a
+    256-entry LUT mapping every 8-bit window whose prefix is a code
+    of length <= 8 to (code_len, symbol) — one list index replaces
+    the per-bit dict probing of the naive walk — plus the original
+    (bitlen, code) dict for the rare > 8-bit codes (the reader falls
+    back to a per-length walk). Build cost is <= 256 entry fills, two
+    orders of magnitude under one image's entropy decode."""
+    lut: list[tuple[int, int] | None] = [None] * 256
+    for (length, code), sym in table.items():
+        if length <= 8:
+            base = code << (8 - length)
+            entry = (length, sym)
+            for x in range(base, base + (1 << (8 - length))):
+                lut[x] = entry
+    return lut, table
+
+
+_BIT_MASKS = tuple((1 << i) - 1 for i in range(32))
+
+
+def _bit_reader(initial: bytes):
+    """Rolling-buffer MSB-first bit reader over a destuffed entropy
+    segment — the shared fast path under both JPEG entropy decoders
+    (r14 optimization round, guide §1.2 step 2 "per-task work": the
+    former per-bit closure calls were ~60% of a corpus decode pass;
+    a refill-by-byte accumulator reads a multi-bit value in O(1)
+    small-int ops with IDENTICAL truncation semantics — a read past
+    the segment end raises the same ValueError at the same consumed
+    position, and `tell` reports exact consumed/total bit counts for
+    the under-consumption layout checks).
+
+    Returns (read_bits, read_symbol, tell, reset):
+    - read_bits(n): next n bits MSB-first (n <= 16).
+    - read_symbol(fast): one canonical-Huffman symbol via the
+      _huff_fast LUT; mirrors the naive bit-walk exactly, including
+      the 17th-bit read before "invalid Huffman code".
+    - tell(): (consumed_bits, total_bits).
+    - reset(segment): re-align on the next restart segment.
+    """
+    data = initial
+    nbytes = len(initial)
+    bytepos = 0
+    acc = 0  # bottom `navail` bits = buffered unconsumed stream bits
+    navail = 0
+
+    def reset(segment: bytes) -> None:
+        nonlocal data, nbytes, bytepos, acc, navail
+        data, nbytes, bytepos, acc, navail = segment, len(segment), 0, 0, 0
+
+    def tell() -> tuple[int, int]:
+        return bytepos * 8 - navail, nbytes * 8
+
+    def read_bits(n: int) -> int:
+        nonlocal bytepos, acc, navail
+        while navail < n:
+            if bytepos >= nbytes:
+                raise ValueError("JPEG entropy stream truncated")
+            acc = ((acc & _BIT_MASKS[navail]) << 8) | data[bytepos]
+            bytepos += 1
+            navail += 8
+        navail -= n
+        return (acc >> navail) & _BIT_MASKS[n]
+
+    def read_symbol(fast) -> int:
+        nonlocal bytepos, acc, navail
+        lut, table = fast
+        while navail < 8 and bytepos < nbytes:
+            acc = ((acc & _BIT_MASKS[navail]) << 8) | data[bytepos]
+            bytepos += 1
+            navail += 8
+        if navail >= 8:
+            peek = (acc >> (navail - 8)) & 0xFF
+        else:
+            # stream tail: zero-padded window. A match longer than
+            # the real remainder raises truncated below — exactly
+            # where the per-bit walk ran out; a shorter match used
+            # only real bits (prefix-freeness).
+            peek = (acc & _BIT_MASKS[navail]) << (8 - navail)
+        hit = lut[peek]
+        if hit is not None:
+            length, sym = hit
+            if length > navail:
+                raise ValueError("JPEG entropy stream truncated")
+            navail -= length
+            return sym
+        # > 8-bit code or invalid prefix: consume the window and walk
+        # lengths 9..16 bit by bit (rare path)
+        navail -= 8
+        code = peek
+        for length in range(9, 17):
+            code = (code << 1) | read_bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        # the naive walk reads a 17th bit before giving up — keep the
+        # truncated-vs-invalid distinction identical
+        read_bits(1)
+        raise ValueError("invalid Huffman code")
+
+    return read_bits, read_symbol, tell, reset
+
+
 def _idct_matrix() -> np.ndarray:
     """Exact 8x8 DCT-III basis: A[u, x] = C(u)/2 * cos((2x+1) u pi /
     16); block = A.T @ F @ A (float64 error ~1e-13, far below the 0.5
@@ -1423,77 +1538,31 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
         if (0, td) not in huff or (1, ta) not in huff or tq not in qtab:
             raise ValueError("JPEG missing SOF/SOS/DHT")
 
-    bitpos = 0
-    nbits = len(entropy) * 8
-
-    def read_bit() -> int:
-        nonlocal bitpos
-        if bitpos >= nbits:
-            raise ValueError("JPEG entropy stream truncated")
-        b = (entropy[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-        bitpos += 1
-        return b
-
-    def read_bits(n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | read_bit()
-        return v
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, bitlen = 0, 0
-        while bitlen < 17:
-            code = (code << 1) | read_bit()
-            bitlen += 1
-            if (bitlen, code) in table:
-                return table[(bitlen, code)]
-        raise ValueError("invalid Huffman code")
-
-    def extend(v: int, size: int) -> int:
-        # JPEG extend rule: top bit 0 means the negative branch
-        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-    A = _idct_matrix()
+    read_bits, read_symbol, _tell, reset = _bit_reader(entropy)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = {
-        cid: np.empty((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.uint8)
+    # entropy pass accumulates RAW extended coefficients in zigzag
+    # space as plain Python lists (one [0]*64 per block) — no numpy
+    # scalar traffic inside the bit loop; dezigzag + dequantize +
+    # IDCT run ONCE per component as the same batched matmul the
+    # progressive decoder uses (r14 optimization round: the per-block
+    # A.T @ coef @ A + clip/round numpy calls were ~40% of a baseline
+    # decode; both formulations are pinned to the same closed-form
+    # pixel oracles and verified byte-identical over every fixture
+    # class).
+    grids: dict[int, list[list[list[int] | None]]] = {
+        cid: [[None] * (mcus_x * hs) for _ in range(mcus_y * vs)]
         for cid, hs, vs, _ in comps
     }
     pred = {cid: 0 for cid, _, _, _ in comps}
+    fast = {}
+    for cid, _, _, _ in comps:
+        td, ta = scan_tables[cid]
+        fast[cid] = (_huff_fast(huff[(0, td)]), _huff_fast(huff[(1, ta)]))
 
-    def decode_block(q, dc_table, ac_table, cid) -> np.ndarray:
-        coef = np.zeros(64, dtype=np.int32)  # linear (row*8+col) order
-        cat = read_symbol(dc_table)
-        if cat:
-            pred[cid] += extend(read_bits(cat), cat)
-        coef[0] = pred[cid] * q[0]
-        zpos = 1  # zigzag scan position
-        while zpos < 64:
-            sym = read_symbol(ac_table)
-            if sym == 0x00:  # EOB: rest of the block is zero
-                break
-            if sym == 0xF0:  # ZRL: sixteen zero coefficients
-                zpos += 16
-                continue
-            run, size = sym >> 4, sym & 0x0F
-            if size == 0:
-                raise ValueError("invalid AC symbol (size 0, not ZRL/EOB)")
-            zpos += run
-            if zpos >= 64:
-                raise ValueError("AC run overflows the block")
-            coef[_JPEG_ZIGZAG[zpos]] = extend(read_bits(size), size) * q[zpos]
-            zpos += 1
-        block = A.T @ coef.reshape(8, 8).astype(np.float64) @ A
-        return np.clip(np.round(block) + 128, 0, 255).astype(np.uint8)
-
-    qarr = {
-        t: np.frombuffer(tb, dtype=np.uint8).astype(np.int32)
-        for t, tb in qtab.items()
-    }
     for m in range(mcus_x * mcus_y):
         if dri and m and m % dri == 0:
             # restart: next segment, byte re-alignment (segments are
@@ -1501,19 +1570,56 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
             seg_idx = m // dri
             if seg_idx >= len(segments):
                 raise ValueError("JPEG missing expected RST marker")
-            entropy = segments[seg_idx]
-            bitpos, nbits = 0, len(entropy) * 8
+            reset(segments[seg_idx])
             for cid in pred:
                 pred[cid] = 0
         my, mx = divmod(m, mcus_x)
         for cid, hs, vs, tq in comps:
-            td, ta = scan_tables[cid]
+            dc_fast, ac_fast = fast[cid]
+            grid = grids[cid]
             for by in range(vs):
+                row = grid[my * vs + by]
                 for bx in range(hs):
-                    blk = decode_block(qarr[tq], huff[(0, td)], huff[(1, ta)], cid)
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    blk = [0] * 64  # zigzag order, pre-dequantize
+                    cat = read_symbol(dc_fast)
+                    if cat:
+                        pred[cid] += _jpeg_extend(read_bits(cat), cat)
+                    blk[0] = pred[cid]
+                    zpos = 1  # zigzag scan position
+                    while zpos < 64:
+                        sym = read_symbol(ac_fast)
+                        if sym == 0x00:  # EOB: rest of the block is zero
+                            break
+                        if sym == 0xF0:  # ZRL: sixteen zero coefficients
+                            zpos += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            raise ValueError(
+                                "invalid AC symbol (size 0, not ZRL/EOB)"
+                            )
+                        zpos += run
+                        if zpos >= 64:
+                            raise ValueError("AC run overflows the block")
+                        blk[zpos] = _jpeg_extend(read_bits(size), size)
+                        zpos += 1
+                    row[mx * hs + bx] = blk
+
+    # dezigzag + dequantize + batched exact IDCT per component (the
+    # progressive decoder's vectorized tail, shared shape)
+    A = _idct_matrix()
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        q = np.frombuffer(qtab[tq], dtype=np.uint8).astype(np.int32)
+        cz = np.array(grids[cid], dtype=np.int32)  # (by, bx, 64) zigzag
+        nat = np.zeros_like(cz)
+        nat[:, :, _JPEG_ZIGZAG] = cz * q
+        blocks = nat.reshape(*nat.shape[:2], 8, 8).astype(np.float64)
+        px = np.matmul(np.matmul(A.T, blocks), A)
+        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        planes[cid] = (
+            px.transpose(0, 2, 1, 3).reshape(px.shape[0] * 8, px.shape[1] * 8)
+        )
 
     return _planes_to_pixels(
         planes, comps, hmax, vmax, w, h, adobe_transform=adobe_transform
@@ -1648,70 +1754,57 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
     by_comp = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     # coefficients in ZIGZAG index space, padded to the interleaved
     # MCU grid (non-interleaved scans cover the <= ceil-dims block
-    # grid; padding blocks stay zero and are cropped after IDCT)
+    # grid; padding blocks stay zero and are cropped after IDCT).
+    # Grids are plain Python lists (one [0]*64 per block): scans
+    # accumulate with small-int ops only — numpy scalar indexing in
+    # the refinement walks was a measured hot spot (r14 optimization
+    # round) — and the batched IDCT converts once at the end.
     coefs = {
-        cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+        cid: [
+            [[0] * 64 for _ in range(mcus_x * hs)]
+            for _ in range(mcus_y * vs)
+        ]
         for cid, hs, vs, _ in comps
     }
 
     for scan_comps, ss, se, ah, al, segments, scan_dri in scans:
         seg_idx = 0
-        entropy = segments[0]
-        bitpos, nbits = 0, len(entropy) * 8
-
-        def read_bit() -> int:
-            nonlocal bitpos
-            if bitpos >= nbits:
-                raise ValueError("JPEG entropy stream truncated")
-            b = (entropy[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-            bitpos += 1
-            return b
+        read_bits, read_symbol, tell, reset = _bit_reader(segments[0])
 
         def advance_segment() -> None:
             """Cross a restart boundary: the current segment must be
             fully consumed (byte padding only), then the bit reader
             re-aligns on the next independent segment."""
-            nonlocal seg_idx, entropy, bitpos, nbits
-            if bitpos + 8 <= nbits:
+            nonlocal seg_idx
+            consumed, total = tell()
+            if consumed + 8 <= total:
                 raise ValueError("JPEG scan under-consumed (layout desync)")
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("JPEG missing expected RST marker")
-            entropy = segments[seg_idx]
-            bitpos, nbits = 0, len(entropy) * 8
-
-        def read_bits(n: int) -> int:
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | read_bit()
-            return v
-
-        def read_symbol(table: dict[tuple[int, int], int]) -> int:
-            code, bitlen = 0, 0
-            while bitlen < 17:
-                code = (code << 1) | read_bit()
-                bitlen += 1
-                if (bitlen, code) in table:
-                    return table[(bitlen, code)]
-            raise ValueError("invalid Huffman code")
-
-        def extend(v: int, size: int) -> int:
-            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            reset(segments[seg_idx])
 
         if ss == 0:  # DC scan (Se must be 0 per spec)
             if se != 0:
                 raise ValueError("DC scan with Se != 0")
             pred = {cid: 0 for cid, _, _ in scan_comps}
             interleaved = len(scan_comps) > 1
+            # fast DC tables, built only for first scans — refinement
+            # scans read raw bits and may legally reference absent ids
+            dc_tabs = (
+                {td: _huff_fast(huff[(0, td)]) for _, td, _ in scan_comps}
+                if ah == 0
+                else {}
+            )
 
-            def dc_block(cid: int, td: int, cz: np.ndarray) -> None:
+            def dc_block(cid: int, td: int, cz: list) -> None:
                 if ah == 0:  # first scan: diff decode, shifted
-                    cat = read_symbol(huff[(0, td)])
-                    diff = extend(read_bits(cat), cat) if cat else 0
+                    cat = read_symbol(dc_tabs[td])
+                    diff = _jpeg_extend(read_bits(cat), cat) if cat else 0
                     pred[cid] += diff
                     cz[0] = pred[cid] << al
                 else:  # refinement: one raw bit
-                    if read_bit():
+                    if read_bits(1):
                         cz[0] |= 1 << al
 
             if interleaved:
@@ -1724,12 +1817,9 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                     for cid, td, _ in scan_comps:
                         hs, vs, _ = by_comp[cid]
                         for by in range(vs):
+                            row = coefs[cid][my * vs + by]
                             for bx in range(hs):
-                                dc_block(
-                                    cid,
-                                    td,
-                                    coefs[cid][my * vs + by, mx * hs + bx],
-                                )
+                                dc_block(cid, td, row[mx * hs + bx])
             else:
                 cid, td, _ = scan_comps[0]
                 hs, vs, _ = by_comp[cid]
@@ -1741,12 +1831,12 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                     if scan_dri and b and b % scan_dri == 0:
                         advance_segment()
                         pred[cid] = 0
-                    dc_block(cid, td, coefs[cid][b // cbx, b % cbx])
+                    dc_block(cid, td, coefs[cid][b // cbx][b % cbx])
         else:  # AC scan: single component per spec
             if len(scan_comps) != 1:
                 raise ValueError("interleaved AC progressive scan")
             cid, _, ta = scan_comps[0]
-            table = huff[(1, ta)]
+            table = _huff_fast(huff[(1, ta)])
             hs, vs, _ = by_comp[cid]
             cbx = (w * hs + 8 * hmax - 1) // (8 * hmax)
             cby = (h * vs + 8 * vmax - 1) // (8 * vmax)
@@ -1760,7 +1850,7 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                             "JPEG EOBRUN spans a restart boundary"
                         )
                     advance_segment()
-                cz = coefs[cid][b // cbx, b % cbx]
+                cz = coefs[cid][b // cbx][b % cbx]
                 if ah == 0:  # AC first scan
                     if eobrun > 0:
                         eobrun -= 1
@@ -1773,7 +1863,7 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                             k += r
                             if k > se:
                                 raise ValueError("AC run overflows the band")
-                            cz[k] = extend(read_bits(s), s) << al
+                            cz[k] = _jpeg_extend(read_bits(s), s) << al
                             k += 1
                         elif r < 15:  # EOBn
                             eobrun = 1 << r
@@ -1795,7 +1885,7 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                                     raise ValueError(
                                         "refinement size must be 1"
                                     )
-                                newval = p1 if read_bit() else m1
+                                newval = p1 if read_bits(1) else m1
                             elif r < 15:  # EOBn
                                 eobrun = 1 << r
                                 if r:
@@ -1806,7 +1896,7 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                             # correction bit at every nonzero coef
                             while k <= se:
                                 if cz[k] != 0:
-                                    if read_bit() and not (cz[k] & p1):
+                                    if read_bits(1) and not (cz[k] & p1):
                                         cz[k] += p1 if cz[k] > 0 else m1
                                 else:
                                     if r == 0:
@@ -1820,13 +1910,14 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                         # band remainder: correction bits only
                         while k <= se:
                             if cz[k] != 0:
-                                if read_bit() and not (cz[k] & p1):
+                                if read_bits(1) and not (cz[k] & p1):
                                     cz[k] += p1 if cz[k] > 0 else m1
                             k += 1
                         eobrun -= 1
         if seg_idx != len(segments) - 1:
             raise ValueError("JPEG scan has unconsumed restart segments")
-        if bitpos + 8 <= nbits:
+        consumed, total = tell()
+        if consumed + 8 <= total:
             # spec allows padding to the byte boundary only; more
             # than 7 unread bits means scan-layout desync
             raise ValueError("JPEG scan under-consumed (layout desync)")
@@ -1838,7 +1929,7 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
         if tq not in qtab:
             raise ValueError("JPEG missing quant table")
         q = np.frombuffer(qtab[tq], dtype=np.uint8).astype(np.int32)
-        cz = coefs[cid]  # (by, bx, 64) zigzag order
+        cz = np.array(coefs[cid], dtype=np.int32)  # (by, bx, 64) zigzag
         nat = np.zeros_like(cz)
         nat[:, :, _JPEG_ZIGZAG] = cz * q
         blocks = nat.reshape(*nat.shape[:2], 8, 8).astype(np.float64)
@@ -1958,7 +2049,16 @@ def synthesize_real_media(
                 rows.append((mid, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
-    return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
+    # spread the id scan to the cluster's parallelism before the
+    # per-row Python encoder (r14 optimization round, guide §2.5
+    # "input skew"): the local documents fixture arrives as ONE
+    # parquet split, so the whole synth+decode chain otherwise runs
+    # single-task; at warehouse scale maxPartitionBytes splits the
+    # scan naturally and the spread is a no-op. Round-robin exchange
+    # of bare ids — a few KB — buys full-width Python stages.
+    return spread_small_input(df.select(id_col)).mapInPandas(
+        synth, StructType.fromDDL(out_ddl)
+    )
 
 
 def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2051,7 +2151,16 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((mid, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
-    return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
+    # spread the id scan to the cluster's parallelism before the
+    # per-row Python encoder (r14 optimization round, guide §2.5
+    # "input skew"): the local documents fixture arrives as ONE
+    # parquet split, so the whole synth+decode chain otherwise runs
+    # single-task; at warehouse scale maxPartitionBytes splits the
+    # scan naturally and the spread is a no-op. Round-robin exchange
+    # of bare ids — a few KB — buys full-width Python stages.
+    return spread_small_input(df.select(id_col)).mapInPandas(
+        synth, StructType.fromDDL(out_ddl)
+    )
 
 
 def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2142,7 +2251,16 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((mid, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
-    return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
+    # spread the id scan to the cluster's parallelism before the
+    # per-row Python encoder (r14 optimization round, guide §2.5
+    # "input skew"): the local documents fixture arrives as ONE
+    # parquet split, so the whole synth+decode chain otherwise runs
+    # single-task; at warehouse scale maxPartitionBytes splits the
+    # scan naturally and the spread is a no-op. Round-robin exchange
+    # of bare ids — a few KB — buys full-width Python stages.
+    return spread_small_input(df.select(id_col)).mapInPandas(
+        synth, StructType.fromDDL(out_ddl)
+    )
 
 
 def synthesize_cmyk_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2186,7 +2304,16 @@ def synthesize_cmyk_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((mid, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
-    return df.select(id_col).mapInPandas(synth, StructType.fromDDL(out_ddl))
+    # spread the id scan to the cluster's parallelism before the
+    # per-row Python encoder (r14 optimization round, guide §2.5
+    # "input skew"): the local documents fixture arrives as ONE
+    # parquet split, so the whole synth+decode chain otherwise runs
+    # single-task; at warehouse scale maxPartitionBytes splits the
+    # scan naturally and the spread is a no-op. Round-robin exchange
+    # of bare ids — a few KB — buys full-width Python stages.
+    return spread_small_input(df.select(id_col)).mapInPandas(
+        synth, StructType.fromDDL(out_ddl)
+    )
 
 
 def png_rgb_sums(media: DataFrame) -> DataFrame:
