@@ -66,7 +66,19 @@ def copurchase_edges(
     j6_unsalted_hot_join grid cell in tools/scale_sanity.py and the
     plan-pinned skew=true engagement test in tests/test_scale.py).
     """
-    kp = lineitem.select(F.col(key).alias("k"), F.col(item).alias("p")).distinct()
+    # ONE exchange for the whole (distinct -> per-key ops) prefix
+    # (r14 optimization round, guide §2.4 "two operations keyed the
+    # same way share one exchange"): hash(k) satisfies the distinct's
+    # ClusteredDistribution(k, p) AND the self-join's (and the
+    # basket-size agg/semi-join's) hash(k) requirement, so the
+    # explicit repartition replaces the hash(k, p) distinct exchange
+    # + the hash(k) join exchange of the old shape — measured
+    # construction noop 1.53 -> 1.14 s at sf0.1, identical pair set.
+    kp = (
+        lineitem.select(F.col(key).alias("k"), F.col(item).alias("p"))
+        .repartition("k")
+        .distinct()
+    )
     if max_basket is not None:
         sizes = kp.groupBy("k").agg(F.count(F.lit(1)).alias("__bs"))
         kp = kp.join(
@@ -234,11 +246,15 @@ def pagerank(
     # construction replay) only when the degree count lands in the
     # big regime below.
     ep = edges.repartition("dst").persist()
-    ep.count()  # materialize the cache before anything else
     # degrees (node = every distinct src): ONE aggregation serves as
     # both the degree table and the node table — the old separate
     # nodes.distinct() pass scanned the edges a second time for the
-    # same key set.
+    # same key set. deg.count() below is ALSO the action that
+    # materializes the ep cache (the agg reads through it), so the
+    # old separate ep.count() pass is gone (r14 optimization round:
+    # one cache-scan job saved, ~0.3 s at sf0.1); everything after
+    # deg.count() — the big-regime re-key included — reads the
+    # already-populated cache.
     deg = ep.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     ).persist()
