@@ -1181,8 +1181,6 @@ def soft_dedup_weights(
 
     Returns (doc_id, *carry, cluster_id, cluster_size, keep_weight).
     """
-    from pyspark.sql import Window as W
-
     sig = minhash_signatures(docs, num_hashes=num_hashes, shingle_n=shingle_n)
     pairs = lsh_candidate_pairs(
         lsh_bands(sig, bands=bands, rows_per_band=rows_per_band),
@@ -1198,13 +1196,31 @@ def soft_dedup_weights(
             F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
         )
     )
-    size = F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
-    return labeled.select(
-        id_col,
-        *carry,
-        "cluster_id",
-        size.alias("cluster_size"),
-        F.round(F.lit(1.0) / size, 6).alias("keep_weight"),
+    # cluster sizes from the CLOSURE OUTPUT, not a window over the
+    # whole corpus (r14 optimization round, guide §2.4): the old
+    # count(*) over partitionBy(cluster_id) re-shuffled AND re-sorted
+    # every document row; the identical sizes are a |clusters|-row
+    # aggregate of the (already materialized) cc table — every
+    # clustered doc is a cc node whose label IS its cluster_id, and a
+    # singleton's cluster_id (its own id, absent from cc) can never
+    # collide with a label (labels are member ids). No broadcast hint:
+    # locally AQE broadcasts the tiny size table (doc side never
+    # exchanged OR sorted); at 100 TB — where the cluster count can
+    # be broadcast-hostile — the join degrades to the window's old
+    # exchange shape minus the sort and the per-partition row buffer.
+    sizes = cc.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("__csz")
+    )
+    size = F.coalesce(F.col("__csz"), F.lit(1)).cast("long")
+    return (
+        labeled.join(sizes, "cluster_id", "left")
+        .select(
+            id_col,
+            *carry,
+            "cluster_id",
+            size.alias("cluster_size"),
+            F.round(F.lit(1.0) / size, 6).alias("keep_weight"),
+        )
     )
 
 
