@@ -340,7 +340,9 @@ def bfs_levels(
     """
     spark = edges.sparkSession
     edges = edges.repartition("src").persist()
-    edges.count()  # materialize the cache before iterating
+    # the regime count is the first action through the persisted edge
+    # table, so it also materializes the cache — no separate count()
+    # pass (r14 optimization round, the pagerank consolidation)
     n_nodes = edges.select("src").distinct().count()
     small = n_nodes <= broadcast_nodes
     visited = spark.createDataFrame(
@@ -636,8 +638,11 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= broadcast_nodes
+    # regime-keyed cache, materialized by the first round that reads
+    # it (the final eager round checkpoint materializes the whole
+    # chain before the finally-unpersist) — the old separate count()
+    # was a pure extra cache pass (r14, the pagerank consolidation)
     edges = edges.repartition("src" if small else "dst").persist()
-    edges.count()
     # deterministic mode of the sorted neighbor-label array: the
     # ascending fold keeps the FIRST (= smallest) label among
     # max-count runs — exactly "most frequent, ties to smallest"
