@@ -1400,7 +1400,15 @@ def _woo_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression of (o_orderkey, o_custkey, o_totalprice, o_orderdate,
     o_orderstatus, o_orderpriority) so the oracle can reproduce the
     flattened value without the nested form."""
-    o = load_table(spark, "orders", sf_dir)
+    from dot_spark.operators.textdedup import spread_small_input
+
+    # the 74-column flatten downstream is a heavy interpreted
+    # projection (hugeMethodLimit keeps it un-fused by design); the
+    # local one-split orders scan would run it on one core — spread
+    # the 6 scalar input columns first (r14 optimization round, guide
+    # §2.5; no-op at warehouse scale where the scan splits naturally).
+    # Measured n12 3.59 -> 2.07 s solo min-of-4 interleaved at sf0.1.
+    o = spread_small_input(load_table(spark, "orders", sf_dir))
     k, c = F.col("o_orderkey"), F.col("o_custkey")
     ks = k.cast("string")
 
