@@ -13029,9 +13029,9 @@ assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 _r13_missing = [n for n in _R13_WINDOW if n not in QUERIES]
 assert not _r13_missing, f"r13 window names not registered: {_r13_missing}"
 assert not set(_R13_WINDOW) & set(_R12_WINDOW), "r13 overlaps r12"
-# ROUND-14 WINDOW (ACTIVE — swapped in as the first commit of round
-# 14, exactly the list staged at the end of round 13, zero swaps;
-# CORRECTNESS_r13 is 50/50 green on _R13_WINDOW above). Composition
+# ROUND-14 WINDOW (HISTORICAL — executed verbatim as
+# CORRECTNESS_r14, 50/50 green; kept for the no-overlap assertion
+# chain). Composition
 # (computed at the start of round
 # 13 from CORRECTNESS_r01-r12 + the r13 window above): after the r13
 # window lands, exactly 42 queries' newest green row is r9 — ALL of
@@ -13042,7 +13042,7 @@ assert not set(_R13_WINDOW) & set(_R12_WINDOW), "r13 overlaps r12"
 # displaced three r10 fills per the first-gate-new-code policy —
 # first-gating new/changed code beats re-verifying untouched green
 # code, the r10 n12-n17 principle).
-_WINDOW_PRIORITY = [
+_R14_WINDOW = [
     # r9-stale (42, alphabetical) — bound-critical: every one of
     # these must gate at r14 or it breaches the 4-round staleness
     # bound. Never displace these.
@@ -13078,26 +13078,29 @@ _WINDOW_PRIORITY = [
     "mm10_jpeg_color_pixels",
     "dd19_suffix_array_spans",
 ]
-assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
-_r14_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+_r14_missing = [n for n in _R14_WINDOW if n not in QUERIES]
 assert not _r14_missing, f"r14 window names not registered: {_r14_missing}"
-assert not set(_WINDOW_PRIORITY) & set(_R13_WINDOW), "r14 overlaps r13"
-# The r15 rotation, MACHINE-READABLE — next round, swap this list
-# into _WINDOW_PRIORITY. Composition (computed mechanically at the
-# start of round 14 from CORRECTNESS_r01-r13 + the r14 window above):
-# after the r14 window lands, exactly 42 queries' newest green row is
-# r10 — ALL of them must be here (they would be 5 rounds stale at the
-# r15 horizon, past the 4-round bound tests/test_gate_window.py
-# enforces) — followed by the 8 stalest r11 rows (alphabetical within
-# the r11 cohort; the remaining 42 r11 rows slide to r16, where they
-# sit exactly at the bound). NOTE: the r13 verdict's "47 r10 rows"
-# was approximate — the mechanical count from the committed receipts
-# is 42 (the r13-verdict distribution r10:47 included the 5 fills the
-# r14 window itself carries). If round 14 adds new queries or changes
-# any query's semantics, swap them into the LAST slots here
-# (displacing the r11 fills, never the r10 cohort — the r10 rows are
-# bound-critical, the r11 fills are not).
-_R15_WINDOW = [
+assert not set(_R14_WINDOW) & set(_R13_WINDOW), "r14 overlaps r13"
+# ROUND-15 WINDOW (ACTIVE — swapped in as the first commit of round
+# 15, exactly the list staged at the end of round 14 MODULO the four
+# swaps the r14 verdict itself directed ("swap n13_woo_flat_order_items
+# + mm1/mm2/mm3 into the displaceable fill slots — they were rewritten
+# this round on r11 receipts"): n13 (narrow-struct collect rewrite),
+# mm1/mm2/mm3 (shared rolling-buffer Huffman decoder under every JPEG
+# path) enter; the two r11 fills c1_classify_runs/dd1_exact_dedup
+# (untouched since r11) and the two PNG pins mm12_png_pixels/
+# mm13_png_audit (new-in-r14 but pinning the PNG decoder, which the
+# r14 optimization commits did NOT touch) slide to r16 staging —
+# re-gating rewritten code beats first-gating pins of untouched code,
+# and never-gated queries are legal in the STAGED window per
+# tests/test_gate_window.py. Composition otherwise as staged (computed
+# mechanically at the start of round 14 from CORRECTNESS_r01-r13 +
+# the r14 window above): after the r14 window lands, exactly 42
+# queries' newest green row is r10 — ALL of them must be here (they
+# would be 5 rounds stale at the r15 horizon, past the 4-round bound
+# tests/test_gate_window.py enforces).
+_WINDOW_PRIORITY = [
     # r10-stale (42, alphabetical) — bound-critical: every one of
     # these must gate at r15 or it breaches the 4-round staleness
     # bound. Never displace these.
@@ -13116,36 +13119,81 @@ _R15_WINDOW = [
     "pl4_corpus_ingest_dedup", "s11_attributed_publish",
     "s20_manifest_skipping", "s21_fixed_width_source", "ss10_rrf_fusion",
     "t23_bigram_lm_score", "w15_drawdown",
-    # r11-stale fills (2, alphabetical within the r11 cohort) —
-    # displaceable by new-in-round-14 queries per the policy above
-    # (dd5b_bucketed_neardup, dd6_decontamination,
-    # dd7_embedding_decontamination, dd3_simhash,
-    # dd4b_ngram_jaccard_capped and dd2_minhash_lsh_candidates
-    # displaced to r16 staging by the six round-14 entries below).
-    "c1_classify_runs", "dd1_exact_dedup",
+    # rewritten-in-r14 re-gates (4, the r14 verdict's directed swaps;
+    # all r11-latest): the narrow-struct collect_list synthesis and
+    # the shared rolling-buffer prefix-LUT Huffman decoder that now
+    # underlies every JPEG decode path.
+    "n13_woo_flat_order_items", "mm1_decode_media",
+    "mm2_media_features", "mm3_frame_sampling",
     # round-14 swaps: mm9's SEMANTICS changed (the progressive class
     # flips from accounted ok=false to a real multi-scan decode), so
     # it must re-gate; mm11 (progressive pixel-content pin), dd20
-    # (intra-document repeated-substring spans), mm12 (full-PNG
-    # pixel-content pin: filters/palette/alpha/Adam7), mm13 (PNG
-    # decode accounting incl. the 16-bit boundary) and mm14 (Adobe
-    # CMYK/YCCK pixel pin) are new — the first-gate-new-code policy.
+    # (intra-document repeated-substring spans) and mm14 (Adobe
+    # CMYK/YCCK pixel pin) are new JPEG-path pins — the
+    # first-gate-new-code policy. The PNG pins mm12/mm13 slide to
+    # r16 staging (see the header comment).
     "mm9_progressive_jpeg_audit",
     "mm11_jpeg_progressive_pixels",
     "dd20_self_repetition_spans",
-    "mm12_png_pixels",
-    "mm13_png_audit",
     "mm14_jpeg_cmyk_pixels",
 ]
-assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
-_r15_missing = [n for n in _R15_WINDOW if n not in QUERIES]
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+_r15_missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
 assert not _r15_missing, f"r15 window names not registered: {_r15_missing}"
-assert not set(_R15_WINDOW) & set(_WINDOW_PRIORITY), "r15 overlaps r14"
+assert not set(_WINDOW_PRIORITY) & set(_R14_WINDOW), "r15 overlaps r14"
+# The r16 rotation, MACHINE-READABLE — next round, swap this list
+# into _WINDOW_PRIORITY. Composition (computed mechanically at the
+# start of round 15 from CORRECTNESS_r01-r14 + the r15 window above):
+# after the r15 window lands, exactly 46 queries' newest green row is
+# r11 — ALL of them must be here (they would be 5 rounds stale at the
+# r16 horizon, past the 4-round bound tests/test_gate_window.py
+# enforces; the set includes the displaced c1_classify_runs and
+# dd1_exact_dedup) — followed by the 2 stalest r12 rows (alphabetical
+# within the r12 cohort; the remaining r12 rows slide to r17, where
+# they sit exactly at the bound) and the two never-gated PNG pins
+# displaced from the r15 window (mm12/mm13 — never-gated queries must
+# sit in the active or staged window). If round 15 adds new queries
+# or changes any query's semantics, swap them into the LAST slots
+# here (displacing the r12 fills or the PNG pins, never the r11
+# cohort — the r11 rows are bound-critical).
+_R16_WINDOW = [
+    # r11-stale (46, alphabetical) — bound-critical.
+    "c1_classify_runs", "dd1_exact_dedup",
+    "dd2_minhash_lsh_candidates", "dd3_simhash",
+    "dd4b_ngram_jaccard_capped", "dd5b_bucketed_neardup",
+    "dd6_decontamination", "dd7_embedding_decontamination",
+    "dd8_dedup_clusters", "j2_union_distinct", "j3_union_all",
+    "j5_parent_child_join", "mm7_phash_neardup",
+    "n14_woo_flat_products", "n1_struct_extract", "n2_explode_tokens",
+    "n3_kv_pivot", "n4_element_first_last", "n5_sticky_carry",
+    "n6_json_stringify", "p21_weighted_topk_sample",
+    "p2_positional_projection", "p4_filter_gate", "p5_status_route",
+    "p6_isin_filter", "p8_coalesce_defaults", "p9_string_norm",
+    "pl2_woo_incremental", "pl2b_woo_incremental_by_store",
+    "pl9_semdedup", "s10_object_store_export", "s6_sql_source",
+    "s9_csv_checkpoint", "st1_windowed_agg", "st2_superseded_stream",
+    "t13b_bpe_merges_batched", "t24_perplexity_prune",
+    "t25_hashed_linear_quality", "t26_dsir_importance",
+    "t3_language_id", "t4_fingerprint", "t5_length_histogram",
+    "t6_sequence_packing", "w2_distinct_rows", "w3_sort_limit_top1",
+    "w5_rank_lattice",
+    # r12-stale fills (2, alphabetical within the r12 cohort) —
+    # displaceable by new-in-round-15 queries per the policy above.
+    "a12_cube_lattice", "a13_pivot_wide",
+    # never-gated PNG pins displaced from the r15 window (full-PNG
+    # pixel-content pin: filters/palette/alpha/Adam7; PNG decode
+    # accounting incl. the 16-bit boundary).
+    "mm12_png_pixels", "mm13_png_audit",
+]
+assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
+_r16_missing = [n for n in _R16_WINDOW if n not in QUERIES]
+assert not _r16_missing, f"r16 window names not registered: {_r16_missing}"
+assert not set(_R16_WINDOW) & set(_WINDOW_PRIORITY), "r16 overlaps r15"
 # Generic alias so tests/test_gate_window.py reads "the staged
 # next-round window" without hardcoding a round number — next
-# round's swap renames _R15_WINDOW to _WINDOW_PRIORITY and repoints
-# this alias at the freshly staged _R16_WINDOW.
-_STAGED_WINDOW = _R15_WINDOW
+# round's swap renames _R16_WINDOW to _WINDOW_PRIORITY and repoints
+# this alias at the freshly staged _R17_WINDOW.
+_STAGED_WINDOW = _R16_WINDOW
 QUERIES = {
     **{n: QUERIES[n] for n in _WINDOW_PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _WINDOW_PRIORITY},

@@ -152,67 +152,69 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
 
 def test_correctness_window_composition():
     """The driver's gate checks the FIRST 50 queries() entries. Pin
-    the round-14 rotation BY NAME, independently of the
+    the round-15 rotation BY NAME, independently of the
     _WINDOW_PRIORITY constant (tests/test_gate_window.py asserts the
     registry leads with that constant; this hand-written set catches
-    an accidental edit of the constant itself): the staged r13
-    backfill executed VERBATIM — the 42 bound-critical r9-stale rows
-    + 5 r10 fills + the 3 round-13 additions first-gated here."""
+    an accidental edit of the constant itself): the staged r14
+    backfill executed with the four verdict-directed swaps — the 42
+    bound-critical r10-stale rows + the 4 rewritten-in-r14 re-gates
+    (n13/mm1/mm2/mm3, displacing c1/dd1/mm12/mm13 to r16 staging) +
+    the 4 new-or-changed-in-r14 JPEG-path entries first-gated here."""
     window = list(QUERIES)[:50]
     must_have = {
-        # r9-stale (42)
-        "a26_frequent_pairs",
-        "a27_event_transitions",
-        "a28_wilson_ci",
-        "a29_countmin_audit",
-        "a30_k_anonymity",
-        "a31_expectations_audit",
-        "dd14_substring_spans",
-        "dd15_containment",
-        "g1_pagerank",
-        "g2_triangle_count",
-        "g3_bfs_levels",
-        "g4_link_prediction",
-        "j17_multihop_topk",
-        "j18_snapshot_diff",
-        "j19_bloom_prejoin",
-        "mm4_image_resize",
-        "mm5_audio_rms",
-        "mm6_image_phash",
-        "n11_xml_roundtrip",
-        "n8_malformed_json_audit",
-        "p16_fixed_k_per_stratum",
-        "p18_mixture_resample",
-        "p19_sequence_packing",
-        "p20_zorder_layout",
-        "pl12_dataset_card",
-        "pl8_merge_upsert",
-        "s15_text_log_source",
-        "s18_txlog_snapshot",
-        "s19_zorder_skipping",
-        "ss6_label_centroids",
-        "ss8_sq_topk",
-        "ss9_pq_topk",
-        "st5_delayed_retry",
-        "t16_langid_accuracy",
-        "t18_novelty_score",
-        "t19_bm25_topterms",
-        "t20_pmi_collocations",
-        "t21_readability",
-        "t22_zipf_audit",
-        "w12_ewma_smooth",
-        "w13_ohlc_resample",
-        "w14_range_frame",
-        # r10 fills (5)
-        "a10_string_agg_ordered",
-        "a11_group_percentiles",
-        "a2_watermark_max",
-        "a32_linreg_trend",
-        "a33_skyline",
-        # new in round 13, first-gated in round 14 (3)
-        "j21_asof_left",
-        "mm10_jpeg_color_pixels",
-        "dd19_suffix_array_spans",
+        # r10-stale (42)
+        "a3_conditional_agg",
+        "a4_count_predicate",
+        "a5_collect_sorted_list",
+        "a6_rollup_subtotals",
+        "a7_distribution_stats",
+        "a8_count_distinct",
+        "a9_hypertable_rollup",
+        "dd16_cdc_chunks",
+        "dd17_bloom_history_dedup",
+        "dd4_ngram_jaccard",
+        "f10_try_cast_coerce",
+        "f1_regex_match",
+        "f2_ts_format",
+        "f3_epoch_seconds",
+        "f4_decimal_negate",
+        "f5_string_ops",
+        "f6_hour_gate",
+        "f7_flag_coerce",
+        "f9_json_access",
+        "g5_label_propagation",
+        "j10_intersect_except",
+        "j11_null_safe_join",
+        "j12_exists_semi_join",
+        "j4_broadcast_lookup",
+        "j6_salted_skew_join",
+        "j9_range_join",
+        "mm8_silence_segments",
+        "n12_woo_flat_orders",
+        "n15_woo_flat_refunds",
+        "n16_woo_flat_refund_items",
+        "n17_woo_flat_product_attributes",
+        "pl13_incremental_mv",
+        "pl14_streaming_mv",
+        "pl15_incremental_zorder",
+        "pl16_incremental_ivf",
+        "pl4_corpus_ingest_dedup",
+        "s11_attributed_publish",
+        "s20_manifest_skipping",
+        "s21_fixed_width_source",
+        "ss10_rrf_fusion",
+        "t23_bigram_lm_score",
+        "w15_drawdown",
+        # rewritten-in-r14 re-gates (4, verdict-directed swaps)
+        "n13_woo_flat_order_items",
+        "mm1_decode_media",
+        "mm2_media_features",
+        "mm3_frame_sampling",
+        # new or changed in round 14, first-gated in round 15 (4)
+        "mm9_progressive_jpeg_audit",
+        "mm11_jpeg_progressive_pixels",
+        "dd20_self_repetition_spans",
+        "mm14_jpeg_cmyk_pixels",
     }
     assert must_have <= set(window), sorted(must_have - set(window))
     assert len(must_have) == 50
