@@ -589,6 +589,39 @@ _JPEG_ZIGZAG = [
 ]
 
 
+def _jpeg_bit_writer():
+    """MSB-first accumulating bit writer shared by the four JPEG
+    fixture encoders (r15 optimization round, guide §1.2 step 2: the
+    former one-int-per-BIT list + per-byte Python sum was half of an
+    mm-family synthesis pass — encode cost measured ≈ decode cost).
+    Identical emission semantics: ``put(v, n)`` appends the bottom n
+    bits of v MSB-first; ``flush()`` pads to the byte boundary with
+    1s per T.81, returns the byte-stuffed segment (FF -> FF 00) and
+    resets for the next segment."""
+    state = [0, 0]  # acc (bottom `nbits` unemitted bits), nbits
+    buf = bytearray()
+
+    def put(value: int, n: int) -> None:
+        acc = (state[0] << n) | (value & ((1 << n) - 1))
+        nb = state[1] + n
+        while nb >= 8:
+            nb -= 8
+            buf.append((acc >> nb) & 0xFF)
+        state[0] = acc & ((1 << nb) - 1)
+        state[1] = nb
+
+    def flush() -> bytes:
+        if state[1]:
+            pad = 8 - state[1]
+            buf.append(((state[0] << pad) | ((1 << pad) - 1)) & 0xFF)
+            state[0] = state[1] = 0
+        raw = bytes(buf)
+        buf.clear()
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    return put, flush
+
+
 def _jpeg_bytes(
     width: int, height: int, gray: int, ac44: int = 0, extended: bool = False
 ) -> bytes:
@@ -637,10 +670,7 @@ def _jpeg_bytes(
 
     n_mcus = ((width + 7) // 8) * ((height + 7) // 8)
     d = gray - 128  # quantized DC of the first MCU; diffs after are 0
-    bits: list[int] = []
-
-    def put(value: int, n: int) -> None:
-        bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
+    put, flush = _jpeg_bit_writer()
 
     ac_code = {s: i for i, s in enumerate(ac_syms)}  # canonical 4-bit
 
@@ -660,13 +690,7 @@ def _jpeg_bytes(
     put_block(d)
     for _ in range(n_mcus - 1):
         put_block(0)
-    while len(bits) % 8:
-        bits.append(1)  # pad with 1s per spec
-    raw = bytes(
-        sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
-        for p in range(0, len(bits), 8)
-    )
-    entropy = raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+    entropy = flush()
     return b"\xff\xd8" + dqt + sof0 + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
 
 
@@ -742,10 +766,7 @@ def _jpeg_color_bytes(
         + b"\x00\x3f\x00",
     )
 
-    bits: list[int] = []
-
-    def put(value: int, n: int) -> None:
-        bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
+    put, flush = _jpeg_bit_writer()
 
     ac_code = {s: i for i, s in enumerate(ac_syms)}  # canonical 4-bit
 
@@ -770,16 +791,7 @@ def _jpeg_color_bytes(
         put_block(dc_value - pred[comp], with_ac)
         pred[comp] = dc_value
 
-    def flush_segment() -> bytes:
-        nonlocal bits
-        while len(bits) % 8:
-            bits.append(1)  # pad with 1s per spec
-        raw = bytes(
-            sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
-            for p in range(0, len(bits), 8)
-        )
-        bits = []
-        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+    flush_segment = flush
 
     entropy = b""
     n_mcus = mcus_x * mcus_y
@@ -864,10 +876,7 @@ def _jpeg_cmyk_bytes(
         + b"\x00\x3f\x00",
     )
 
-    bits: list[int] = []
-
-    def put(value: int, n: int) -> None:
-        bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
+    put, flush = _jpeg_bit_writer()
 
     ac_code = {s: i for i, s in enumerate(ac_syms)}
 
@@ -896,13 +905,7 @@ def _jpeg_cmyk_bytes(
         comp_block(2, c2 - 128, False)
         comp_block(3, c3 - 128, False)
         comp_block(4, k0 - 128, False)
-    while len(bits) % 8:
-        bits.append(1)
-    raw = bytes(
-        sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
-        for p in range(0, len(bits), 8)
-    )
-    entropy = raw.replace(b"\xff", b"\xff\x00")
+    entropy = flush()
     return (
         b"\xff\xd8" + app14 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
     )
@@ -998,21 +1001,7 @@ def _progressive_jpeg_bytes(
         )
     ac_code = {s: i for i, s in enumerate(ac_syms)}
 
-    bits: list[int] = []
-
-    def put(value: int, n: int) -> None:
-        bits.extend((value >> (n - 1 - i)) & 1 for i in range(n))
-
-    def flush() -> bytes:
-        nonlocal bits
-        while len(bits) % 8:
-            bits.append(1)  # pad with 1s per spec
-        raw = bytes(
-            sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
-            for p in range(0, len(bits), 8)
-        )
-        bits = []
-        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+    put, flush = _jpeg_bit_writer()
 
     def put_dc_diff(diff: int) -> None:
         cat = abs(diff).bit_length()
@@ -1270,6 +1259,24 @@ def _huff_fast(table: dict[tuple[int, int], int]):
     return lut, table
 
 
+def _huff_fast_cached(cache: dict, table: dict) -> tuple:
+    """Per-decode memo around _huff_fast: one progressive stream
+    references the same canonical table from several scans (and a
+    color baseline frame from several components), and the r15
+    profile showed the 256-entry LUT rebuild was a fixed per-image
+    cost on the small-image corpus classes. Keyed on the table
+    OBJECT (identity-checked, with the table kept referenced so a
+    gc'd dict can never alias a reused id) — a redefined table
+    between scans is a new dict and misses, exactly the DHT
+    redefinition semantics. The cache lives per decode call, never
+    across images."""
+    e = cache.get(id(table))
+    if e is None or e[0] is not table:
+        e = (table, _huff_fast(table))
+        cache[id(table)] = e
+    return e[1]
+
+
 _BIT_MASKS = tuple((1 << i) - 1 for i in range(32))
 
 
@@ -1366,6 +1373,13 @@ def _idct_matrix() -> np.ndarray:
     return A
 
 
+# the 8x8 basis is a constant — built once at import (r15: the
+# per-image rebuild was a measured fixed cost on the small-image
+# corpus classes; trig on 64 cells is pure overhead per decode)
+_IDCT_A = _idct_matrix()
+_IDCT_AT = _IDCT_A.T.copy()
+
+
 def _ycc_to_rgb(
     yy: np.ndarray, cb: np.ndarray, cr: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1406,9 +1420,13 @@ def _planes_to_pixels(
         return planes[comps[0][0]][:h, :w]
     up = {}
     for cid, hs, vs, _ in comps:
-        up[cid] = np.repeat(
-            np.repeat(planes[cid], vmax // vs, axis=0), hmax // hs, axis=1
-        )[:h, :w].astype(np.int64)
+        if vs == vmax and hs == hmax:
+            # full-resolution component: replication is the identity
+            up[cid] = planes[cid][:h, :w].astype(np.int64)
+        else:
+            up[cid] = np.repeat(
+                np.repeat(planes[cid], vmax // vs, axis=0), hmax // hs, axis=1
+            )[:h, :w].astype(np.int64)
     if len(comps) == 4:
         p1, p2, p3, k = (up[c[0]] for c in comps)
         if adobe_transform == 2:  # YCCK
@@ -1538,8 +1556,6 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
         if (0, td) not in huff or (1, ta) not in huff or tq not in qtab:
             raise ValueError("JPEG missing SOF/SOS/DHT")
 
-    read_bits, read_symbol, _tell, reset = _bit_reader(entropy)
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1559,10 +1575,29 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
     }
     pred = {cid: 0 for cid, _, _, _ in comps}
     fast = {}
+    fcache: dict = {}
     for cid, _, _, _ in comps:
         td, ta = scan_tables[cid]
-        fast[cid] = (_huff_fast(huff[(0, td)]), _huff_fast(huff[(1, ta)]))
+        fast[cid] = (
+            _huff_fast_cached(fcache, huff[(0, td)]),
+            _huff_fast_cached(fcache, huff[(1, ta)]),
+        )
 
+    # Entropy pass with the bit machinery INLINED as loop locals (r15
+    # optimization round, guide §1.2 step 2 / §4.2: the r14 profile
+    # showed the per-coefficient closure calls into _bit_reader were
+    # the remaining majority of a decode pass; locals-based refill +
+    # LUT probe + magnitude extraction in ONE straight-line block
+    # removes two Python calls per coefficient with byte-identical
+    # semantics — same truncated/invalid errors at the same consumed
+    # bit positions, pinned by the fixture pixel suites and the
+    # truncation property tests). `acc` holds the bottom `nav`
+    # unconsumed stream bits; consumed == bp * 8 - nav throughout,
+    # exactly _bit_reader's invariant.
+    mask = _BIT_MASKS
+    dat = entropy
+    nb = len(dat)
+    bp = acc = nav = 0
     for m in range(mcus_x * mcus_y):
         if dri and m and m % dri == 0:
             # restart: next segment, byte re-alignment (segments are
@@ -1570,7 +1605,9 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
             seg_idx = m // dri
             if seg_idx >= len(segments):
                 raise ValueError("JPEG missing expected RST marker")
-            reset(segments[seg_idx])
+            dat = segments[seg_idx]
+            nb = len(dat)
+            bp = acc = nav = 0
             for cid in pred:
                 pred[cid] = 0
         my, mx = divmod(m, mcus_x)
@@ -1581,33 +1618,159 @@ def _jpeg_decode_baseline(data: bytes) -> np.ndarray:
                 row = grid[my * vs + by]
                 for bx in range(hs):
                     blk = [0] * 64  # zigzag order, pre-dequantize
-                    cat = read_symbol(dc_fast)
+                    # --- DC symbol (inlined read_symbol) ---
+                    lut, table = dc_fast
+                    while nav < 16 and bp < nb:
+                        acc = ((acc & mask[nav]) << 8) | dat[bp]
+                        bp += 1
+                        nav += 8
+                    if nav >= 8:
+                        peek = (acc >> (nav - 8)) & 0xFF
+                    else:
+                        # stream tail: zero-padded window (see
+                        # _bit_reader.read_symbol)
+                        peek = (acc & mask[nav]) << (8 - nav)
+                    hit = lut[peek]
+                    if hit is not None:
+                        cat = hit[1]
+                        if hit[0] > nav:
+                            raise ValueError("JPEG entropy stream truncated")
+                        nav -= hit[0]
+                    else:
+                        if nav < 8:
+                            raise ValueError("JPEG entropy stream truncated")
+                        nav -= 8
+                        code = peek
+                        cat = -1
+                        for ln in range(9, 17):
+                            if nav < 1:
+                                if bp >= nb:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                bp += 1
+                                nav += 8
+                            nav -= 1
+                            code = (code << 1) | ((acc >> nav) & 1)
+                            got = table.get((ln, code))
+                            if got is not None:
+                                cat = got
+                                break
+                        if cat < 0:
+                            # the naive walk reads a 17th bit before
+                            # giving up (truncated-vs-invalid kept)
+                            if nav < 1:
+                                if bp >= nb:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                bp += 1
+                                nav += 8
+                            nav -= 1
+                            raise ValueError("invalid Huffman code")
                     if cat:
-                        pred[cid] += _jpeg_extend(read_bits(cat), cat)
+                        while nav < cat:
+                            if bp >= nb:
+                                raise ValueError(
+                                    "JPEG entropy stream truncated"
+                                )
+                            acc = ((acc & mask[nav]) << 8) | dat[bp]
+                            bp += 1
+                            nav += 8
+                        nav -= cat
+                        v = (acc >> nav) & mask[cat]
+                        pred[cid] += (
+                            v if v >= 1 << (cat - 1) else v - (1 << cat) + 1
+                        )
                     blk[0] = pred[cid]
                     zpos = 1  # zigzag scan position
+                    lut, table = ac_fast
                     while zpos < 64:
-                        sym = read_symbol(ac_fast)
+                        # --- AC symbol (inlined read_symbol) ---
+                        while nav < 16 and bp < nb:
+                            acc = ((acc & mask[nav]) << 8) | dat[bp]
+                            bp += 1
+                            nav += 8
+                        if nav >= 8:
+                            peek = (acc >> (nav - 8)) & 0xFF
+                        else:
+                            peek = (acc & mask[nav]) << (8 - nav)
+                        hit = lut[peek]
+                        if hit is not None:
+                            sym = hit[1]
+                            if hit[0] > nav:
+                                raise ValueError(
+                                    "JPEG entropy stream truncated"
+                                )
+                            nav -= hit[0]
+                        else:
+                            if nav < 8:
+                                raise ValueError(
+                                    "JPEG entropy stream truncated"
+                                )
+                            nav -= 8
+                            code = peek
+                            sym = -1
+                            for ln in range(9, 17):
+                                if nav < 1:
+                                    if bp >= nb:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                    bp += 1
+                                    nav += 8
+                                nav -= 1
+                                code = (code << 1) | ((acc >> nav) & 1)
+                                got = table.get((ln, code))
+                                if got is not None:
+                                    sym = got
+                                    break
+                            if sym < 0:
+                                if nav < 1:
+                                    if bp >= nb:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                    bp += 1
+                                    nav += 8
+                                nav -= 1
+                                raise ValueError("invalid Huffman code")
                         if sym == 0x00:  # EOB: rest of the block is zero
                             break
                         if sym == 0xF0:  # ZRL: sixteen zero coefficients
                             zpos += 16
                             continue
-                        run, size = sym >> 4, sym & 0x0F
+                        size = sym & 0x0F
                         if size == 0:
                             raise ValueError(
                                 "invalid AC symbol (size 0, not ZRL/EOB)"
                             )
-                        zpos += run
+                        zpos += sym >> 4
                         if zpos >= 64:
                             raise ValueError("AC run overflows the block")
-                        blk[zpos] = _jpeg_extend(read_bits(size), size)
+                        while nav < size:
+                            if bp >= nb:
+                                raise ValueError(
+                                    "JPEG entropy stream truncated"
+                                )
+                            acc = ((acc & mask[nav]) << 8) | dat[bp]
+                            bp += 1
+                            nav += 8
+                        nav -= size
+                        v = (acc >> nav) & mask[size]
+                        blk[zpos] = (
+                            v if v >= 1 << (size - 1) else v - (1 << size) + 1
+                        )
                         zpos += 1
                     row[mx * hs + bx] = blk
 
     # dezigzag + dequantize + batched exact IDCT per component (the
     # progressive decoder's vectorized tail, shared shape)
-    A = _idct_matrix()
+    A = _IDCT_A
     planes = {}
     for cid, hs, vs, tq in comps:
         q = np.frombuffer(qtab[tq], dtype=np.uint8).astype(np.int32)
@@ -1767,24 +1930,27 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
         for cid, hs, vs, _ in comps
     }
 
+    fcache: dict = {}
     for scan_comps, ss, se, ah, al, segments, scan_dri in scans:
         seg_idx = 0
-        read_bits, read_symbol, tell, reset = _bit_reader(segments[0])
-
-        def advance_segment() -> None:
-            """Cross a restart boundary: the current segment must be
-            fully consumed (byte padding only), then the bit reader
-            re-aligns on the next independent segment."""
-            nonlocal seg_idx
-            consumed, total = tell()
-            if consumed + 8 <= total:
-                raise ValueError("JPEG scan under-consumed (layout desync)")
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG missing expected RST marker")
-            reset(segments[seg_idx])
-
         if ss == 0:  # DC scan (Se must be 0 per spec)
+            read_bits, read_symbol, tell, reset = _bit_reader(segments[0])
+
+            def advance_segment() -> None:
+                """Cross a restart boundary: the current segment must
+                be fully consumed (byte padding only), then the bit
+                reader re-aligns on the next independent segment."""
+                nonlocal seg_idx
+                consumed, total = tell()
+                if consumed + 8 <= total:
+                    raise ValueError(
+                        "JPEG scan under-consumed (layout desync)"
+                    )
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG missing expected RST marker")
+                reset(segments[seg_idx])
+
             if se != 0:
                 raise ValueError("DC scan with Se != 0")
             pred = {cid: 0 for cid, _, _ in scan_comps}
@@ -1792,18 +1958,31 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
             # fast DC tables, built only for first scans — refinement
             # scans read raw bits and may legally reference absent ids
             dc_tabs = (
-                {td: _huff_fast(huff[(0, td)]) for _, td, _ in scan_comps}
+                {
+                    td: _huff_fast_cached(fcache, huff[(0, td)])
+                    for _, td, _ in scan_comps
+                }
                 if ah == 0
                 else {}
             )
 
-            def dc_block(cid: int, td: int, cz: list) -> None:
-                if ah == 0:  # first scan: diff decode, shifted
+            # per-block DC decode, branch hoisted out of the block
+            # loops (r15: dc_block ran once per block with an ah test
+            # per call; ~80 calls per small corpus image was a
+            # measured fixed cost)
+            if ah == 0:
+
+                def dc_block(cid: int, td: int, cz: list) -> None:
+                    # first scan: diff decode, shifted
                     cat = read_symbol(dc_tabs[td])
-                    diff = _jpeg_extend(read_bits(cat), cat) if cat else 0
-                    pred[cid] += diff
+                    if cat:
+                        pred[cid] += _jpeg_extend(read_bits(cat), cat)
                     cz[0] = pred[cid] << al
-                else:  # refinement: one raw bit
+
+            else:
+
+                def dc_block(cid: int, td: int, cz: list) -> None:
+                    # refinement: one raw bit
                     if read_bits(1):
                         cz[0] |= 1 << al
 
@@ -1832,16 +2011,38 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                         advance_segment()
                         pred[cid] = 0
                     dc_block(cid, td, coefs[cid][b // cbx][b % cbx])
+            if seg_idx != len(segments) - 1:
+                raise ValueError("JPEG scan has unconsumed restart segments")
+            consumed, total = tell()
+            if consumed + 8 <= total:
+                # spec allows padding to the byte boundary only; more
+                # than 7 unread bits means scan-layout desync
+                raise ValueError("JPEG scan under-consumed (layout desync)")
         else:  # AC scan: single component per spec
+            # The AC spectral/refinement loops touch 63/64 of every
+            # band's coefficients plus a correction bit per nonzero
+            # history position — the decode hot path. Bit machinery
+            # INLINED as loop locals exactly as in the baseline MCU
+            # loop (r15 optimization round, guide §1.2 step 2:
+            # removes two Python closure calls per coefficient;
+            # consumed == bp * 8 - nav is _bit_reader's invariant, so
+            # the restart/under-consumption checks read it directly).
+            # DC scans above keep the shared _bit_reader — they
+            # decode one symbol per BLOCK, never a measured cost.
             if len(scan_comps) != 1:
                 raise ValueError("interleaved AC progressive scan")
             cid, _, ta = scan_comps[0]
-            table = _huff_fast(huff[(1, ta)])
+            lut, table = _huff_fast_cached(fcache, huff[(1, ta)])
             hs, vs, _ = by_comp[cid]
             cbx = (w * hs + 8 * hmax - 1) // (8 * hmax)
             cby = (h * vs + 8 * vmax - 1) // (8 * vmax)
             eobrun = 0
             p1, m1 = 1 << al, -1 << al
+            mask = _BIT_MASKS
+            rows = coefs[cid]
+            dat = segments[0]
+            nb = len(dat)
+            bp = acc = nav = 0
             for b in range(cbx * cby):
                 if scan_dri and b and b % scan_dri == 0:
                     # an EOBRUN may never straddle a restart boundary
@@ -1849,26 +2050,108 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                         raise ValueError(
                             "JPEG EOBRUN spans a restart boundary"
                         )
-                    advance_segment()
-                cz = coefs[cid][b // cbx][b % cbx]
+                    # cross the restart boundary: current segment
+                    # must be fully consumed (byte padding only)
+                    if bp * 8 - nav + 8 <= nb * 8:
+                        raise ValueError(
+                            "JPEG scan under-consumed (layout desync)"
+                        )
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG missing expected RST marker")
+                    dat = segments[seg_idx]
+                    nb = len(dat)
+                    bp = acc = nav = 0
+                cz = rows[b // cbx][b % cbx]
                 if ah == 0:  # AC first scan
                     if eobrun > 0:
                         eobrun -= 1
                         continue
                     k = ss
                     while k <= se:
-                        sym = read_symbol(table)
+                        # --- symbol (inlined read_symbol) ---
+                        while nav < 16 and bp < nb:
+                            acc = ((acc & mask[nav]) << 8) | dat[bp]
+                            bp += 1
+                            nav += 8
+                        if nav >= 8:
+                            peek = (acc >> (nav - 8)) & 0xFF
+                        else:
+                            peek = (acc & mask[nav]) << (8 - nav)
+                        hit = lut[peek]
+                        if hit is not None:
+                            sym = hit[1]
+                            if hit[0] > nav:
+                                raise ValueError(
+                                    "JPEG entropy stream truncated"
+                                )
+                            nav -= hit[0]
+                        else:
+                            if nav < 8:
+                                raise ValueError(
+                                    "JPEG entropy stream truncated"
+                                )
+                            nav -= 8
+                            code = peek
+                            sym = -1
+                            for ln in range(9, 17):
+                                if nav < 1:
+                                    if bp >= nb:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                    bp += 1
+                                    nav += 8
+                                nav -= 1
+                                code = (code << 1) | ((acc >> nav) & 1)
+                                got = table.get((ln, code))
+                                if got is not None:
+                                    sym = got
+                                    break
+                            if sym < 0:
+                                if nav < 1:
+                                    if bp >= nb:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                    bp += 1
+                                    nav += 8
+                                nav -= 1
+                                raise ValueError("invalid Huffman code")
                         r, s = sym >> 4, sym & 0x0F
                         if s:
                             k += r
                             if k > se:
                                 raise ValueError("AC run overflows the band")
-                            cz[k] = _jpeg_extend(read_bits(s), s) << al
+                            while nav < s:
+                                if bp >= nb:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                bp += 1
+                                nav += 8
+                            nav -= s
+                            v = (acc >> nav) & mask[s]
+                            cz[k] = (
+                                v if v >= 1 << (s - 1) else v - (1 << s) + 1
+                            ) << al
                             k += 1
                         elif r < 15:  # EOBn
                             eobrun = 1 << r
                             if r:
-                                eobrun += read_bits(r)
+                                while nav < r:
+                                    if bp >= nb:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                    bp += 1
+                                    nav += 8
+                                nav -= r
+                                eobrun += (acc >> nav) & mask[r]
                             eobrun -= 1  # this block is a member
                             break
                         else:  # ZRL
@@ -1877,7 +2160,63 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                     k = ss
                     if eobrun == 0:
                         while k <= se:
-                            sym = read_symbol(table)
+                            # --- symbol (inlined read_symbol) ---
+                            while nav < 16 and bp < nb:
+                                acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                bp += 1
+                                nav += 8
+                            if nav >= 8:
+                                peek = (acc >> (nav - 8)) & 0xFF
+                            else:
+                                peek = (acc & mask[nav]) << (8 - nav)
+                            hit = lut[peek]
+                            if hit is not None:
+                                sym = hit[1]
+                                if hit[0] > nav:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                nav -= hit[0]
+                            else:
+                                if nav < 8:
+                                    raise ValueError(
+                                        "JPEG entropy stream truncated"
+                                    )
+                                nav -= 8
+                                code = peek
+                                sym = -1
+                                for ln in range(9, 17):
+                                    if nav < 1:
+                                        if bp >= nb:
+                                            raise ValueError(
+                                                "JPEG entropy stream"
+                                                " truncated"
+                                            )
+                                        acc = (
+                                            (acc & mask[nav]) << 8
+                                        ) | dat[bp]
+                                        bp += 1
+                                        nav += 8
+                                    nav -= 1
+                                    code = (code << 1) | ((acc >> nav) & 1)
+                                    got = table.get((ln, code))
+                                    if got is not None:
+                                        sym = got
+                                        break
+                                if sym < 0:
+                                    if nav < 1:
+                                        if bp >= nb:
+                                            raise ValueError(
+                                                "JPEG entropy stream"
+                                                " truncated"
+                                            )
+                                        acc = (
+                                            (acc & mask[nav]) << 8
+                                        ) | dat[bp]
+                                        bp += 1
+                                        nav += 8
+                                    nav -= 1
+                                    raise ValueError("invalid Huffman code")
                             r, s = sym >> 4, sym & 0x0F
                             newval = 0
                             if s:
@@ -1885,19 +2224,53 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                                     raise ValueError(
                                         "refinement size must be 1"
                                     )
-                                newval = p1 if read_bits(1) else m1
+                                if nav < 1:
+                                    if bp >= nb:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                    bp += 1
+                                    nav += 8
+                                nav -= 1
+                                newval = p1 if (acc >> nav) & 1 else m1
                             elif r < 15:  # EOBn
                                 eobrun = 1 << r
                                 if r:
-                                    eobrun += read_bits(r)
+                                    while nav < r:
+                                        if bp >= nb:
+                                            raise ValueError(
+                                                "JPEG entropy stream"
+                                                " truncated"
+                                            )
+                                        acc = (
+                                            (acc & mask[nav]) << 8
+                                        ) | dat[bp]
+                                        bp += 1
+                                        nav += 8
+                                    nav -= r
+                                    eobrun += (acc >> nav) & mask[r]
                                 break
                             # advance over r zero-HISTORY positions
                             # (ZRL: r=15, newval=0 skips 16), paying a
                             # correction bit at every nonzero coef
                             while k <= se:
-                                if cz[k] != 0:
-                                    if read_bits(1) and not (cz[k] & p1):
-                                        cz[k] += p1 if cz[k] > 0 else m1
+                                ck = cz[k]
+                                if ck != 0:
+                                    if nav < 1:
+                                        if bp >= nb:
+                                            raise ValueError(
+                                                "JPEG entropy stream"
+                                                " truncated"
+                                            )
+                                        acc = (
+                                            (acc & mask[nav]) << 8
+                                        ) | dat[bp]
+                                        bp += 1
+                                        nav += 8
+                                    nav -= 1
+                                    if (acc >> nav) & 1 and not (ck & p1):
+                                        cz[k] = ck + (p1 if ck > 0 else m1)
                                 else:
                                     if r == 0:
                                         break
@@ -1909,21 +2282,30 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                     if eobrun > 0:
                         # band remainder: correction bits only
                         while k <= se:
-                            if cz[k] != 0:
-                                if read_bits(1) and not (cz[k] & p1):
-                                    cz[k] += p1 if cz[k] > 0 else m1
+                            ck = cz[k]
+                            if ck != 0:
+                                if nav < 1:
+                                    if bp >= nb:
+                                        raise ValueError(
+                                            "JPEG entropy stream truncated"
+                                        )
+                                    acc = ((acc & mask[nav]) << 8) | dat[bp]
+                                    bp += 1
+                                    nav += 8
+                                nav -= 1
+                                if (acc >> nav) & 1 and not (ck & p1):
+                                    cz[k] = ck + (p1 if ck > 0 else m1)
                             k += 1
                         eobrun -= 1
-        if seg_idx != len(segments) - 1:
-            raise ValueError("JPEG scan has unconsumed restart segments")
-        consumed, total = tell()
-        if consumed + 8 <= total:
-            # spec allows padding to the byte boundary only; more
-            # than 7 unread bits means scan-layout desync
-            raise ValueError("JPEG scan under-consumed (layout desync)")
+            if seg_idx != len(segments) - 1:
+                raise ValueError("JPEG scan has unconsumed restart segments")
+            if bp * 8 - nav + 8 <= nb * 8:
+                # spec allows padding to the byte boundary only; more
+                # than 7 unread bits means scan-layout desync
+                raise ValueError("JPEG scan under-consumed (layout desync)")
 
     # dezigzag + dequantize + vectorized exact IDCT per component
-    A = _idct_matrix()
+    A = _IDCT_A
     planes = {}
     for cid, hs, vs, tq in comps:
         if tq not in qtab:
