@@ -75,8 +75,11 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     payload = F.unhex(F.sha2(F.col(text_col).cast("binary"), 256))
     # the payloads feed per-row Python feature extractors downstream:
     # spread the one-split local scan so those stages run full-width
-    # (no-op at warehouse scale — see the mapInPandas synthesizers)
-    df = spread_small_input(df)
+    # (no-op at warehouse scale — see the mapInPandas synthesizers).
+    # Projected to the two consumed columns FIRST so the spread
+    # exchange never ships unused document columns (r15, from the
+    # r14 ADVICE: guide §2.3 "project before the exchange").
+    df = spread_small_input(df.select(id_col, text_col))
     return df.select(
         F.col(id_col).alias("media_id"),
         payload.alias("payload"),
@@ -1345,6 +1348,13 @@ def _bit_reader(initial: bytes):
                 raise ValueError("JPEG entropy stream truncated")
             navail -= length
             return sym
+        if navail < 8:
+            # LUT miss on a zero-padded tail window: the walk below
+            # would only ever reach read_bits(1)'s truncated raise
+            # after driving navail negative — raise it directly (r15,
+            # from the r14 ADVICE; same exception, same consumed
+            # position, no negative bit count in between)
+            raise ValueError("JPEG entropy stream truncated")
         # > 8-bit code or invalid prefix: consume the window and walk
         # lengths 9..16 bit by bit (rare path)
         navail -= 8

@@ -44,8 +44,24 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         # metadata-only check: df.rdd.getNumPartitions() would force
         # AQE plan materialization, which is NOT free
         few_splits = len(df.inputFiles()) < target
-    except Exception:  # non-file-backed plan (tests, memory sources)
-        few_splits = True
+    except Exception:
+        # non-file-backed plan: spread only when every leaf is a
+        # truly-local relation (tests, createDataFrame, literal
+        # sources). A DERIVED distributed plan that merely fails
+        # inputFiles() keeps its existing partitioning — the old
+        # unconditional fallback could COALESCE an already-wide
+        # input to defaultParallelism and shuffle full rows for
+        # nothing (r15, from the r14 ADVICE). Still metadata-only:
+        # collectLeaves walks the analyzed plan, no execution.
+        try:
+            leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+            few_splits = all(
+                "LocalRelation" in leaves.apply(i).nodeName()
+                or "OneRowRelation" in leaves.apply(i).nodeName()
+                for i in range(leaves.size())
+            )
+        except Exception:
+            few_splits = True
     return df.repartition(target) if few_splits else df
 
 
@@ -1056,24 +1072,53 @@ def connected_components(
     )
 
     state = probe(edges)
-    for rounds in range(1, max_iterations + 1):
+    rounds = 0
+    pending_confirm = False
+    while True:
+        if rounds >= max_iterations:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} iterations"
+            )
         # lazy outer checkpoint: the round's probe is the action that
         # materializes it (one job per round, not checkpoint-then-
         # probe). The window round is a linear pipeline — no shared
         # subtree, so no mid-round checkpoint exists to elide.
         n_sym = state[0] * 2
         parts = max(1, min(cap, -(-n_sym // _CC_ROWS_PER_PARTITION)))
-        edges = _cc_star_round(edges, partitions=parts).localCheckpoint(
-            eager=False
+        # PROBE CADENCE (r15 optimization round, the r14 verdict's
+        # deferred item): once the contracted edge set fits one round
+        # partition, per-round probe jobs dominate the tail — chain
+        # TWO lazy rounds into one probe job. A distance-2 state
+        # equality alone is weaker evidence than the adjacent-round
+        # equality the exit has always required (a deterministic
+        # 2-cycle — impossible for the published contraction, covered
+        # only empirically for this emit variant — would alias it),
+        # so a batched equality is CONFIRMED by one single adjacent
+        # round before exiting: the exit criterion stays exactly
+        # adjacent-probe equality. `rounds` counts EXECUTED star
+        # rounds (batch overshoot + confirm included) — the
+        # scale-grid receipts pin the executed count.
+        batch = (
+            2
+            if not pending_confirm
+            and n_sym <= _CC_ROWS_PER_PARTITION
+            and rounds + 2 <= max_iterations
+            else 1
         )
+        for _ in range(batch):
+            edges = _cc_star_round(edges, partitions=parts).localCheckpoint(
+                eager=False
+            )
+        rounds += batch
         new_state = probe(edges)
         if new_state == state:
-            break
+            if batch == 1:
+                break  # adjacent-round equality: the star fixpoint
+            pending_confirm = True  # distance-2 equality: confirm next
+        else:
+            pending_confirm = False
         state = new_state
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} iterations"
-        )
     if stats is not None:
         # observability hand-back for harnesses (tools/
         # scale_sanity.py pins round counts across upsampled scales);

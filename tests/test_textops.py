@@ -1320,6 +1320,39 @@ def test_soft_dedup_mass_conservation_and_dd8_consistency(spark, sf_dir):
             assert r["cluster_id"] == d and r["cluster_size"] == 1
 
 
+def test_soft_dedup_sizes_equal_window_formulation(spark, sf_dir):
+    """LAW (r14 ADVICE): soft_dedup_weights' join-based cluster_size
+    rests on two implicit invariants of connected_components output —
+    one self-labeled row per clustered member (centers included), and
+    singleton doc ids never appearing as labels. Recompute the sizes
+    with the RETIRED formulation (count(*) over partitionBy(cluster_id)
+    across the labeled corpus rows) and assert per-doc equality on the
+    fixture corpus, so a future cc change that breaks either invariant
+    fails loudly here instead of silently skewing keep_weights."""
+    from pyspark.sql import Window
+
+    from dot_spark.operators.textdedup import soft_dedup_weights
+    from dot_spark.queries import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    soft = soft_dedup_weights(docs)
+    w = Window.partitionBy("cluster_id")
+    rows = (
+        soft.select(
+            "doc_id",
+            "cluster_size",
+            F.count(F.lit(1)).over(w).alias("window_size"),
+        )
+    ).collect()
+    assert rows
+    bad = [
+        (r["doc_id"], r["cluster_size"], r["window_size"])
+        for r in rows
+        if r["cluster_size"] != r["window_size"]
+    ]
+    assert not bad, f"join-based sizes diverge from the window count: {bad[:5]}"
+
+
 def test_multiprobe_recall_monotone_and_saturates(spark, sf_dir):
     """ss11 laws: recall@10 is weakly MONOTONE in nprobe for every
     query (probing more cells can only add candidates, and the top-k
