@@ -282,7 +282,14 @@ def pagerank(
         ep.unpersist()
         ep = ep2
     base = (1.0 - damping) / n
-    ranks = deg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    # lazy initial checkpoint (r15): the uniform rank table is a
+    # |V|-row projection of the deg cache — materializing it was one
+    # whole driver-synchronized job before the first round; lazily it
+    # rides the final round's eager job (the caches are still alive
+    # inside the try block, so the deferred materialization reads
+    # them, and the returned plan still sees only the final
+    # checkpoint's RDD stub)
+    ranks = deg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=False)
     try:
         # r14 fixed-cost consolidation (the connected_components
         # pattern): intermediate rounds checkpoint LAZILY — each
