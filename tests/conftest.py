@@ -14,13 +14,68 @@ SF_TEST_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("dot_spark_tests")
+    # the TEST session runs 8 shuffle partitions (env-overridable):
+    # the suite's thousands of tiny sf0.001 jobs are scheduler-bound
+    # at the production default (32), and shuffle width is orthogonal
+    # to every correctness property the suite checks — measured 1.7x
+    # on the property suite (r15; the driver's verify budget is the
+    # contract this protects). bench.py / the driver contract keep
+    # their own session and are untouched by this.
+    s = get_spark(
+        "dot_spark_tests",
+        shuffle_partitions=int(
+            os.environ.get("DOT_SPARK_TEST_SHUFFLE_PARTITIONS", "8")
+        ),
+    )
     yield s
 
 
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_TEST_DIR
+
+
+@pytest.fixture(scope="session")
+def registry_dfs(spark, sf_dir):
+    """One DataFrame per registered query, built ONCE per test
+    session and shared by every full-registry sweep (the sf0.001
+    smoke, the scalar-output audit, the Python-eval audit, the
+    staged-HOF audit, the plan-count baseline net). Iterative/eager
+    queries EXECUTE at DataFrame-build time (g1's rounds, pl7's
+    closure probes, t13's merge loop), so each additional
+    full-registry rebuild used to cost ~90-160 s of suite wall time
+    — five sweeps paid it five times (r15, the driver's tests_ok
+    budget overrun). Built sequentially: a handful of queries run
+    driver-side commit loops against their own warehouse tables at
+    build time, and serial construction keeps those writes exactly
+    as isolated as the old per-test builds."""
+    return _registry(spark, sf_dir)[0]
+
+
+@pytest.fixture(scope="session")
+def registry_plans(spark, sf_dir):
+    """Executed-plan string per registered query, derived once from
+    the shared DataFrames for the plan-sweep audits. Derived EAGERLY
+    at registry build time: executedPlan is a lazy val, and deriving
+    it after a test module has .cache()d a shared subtree (the
+    multimodal media fixture) substitutes InMemoryTableScan nodes
+    whose stored plan text double-counts the scan/exchange — the
+    audits must see the production plan shapes, the same ones
+    tools/plan_baseline.py records from a fresh session."""
+    return _registry(spark, sf_dir)[1]
+
+
+def _registry(spark, sf_dir):
+    if not hasattr(_registry, "value"):
+        from dot_spark.queries import QUERIES
+
+        dfs = {name: fn(spark, sf_dir) for name, fn in QUERIES.items()}
+        plans = {
+            name: df._jdf.queryExecution().executedPlan().toString()
+            for name, df in dfs.items()
+        }
+        _registry.value = (dfs, plans)
+    return _registry.value
 
 
 def norm_toks(text: str) -> list[str]:

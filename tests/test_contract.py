@@ -52,8 +52,11 @@ def test_entry_returns_rows(spark):
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_runs_at_sf0001(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
+def test_query_runs_at_sf0001(registry_dfs, name):
+    # DataFrame construction is shared via the session-scoped
+    # registry_dfs fixture (one build instead of one per sweep test —
+    # see conftest); this test adds the per-query execution sample.
+    df = registry_dfs[name]
     assert df.columns, name
     df.limit(5).collect()  # force execution of a sample
 
@@ -69,10 +72,11 @@ def test_queries_survive_bare_driver_session(tmp_path):
 
     code = (
         "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from concurrent.futures import ThreadPoolExecutor\n"
         "from pyspark.sql import SparkSession\n"
         "spark = SparkSession.builder.master('local[4]').getOrCreate()\n"
         "from dot_spark.queries import QUERIES\n"
-        "for n in ('a2_watermark_max', 's2_paged_rest_scan', 'f8_hmac_sha256',\n"
+        "names = ('a2_watermark_max', 's2_paged_rest_scan', 'f8_hmac_sha256',\n"
         "          'mm1_decode_media', 's9_csv_checkpoint', 'st3_stream_corpus_dedup',\n"
         "          's13_jsonl_roundtrip', 'dd8_dedup_clusters',\n"
         "          'ss3_ivf_trained_topk', 'dd9_chunk_dedup',\n"
@@ -95,8 +99,15 @@ def test_queries_survive_bare_driver_session(tmp_path):
         # collect + bucketed rank windows (p20), chunk-boundary array
         # HOF chain (dd16)
         "          'pl14_streaming_mv', 'p20_zorder_layout',\n"
-        "          'dd16_cdc_chunks'):\n"
+        "          'dd16_cdc_chunks')\n"
+        # 4 concurrent query runs (guide section 2.6: independent
+        # jobs overlap; each query writes only its own artifacts) —
+        # the sequential loop was the suite's single slowest test
+        "def _run(n):\n"
         "    assert len(QUERIES[n](spark, '/root/testdata/sf0.001').collect()) >= 0, n\n"
+        "    return n\n"
+        "with ThreadPoolExecutor(max_workers=4) as pool:\n"
+        "    assert sorted(pool.map(_run, names)) == sorted(names)\n"
         "print('BARE_SESSION_OK')\n"
     )
     out = subprocess.run(
@@ -130,7 +141,7 @@ def test_bench_isolates_per_query_failures(spark, sf_dir, monkeypatch, capsys):
     assert out["value"] > 0
 
 
-def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
+def test_all_query_outputs_are_scalar_typed(registry_dfs):
     """The driver's canonicalizer lexsorts every output column in
     pandas; ndarray/list/dict cells raise `unhashable type` and fail
     the official gate (the r2 c1/mm2 defect). No queries() output —
@@ -139,10 +150,10 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = {}
-    for name, fn in QUERIES.items():
+    for name, df in registry_dfs.items():
         complex_cols = [
             f.name
-            for f in fn(spark, sf_dir).schema.fields
+            for f in df.schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         if complex_cols:

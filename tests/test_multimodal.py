@@ -20,7 +20,12 @@ from dot_spark.sources.registry import load_table
 @pytest.fixture(scope="module")
 def media(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
-    return synthesize_media(docs).cache()
+    m = synthesize_media(docs).cache()
+    yield m
+    # unpersist at module teardown: the CacheManager substitutes this
+    # cached subtree into any LATER-planned query containing it,
+    # which distorts the plan-shape audits' node counts (r15)
+    m.unpersist()
 
 
 def test_media_schema(media):

@@ -105,12 +105,13 @@ def test_aggregations_keep_partial_phase(spark, sf_dir):
         assert plan.count("HashAggregate") >= 2 or "partial" in plan, (name, plan)
 
 
-def test_hot_path_stays_jvm_side(spark, sf_dir):
+def test_hot_path_stays_jvm_side(registry_plans):
+    # plans come from the session-shared registry build (conftest):
+    # one full-registry DataFrame construction serves every sweep
     offenders = {}
-    for name, fn in QUERIES.items():
+    for name, plan in registry_plans.items():
         if name in PYTHON_OK:
             continue
-        plan = _plan(fn(spark, sf_dir))
         hits = [n for n in PY_EVAL_NODES if n in plan]
         if hits:
             offenders[name] = hits
@@ -417,18 +418,19 @@ def test_bpe_round_plans_stay_constant_depth(spark):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
 
 
-def test_plan_shapes_match_committed_baseline(spark):
+def test_plan_shapes_match_committed_baseline(registry_plans):
     """Global plan-regression net: every query's shuffle / scan /
     Python-eval / nested-loop node counts must not EXCEED the
     committed baseline (tools/plan_baseline.json). Catches the silent
     class — a lost broadcast, a defeated exchange reuse, an
     accidental UDF — across the WHOLE registry, not just the queries
     with hand-written pins. Counts below baseline are improvements;
-    refresh with `python tools/plan_baseline.py` when intentional."""
+    refresh with `python tools/plan_baseline.py` when intentional.
+    Plans come from the session-shared registry build (conftest)."""
     import json
     import os
 
-    from tools.plan_baseline import SF_DIR, plan_counts
+    from tools.plan_baseline import plan_counts_str
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -439,12 +441,12 @@ def test_plan_shapes_match_committed_baseline(spark):
         baseline = json.load(f)
 
     regressions = {}
-    for name, fn in QUERIES.items():
+    for name, plan in registry_plans.items():
         base = baseline.get(name)
         if base is None:
             regressions[name] = "missing from baseline — run tools/plan_baseline.py"
             continue
-        now = plan_counts(fn(spark, SF_DIR))
+        now = plan_counts_str(plan)
         worse = {
             k: (base[k], now[k]) for k in now if now[k] > base[k]
         }
@@ -867,7 +869,34 @@ def test_t28_gopher_rules_zero_shuffle(spark, sf_dir):
     }, counts
 
 
-def test_no_hof_chain_inlined_into_filters(spark, sf_dir):
+def test_scan_fused_codegen_under_jit_limit(spark, registry_dfs):
+    """r15 (verdict item 6): spark.sql.codegen.hugeMethodLimit=8000
+    is a GLOBAL codegen config that was isolation-tested only on
+    dd6/dd3 while t25 — the registry's flagship scan-fused
+    zero-exchange query — showed a noise-suspect 0.87x bench row.
+    Pin the fusion at the CODEGEN level, not the plan level: t25 and
+    t28 must compile >= 1 WholeStageCodegen subtree whose largest
+    generated method stays under the session hugeMethodLimit, i.e.
+    the fused stage actually JITs instead of falling back to
+    per-operator interpreted eval. Measured maxMethodCodeSize
+    783/261 (t25) and 984/1670 (t28) at pin time — a wide new
+    projection that blows past the limit fails here before it lands
+    an interpreted stage in production."""
+    import re
+
+    limit = int(spark.conf.get("spark.sql.codegen.hugeMethodLimit"))
+    for name in ("t25_hashed_linear_quality", "t28_gopher_rules"):
+        df = registry_dfs[name]
+        s = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", s)
+        assert m and int(m.group(1)) >= 1, (name, s[:500])
+        sizes = [int(x) for x in re.findall(r"maxMethodCodeSize:(\d+)", s)]
+        assert sizes and max(sizes) <= limit, (name, sizes)
+
+
+def test_no_hof_chain_inlined_into_filters(registry_plans):
     """The pl17/pl7 r13 pathology as a checked-for CLASS: filtering
     on a column derived from a staged higher-order-function chain
     lets predicate pushdown re-inline the whole chain into the
@@ -880,8 +909,7 @@ def test_no_hof_chain_inlined_into_filters(spark, sf_dir):
     chain. The fix pattern is a lazy localCheckpoint barrier between
     scoring and filter (pipelines.soft_corpus_build, pl7)."""
     offenders = {}
-    for name, fn in QUERIES.items():
-        plan = _plan(fn(spark, sf_dir))
+    for name, plan in registry_plans.items():
         for line in plan.splitlines():
             ls = line.strip()
             if (

@@ -33,8 +33,9 @@ PY_EVAL_NODES = (
 )
 
 
-def plan_counts(df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def plan_counts_str(plan: str) -> dict:
+    """Node counts from an executed-plan string (the test suite's
+    shared registry_plans fixture feeds strings directly)."""
     return {
         "exchanges": plan.count("Exchange"),
         "scans": plan.count("FileScan"),
@@ -42,6 +43,10 @@ def plan_counts(df) -> dict:
         "nested_loop": plan.count("BroadcastNestedLoopJoin")
         + plan.count("CartesianProduct"),
     }
+
+
+def plan_counts(df) -> dict:
+    return plan_counts_str(df._jdf.queryExecution().executedPlan().toString())
 
 
 def main() -> None:
