@@ -21,6 +21,9 @@ def spark():
     # on the property suite (r15; the driver's verify budget is the
     # contract this protects). bench.py / the driver contract keep
     # their own session and are untouched by this.
+    # tiny local collections otherwise schedule local[32]-many tasks
+    # per stage (see session.py) — measured ~2x per action at 8
+    os.environ.setdefault("DOT_SPARK_DEFAULT_PARALLELISM", "8")
     s = get_spark(
         "dot_spark_tests",
         shuffle_partitions=int(
@@ -66,6 +69,11 @@ def registry_plans(spark, sf_dir):
 
 
 def _registry(spark, sf_dir):
+    # sequential build: a handful of queries run driver-side commit
+    # loops against their own warehouse tables at construction time,
+    # and a thread-pooled build was MEASURED flat (364 s vs 340 s for
+    # contract+plans — the eager queries' own jobs already fill the
+    # box), so serial keeps the old per-test isolation for free
     if not hasattr(_registry, "value"):
         from dot_spark.queries import QUERIES
 

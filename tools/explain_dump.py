@@ -1,10 +1,10 @@
-"""Dump `.explain("formatted")` for queries into plans/r14/.
+"""Dump `.explain("formatted")` for queries into plans/<round>/.
 
 Usage: python tools/explain_dump.py <suffix> [query ...]
     suffix: "before" or "after" (file name tail)
     queries: default = the bench HEADLINE list
 
-Writes plans/r14/<query>_<suffix>.txt — the optimization-round
+Writes plans/$DOT_SPARK_PLAN_ROUND/<query>_<suffix>.txt (default r15) — the optimization-round
 evidence files the judge checks plan claims against. Uses sf0.1 so
 the plans match the benched scale (AQE initial plans; the committed
 plan-shape baselines under tests/ stay the CI source of truth)."""
@@ -28,7 +28,7 @@ def main() -> None:
 
         names = [n for n in bench.HEADLINE if n in QUERIES]
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("DOT_SPARK_PLAN_ROUND", "r15")
     )
     os.makedirs(out_dir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
