@@ -766,6 +766,19 @@ def test_cc_round_unmaterialized_twin(spark):
     assert counts["exchanges"] == 3, counts
     assert counts["py_eval"] == 0, counts
     assert counts["nested_loop"] == 0, counts
+    # r15 single-partition regime: on the contracted tail
+    # (partitions == 1, chosen by the caller from the PROBED live
+    # edge count) the round's head coalesce(1) reports
+    # SinglePartition, which satisfies every downstream clustered
+    # distribution — the whole round is ONE narrow zero-exchange
+    # stage. Same rows either way.
+    twin1 = _cc_star_round(edges, partitions=1)
+    counts1 = plan_counts(twin1)
+    assert counts1["exchanges"] == 0, counts1
+    assert counts1["scans"] == 0 and counts1["py_eval"] == 0, counts1
+    assert {tuple(r) for r in twin1.collect()} == {
+        tuple(r) for r in twin.collect()
+    }
     # the twin's star edges name exactly the production components
     manual = {
         (r["a"], r["b"])
